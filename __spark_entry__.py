@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The actual surface lives in ``spring_cloud_kafka_streams_dbz_etl_spark.queries``
+(one module per domain, each op registered with its DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -13,26 +15,50 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7 'minimum end-to-end slice'): the CDC
+    enrichment pipeline in batch form — envelope parse -> latest-wins ->
+    broadcast dimension join -> projected output with defaults."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.relational import (
+        enrich_join,
+        latest_by_key,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import tune
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.cdc import (
+        parse_event_envelopes,
+        synthesize_event_envelopes,
+    )
+
+    tune(spark)
+    ev = table(spark, SMOKE_SF_DIR, "events")
+    dim = table(spark, SMOKE_SF_DIR, "customer")
+    changes = parse_event_envelopes(synthesize_event_envelopes(ev))
+    latest = latest_by_key(changes, keys=["id"], order_desc=["id"])
+    enriched = enrich_join(latest, dim, on=latest.user_id == dim.c_custkey, how="left")
+    return enriched.select(
+        F.col("id"),
+        F.col("user_id"),
+        F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("op"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None
+    }

@@ -1,0 +1,57 @@
+"""Parquet table catalog for the driver test tables.
+
+Tables (see TESTDATA.md / FIXTURES.md §B): region nation customer supplier
+part orders lineitem events documents embeddings — one parquet per table
+under ``{sf_dir}/``.
+
+Reads go through ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown + column pruning into the scan; at cluster scale the same loaders
+would point at partitioned/bucketed table roots instead of single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# reference's deployment would see (region/nation are bounded; customer is
+# the enrichment dim of SURVEY.md §2A#5 — broadcast while it fits, else AQE
+# falls back to shuffle join).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), read as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (see session.tune); convert
+        # to µs-precision timestamp exactly like DuckDB truncates nanos.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

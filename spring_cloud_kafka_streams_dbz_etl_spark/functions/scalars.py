@@ -1,0 +1,43 @@
+"""Deterministic numeric aggregation helpers.
+
+Why: double SUM/AVG over a shuffled dataset is accumulation-order dependent,
+so two engines (or two runs) differ in the last ulps. For the oracle-checked
+surface every monetary aggregate goes through DECIMAL(18,6):
+
+- the per-row double expression is IEEE-deterministic (identical in Spark
+  and DuckDB given identical inputs),
+- the cast to DECIMAL(18,6) rounds per-row (deterministic),
+- decimal SUM is exact integer arithmetic (order-independent),
+- the final cast back to double is a single deterministic conversion.
+
+At 100 TB the same trick is what you'd use anyway: Spark sums decimals with
+128-bit internal state, avoiding both fp drift and overflow.
+
+DuckDB twin: ``CAST(SUM(CAST(<expr> AS DECIMAL(18,6))) AS DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dec_sum(expr: Column, alias: str) -> Column:
+    """Order-independent SUM of a (possibly computed) double expression."""
+    return F.sum(expr.cast(DEC)).cast("double").alias(alias)
+
+
+def exact_avg(expr: Column, alias: str) -> Column:
+    """Deterministic AVG: exact decimal sum / exact count, one double div.
+
+    DuckDB twin:
+    ``CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS alias``
+    """
+    return (F.sum(expr.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def money(expr: Column) -> Column:
+    """Per-row monetary normalization to DECIMAL(18,6)."""
+    return expr.cast(DEC)

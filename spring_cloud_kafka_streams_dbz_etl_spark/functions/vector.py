@@ -1,0 +1,43 @@
+"""Vector (embedding) column expressions — built-in higher-order functions.
+
+Embeddings are ``array<float>`` columns. All math is done in double via a
+sequential left-fold (``F.aggregate``), which is deterministic for a given
+row; cross-engine cosine scores are rounded to 6 decimals before any
+threshold/rank decision so both engines make identical decisions.
+
+These are JVM-side expressions (no Python), so brute-force scoring runs
+inside whole-stage codegen; for very wide vectors a Pandas-UDF BLAS path
+would win — that variant lives in operators/similarity.py as an option.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """DuckDB twin: ``list_transform(v, x -> CAST(x AS DOUBLE))``."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double.
+
+    DuckDB twin: ``list_inner_product(a, b)`` (same up to last-ulp; all
+    comparisons happen on values rounded to 6 decimals).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Rounded cosine similarity (decision-stable across engines)."""
+    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), decimals)

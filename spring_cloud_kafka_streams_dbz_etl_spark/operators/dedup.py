@@ -1,0 +1,129 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+- Exact dedup: hash-groupBy on the full row / content digest — one shuffle.
+- MinHash+LSH: shingle -> K minhashes -> b bands of r rows -> candidate
+  pairs via an equi-join on (band_idx, band_hash). The band join replaces
+  the O(n^2) pairwise comparison with a shuffle on band keys; only
+  candidates pay the exact-Jaccard verification. K/b/r tune the S-curve
+  (P(candidate) = 1-(1-j^r)^b).
+- SimHash: per-token signed bit votes -> fingerprint; exact-fingerprint
+  grouping finds near-dups in one shuffle.
+- All hashing is md5-based (functions/hashing.py) so signatures are
+  engine-portable and verifiable by the DuckDB oracle.
+
+No UDFs anywhere — shingling is higher-order array functions, hashing is
+md5 concat, banding is string concat + md5 — everything stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_nibble
+
+
+def shingle(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-grams of a token array (1 fused expression).
+
+    DuckDB twin: ``list_distinct(list_transform(range(1, len(t)-n+2),
+    i -> t[i] || ' ' || ... || t[i+n-1]))`` (1-based).
+    Caller must pre-filter ``size(toks) >= n`` (F.sequence would otherwise
+    count backwards).
+    """
+    parts = lambda i: [F.element_at(toks, i + off + 1) for off in range(n)]  # noqa: E731
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        )
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str, shingle_col: str, k: int = 6) -> DataFrame:
+    """(id, shingles array) -> (id, mh_0..mh_{k-1}).
+
+    min(md5(seed:shingle)) per seed: hex ordering == digest ordering, so no
+    hex->int conversion is needed. Single explode + single groupBy shuffle,
+    all K minima computed in one aggregation pass (map-side partial min).
+    """
+    ex = docs.select(id_col, F.explode(shingle_col).alias("__s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Signature -> exploded (id, band_idx, band_hash); r = k // bands."""
+    r = k // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*entries)).alias("__b")).select(
+        id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_hash").alias("band_hash")
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join on (band_idx, band_hash) -> distinct ordered id pairs.
+
+    The join key is the band hash, so co-bucketed docs co-locate in one
+    shuffle; DISTINCT collapses pairs sharing multiple bands.
+    """
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", F.col("band_hash").alias("bh")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", F.col("band_hash").alias("bh")
+    )
+    return (
+        a.join(b, on=["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(sa: F.Column, sb: F.Column) -> F.Column:
+    """|A∩B| / |A∪B| over distinct-element arrays (int/int -> exact double).
+
+    DuckDB twin: ``len(list_intersect(a,b)) /
+    len(list_distinct(list_concat(a,b)))``.
+    """
+    return F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+
+
+def simhash16(docs: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per-bit signed votes from md5
+    nibble parities, one explode + one groupBy (16 sums fused)."""
+    ex = docs.select(id_col, F.explode(token_col).alias("__t")).withColumn(
+        "__h", F.md5(F.col("__t"))
+    )
+    votes = [
+        F.sum(
+            F.when(hex_nibble(F.col("__h"), j + 1) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(16)
+    ]
+    summed = ex.groupBy(id_col).agg(*votes)
+    fp = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(16)
+        ],
+    )
+    return summed.select(id_col, fp.cast("int").alias("simhash"))

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (north star): image/audio/video ride along as `binary` columns with
+a metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched `mapInPandas` stages so heavy per-item work scales out with
+partitions and never touches the driver.
+
+The actual codec libraries (Pillow/ffmpeg/torchaudio) are NOT in this
+container, so `decode_media` is gated: with no decoder available it either
+raises NotImplementedError (strict mode) or produces a deterministic fake
+decode (payload-hash-derived dimensions) that exercises the full Spark
+plumbing — schema, batching, partitioning — identically to a real decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, width int, height int, n_frames int"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wrap a source column as an opaque binary payload + metadata struct —
+    the canonical multimodal row shape (payload, meta{mime, n_bytes})."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _try_import_pillow():
+    try:  # pragma: no cover - not present in this container
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode binary payloads into (width, height, n_frames) metadata.
+
+    Real decoders are stubbed (libs absent here): strict=True raises
+    NotImplementedError exactly where a Pillow/ffmpeg call would go;
+    strict=False runs a deterministic fake decode derived from the payload
+    md5, keeping the mapInPandas plumbing (Arrow batch shapes, schema,
+    partition parallelism) production-identical.
+    """
+    pillow = _try_import_pillow()
+
+    def decode(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pillow is not None:  # pragma: no cover
+                raise NotImplementedError("real decode path: wire Pillow here")
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires Pillow/ffmpeg (not in this container)"
+                )
+            digests = [
+                hashlib.md5(bytes(p)).digest() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    # deterministic fake dimensions from the content hash
+                    "width": [16 + d[0] % 64 for d in digests],
+                    "height": [16 + d[1] % 64 for d in digests],
+                    "n_frames": [1 + d[2] % 8 for d in digests],
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over decoded media: explode n_frames -> keep every
+    Nth frame. Pure built-ins (sequence + explode + filter)."""
+    return (
+        decoded.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
+        .filter(F.col("frame_idx") % every_n == 0)
+        .select("doc_id", "frame_idx", "width", "height")
+    )

@@ -1,0 +1,71 @@
+"""CDC envelope parsing + UDF surface queries."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import tune
+from ..sources.cdc import parse_event_envelopes, synthesize_event_envelopes
+from . import query
+
+
+@query(
+    "q_cdc_envelope_parse",
+    oracle="""
+SELECT event_id AS id,
+       user_id,
+       event_type,
+       value,
+       CASE WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op
+FROM events
+WHERE event_id % 97 <> 0      -- tombstones
+  AND event_type <> 'error'   -- deletes (after IS NULL)
+  AND event_id <> 0           -- id sentinel reject
+""",
+)
+def q_cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full envelope round-trip (§2A #2-#4): synthesize Debezium-style JSON
+    envelopes from `events`, then decode with from_json, drop tombstones /
+    deletes / id==0, and project the flat after-image. The oracle computes
+    the same result directly — verifying the round-trip is lossless.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    raw = synthesize_event_envelopes(ev)
+    return parse_event_envelopes(raw)
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+SELECT event_id,
+       ROUND(LN(1 + value), 6) AS log_value,
+       value * 2 + user_id AS blended
+FROM events
+WHERE value >= 0
+""",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF surface (§2B): the reference's only 'UDF' is the enrichment
+    function called per record inside mapValues
+    (AnimalEnrichmentService.java:27-29). Engine equivalent: an
+    Arrow-batched pandas_udf (vectorized, ~10-100x over row-at-a-time).
+    Kept off the hot path everywhere else — this query exists to prove the
+    plumbing, oracle-checked against the equivalent SQL expression.
+    """
+    tune(spark)
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def log1p_round6(v: pd.Series) -> pd.Series:
+        return np.round(np.log1p(v), 6)
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    return ev.select(
+        "event_id",
+        log1p_round6(F.col("value")).alias("log_value"),
+        (F.col("value") * 2 + F.col("user_id")).alias("blended"),
+    )

@@ -1,0 +1,229 @@
+"""Dedup query surface: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Oracle SQL for the hash-based ops is generated from the same K/band
+constants as the Spark side, so both engines run the *same* LSH scheme
+end-to-end (identical md5 signatures -> identical candidates -> identical
+verified pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import (
+    candidate_pairs,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    shingle,
+    simhash16,
+)
+from ..session import tune
+from . import query
+
+MINHASH_K = 6
+MINHASH_BANDS = 3
+MINHASH_JACCARD_MIN = 0.5
+NGRAM_JACCARD_MIN = 0.3
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT DISTINCT * FROM (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 3 = 0)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy on the full row). The duplicate source is
+    synthesized (at-least-once delivery duplicates — the reference's
+    commit-interval tradeoff, CLAUDE.md:134); dropDuplicates removes them
+    in one shuffle with map-side partial dedup.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+    return dup.dropDuplicates()
+
+
+def _minhash_oracle() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    mins = ",\n    ".join(
+        f"min(md5('{j}:' || s)) AS mh_{j}" for j in range(k)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM mh".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         len(list_intersect(x.shingles, y.shingles))
+           / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b)
+WHERE jaccard >= {MINHASH_JACCARD_MIN}
+"""
+
+
+@query("q_minhash_near_dup", oracle=_minhash_oracle(), bench=True)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup over documents.text: 3-gram shingles -> K=6
+    md5 minhashes -> 3 bands of 2 -> band-join candidates -> exact Jaccard
+    verify >= 0.5. The band equi-join is the scale path: no pairwise scan,
+    one shuffle keyed by band hash (skew-safe under AQE).
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", shingle(F.col("toks"), 3).alias("shingles"))
+    )
+    sig = minhash_signature(docs, "doc_id", "shingles", k=MINHASH_K)
+    bands = lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
+    cand = candidate_pairs(bands, "doc_id")
+    x = docs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS hx FROM t
+), s AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST({fp} AS INT) AS simhash FROM s
+)
+SELECT doc_id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+FROM f
+"""
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints + per-fingerprint collision counts.
+    Near-dup groups = docs sharing a fingerprint — one explode + one
+    groupBy + one window, linear in corpus size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    fp = simhash16(docs, "doc_id", "toks")
+    w = Window.partitionBy("simhash")
+    return fp.select(
+        "doc_id", "simhash", F.count(F.lit(1)).over(w).cast("bigint").alias("n_same")
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams))
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id)
+WHERE jaccard >= {NGRAM_JACCARD_MIN}
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise bigram-Jaccard dedup: block on (lang, source,
+    length-bucket) so the self-join only pairs plausible duplicates —
+    the classic blocking alternative when LSH recall tuning isn't wanted.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+            shingle(toks, 2).alias("grams"),
+        )
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("grams").alias("g_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("grams").alias("g_b"),
+    )
+    return (
+        a.join(b, on=["lang", "source", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+    )

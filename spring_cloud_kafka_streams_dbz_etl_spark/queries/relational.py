@@ -1,0 +1,420 @@
+"""Core relational surface (SURVEY.md §2B, generalizing §2A #3-#8).
+
+Numeric policy (see functions/scalars.py): every double aggregate goes
+through DECIMAL(18,6) so results are accumulation-order independent and
+bit-identical between Spark and the DuckDB oracle. Counts are BIGINT on
+both sides. Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.scalars import dec_sum, exact_avg
+from ..operators.relational import enrich_join, latest_by_key, top_k
+from ..session import tune
+from . import query
+
+# DuckDB twin of functions/scalars.dec_sum
+_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "q_filter_predicate",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-predicate filter (§2A #3/#7 generalized).
+
+    Scale: all three predicates push down to the parquet scan
+    (PushedFilters) and only 6 of 11 columns are read (ReadSchema pruning).
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+
+
+@query(
+    "q_project_rename",
+    oracle="""
+SELECT c_custkey AS id,
+       COALESCE(c_name, '') AS name,
+       UPPER(c_mktsegment) AS segment,
+       c_acctbal AS acctbal,
+       CASE WHEN c_acctbal < 0 THEN 'delinquent'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier
+FROM customer
+""",
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + null defaults (§2A #6: builder with asText(''))."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+        F.upper(F.col("c_mktsegment")).alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+@query(
+    "q_enrich_join",
+    oracle="""
+SELECT e.event_id AS id,
+       e.user_id AS user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type AS event_type,
+       e.value AS value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+    bench=True,
+)
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE enrichment join (§2A #5): the reference's per-record REST lookup
+    (EventTransformerStream.java:61-85) collapsed into one broadcast
+    equi-join per batch — O(1) dimension reads instead of N RPCs.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer")
+    joined = enrich_join(ev, dim, on=ev.user_id == dim.c_custkey, how="left")
+    return joined.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id"),
+        F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+@query(
+    "q_join_inner_multi",
+    oracle=f"""
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_DSUM.format(e='o_totalprice')} AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    bench=True,
+)
+def q_join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (orders⋈customer⋈nation⋈region) + aggregate.
+
+    Scale: nation/region are broadcast (bounded dims); customer is broadcast
+    while it fits, else AQE shuffle join. Only one real shuffle: the final
+    groupBy, with map-side partial aggregation.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@query(
+    "q_semi_anti_join",
+    oracle="""
+SELECT 'has_orders' AS status, c_custkey, c_name
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'no_orders' AS status, c_custkey, c_name
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ-split semantics (§2A #10) as semi/anti joins: records with a
+    dimension match vs records without (the failure branch).
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    has = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("has_orders").alias("status"), "c_custkey", "c_name")
+    )
+    nothas = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("no_orders").alias("status"), "c_custkey", "c_name")
+    )
+    return has.unionByName(nothas)
+
+
+@query(
+    "q_agg_group",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(e='l_quantity')} AS sum_qty,
+       {_DSUM.format(e='l_extendedprice')} AS sum_base_price,
+       {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_DSUM.format(e='l_quantity')} / COUNT(*) AS avg_qty,
+       {_DSUM.format(e='l_extendedprice')} / COUNT(*) AS avg_price,
+       {_DSUM.format(e='l_discount')} / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation: 8 aggregates, one shuffle,
+    map-side partial agg; decimal accumulation keeps it deterministic.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            exact_avg(F.col("l_quantity"), "avg_qty"),
+            exact_avg(F.col("l_extendedprice"), "avg_price"),
+            exact_avg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Catalyst Expand-based multi-distinct).
+
+    At 100 TB you'd usually reach for approx_count_distinct (HLL, one pass,
+    no expand) — kept exact here because the oracle demands exactness.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_rollup_cube",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM.format(e='l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via ROLLUP (flag, status) -> subtotals + grand total."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dec_sum(F.col("l_quantity"), "sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+SELECT user_id, event_id, event_type, value, ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    bench=True,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-wins per key — the reference's JPA @Version semantics
+    (entity/Event.java:18-19) as a rank window; deterministic via the
+    event_id tiebreak. One shuffle on user_id.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    return latest_by_key(ev, keys=["user_id"], order_desc=["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/running-sum analytics; running sum in DECIMAL so the frame
+    accumulation is order-strategy independent (DuckDB segment trees vs
+    Spark sequential frames agree exactly).
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(run).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "q_sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-partition heaps + one merge,
+    no full sort); o_orderkey tiebreak makes the k-set deterministic.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=25,
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+SELECT 'union' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over key sets, tagged into one result."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+    )
+
+
+@query(
+    "q_scalar_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       value * 1.1 AS amount,
+       UPPER(event_type) AS etype_upper,
+       SUBSTRING(event_type, 1, 3) AS etype3,
+       CAST(LENGTH(props) AS INT) AS props_len
+FROM events
+""",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface used by the reference's enrichment: JSON path
+    access (EventTransformerStream.java:67-71), string defaulting/concat,
+    date parts, arithmetic — all JVM built-ins, zero UDFs.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.concat(F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")).alias("tag"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        (F.col("value") * 1.1).alias("amount"),
+        F.upper("event_type").alias("etype_upper"),
+        F.substring("event_type", 1, 3).alias("etype3"),
+        F.length("props").cast("int").alias("props_len"),
+    )

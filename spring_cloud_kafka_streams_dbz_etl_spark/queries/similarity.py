@@ -1,0 +1,129 @@
+"""Similarity-search query surface over `embeddings` (array<float>, 64-d).
+
+Cross-engine determinism: cosine computed in double, rounded to 6 decimals
+*before* ranking/thresholding; ranks tie-break on neighbor id. DuckDB
+mirrors with list_inner_product over double-cast lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vector import cosine, to_double
+from ..operators.similarity import brute_force_topk
+from ..session import tune
+from . import query
+
+N_PROBE_QUERIES = 8  # vec_id < 8 are the probe set
+TOPK = 10
+COSINE_DUP_MIN = 0.35
+
+_COS = (
+    "ROUND(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC) AS INT) AS rank
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < {N_PROBE_QUERIES} AND q.vec_id <> c.vec_id)
+WHERE rank <= {TOPK}
+""",
+    bench=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): probe vectors broadcast
+    against the corpus -> map-only scoring -> tiny per-query top-k window.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        queries=e.filter(F.col("vec_id") < N_PROBE_QUERIES),
+        corpus=e,
+        k=TOPK,
+    )
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC) AS INT) AS rank
+  FROM e q JOIN e c ON q.label = c.label
+  WHERE q.vec_id < {N_PROBE_QUERIES} AND q.vec_id <> c.vec_id)
+WHERE rank <= {TOPK}
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: `label` is the inverted-file cell; search only the
+    query's cell. At scale, cells map to parquet partitions, so the probe
+    reads 1/n_cells of the corpus (partition pruning) instead of all of it.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        queries=e.filter(F.col("vec_id") < N_PROBE_QUERIES),
+        corpus=e,
+        k=TOPK,
+        cell_col="label",
+    )
+
+
+@query(
+    "q_embedding_cosine_dup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         {_COS.format(a='a.v', b='b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cos_sim >= {COSINE_DUP_MIN}
+""",
+)
+def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: pairwise cosine within label cells
+    (blocking), keep pairs >= threshold. Cell blocking keeps the pair count
+    at sum(|cell|^2) instead of |corpus|^2.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_MIN)
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis surface over `documents` (north-star extensions:
+language-ID, quality scoring, token counting, fingerprinting).
+
+No reference counterpart (BASELINE.json north star). All expressions are
+JVM built-ins — a single scan, no shuffle, no UDFs — so at 100 TB these run
+at parquet-scan speed and parallelize embarrassingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
+from ..session import tune
+from . import query
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT doc_id, lang, source,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""",
+    bench=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, type-token ratio, mean token
+    length. Integer sums + one double division keep it engine-exact."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_dis.cast("bigint").alias("n_distinct"),
+        (n_dis / n_tok).alias("ttr"),
+        (token_total_len(toks).cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    ([a-z]+|[0-9]+ runs) — the standard cheap token-budget estimators."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))")
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+SELECT * FROM (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+             / len(string_split(text, ' ')) AS en_stop_ratio,
+         CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'und' END AS predicted_lang
+  FROM documents)
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English function-word ratio (the classic
+    n-gram/stopword heuristic). Deterministic int/int ratio -> identical
+    threshold decisions across engines."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ratio = en_stopword_count(toks) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        ratio.alias("en_stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+SELECT * FROM (
+  SELECT doc_id,
+         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0) AS quality_score
+  FROM documents) q
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    mean-token-length saturation (the usual cheap pre-training filters)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    avg_len = token_total_len(toks).cast("double") / n_tok
+    score = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * ttr
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,
+       substr(md5(text), 1, 8) AS fp_band
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact digest, order-insensitive bag-of-words
+    digest (sorted distinct tokens), and an 8-hex-char band for cheap
+    bucketing — the building blocks of exact/near dedup at scale."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bow = F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(bow).alias("fp_bow"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_band"),
+    )
