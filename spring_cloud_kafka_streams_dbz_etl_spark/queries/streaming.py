@@ -1,9 +1,232 @@
-"""Streaming query surface (Structured Streaming; SURVEY.md §2B s_*).
+"""Streaming query surface (SURVEY.md §2B s_*), driver-checkable.
 
-Filled in by the streaming phase — each s_* entry drives a real
-StreamingQuery over the sf_dir data (file-source micro-batches standing in
-for Kafka topics) to completion and returns the materialized result, so the
-driver's batch comparison applies to streaming semantics too.
+Each entry drives a REAL StreamingQuery (micro-batch file source standing
+in for the Kafka topic — same planner/state/checkpoint machinery) to
+completion inside the call and returns the materialized result as a batch
+DataFrame, so the DuckDB oracle verifies streaming semantics end-to-end:
+the CDC pipeline, the DLQ split, the DLQ reprocess, windowed aggregation,
+and in-stream dedup.
 """
 
 from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum
+from ..session import tune
+from ..sources.streams import stream_events
+from ..streaming.pipeline import (
+    CdcPipelineConfig,
+    ENRICHED_SCHEMA,
+    build_cdc_pipeline,
+    build_dlq_reprocess,
+)
+from ..streaming.registry import StreamRegistry
+from . import query
+
+# Shared filter of valid change records after envelope parsing (tombstone /
+# delete / id sentinel rules, sources/cdc.py).
+_VALID = "event_id % 97 <> 0 AND event_type <> 'error' AND event_id <> 0"
+
+
+def _tmp(kind: str) -> str:
+    return tempfile.mkdtemp(prefix=f"scksde_{kind}_{uuid.uuid4().hex[:8]}_")
+
+
+def _run_to_completion(start_fn) -> None:
+    q = start_fn()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@query(
+    "s_cdc_pipeline",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID}
+""",
+    bench=True,
+)
+def s_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's main topology end-to-end as Structured Streaming
+    (§2A #1-#14): envelope stream -> tombstone filter -> parse -> broadcast
+    enrich join -> dual sink, via foreachBatch micro-batches."""
+    tune(spark)
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    _run_to_completion(build_cdc_pipeline(spark, cfg))
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+
+
+@query(
+    "s_dlq_split",
+    oracle=f"""
+SELECT 'ok' AS status, e.event_id AS id, e.user_id,
+       c.c_name AS name, e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey AND c.c_custkey % 2 = 0
+WHERE {_VALID}
+UNION ALL
+SELECT 'dlq' AS status, e.event_id AS id, e.user_id,
+       CAST(NULL AS VARCHAR) AS name, e.event_type, e.value
+FROM events e
+WHERE e.user_id % 2 = 1 AND {_VALID}
+""",
+)
+def s_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ branch semantics (§2A #9-#12): enrichment against a broken
+    dimension (even keys only — the docker-compose.dlq.yml broken-URL
+    analogue); failures keep their ORIGINAL envelope payload and land in
+    the DLQ sink, successes flow on. Result = both branches tagged."""
+    tune(spark)
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(
+        sf_dir=sf_dir,
+        out_path=out,
+        dlq_path=dlq,
+        checkpoint=ckpt,
+        dim_filter="c_custkey % 2 = 0",
+    )
+    _run_to_completion(build_cdc_pipeline(spark, cfg))
+    ok = spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
+        F.lit("ok").alias("status"), "id", "user_id", "name", "event_type", "value"
+    )
+    # DLQ rows carry the original payload; re-parse to expose identity.
+    from ..sources.cdc import parse_event_envelopes
+    from ..streaming.pipeline import DLQ_SCHEMA
+
+    bad_raw = spark.read.schema(DLQ_SCHEMA).parquet(dlq)
+    bad = parse_event_envelopes(bad_raw, keep_op=False).select(
+        F.lit("dlq").alias("status"),
+        "id",
+        "user_id",
+        F.lit(None).cast("string").alias("name"),
+        "event_type",
+        "value",
+    )
+    return ok.unionByName(bad)
+
+
+@query(
+    "s_dlq_reprocess",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id % 2 = 1 AND {_VALID}
+""",
+)
+def s_dlq_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restartable DLQ reprocessing (§2A #15-#16): main stream with broken
+    enrichment fills the DLQ; a second, throttled, independently
+    checkpointed stream (auto_start=False, started on demand) re-enriches
+    the original payloads against the repair dimension. Result = recovered
+    records only."""
+    tune(spark)
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    out2, ckpt2 = _tmp("out2"), _tmp("ckpt2")
+    cfg = CdcPipelineConfig(
+        sf_dir=sf_dir,
+        out_path=out,
+        dlq_path=dlq,
+        checkpoint=ckpt,
+        dim_filter="c_custkey % 2 = 0",
+    )
+    _run_to_completion(build_cdc_pipeline(spark, cfg))
+
+    reg = StreamRegistry()
+    reg.register(
+        "dlq_reprocess",
+        build_dlq_reprocess(spark, dlq, sf_dir, out2, ckpt2, throttle_files=4),
+        checkpoint=ckpt2,
+        auto_start=False,  # reference: DLQ stream auto-startup disabled
+    )
+    reg.start("dlq_reprocess")
+    reg.process_available("dlq_reprocess")
+    reg.stop("dlq_reprocess")
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out2)
+
+
+@query(
+    "s_window_agg",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def s_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation with watermark (the streaming
+    surface Spark adds beyond the reference — SURVEY.md §2B extensions):
+    1-hour windows over event time, complete-mode memory sink."""
+    tune(spark)
+    name = f"winagg_{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
+    "s_dedup_stream",
+    oracle="SELECT * FROM events",
+)
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream exact dedup (§2B dedup-in-stream): two copies of the
+    source unioned (at-least-once duplicate delivery), dropDuplicates on
+    the record key with streaming state -> each event exactly once."""
+    tune(spark)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    deduped = a.union(b).dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()

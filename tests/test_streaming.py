@@ -1,0 +1,187 @@
+"""Streaming control-plane tests mirroring the reference's E2E scenarios
+(SURVEY.md §5): CDC flow, DLQ fail/reprocess/stop, offset/lifecycle control.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.pipeline import (
+    CdcPipelineConfig,
+    DLQ_SCHEMA,
+    ENRICHED_SCHEMA,
+    build_cdc_pipeline,
+    build_dlq_reprocess,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.export import (
+    manual_export,
+    parse_export_payload,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.registry import StreamRegistry
+
+
+def _tmp(kind: str) -> str:
+    return tempfile.mkdtemp(prefix=f"scksde_test_{kind}_{uuid.uuid4().hex[:6]}_")
+
+
+@pytest.fixture()
+def dlq_setup(spark, sf_smoke):
+    """Main pipeline with broken dim (even custkeys only) run to completion."""
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(
+        sf_dir=sf_smoke,
+        out_path=out,
+        dlq_path=dlq,
+        checkpoint=ckpt,
+        dim_filter="c_custkey % 2 = 0",
+    )
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    reg.stop("main")
+    return reg, out, dlq
+
+
+def test_cdc_stream_lifecycle_and_offsets(spark, sf_smoke):
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+
+    st = reg.status("main")
+    assert st["running"] and st["state"] == "RUNNING" and st["applicationId"]
+
+    reg.process_available("main")
+    offs = reg.offsets("main")
+    assert offs["endBatch"] is not None
+    assert offs["committedBatch"] == offs["endBatch"]
+    assert offs["lag"] == 0
+
+    st = reg.stop("main")
+    assert not st["running"] and st["state"] == "NOT_RUNNING"
+
+    # output matches the batch-computed expectation
+    got = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    expected = ev.filter(
+        "event_id % 97 != 0 AND event_type != 'error' AND event_id != 0"
+    ).count()
+    assert got == expected
+
+
+def test_offset_reset_earliest_reprocesses(spark, sf_smoke):
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    n1 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+
+    res = reg.reset_offsets("main", to="earliest")
+    assert res["restarted"]
+    assert res["previousOffsets"]["committedBatch"] is not None
+    reg.process_available("main")
+    reg.stop("main")
+
+    # earliest reset -> full reprocess -> output doubled (at-least-once)
+    n2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+    assert n2 == 2 * n1
+
+
+def test_offset_reset_latest_resumes(spark, sf_smoke):
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    n1 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+
+    res = reg.reset_offsets("main", to="latest")
+    reg.process_available("main")
+    reg.stop("main")
+    n2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+    assert n2 == n1  # resumed at committed position: nothing reprocessed
+    assert res["newOffsets"]["committedBatch"] == res["previousOffsets"]["committedBatch"]
+
+
+def test_dlq_split_preserves_original_payload(spark, dlq_setup):
+    _, out, dlq = dlq_setup
+    bad = spark.read.schema(DLQ_SCHEMA).parquet(dlq)
+    rows = bad.collect()
+    assert rows, "broken dim must produce DLQ records"
+    assert all(r.reason == "enrichment_miss" for r in rows)
+    # original envelope payload intact (parseable JSON with after.id)
+    parsed = bad.select(F.get_json_object("value", "$.after.id").alias("id"))
+    assert parsed.filter(F.col("id").isNull()).count() == 0
+    # successes exclude failures
+    ok_users = {r.user_id for r in spark.read.schema(ENRICHED_SCHEMA).parquet(out).collect()}
+    assert all(u % 2 == 0 for u in ok_users)
+
+
+def test_dlq_reprocess_start_stop_semantics(spark, sf_smoke, dlq_setup):
+    """DlqPipelineIT parity: reprocess recovers DLQ records; once stopped,
+    new DLQ records do NOT reach the output."""
+    reg, _out, dlq = dlq_setup
+    out2, ckpt2 = _tmp("out2"), _tmp("ckpt2")
+    reg.register(
+        "dlq_reprocess",
+        build_dlq_reprocess(spark, dlq, sf_smoke, out2, ckpt2, throttle_files=4),
+        checkpoint=ckpt2,
+        auto_start=False,  # reference: auto-startup disabled
+    )
+    assert not reg.status("dlq_reprocess")["running"]
+
+    reg.start("dlq_reprocess")
+    reg.process_available("dlq_reprocess")
+    reg.stop("dlq_reprocess")
+    recovered = spark.read.schema(ENRICHED_SCHEMA).parquet(out2)
+    n_recovered = recovered.count()
+    assert n_recovered > 0
+    assert all(r.user_id % 2 == 1 for r in recovered.collect())
+
+    # stopped stream: append a new DLQ record -> must NOT appear in out2
+    new_row = [(999999, '{"after":{"id":999999,"user_id":1,"event_type":"click","value":1.0},"op":"u"}', "enrichment_miss")]
+    spark.createDataFrame(new_row, schema=DLQ_SCHEMA).write.mode("append").parquet(dlq)
+    import time
+
+    time.sleep(1.0)
+    assert spark.read.schema(ENRICHED_SCHEMA).parquet(out2).count() == n_recovered
+
+    # restart -> resumes from its own checkpoint and picks up ONLY the new record
+    reg.start("dlq_reprocess")
+    reg.process_available("dlq_reprocess")
+    reg.stop("dlq_reprocess")
+    after = spark.read.schema(ENRICHED_SCHEMA).parquet(out2)
+    assert after.count() == n_recovered + 1
+    assert after.filter(F.col("id") == 999999).count() == 1
+
+
+def test_manual_export(spark):
+    out = _tmp("export")
+    # bare entity
+    df = manual_export(spark, {"id": 7, "name": "manual"}, out)
+    assert df.count() == 1
+    # envelope form falls back after -> root (reference :53-56)
+    manual_export(spark, '{"after": {"id": 8, "user_id": 3, "value": 2.5}}', out)
+    got = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    assert {r.id for r in got.collect()} == {7, 8}
+    with pytest.raises(ValueError):
+        parse_export_payload({"id": 0})
+
+
+def test_registry_guards(spark, sf_smoke):
+    reg = StreamRegistry()
+    with pytest.raises(KeyError):
+        reg.status("nope")
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt, auto_start=False)
+    with pytest.raises(ValueError):
+        reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    with pytest.raises(ValueError):
+        reg.reset_offsets("main", to="sideways")
+    reg.stop_all()
