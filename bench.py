@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every query marked bench=True in the registry (enrichment join,
+star join, TPC-H-Q1 agg, latest-wins window, text stats, MinHash+LSH
+near-dup, cosine top-k, and the end-to-end streaming CDC pipeline) on
+local[$SPARK_GRAFT_CPUS], forcing full materialization through the noop
+sink (so column computation isn't skipped the way .count() allows).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries  # noqa: E402
+from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> int:
+    """Force full computation of every output column."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark("scksde-bench")
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+    timings: dict[str, float] = {}
+    # one warm-up touch so JVM/codegen startup doesn't land on the first query
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        materialize(specs[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (batch relational + dedup + "
+                "similarity + streaming CDC pipeline), noop-sink materialization",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
