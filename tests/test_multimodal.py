@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: binary payload schema, mapInPandas decode
+stub, frame sampling. (The decode output is not SQL-expressible, so this
+path is pytest-verified rather than oracle-checked.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+from spring_cloud_kafka_streams_dbz_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    frame_sample,
+)
+
+
+def test_binary_payload_schema(spark, sf_smoke):
+    d = table(spark, sf_smoke, "documents").limit(50)
+    wrapped = attach_binary_payload(d)
+    assert [f.name for f in wrapped.schema.fields] == ["doc_id", "payload", "meta"]
+    assert wrapped.schema["payload"].dataType.typeName() == "binary"
+    row = wrapped.first()
+    assert row.meta.n_bytes == len(bytes(row.payload))
+
+
+def test_decode_media_fake_path_is_deterministic(spark, sf_smoke):
+    d = table(spark, sf_smoke, "documents").limit(50)
+    decoded1 = decode_media(attach_binary_payload(d)).collect()
+    decoded2 = decode_media(attach_binary_payload(d)).collect()
+    assert sorted(map(tuple, decoded1)) == sorted(map(tuple, decoded2))
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in decoded1)
+    assert all(1 <= r.n_frames <= 8 for r in decoded1)
+
+
+def test_decode_media_strict_raises(spark, sf_smoke):
+    d = table(spark, sf_smoke, "documents").limit(5)
+    with pytest.raises(Exception) as exc_info:
+        decode_media(attach_binary_payload(d), strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample(spark, sf_smoke):
+    d = table(spark, sf_smoke, "documents").limit(50)
+    decoded = decode_media(attach_binary_payload(d))
+    frames = frame_sample(decoded, every_n=2)
+    rows = frames.collect()
+    assert rows
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+    # every doc contributes ceil(n_frames/2) sampled frames
+    per_doc = decoded.select("doc_id", "n_frames").collect()
+    expected = sum((r.n_frames + 1) // 2 for r in per_doc)
+    assert len(rows) == expected
+
+
+def test_pandas_topk_matches_builtin(spark, sf_smoke):
+    """The BLAS mapInPandas scoring path agrees with the codegen path on
+    neighbor sets (scores may differ in last ulp)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pandas_topk_scores,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    queries_pd = e.filter(F.col("vec_id") < 4).toPandas()
+    builtin = brute_force_topk(e.filter(F.col("vec_id") < 4), e, k=5)
+    pandas_path = pandas_topk_scores(queries_pd, e, k=5)
+    b = {(r.query_id, r.neighbor_id) for r in builtin.collect()}
+    p = {(r.query_id, r.neighbor_id) for r in pandas_path.collect()}
+    assert b == p

@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the scale properties the queries claim.
+
+These pin that Catalyst actually produces the plan each query's docstring
+promises — filter pushdown into the parquet scan, column pruning,
+broadcast joins for dimensions — so a regression that silently degrades
+the 100 TB story (e.g. a filter that stops pushing down) fails CI.
+"""
+
+from __future__ import annotations
+
+from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    df = SPECS["q_filter_predicate"].fn(spark, sf_smoke)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_discount" in pushed, pushed
+
+
+def test_column_pruning(spark, sf_smoke):
+    df = SPECS["q_filter_predicate"].fn(spark, sf_smoke)
+    scans = read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    # lineitem has 11 columns; the query needs only 6
+    assert all(len(cols) <= 6 for cols in scans), scans
+
+
+def test_enrich_join_broadcasts_dimension(spark, sf_smoke):
+    df = SPECS["q_enrich_join"].fn(spark, sf_smoke)
+    assert has_broadcast_join(df)
+
+
+def test_star_join_broadcasts(spark, sf_smoke):
+    df = SPECS["q_join_inner_multi"].fn(spark, sf_smoke)
+    assert has_broadcast_join(df)
+
+
+def test_agg_prunes_unused_columns(spark, sf_smoke):
+    df = SPECS["q_agg_group"].fn(spark, sf_smoke)
+    scans = read_schema_columns(df)
+    assert scans and all("l_orderkey" not in cols for cols in scans), scans
+
+
+def test_topk_no_global_sort(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_sort_limit_topk"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text, text[:2000]
