@@ -35,6 +35,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 def all_queries() -> dict[str, QuerySpec]:
     # Import for registration side effects (idempotent).
     from . import (  # noqa: F401
+        advanced,
         cdc,
         dedup,
         multimodal,

@@ -1,0 +1,212 @@
+"""Advanced operator surface: as-of join, sessionization, pivot, cube,
+skew-safe salted aggregation, approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.scalars import dec_sum
+from ..operators.relational import latest_by_key
+from ..operators.temporal import asof_join_backward, sessionize
+from ..session import tune
+from . import query
+
+_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       o.o_orderkey AS asof_o_orderkey,
+       o.o_totalprice AS asof_o_totalprice
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — an operator Spark lacks natively,
+    composed from union + last(ignorenulls) window (operators/temporal.py):
+    each event picks the customer's most recent order at event time.
+    Right side is deduped latest-wins per (key, time) first so the match
+    is deterministic. One shuffle on the key; no range explosion.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = table(spark, sf_dir, "orders")
+    o = latest_by_key(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_desc=["o_orderkey"],
+    )
+    right = o.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return asof_join_backward(
+        left=ev,
+        right=right,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min silence): lag + running-sum session
+    ids, then per-session rollup. Exact µs integer arithmetic on both
+    engines. One shuffle on user_id serves both windows and the groupBy.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(
+        ev, key="user_id", time_col="ts", gap=F.lit(SESSION_GAP_US), order_tiebreak=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+""".format(
+        cols=",\n       ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS {t}"
+            for t in _PIVOT_TYPES
+        )
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-type value sums per user (explicit value
+    list -> no extra distinct pass, deterministic column set)."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM.format(e='l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets (all 4 combinations of the two dims)."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dec_sum(F.col("l_extendedprice"), "sum_price"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_DSUM.format(e='value')} AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key into 16 shards
+    (deterministic salt = event_id % 16), partially aggregate per
+    (key, salt), then merge per key. Result is provably identical to the
+    direct groupBy (decimal partials are exact) — the oracle IS the
+    unsalted query. At 100 TB this is the manual fallback when one key
+    dominates a shuffle partition and AQE skew-split isn't enough.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("user_id", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__v").cast("double").alias("total_value"),
+    )
+
+
+@query("q_approx_stats", oracle=None)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the forms actually used at 100 TB:
+    approx_count_distinct (HyperLogLog++, one pass, no Expand) and
+    percentile_approx (GK sketch). Approximation is engine-specific, so
+    this entry is rows-only checked (no DuckDB oracle by design).
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )

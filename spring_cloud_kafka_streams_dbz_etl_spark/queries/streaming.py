@@ -205,6 +205,52 @@ def s_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_stateful_count",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_micros
+FROM events
+GROUP BY user_id
+""",
+)
+def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running counters evolved across micro-batches in Arrow-batched Python,
+    exact integer-micro accumulation. Final state per key must equal the
+    batch aggregate — which is exactly what the oracle asserts."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_user_counters
+
+    tune(spark)
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    ev = stream_events(spark, sf_dir)
+    counters = running_user_counters(ev)
+    q = (
+        counters.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        updates = spark.table(name)
+        # latest state per key (update mode may emit one row per batch)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        result = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .cache()
+        )
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
     "s_dedup_stream",
     oracle="SELECT * FROM events",
 )
