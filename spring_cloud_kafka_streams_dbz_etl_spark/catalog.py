@@ -47,6 +47,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Decouple compute parallelism from source layout.
+
+    The driver testdata is one parquet file with ONE row group per table,
+    so scans are inherently single-threaded no matter what
+    maxPartitionBytes says — a round-robin repartition to cluster
+    parallelism before a compute-heavy stage (md5 shingling, vector folds,
+    JSON codec) trades one cheap shuffle of the base rows for N-way
+    parallel compute. On a real 100 TB layout (thousands of row groups)
+    the scan parallelizes naturally and callers should skip this.
+    """
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover
+        par = 8
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..operators.dedup import (
     candidate_pairs,
     jaccard,
@@ -105,10 +105,14 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # Shingle arrays feed three consumers (signature + both verify-join
+    # sides); persist so the expensive shingling runs once, not 3x
+    # (measured 5-20x wall-clock difference at sf0.1).
     docs = (
-        d.select("doc_id", toks.alias("toks"))
+        fan_out(d.select("doc_id", toks.alias("toks")), spark)
         .filter(F.size("toks") >= 3)
         .select("doc_id", shingle(F.col("toks"), 3).alias("shingles"))
+        .persist()
     )
     sig = minhash_signature(docs, "doc_id", "shingles", k=MINHASH_K)
     bands = lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
@@ -160,7 +164,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     d = table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    docs = fan_out(d, spark).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
     fp = simhash16(docs, "doc_id", "toks")
     w = Window.partitionBy("simhash")
     return fp.select(
@@ -198,7 +204,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     base = (
-        d.filter(F.size(toks) >= 2)
+        fan_out(d, spark).filter(F.size(toks) >= 2)
         .select(
             "doc_id",
             "lang",
@@ -206,6 +212,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
             shingle(toks, 2).alias("grams"),
         )
+        .persist()  # consumed by both sides of the blocked self-join
     )
     a = base.select(
         F.col("doc_id").alias("doc_a"),

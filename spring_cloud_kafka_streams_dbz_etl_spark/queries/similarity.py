@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.vector import cosine, to_double
 from ..operators.similarity import brute_force_topk
 from ..session import tune
@@ -53,7 +53,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return brute_force_topk(
         queries=e.filter(F.col("vec_id") < N_PROBE_QUERIES),
-        corpus=e,
+        corpus=fan_out(e, spark),
         k=TOPK,
     )
 
@@ -111,8 +111,10 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sum(|cell|^2) instead of |corpus|^2.
     """
     tune(spark)
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .persist()  # consumed by both sides of the blocked self-join
     )
     a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))

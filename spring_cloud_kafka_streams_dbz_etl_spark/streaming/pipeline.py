@@ -115,8 +115,12 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
     if cfg.dim_filter:
         dim = dim.filter(cfg.dim_filter)
+    # Decouple codec parallelism from source partitioning (a Kafka topic's
+    # partition count, or here a single-row-group file): shuffle the raw
+    # records across the cluster before the JSON encode/decode stage.
+    par = spark.sparkContext.defaultParallelism
     raw = synthesize_event_envelopes(
-        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger)
+        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).repartition(par)
     )
     parsed = _parse_keep_original(raw)
 
