@@ -234,3 +234,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
     )
+
+
+@query(
+    "q_dedup_docs",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 5 = 0)
+GROUP BY md5(text)
+""",
+)
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup with keep-first policy: group by md5(text), keep
+    the lowest doc_id, count copies. The duplicate source is synthesized
+    (every 5th doc re-ingested). One shuffle on the 16-byte digest — at
+    100 TB this is how exact dedup runs: hash once, never shuffle the
+    full text."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    dup = d.unionByName(d.filter(F.col("doc_id") % 5 == 0))
+    return (
+        dup.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -276,3 +276,90 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         q.stop()
+
+
+@query(
+    "s_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (a capability the reference entirely
+    lacks — SURVEY.md §2A 'explicitly absent'): purchases within one hour
+    after a click by the same user, both sides watermarked so join state
+    is bounded (2h of per-user buffered rows at steady state)."""
+    tune(spark)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
+    "s_offset_reset",
+    oracle=f"""
+WITH run AS (
+  SELECT e.event_id AS id, e.user_id,
+         COALESCE(c.c_name, '') AS name,
+         COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+         e.event_type, e.value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  WHERE {_VALID}
+)
+SELECT * FROM run UNION ALL SELECT * FROM run
+""",
+)
+def s_offset_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset reset through the data plane (§2A #19): run the CDC pipeline
+    to completion, reset offsets to earliest (fresh checkpoint), run again
+    — the output contains every record exactly twice, proving the reset
+    actually repositioned the source (and that replays are at-least-once,
+    the reference's delivery guarantee)."""
+    tune(spark)
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    reg.reset_offsets("main", to="earliest")
+    reg.process_available("main")
+    reg.stop("main")
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
 from ..session import tune
 from . import query
@@ -160,4 +160,94 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp_exact"),
         F.md5(bow).alias("fp_bow"),
         F.substring(F.md5("text"), 1, 8).alias("fp_band"),
+    )
+
+
+@query(
+    "q_top_terms",
+    oracle="""
+SELECT lang, term, n, rank FROM (
+  SELECT lang, term,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY COUNT(*) DESC, term ASC) AS INT) AS rank
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY lang, term)
+WHERE rank <= 5
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary analysis: top-5 terms per language by raw
+    frequency — explode + one grouped count + a tiny per-group rank
+    window (two shuffles total, both on small keys)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    counts = ex.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "n", "rank")
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS total FROM ex GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         ROUND((tf.c / dl.total) * LN(n.n_total / df.n_docs), 6) AS tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY ROUND((tf.c / dl.total) * LN(n.n_total / df.n_docs), 6) DESC,
+                       tf.term ASC) AS INT) AS rank
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN n)
+WHERE rank <= 3
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: term frequency x inverse document frequency, top-3
+    terms per document. Counts are exact integers; only LN is
+    transcendental, so scores are rounded to 6 decimals before the
+    ranking decision (tie-break on term). The document-frequency side is
+    a small aggregate -> broadcast back; at scale the explode output is
+    the only big shuffle."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_total = d.count()
+    ex = fan_out(d, spark).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).persist()
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.round(
+        (F.col("c") / F.col("total")) * F.log(F.lit(n_total) / F.col("n_docs")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(df_), "term")
+        .withColumn("tfidf", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
     )
