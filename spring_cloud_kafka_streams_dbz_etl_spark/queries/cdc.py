@@ -69,3 +69,73 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         log1p_round6(F.col("value")).alias("log_value"),
         (F.col("value") * 2 + F.col("user_id")).alias("blended"),
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+SELECT * FROM (
+  SELECT user_id AS id, ts, event_type, value
+  FROM events
+  WHERE event_id % 97 <> 0 AND user_id <> 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+WHERE event_type <> 'error'
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization (MERGE INTO semantics composed from
+    window + filter): treat events as a per-user change stream (op='d'
+    for 'error' rows, tombstones excluded, id==0 sentinel rejected) and
+    materialize the current state — each user's latest change, deleted
+    users absent. The inverse direction of the reference pipeline
+    (which only ships changes; a CDC engine must also apply them)."""
+    from ..operators.changelog import materialize_changelog
+
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    changes = (
+        ev.filter((F.col("event_id") % 97 != 0) & (F.col("user_id") != 0))
+        .select(
+            F.col("user_id").alias("id"),
+            "ts",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "error", "d")
+            .when(F.col("event_type") == "signup", "c")
+            .otherwise("u")
+            .alias("op"),
+            "event_id",
+        )
+    )
+    return materialize_changelog(
+        changes, key_cols=["id"], order_cols=["ts", "event_id"]
+    ).drop("event_id")
+
+
+@query(
+    "q_scd2",
+    oracle="""
+SELECT user_id AS id, event_id, event_type, value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change stream: every change becomes a
+    validity interval [valid_from, valid_to) via lead() per key; the open
+    interval marks the current version. One shuffle on the key serves the
+    whole history build."""
+    from ..operators.changelog import scd2_intervals
+
+    tune(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), "event_id", "event_type", "value", "ts"
+    )
+    out = scd2_intervals(ev, key_cols=["id"], time_col="ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current",
+    )

@@ -122,7 +122,12 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     raw = synthesize_event_envelopes(
         stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).repartition(par)
     )
-    parsed = _parse_keep_original(raw)
+    # The reference's peek()/log side-channel (§2A #13) as observe()
+    # metrics: per-batch counts surface in query.lastProgress without
+    # touching the data path (no extra action, no caching).
+    parsed = _parse_keep_original(raw).observe(
+        "cdc", F.count(F.lit(1)).alias("n_parsed")
+    )
 
     def start():
         return (

@@ -106,12 +106,22 @@ class StreamRegistry:
         s = self._get(name)
         q = s.query
         active = bool(q is not None and q.isActive)
-        return {
+        out = {
             "name": name,
             "applicationId": q.id if q is not None else None,
             "running": active,
             "state": "RUNNING" if active else "NOT_RUNNING",
         }
+        # peek()/metrics side-channel (§2A #13): observe() metrics +
+        # per-batch input rows from the last progress event.
+        progress = q.lastProgress if q is not None else None
+        if progress:
+            out["numInputRows"] = progress.get("numInputRows")
+            om = progress.get("observedMetrics") or {}
+            out["observedMetrics"] = {
+                k: (v.asDict() if hasattr(v, "asDict") else v) for k, v in om.items()
+            }
+        return out
 
     # -- offsets (§2A #18) -----------------------------------------------
     def offsets(self, name: str) -> dict[str, Any]:

@@ -56,6 +56,10 @@ def test_cdc_stream_lifecycle_and_offsets(spark, sf_smoke):
     assert st["running"] and st["state"] == "RUNNING" and st["applicationId"]
 
     reg.process_available("main")
+    # observe() metrics surface through status (peek/log parity, §2A #13)
+    st = reg.status("main")
+    observed = st.get("observedMetrics") or {}
+    assert observed.get("cdc", {}).get("n_parsed", 0) > 0, st
     offs = reg.offsets("main")
     assert offs["endBatch"] is not None
     assert offs["committedBatch"] == offs["endBatch"]
