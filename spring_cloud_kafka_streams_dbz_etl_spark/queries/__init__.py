@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import for registration side effects (idempotent).
     from . import (  # noqa: F401
         advanced,
+        analytic,
         cdc,
         dedup,
         multimodal,

@@ -1,0 +1,322 @@
+"""Analytic extension surface: percentiles, moments, conditional/arg
+aggregates, array explode, range (interval) join, histogram, grouping sets.
+
+These generalize the reference's aggregation-free pipeline (SURVEY.md §2A
+has NO aggregation operators) to the analytics surface any consumer of the
+materialized CDC state needs. Numeric policy follows functions/scalars.py:
+exact decimal sufficient statistics, identical final double arithmetic on
+both engines, so every result is bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.scalars import dec_sum
+from ..session import tune
+from . import query
+
+_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+# wide decimal for sums of squares / cross products (values up to ~5e5
+# squared ~2.5e11, 60k rows -> ~1.5e16; DECIMAL(38,6) holds 1e32)
+_DSUM_W = "CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc, nearest-rank ceil) per
+    group, built from one rank window + conditional max — no interpolation
+    arithmetic, so the value returned is an actual data value and the two
+    engines agree bit-for-bit (linear-interpolated percentile_cont would
+    hinge on float op ordering).
+
+    Scale: one shuffle on the group key; the window and the aggregate share
+    it. At 100 TB you'd swap in approx_percentile (t-digest) — the exact
+    rank form is the oracle-checkable ground truth.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def disc(p: float, alias: str):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == pos, F.col("value"))).alias(alias)
+
+    return ranked.groupBy("event_type").agg(
+        disc(0.25, "p25"), disc(0.50, "p50"), disc(0.90, "p90"), disc(0.99, "p99")
+    )
+
+
+@query(
+    "q_stats_moments",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_DSUM.format(e='l_extendedprice')} / COUNT(*) AS mean_price,
+       ROUND(sqrt(({_DSUM_W.format(e='l_extendedprice * l_extendedprice')}
+             - {_DSUM.format(e='l_extendedprice')} * {_DSUM.format(e='l_extendedprice')} / COUNT(*))
+            / (COUNT(*) - 1)), 6) AS stddev_price,
+       ROUND((({_DSUM_W.format(e='l_quantity * l_extendedprice')}
+         - {_DSUM.format(e='l_quantity')} * {_DSUM.format(e='l_extendedprice')} / COUNT(*)) / COUNT(*))
+       / (sqrt(({_DSUM_W.format(e='l_quantity * l_quantity')}
+                - {_DSUM.format(e='l_quantity')} * {_DSUM.format(e='l_quantity')} / COUNT(*)) / COUNT(*))
+          * sqrt(({_DSUM_W.format(e='l_extendedprice * l_extendedprice')}
+                  - {_DSUM.format(e='l_extendedprice')} * {_DSUM.format(e='l_extendedprice')} / COUNT(*)) / COUNT(*))), 9)
+       AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / sample stddev / Pearson corr) from
+    exact decimal sufficient statistics (n, Σx, Σx², Σxy): the per-row
+    double products are IEEE-identical across engines, the decimal sums are
+    order-independent exact integers, and the closing formula is the same
+    double expression on both sides; stddev/corr get a final ROUND(6/9)
+    because the wide-decimal sums (~23 significant digits) round to double
+    differently per engine by 1 ulp. Native STDDEV/CORR (order-dependent
+    fp accumulation) would not be checkable at all.
+
+    Scale: a single map-side-combinable aggregation — the same one-pass
+    sufficient-statistics shape Spark's own Welford-free CentralMomentAgg
+    uses internally.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    wide = "decimal(38,6)"
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+            F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+            F.sum((x * x).cast(wide)).cast("double").alias("sxx"),
+            F.sum((y * y).cast(wide)).cast("double").alias("syy"),
+            F.sum((x * y).cast(wide)).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy, sxx, syy, sxy = (F.col(c) for c in ["sx", "sy", "sxx", "syy", "sxy"])
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / n
+    sdx = F.sqrt((sxx - sx * sx / n) / n)
+    sdy = F.sqrt((syy - sy * sy / n) / n)
+    return agg.select(
+        "l_returnflag",
+        n.alias("n"),
+        (sy / n).alias("mean_price"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(cov / (sdx * sdy), 9).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+       COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_total,
+       max_by(event_type, event_id) AS last_event,
+       min_by(event_type, event_id) AS first_event,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) and argument (min_by/max_by) aggregates:
+    the per-user cohort rollup a CDC consumer materializes. max_by keyed on
+    the unique event_id so arg-extremes are tie-free on both engines.
+
+    Scale: all of these are single-pass map-side-combinable aggregates —
+    one shuffle on user_id, no window, no self-join.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    click = F.when(F.col("event_type") == "click", 1)
+    err = F.when(F.col("event_type") == "error", 1)
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.count(click).alias("n_clicks"),
+        F.count(err).alias("n_errors"),
+        F.coalesce(
+            F.sum(purchase_val.cast("decimal(18,6)")).cast("double"), F.lit(0.0)
+        ).alias("purchase_total"),
+        F.max_by("event_type", "event_id").alias("last_event"),
+        F.min_by("event_type", "event_id").alias("first_event"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "q_explode_array",
+    oracle="""
+SELECT pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS sum_val,
+       MIN(CAST(val AS DOUBLE)) AS min_val,
+       MAX(CAST(val AS DOUBLE)) AS max_val
+FROM (SELECT unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings)
+GROUP BY pos
+""",
+)
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (posexplode / unnest WITH ORDINALITY): per-dimension
+    statistics over the embedding column — the column-profile pass an
+    embedding-quality monitor runs. Decimal(25,9) sums make the float
+    accumulation order-independent.
+
+    Scale: explode multiplies rows ×dim (64 here, often 1024+) — the
+    aggregate keeps it map-side-combinable so the shuffle carries only
+    dim × n_partitions partial rows, not the exploded data.
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        "pos", F.col("val").cast("double").alias("val")
+    )
+    return ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,9)")).cast("double").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+_TIERS = [
+    ("bronze", 0.0, 50.0),
+    ("silver", 50.0, 150.0),
+    ("gold", 150.0, 300.0),
+    ("platinum", 300.0, 1000.0),
+]
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),
+  ('gold', 150.0, 300.0), ('platinum', 300.0, 1000.0))
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_DSUM.format(e='value')} AS sum_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: map each event's value into a non-uniform
+    band from an interval dimension — no equi key, pure `lo <= v < hi`.
+
+    Scale: the interval side is tiny and broadcast, so Spark picks
+    BroadcastNestedLoopJoin — O(rows × bands) with bands≈4, i.e. a scan;
+    that IS the right plan for small interval dims at any fact size (for
+    large interval tables you'd bucketize both sides to a uniform grid and
+    equi-join on the grid cell first).
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    tiers = F.broadcast(
+        spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    )
+    return (
+        ev.join(tiers, (ev.value >= tiers.lo) & (ev.value < tiers.hi))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo_val,
+       MAX(value) AS hi_val,
+       {_DSUM.format(e='value')} AS sum_value
+FROM events
+GROUP BY bucket
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: uniform bucketing is a computed equi key
+    (`floor(v/width)`), turning a range lookup into a plain groupBy — the
+    scale path for binning (one map-side-combinable shuffle, no join at
+    all; contrast q_range_join's interval-dimension form).
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo_val"),
+            F.max("value").alias("hi_val"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM.format(e='l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (flag-only, status-only, grand total) via the
+    SQL surface — distinct from rollup/cube (q_rollup_cube, q_cube): the
+    sets are arbitrary, not prefix- or power-set-shaped. Catalyst compiles
+    to one Expand + single aggregation (rows ×3, one shuffle).
+    """
+    tune(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem_gs
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+    )
