@@ -205,6 +205,67 @@ def s_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_late_data",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'} AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-30'
+GROUP BY 1, 2
+""",
+)
+def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy (§2B s_watermark_late_data): batch 1
+    delivers the final day's events, advancing the watermark to
+    max(ts) - 10min; batch 2 delivers every earlier event — all of them
+    now land in windows that closed behind the watermark, so streaming
+    MUST drop them. Result = aggregates over the on-time subset only,
+    which is exactly what the oracle states declaratively.
+
+    Scale: the watermark is what bounds state — without it the window
+    store grows with the full key×window history; with it, state is
+    O(windows within the lateness horizon)."""
+    from ..catalog import table as load_table
+
+    tune(spark)
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    src, ckpt = _tmp("late_src"), _tmp("late_ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    on_time = ev.filter(F.col("ts") >= "2024-01-30")
+    late = ev.filter(F.col("ts") < "2024-01-30")
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(on_time.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # batch 1: on-time rows set the watermark
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: every row behind watermark -> dropped
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
     "s_stateful_count",
     oracle="""
 SELECT user_id,
