@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sourcefmt,
         streaming,
         text,
     )

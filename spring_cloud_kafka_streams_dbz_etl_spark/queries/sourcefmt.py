@@ -1,0 +1,130 @@
+"""Source-format and UDTF surface.
+
+The reference consumes Kafka records in two serializations — Avro
+(GenericAvroSerde, application.yml:13-16) and JSON (the REST enrichment
+payload, EventTransformerStream.java:67-72). The Avro path is built in
+sources/streams.py (Confluent wire-format handling, gated on the
+spark-avro artifact); here the JSON and CSV schema-on-read paths are
+proven value-for-value by round-tripping the events table through each
+format and checking against the parquet ground truth.
+
+Also the Python UDTF surface (Spark 4): a table function expanding one
+row into many — the generalization of the reference's one-in/one-out
+mapValues enrichment to one-in/N-out.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import tune
+from . import query
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_EVENTS_ORACLE = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+
+
+def _tmpdir(kind: str) -> str:
+    return tempfile.mkdtemp(prefix=f"scksde_{kind}_{uuid.uuid4().hex[:8]}_")
+
+
+@query("q_json_source", oracle=_EVENTS_ORACLE)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over JSON lines: events written as JSONL, read back
+    with an explicit schema — no inference pass, exact value round-trip
+    (timestamps micro-precision, doubles shortest-repr). The reference's
+    JSON consumption (Jackson tree navigation) is this plus
+    get_json_object for nested access (q_scalar_funcs).
+
+    Scale: explicit schema means a single scan (inference would double-
+    read); JSONL splits by line so the format stays parallelizable.
+    """
+    tune(spark)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # default JSON format drops micros
+    ev = table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    path = _tmpdir("json_src")
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    return (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+        .select(*_EVENT_COLS)
+    )
+
+
+@query("q_csv_source", oracle=_EVENTS_ORACLE)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over CSV with header + quoted fields (props is a JSON
+    string containing commas/quotes) and micro-precision timestamps —
+    the degenerate-format path every ingest pipeline eventually needs.
+    """
+    tune(spark)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev = table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    path = _tmpdir("csv_src")
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+    )
+    return (
+        spark.read.schema(ev.schema)
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+        .select(*_EVENT_COLS)
+    )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(LENGTH(tok)) AS BIGINT) AS total_len,
+       CAST(MAX(LENGTH(tok)) AS BIGINT) AS max_len
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY doc_id
+""",
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): expand each document into its
+    tokens via a LATERAL table-function join, then aggregate per doc.
+    One-row-in/N-rows-out — the shape the reference's mapValues enrichment
+    cannot express (it is strictly 1:1, AnimalTransformerStream.java:38).
+
+    Scale: UDTFs run Arrow-batched per partition like any Python UDF; the
+    aggregation above them is map-side combinable, so the exploded rows
+    never cross the shuffle. (For pure splitting, built-in explode/split
+    is faster — q_top_terms uses that; this query pins the UDTF API.)
+    """
+    from pyspark.sql.functions import udtf
+
+    tune(spark)
+
+    @udtf(returnType="tok: string, tok_len: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if t:
+                    yield t, len(t)
+
+    spark.udtf.register("scksde_tokenize", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(tok_len) AS BIGINT) AS total_len,
+       CAST(MAX(tok_len) AS BIGINT) AS max_len
+FROM documents_udtf d, LATERAL scksde_tokenize(d.text) t
+GROUP BY doc_id
+"""
+    )
