@@ -50,7 +50,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.dropDuplicates()
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """Shared WITH-clause body computing verified near-dup pairs (used by
+    the pair oracle and the recursive clustering oracle)."""
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
     mins = ",\n    ".join(
@@ -63,8 +65,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -83,26 +84,26 @@ WITH d AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT * FROM (
-  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
-         len(list_intersect(x.shingles, y.shingles))
-           / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.id_a
-  JOIN sh y ON y.doc_id = c.id_b)
-WHERE jaccard >= {MINHASH_JACCARD_MIN}
-"""
+), verified AS (
+  SELECT * FROM (
+    SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+           len(list_intersect(x.shingles, y.shingles))
+             / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b)
+  WHERE jaccard >= {MINHASH_JACCARD_MIN}
+)"""
 
 
-@query("q_minhash_near_dup", oracle=_minhash_oracle(), bench=True)
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup over documents.text: 3-gram shingles -> K=6
-    md5 minhashes -> 3 bands of 2 -> band-join candidates -> exact Jaccard
-    verify >= 0.5. The band equi-join is the scale path: no pairwise scan,
-    one shuffle keyed by band hash (skew-safe under AQE).
-    """
-    tune(spark)
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_cte()}\nSELECT doc_a, doc_b, jaccard FROM verified"
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `verified` CTE: shingle -> minhash -> LSH bands ->
+    candidate band-join -> exact-Jaccard verify. Returns (doc_a, doc_b,
+    jaccard)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     # Shingle arrays feed three consumers (signature + both verify-join
@@ -128,6 +129,62 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+    )
+
+
+@query("q_minhash_near_dup", oracle=_minhash_oracle(), bench=True)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup over documents.text: 3-gram shingles -> K=6
+    md5 minhashes -> 3 bands of 2 -> band-join candidates -> exact Jaccard
+    verify >= 0.5. The band equi-join is the scale path: no pairwise scan,
+    one shuffle keyed by band hash (skew-safe under AQE).
+    """
+    tune(spark)
+    return _build_minhash_pairs(spark, sf_dir)
+
+
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_cte()},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_kept
+FROM (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS (transitive closure) -> keep-one
+    policy: connected components over the MinHash pair graph via iterative
+    label propagation (operators/graph.py), cluster id = min doc_id,
+    is_kept marks the canonical survivor. This is the step that turns
+    pairwise dedup output into an actual training-set filter; the oracle
+    states the same closure as a recursive CTE.
+    """
+    from ..operators.graph import connected_components
+
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    vertices = table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(
+        vertices, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
     )
 
 
