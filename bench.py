@@ -50,13 +50,29 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     warm = spark.read.parquet(f"{SF_DIR}/nation.parquet")
-    warm.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    warm.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_nationkey").cast("decimal(18,6)")).cast("double").alias("s"),
+    ).write.format("noop").mode("overwrite").save()
     warm.join(
         spark.read.parquet(f"{SF_DIR}/region.parquet"),
         warm.n_regionkey == F.col("r_regionkey"),
     ).write.format("noop").mode("overwrite").save()
+    # ... and the Structured Streaming machinery (micro-batch planner,
+    # python foreachBatch bridge) on a one-batch stream over a tiny file.
+    import tempfile
+
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    wq = (
+        spark.readStream.schema(region.schema)
+        .option("pathGlobFilter", "region.parquet")
+        .parquet(SF_DIR)
+        .writeStream.option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_"))
+        .foreachBatch(lambda b, _id: b.write.format("noop").mode("overwrite").save())
+        .start()
+    )
+    wq.processAllAvailable()
+    wq.stop()
     for name in sorted(specs):
         t0 = time.perf_counter()
         materialize(specs[name].fn(spark, SF_DIR))
