@@ -312,6 +312,78 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window, 30-min gap):
+    Spark merges overlapping per-event windows [t, t+gap) in the state
+    store across micro-batches — dynamic-length windows the fixed-window
+    API can't express. A far-future sentinel batch pushes the watermark
+    past every real session so append mode finalizes them all. Boundary
+    semantics: a new session starts at diff >= gap (strict overlap test),
+    one tick off the batch sessionizer's diff > gap (q_sessionize) — the
+    oracle encodes Spark's rule.
+
+    Scale: session state is per active key only; the watermark closes and
+    evicts sessions, so state is bounded by the activity horizon, not the
+    key universe.
+    """
+    from ..catalog import table as load_table
+
+    tune(spark)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    src = _tmp("sess_src")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # Sentinel far past every session end -> watermark flushes all state.
+        spark.createDataFrame([(-1, "2030-01-01 00:00:00")], "user_id long, ts string") \
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts")) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        result = spark.table(name).filter(F.col("user_id") >= 0).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
     "s_dedup_stream",
     oracle="SELECT * FROM events",
 )
