@@ -292,6 +292,34 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+SELECT c_custkey, metric, val FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): the inverse of q_pivot, via the native
+    DataFrame.unpivot (Expand-based — rows ×K in one pass, no join, no
+    shuffle at all; the long format then groups/filters like any fact).
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle=f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+The oracle-parity suite checks each operator on ONE fixed dataset; these
+check the operator ALGEBRA on adversarial inputs hypothesis shrinks to —
+duplicate timestamps, singleton keys, empty payloads, chain/star graphs.
+Each example batches every generated case into a single DataFrame (cases
+isolated by a case-id key column / id offset) so one Spark job verifies
+the whole example — keeping hypothesis affordable on a JVM engine.
+
+The reference repo has no property tests at all (SURVEY.md §5); this is
+part of the "add what the reference lacks" test plan.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spring_cloud_kafka_streams_dbz_etl_spark.operators.changelog import (
+    materialize_changelog,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+    connected_components,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.operators.temporal import sessionize
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same cases every run
+)
+
+# -- changelog materialization ----------------------------------------------
+
+change_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # key id
+        st.integers(min_value=0, max_value=20),  # ts
+        st.sampled_from(["c", "u", "d"]),  # op
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(st.lists(change_stream, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_materialize_changelog_matches_replay(spark, cases):
+    rows = []
+    for case_id, changes in enumerate(cases):
+        # seq disambiguates equal (ts) within a key — replay order
+        for seq, (kid, ts, op) in enumerate(changes):
+            rows.append((case_id, kid, ts, seq, op))
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "case_id int, id int, ts int, seq int, op string"
+    )
+    got = {
+        (r["case_id"], r["id"])
+        for r in materialize_changelog(
+            df, key_cols=["case_id", "id"], order_cols=["ts", "seq"]
+        ).collect()
+    }
+    expected = set()
+    for case_id, changes in enumerate(cases):
+        # replay must apply by (ts, seq) order, not list order
+        state: dict[int, str] = {}
+        for kid, ts, op, seq in sorted(
+            ((k, t, o, s) for s, (k, t, o) in enumerate(changes)),
+            key=lambda x: (x[1], x[3]),
+        ):
+            state[kid] = op
+        expected |= {(case_id, k) for k, op in state.items() if op != "d"}
+    assert got == expected
+
+
+# -- sessionization -----------------------------------------------------------
+
+session_case = st.lists(
+    st.integers(min_value=0, max_value=100), min_size=1, max_size=30
+)  # event times (seconds), one key per case
+
+
+@given(st.lists(session_case, min_size=1, max_size=8), st.integers(1, 10))
+@settings(**SETTINGS)
+def test_sessionize_matches_gap_model(spark, cases, gap_s):
+    rows = []
+    for case_id, times in enumerate(cases):
+        for seq, t in enumerate(sorted(times)):
+            rows.append((case_id, seq, t))
+    df = spark.createDataFrame(rows, "key int, seq int, t_s long").select(
+        "key", "seq", F.timestamp_seconds("t_s").alias("ts")
+    )
+    gap_us = gap_s * 1_000_000
+    out = sessionize(df, key="key", time_col="ts", gap=F.lit(gap_us), order_tiebreak=["seq"])
+    got = {
+        (r["key"], r["seq"]): r["session_id"] for r in out.collect()
+    }
+    for case_id, times in enumerate(cases):
+        sid, prev = 0, None
+        for seq, t in enumerate(sorted(times)):
+            if prev is None or (t - prev) * 1_000_000 > gap_us:
+                sid += 1
+            prev = t
+            assert got[(case_id, seq)] == sid, (case_id, seq, t)
+
+
+# -- connected components -----------------------------------------------------
+
+graph_case = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=20
+)
+
+
+def _union_find_components(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_vertices))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id per root
+    by_root: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        by_root[r] = min(by_root.get(r, v), v)
+    return {v: by_root[find(v)] for v in range(n_vertices)}
+
+
+@given(st.lists(graph_case, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, cases):
+    N = 10  # vertices per case; offset isolates cases in one graph
+    vrows, erows, expected = [], [], {}
+    for case_id, edges in enumerate(cases):
+        off = case_id * N
+        vrows += [(off + v,) for v in range(N)]
+        erows += [(off + a, off + b) for a, b in edges]
+        for v, c in _union_find_components(N, edges).items():
+            expected[off + v] = off + c
+    vertices = spark.createDataFrame(vrows, "id long")
+    edges_df = (
+        spark.createDataFrame(erows, "src long, dst long")
+        if erows
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    out = connected_components(vertices, edges_df, id_col="id")
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == expected
