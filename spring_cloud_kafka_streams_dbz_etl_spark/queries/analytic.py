@@ -181,7 +181,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT pos,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS sum_val,
+       CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,
        MIN(CAST(val AS DOUBLE)) AS min_val,
        MAX(CAST(val AS DOUBLE)) AS max_val
 FROM (SELECT unnest(embedding) AS val,
@@ -193,8 +193,11 @@ GROUP BY pos
 def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array explode (posexplode / unnest WITH ORDINALITY): per-dimension
     statistics over the embedding column — the column-profile pass an
-    embedding-quality monitor runs. Decimal(25,9) sums make the float
-    accumulation order-independent.
+    embedding-quality monitor runs. The sum accumulates floor(x*1e6)
+    integers: x*1e6 and floor are single exact IEEE ops, so the result is
+    deterministic with NO rounding mode in play (a double->DECIMAL cast
+    here hit a round-half tie at sf0.1 where Spark's exact-expansion
+    HALF_UP and DuckDB's scaled-multiply rounding disagreed by 1e-9).
 
     Scale: explode multiplies rows ×dim (64 here, often 1024+) — the
     aggregate keeps it map-side-combinable so the shuffle carries only
@@ -207,7 +210,7 @@ def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ex.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("decimal(25,9)")).cast("double").alias("sum_val"),
+        F.sum(F.floor(F.col("val") * 1000000.0).cast("long")).alias("sum_micros"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )

@@ -129,3 +129,38 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_MIN)
     )
+
+
+@query(
+    "q_vector_quantize",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+       list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE)
+                   * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+                 , 0) AS INT)) AS q8
+FROM embeddings
+""",
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4x storage/bandwidth cut
+    every large embedding corpus ships with): per-vector scale =
+    127/max|x|, elementwise round — pure higher-order array functions
+    (transform/array_max), zero Python, zero shuffle, fully codegen'd.
+
+    Scale: embarrassingly parallel map; at 100 TB the win IS this op
+    (int8 vectors quarter the scan bytes for every downstream ANN pass).
+    """
+    tune(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        max_abs.alias("max_abs"),
+        F.transform(v, lambda x: F.round(x * scale, 0).cast("int")).alias("q8"),
+    )
