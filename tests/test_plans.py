@@ -54,3 +54,41 @@ def test_topk_no_global_sort(spark, sf_smoke):
     df = SPECS["q_sort_limit_topk"].fn(spark, sf_smoke)
     text = explain_str(df)
     assert "TakeOrderedAndProject" in text, text[:2000]
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_range_join"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    # tiny interval dim -> broadcast nested loop, NOT a cartesian product
+    assert "BroadcastNestedLoopJoin" in text, text[:2000]
+    assert "CartesianProduct" not in text
+
+
+def test_histogram_single_exchange_partial_agg(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_histogram"].fn(spark, sf_smoke)
+    # simple mode prints each node once (formatted repeats nodes in details)
+    tree = explain_str(df, mode="simple")
+    assert tree.count("Exchange") == 1, tree[:2000]  # one shuffle: the groupBy
+    assert "partial_" in explain_str(df)  # map-side combine before it
+
+
+def test_unpivot_no_shuffle(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_unpivot"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Expand" in text, text[:2000]
+    assert "Exchange" not in text  # melt is a pure map-side op
+
+
+def test_quantize_no_shuffle_no_python(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_vector_quantize"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Exchange" not in text, text[:2000]
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
