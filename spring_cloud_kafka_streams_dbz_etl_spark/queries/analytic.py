@@ -351,3 +351,178 @@ FROM lineitem_gs
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
     )
+
+
+@query(
+    "q_outer_join",
+    oracle="""
+SELECT COALESCE(c.c_custkey, -1) AS custkey,
+       c.c_name AS name,
+       o.o_orderkey AS orderkey,
+       o.o_totalprice AS totalprice,
+       c.c_custkey IS NULL AS order_only,
+       o.o_orderkey IS NULL AS customer_only
+FROM (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with both-side survivors tagged: customers without
+    (sampled) orders and orders whose (sampled) customer is absent — the
+    reconciliation shape CDC consumers run between two change feeds.
+
+    Scale: full outer cannot broadcast (both sides must survive) — it is
+    the one join shape that always shuffles both inputs; AQE still
+    skew-splits it.
+    """
+    tune(spark)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("c_custkey").isNull().alias("order_only"),
+        F.col("o_orderkey").isNull().alias("customer_only"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, c_nationkey
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = c.c_nationkey)
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-nation-average customers):
+    Catalyst de-correlates it into an aggregate + equi-join — the rewrite
+    a naive engine would run as N subqueries. AVG here is a comparison
+    threshold (per-row double vs double), not an output value, so native
+    fp AVG is safe cross-engine: both engines agg per nation over the
+    same ~hundreds of values in deterministic parquet order.
+
+    Scale: one aggregate over the dimension + one broadcastable join —
+    the de-correlation IS the scale story.
+    """
+    tune(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+SELECT c_custkey, c_name, c_acctbal, c_nationkey
+FROM customer_sq c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_sq i
+                   WHERE i.c_nationkey = c.c_nationkey)
+"""
+    )
+
+
+@query(
+    "q_window_ranks",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family per key (rank / dense_rank / ntile
+    / percent_rank / cume_dist), deterministic via the orderkey tiebreak;
+    the fractional ranks are ROUND(9)ed on both sides (they are ratios of
+    small ints — identical division, the round only guards repr).
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       replace(p_brand, '#', '-') AS brand_norm,
+       levenshtein(p_brand, 'Brand-11') AS brand_dist,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a,
+       reverse(p_brand) AS brand_rev,
+       trim(upper(p_name)) AS name_up
+FROM part
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp extraction, padding, translation,
+    edit distance (levenshtein — the fuzzy-match primitive record linkage
+    needs), position, reverse, case/trim. All JVM built-ins, codegen'd.
+    """
+    tune(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_norm"),
+        F.levenshtein("p_brand", F.lit("Brand-11")).alias("brand_dist"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.upper(F.col("p_name"))).alias("name_up"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS month_end,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_cutoff,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(week(o_orderdate) AS INT) AS iso_week
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval surface: month arithmetic, month-end, day diffs,
+    day-of-week, quarter, ISO week. Numbering conventions differ between
+    engines (DuckDB dayofweek: 0=Sun; Spark: 1=Sun) — normalized
+    explicitly in the oracle, as any cross-engine pipeline must.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("d"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date"))
+        .cast("int")
+        .alias("days_to_cutoff"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("q"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )
