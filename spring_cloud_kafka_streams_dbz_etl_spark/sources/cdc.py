@@ -27,8 +27,14 @@ from pyspark.sql import types as T
 from ..schemas import events_envelope_schema
 
 
-def synthesize_event_envelopes(events: DataFrame) -> DataFrame:
-    """events rows -> (kafka_key, value) JSON-envelope records."""
+def synthesize_event_envelopes(
+    events: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """events rows -> (kafka_key, value) JSON-envelope records.
+
+    `corrupt_every`: if set, every Nth record's payload is garbled into
+    non-JSON (deterministically, by event_id) — the chaos knob for the
+    deserialization-failure DLQ path (reference enable-dlq semantics)."""
     after = F.when(
         F.col("event_type") != "error",
         F.struct(
@@ -44,6 +50,11 @@ def synthesize_event_envelopes(events: DataFrame) -> DataFrame:
         .otherwise("u")
     )
     envelope = F.to_json(F.struct(after.alias("after"), op.alias("op")))
+    if corrupt_every:
+        envelope = F.when(
+            (F.col("event_id") % corrupt_every) == 0,
+            F.concat(F.lit("CORRUPT<<"), envelope),
+        ).otherwise(envelope)
     value = F.when((F.col("event_id") % 97) == 0, F.lit(None).cast("string")).otherwise(envelope)
     return events.select(
         F.col("event_id").alias("kafka_key"),

@@ -58,33 +58,56 @@ class CdcPipelineConfig:
     checkpoint: str
     dim_filter: str | None = None  # simulate broken enrichment (DLQ tests)
     max_files_per_trigger: int | None = None
+    corrupt_every: int | None = None  # garble every Nth payload (deser-DLQ tests)
 
 
 def _parse_keep_original(raw: DataFrame) -> DataFrame:
     """Tombstone-filter + envelope parse, KEEPING the original payload
     column for DLQ fidelity. Delete/id==0 records are dropped (reference
-    skips them silently, EventTransformerStream.java:43-58)."""
+    skips them silently, EventTransformerStream.java:43-58); records whose
+    payload fails to DECODE are kept and flagged — the reference's
+    framework-level deserialization DLQ (enable-dlq, application.yml:23-31)
+    routes those, it does not drop them. from_json yields an all-null
+    struct for malformed JSON (null only for empty input), and a real
+    envelope always carries `op` — hence the parse_failed rule."""
     schema = events_envelope_schema()
-    return (
-        raw.filter(F.col("value").isNotNull())
-        .withColumn("envelope", F.from_json("value", schema))
-        .filter(F.col("envelope.after").isNotNull())
-        .filter(F.col("envelope.after.id") != 0)
-        .select(
-            "kafka_key",
-            "value",
-            F.col("envelope.after.id").alias("id"),
-            F.col("envelope.after.user_id").alias("user_id"),
-            F.col("envelope.after.event_type").alias("event_type"),
-            F.col("envelope.after.value").alias("evt_value"),
-        )
+    parsed = raw.filter(F.col("value").isNotNull()).withColumn(
+        "envelope", F.from_json("value", schema)
+    )
+    parse_failed = F.col("envelope").isNull() | (
+        F.col("envelope.op").isNull() & F.col("envelope.after").isNull()
+    )
+    flagged = parsed.withColumn("parse_failed", parse_failed)
+    return flagged.filter(
+        F.col("parse_failed")
+        | (F.col("envelope.after").isNotNull() & (F.col("envelope.after.id") != 0))
+    ).select(
+        "kafka_key",
+        "value",
+        "parse_failed",
+        F.col("envelope.after.id").alias("id"),
+        F.col("envelope.after.user_id").alias("user_id"),
+        F.col("envelope.after.event_type").alias("event_type"),
+        F.col("envelope.after.value").alias("evt_value"),
     )
 
 
 def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path: str) -> None:
-    """foreachBatch body: one broadcast join, branch on join miss, dual
-    append write. Runs per micro-batch with exactly-once sink semantics on
-    the parquet side (batch-id-committed files)."""
+    """foreachBatch body: split off decode failures, one broadcast join,
+    branch on join miss, dual append write. Runs per micro-batch with
+    exactly-once sink semantics on the parquet side (batch-id-committed
+    files). Both DLQ reasons keep the ORIGINAL payload (reference parity:
+    deserialization DLQ is framework-level, enrichment DLQ is explicit —
+    application.yml:23-31 / AnimalTransformerStream.java:55-59)."""
+    if "parse_failed" in batch.columns:
+        corrupt = batch.filter(F.col("parse_failed")).select(
+            F.col("kafka_key"),
+            F.col("value"),
+            F.lit("parse_error").alias("reason"),
+        )
+        batch = batch.filter(~F.col("parse_failed"))
+    else:  # DLQ-reprocess path re-parses already-valid payloads
+        corrupt = None
     joined = batch.join(
         F.broadcast(dim), batch.user_id == dim.c_custkey, "left"
     ).cache()
@@ -102,6 +125,8 @@ def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path:
             F.col("value"),  # ORIGINAL envelope payload (reference parity)
             F.lit("enrichment_miss").alias("reason"),
         )
+        if corrupt is not None:
+            bad = bad.unionByName(corrupt)
         ok.write.mode("append").parquet(out_path)
         bad.write.mode("append").parquet(dlq_path)
     finally:
@@ -120,7 +145,8 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     # records across the cluster before the JSON encode/decode stage.
     par = spark.sparkContext.defaultParallelism
     raw = synthesize_event_envelopes(
-        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).repartition(par)
+        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).repartition(par),
+        corrupt_every=cfg.corrupt_every,
     )
     # The reference's peek()/log side-channel (§2A #13) as observe()
     # metrics: per-batch counts surface in query.lastProgress without

@@ -189,3 +189,34 @@ def test_registry_guards(spark, sf_smoke):
     with pytest.raises(ValueError):
         reg.reset_offsets("main", to="sideways")
     reg.stop_all()
+
+
+def test_deserialization_failure_routes_to_dlq(spark, sf_smoke):
+    """Reference enable-dlq semantics (§2A #12): payloads that fail to
+    DECODE go to the DLQ with the original bytes, tagged parse_error —
+    distinct from enrichment misses — and never reach the output."""
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(
+        sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt,
+        corrupt_every=11,
+    )
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    reg.stop("main")
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    # corrupted & delivered: % 11 == 0 (garbled) minus tombstones (% 97 == 0)
+    n_corrupt = events.filter(
+        (F.col("event_id") % 11 == 0) & (F.col("event_id") % 97 != 0)
+    ).count()
+    dlq_df = spark.read.schema(DLQ_SCHEMA).parquet(dlq)
+    parse_errors = dlq_df.filter(F.col("reason") == "parse_error")
+    assert parse_errors.count() == n_corrupt
+    # original payload preserved, recognizably garbled
+    assert parse_errors.filter(~F.col("value").startswith("CORRUPT<<")).count() == 0
+    # corrupted ids never reached the enriched output
+    out_df = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    assert out_df.filter(F.col("id") % 11 == 0).count() == 0
+    # valid records still flowed
+    assert out_df.count() > 0
