@@ -128,3 +128,42 @@ FROM documents_udtf d, LATERAL scksde_tokenize(d.text) t
 GROUP BY doc_id
 """
     )
+
+
+@query(
+    "q_hash_split",
+    oracle="""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      FROM documents)
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content-hash
+    bucket: md5(id + seed) -> bucket 0-99 -> split. Unlike random
+    sampling, the assignment is stable across runs, engines, partitionings
+    and re-ingests — the property a reproducible training corpus needs
+    (and the reason sample()/TABLESAMPLE, whose RNG is engine-specific,
+    can't be oracle-checked at all).
+
+    Scale: pure map, no shuffle, no state; the same hash rule shards any
+    table identically on any cluster size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-42"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
