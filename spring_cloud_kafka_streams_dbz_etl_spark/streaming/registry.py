@@ -92,6 +92,16 @@ class StreamRegistry:
                 time.sleep(0.05)
             if s.query.isActive:
                 raise TimeoutError(f"stream {name!r} did not stop in time")
+        if s.query is not None:
+            # isActive can flip before the JVM releases the checkpoint lock;
+            # awaitTermination guarantees full teardown so a restart on the
+            # SAME checkpoint doesn't see "multiple queries concurrently
+            # using <ckpt>/offsets" (the Spark twin of the reference's
+            # waitForConsumerGroupInactive, StreamControlService.java:199-219).
+            try:
+                s.query.awaitTermination(int((timeout_s or self.STOP_TIMEOUT_S) * 1000))
+            except Exception:
+                pass  # terminated-with-exception still counts as stopped
         s.history.append("stopped")
         return self.status(name)
 
@@ -164,27 +174,51 @@ class StreamRegistry:
             return None
 
     # -- offset reset (§2A #19-#20) --------------------------------------
-    def reset_offsets(self, name: str, to: str = "earliest") -> dict[str, Any]:
+    def reset_offsets(self, name: str, to: str | int = "earliest") -> dict[str, Any]:
         """Stop -> snapshot old offsets -> reposition -> restart if it was
         running (StreamControlService.resetOffsets:100-141 semantics).
 
         to='earliest': wipe the checkpoint (full reprocess).
         to='latest'  : keep the checkpoint (resume at committed position).
+        to=<int N>   : SPECIFIC position (resetOffsetsToSpecific,
+                       StreamControlService.java:143-178): truncate the
+                       offset/commit logs past batch N, so the restarted
+                       query reprocesses everything after batch N. (For a
+                       Kafka source the same reposition is a fresh
+                       checkpoint + a ``startingOffsets`` partition-map
+                       JSON on the rebuilt reader — sources/streams.py.)
         """
-        if to not in ("earliest", "latest"):
-            raise ValueError("to must be 'earliest' or 'latest'")
+        if not isinstance(to, int) and to not in ("earliest", "latest"):
+            raise ValueError("to must be 'earliest', 'latest', or a batch id")
         s = self._get(name)
         was_running = bool(s.query is not None and s.query.isActive)
         previous = self.offsets(name)
         self.stop(name)
         if to == "earliest":
             shutil.rmtree(s.checkpoint, ignore_errors=True)
+        elif isinstance(to, int):
+            self._truncate_logs(s.checkpoint, keep_through=to)
         try:
             if was_running:
                 self.start(name)
         finally:
             new = self.offsets(name)
         return {"previousOffsets": previous, "newOffsets": new, "restarted": was_running}
+
+    @staticmethod
+    def _truncate_logs(checkpoint: str, keep_through: int) -> None:
+        for log in ("offsets", "commits"):
+            d = os.path.join(checkpoint, log)
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                # each batch file may carry a ChecksumFs ".N.crc" sidecar;
+                # leaving it behind makes the re-written batch's atomic
+                # rename fail (surfacing as "multiple queries concurrently
+                # using <ckpt>/offsets")
+                base = f[1:-4] if f.startswith(".") and f.endswith(".crc") else f
+                if base.isdigit() and int(base) > keep_through:
+                    os.remove(os.path.join(d, f))
 
     # -- bulk ------------------------------------------------------------
     def stop_all(self) -> None:

@@ -220,3 +220,61 @@ def test_deserialization_failure_routes_to_dlq(spark, sf_smoke):
     assert out_df.filter(F.col("id") % 11 == 0).count() == 0
     # valid records still flowed
     assert out_df.count() > 0
+
+
+def test_checkpoint_resume_and_specific_reset(spark, sf_smoke):
+    """Resume-from-checkpoint exactly-once (§2A #15) + reset-to-specific
+    (§2A #19): phase 2 must NOT reprocess phase 1's batch; truncating the
+    checkpoint back to batch 0 must reprocess exactly phase 2's input."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.cdc import (
+        synthesize_event_envelopes,
+    )
+
+    src, out, ckpt = _tmp("resume_src"), _tmp("resume_out"), _tmp("resume_ckpt")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    phase1 = ev.filter(F.col("event_id") % 2 == 0)
+    phase2 = ev.filter(F.col("event_id") % 2 == 1)
+    phase1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def builder():
+        raw = synthesize_event_envelopes(
+            spark.readStream.schema(ev.schema).parquet(src)
+        )
+        flat = raw.filter(F.col("value").isNotNull()).select("kafka_key", "value")
+        return (
+            flat.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out))
+            .start()
+        )
+
+    reg = StreamRegistry()
+    reg.register("resume", builder, checkpoint=ckpt)
+    reg.process_available("resume")
+    reg.stop("resume")
+    n1 = spark.read.parquet(out).count()
+
+    # phase 2: new files appear; restart resumes AFTER batch 0
+    phase2.coalesce(1).write.mode("append").parquet(src)
+    reg.start("resume")
+    reg.process_available("resume")
+    reg.stop("resume")
+    total = spark.read.parquet(out).count()
+    n2 = total - n1
+    assert n1 == phase1.filter(F.col("event_id") % 97 != 0).count()
+    assert n2 == phase2.filter(F.col("event_id") % 97 != 0).count()
+    # exactly-once across restart: no kafka_key appears twice
+    dup = (
+        spark.read.parquet(out).groupBy("kafka_key").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+    # reset to specific batch 0 -> only phase 2's batch reprocesses
+    res = reg.reset_offsets("resume", to=0)
+    assert res["previousOffsets"]["committedBatch"] == 1
+    reg.start("resume")
+    reg.process_available("resume")
+    reg.stop("resume")
+    assert spark.read.parquet(out).count() == total + n2
