@@ -94,9 +94,13 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
 
 def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path: str) -> None:
     """foreachBatch body: split off decode failures, one broadcast join,
-    branch on join miss, dual append write. Runs per micro-batch with
-    exactly-once sink semantics on the parquet side (batch-id-committed
-    files). Both DLQ reasons keep the ORIGINAL payload (reference parity:
+    branch on join miss, dual append write. Delivery is at-least-once on
+    batch retry (append is not transactional) — deliberately matching the
+    reference's processing.guarantee default (CLAUDE.md:157-159); the
+    documented upgrade paths are batch-id-keyed overwrite or downstream
+    key+version dedup (q_window_rank / s_dedup_stream), and s_offset_reset
+    proves the replay-duplicate semantics end-to-end. Both DLQ reasons
+    keep the ORIGINAL payload (reference parity:
     deserialization DLQ is framework-level, enrichment DLQ is explicit —
     application.yml:23-31 / AnimalTransformerStream.java:55-59)."""
     if "parse_failed" in batch.columns:
