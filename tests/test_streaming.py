@@ -278,3 +278,54 @@ def test_checkpoint_resume_and_specific_reset(spark, sf_smoke):
     reg.process_available("resume")
     reg.stop("resume")
     assert spark.read.parquet(out).count() == total + n2
+
+
+def test_registry_runs_parallel_independent_topologies(spark, sf_smoke):
+    """The reference runs three topologies in one app with independent
+    lifecycles (spring.cloud.function.definition: eventTransform;
+    animalTransform;animalDlqTransform). Same shape here: two main
+    pipelines + a dormant DLQ reprocessor under one registry, with
+    per-stream start/stop/status/offsets isolation."""
+    cfg_a = CdcPipelineConfig(
+        sf_dir=sf_smoke, out_path=_tmp("a_out"), dlq_path=_tmp("a_dlq"),
+        checkpoint=_tmp("a_ckpt"),
+    )
+    dlq_b = _tmp("b_dlq")
+    cfg_b = CdcPipelineConfig(
+        sf_dir=sf_smoke, out_path=_tmp("b_out"), dlq_path=dlq_b,
+        checkpoint=_tmp("b_ckpt"), dim_filter="c_custkey % 2 = 0",
+    )
+    out_b2, ckpt_b2 = _tmp("b2_out"), _tmp("b2_ckpt")
+
+    reg = StreamRegistry()
+    reg.register("event_transform", build_cdc_pipeline(spark, cfg_a), checkpoint=cfg_a.checkpoint)
+    reg.register("animal_transform", build_cdc_pipeline(spark, cfg_b), checkpoint=cfg_b.checkpoint)
+    assert set(reg.names()) == {"event_transform", "animal_transform"}
+
+    reg.process_available("event_transform")
+    reg.process_available("animal_transform")
+    # register the DLQ reprocessor AFTER the DLQ has content (dormant start)
+    reg.register(
+        "animal_dlq_transform",
+        build_dlq_reprocess(spark, dlq_b, sf_smoke, out_b2, ckpt_b2, throttle_files=4),
+        checkpoint=ckpt_b2,
+        auto_start=False,
+    )
+    assert reg.status("animal_dlq_transform")["state"] == "NOT_RUNNING"
+    assert reg.status("event_transform")["state"] == "RUNNING"
+
+    # stopping one stream leaves the others untouched
+    reg.stop("animal_transform")
+    assert reg.status("animal_transform")["state"] == "NOT_RUNNING"
+    assert reg.status("event_transform")["state"] == "RUNNING"
+
+    # dormant stream starts on demand and recovers the failed records
+    reg.start("animal_dlq_transform")
+    reg.process_available("animal_dlq_transform")
+    reg.stop_all()
+    recovered = spark.read.schema(ENRICHED_SCHEMA).parquet(out_b2)
+    assert recovered.filter(F.col("user_id") % 2 == 1).count() == recovered.count()
+    assert recovered.count() > 0
+    # offsets tracked per stream
+    assert reg.offsets("event_transform")["committedBatch"] is not None
+    assert reg.offsets("animal_dlq_transform")["committedBatch"] is not None
