@@ -69,6 +69,36 @@ def s_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_cdc_pipeline_orders",
+    oracle="""
+SELECT o_orderkey AS id, o_custkey AS custkey,
+       COALESCE(c_name, '') AS name,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       c_acctbal AS acctbal,
+       o_totalprice AS totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 97 <> 0 AND o_orderstatus <> 'F' AND o_orderkey <> 0
+""",
+)
+def s_cdc_pipeline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic entity-pipeline builder (streaming/entity.py) driving a
+    SECOND entity type end-to-end — the reference's animal topology analog
+    (different source schema, wider output with a dim payload column in
+    the breed position). Proves the engine builds the full topology
+    (synth -> parse -> enrich -> dual sink) from an EntitySpec alone."""
+    from ..streaming.entity import ORDERS_ENTITY, build_entity_pipeline
+
+    tune(spark)
+    out, dlq, ckpt = _tmp("ord_out"), _tmp("ord_dlq"), _tmp("ord_ckpt")
+    _run_to_completion(
+        build_entity_pipeline(spark, ORDERS_ENTITY, sf_dir, out, dlq, ckpt)
+    )
+    return spark.read.parquet(out).select(
+        "id", "custkey", "name", "segment", "acctbal", "totalprice"
+    )
+
+
+@query(
     "s_dlq_split",
     oracle=f"""
 SELECT 'ok' AS status, e.event_id AS id, e.user_id,

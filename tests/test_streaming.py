@@ -329,3 +329,33 @@ def test_registry_runs_parallel_independent_topologies(spark, sf_smoke):
     # offsets tracked per stream
     assert reg.offsets("event_transform")["committedBatch"] is not None
     assert reg.offsets("animal_dlq_transform")["committedBatch"] is not None
+
+
+def test_entity_spec_pipeline_matches_handbuilt(spark, sf_smoke):
+    """build_entity_pipeline(EVENTS_ENTITY) must produce exactly what the
+    hand-built events pipeline produces (same topology from a spec)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.entity import (
+        EVENTS_ENTITY,
+        build_entity_pipeline,
+    )
+
+    out, dlq, ckpt = _tmp("ent_out"), _tmp("ent_dlq"), _tmp("ent_ckpt")
+    reg = StreamRegistry()
+    reg.register(
+        "ent",
+        build_entity_pipeline(spark, EVENTS_ENTITY, sf_smoke, out, dlq, ckpt),
+        checkpoint=ckpt,
+    )
+    reg.process_available("ent")
+    reg.stop("ent")
+
+    out2, dlq2, ckpt2 = _tmp("hb_out"), _tmp("hb_dlq"), _tmp("hb_ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out2, dlq_path=dlq2, checkpoint=ckpt2)
+    reg.register("hb", build_cdc_pipeline(spark, cfg), checkpoint=ckpt2)
+    reg.process_available("hb")
+    reg.stop("hb")
+
+    ent = spark.read.parquet(out).select(*ENRICHED_SCHEMA.fieldNames())
+    hb = spark.read.schema(ENRICHED_SCHEMA).parquet(out2)
+    assert ent.count() == hb.count() > 0
+    assert ent.exceptAll(hb).count() == 0 and hb.exceptAll(ent).count() == 0
