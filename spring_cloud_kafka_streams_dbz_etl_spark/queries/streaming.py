@@ -442,6 +442,45 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, ts, event_type, value FROM events",
+)
+def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state in-stream dedup (dropDuplicatesWithinWatermark):
+    duplicate deliveries arrive within the watermark horizon (same event
+    re-delivered, identical event time), so the per-key dedup state can be
+    EVICTED once the watermark passes — unlike s_dedup_stream's plain
+    dropDuplicates, whose key set grows forever. The at-least-once
+    duplicate source is the two unioned copies of the stream.
+
+    Scale: this is the only in-stream dedup that survives an unbounded
+    topic — state is O(keys within the lateness horizon)."""
+    tune(spark)
+    name = f"dedupw_{uuid.uuid4().hex[:8]}"
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    a = stream_events(spark, sf_dir).select(*cols)
+    b = stream_events(spark, sf_dir).select(*cols)
+    deduped = (
+        a.union(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
+
+
+@query(
     "s_stream_stream_join",
     oracle="""
 SELECT c.event_id AS click_id, p.event_id AS purchase_id,
