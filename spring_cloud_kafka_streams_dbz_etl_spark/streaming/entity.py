@@ -93,7 +93,9 @@ def parse_entity_envelopes(raw: DataFrame, schema: T.StructType) -> DataFrame:
     pipeline._parse_keep_original). The payload is carried as __original
     so after-fields may use ANY name (the events entity has an after field
     literally called `value`)."""
-    parsed = raw.filter(F.col("value").isNotNull()).withColumn(
+    from ..functions.scalars import no_pushdown
+
+    parsed = raw.filter(no_pushdown(F.col("value").isNotNull())).withColumn(
         "envelope", F.from_json("value", schema)
     )
     parse_failed = F.col("envelope").isNull() | (
@@ -101,8 +103,10 @@ def parse_entity_envelopes(raw: DataFrame, schema: T.StructType) -> DataFrame:
     )
     flagged = parsed.withColumn("parse_failed", parse_failed)
     return flagged.filter(
-        F.col("parse_failed")
-        | (F.col("envelope.after").isNotNull() & (F.col("envelope.after.id") != 0))
+        no_pushdown(
+            F.col("parse_failed")
+            | (F.col("envelope.after").isNotNull() & (F.col("envelope.after.id") != 0))
+        )
     ).select(
         "kafka_key",
         F.col("value").alias("__original"),

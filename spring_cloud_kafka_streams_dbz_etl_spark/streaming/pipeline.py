@@ -70,8 +70,10 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     routes those, it does not drop them. from_json yields an all-null
     struct for malformed JSON (null only for empty input), and a real
     envelope always carries `op` — hence the parse_failed rule."""
+    from ..functions.scalars import no_pushdown
+
     schema = events_envelope_schema()
-    parsed = raw.filter(F.col("value").isNotNull()).withColumn(
+    parsed = raw.filter(no_pushdown(F.col("value").isNotNull())).withColumn(
         "envelope", F.from_json("value", schema)
     )
     parse_failed = F.col("envelope").isNull() | (
@@ -79,8 +81,10 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     )
     flagged = parsed.withColumn("parse_failed", parse_failed)
     return flagged.filter(
-        F.col("parse_failed")
-        | (F.col("envelope.after").isNotNull() & (F.col("envelope.after.id") != 0))
+        no_pushdown(
+            F.col("parse_failed")
+            | (F.col("envelope.after").isNotNull() & (F.col("envelope.after.id") != 0))
+        )
     ).select(
         "kafka_key",
         "value",
