@@ -151,10 +151,14 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     # Decouple codec parallelism from source partitioning (a Kafka topic's
     # partition count, or here a single-row-group file): shuffle the raw
     # records across the cluster before the JSON encode/decode stage.
+    # Project to the envelope's inputs FIRST so the fan-out shuffle never
+    # carries unused columns (props alone is most of the row's bytes).
     par = spark.sparkContext.defaultParallelism
+    src = stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).select(
+        "event_id", "user_id", "event_type", "value"
+    )
     raw = synthesize_event_envelopes(
-        stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).repartition(par),
-        corrupt_every=cfg.corrupt_every,
+        src.repartition(par), corrupt_every=cfg.corrupt_every
     )
     # The reference's peek()/log side-channel (§2A #13) as observe()
     # metrics: per-batch counts surface in query.lastProgress without
