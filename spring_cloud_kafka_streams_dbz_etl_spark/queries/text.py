@@ -8,7 +8,7 @@ at parquet-scan speed and parallelize embarrassingly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
@@ -250,4 +250,74 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS h,
+              unnest(range(1, len(toks) - 1)) AS idx,
+              len(toks) - 2 AS n_grams
+       FROM t WHERE len(toks) >= 3),
+wm AS (SELECT doc_id, idx, n_grams,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       FROM sh),
+fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE idx <= n_grams - 3)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       md5(string_agg(wmin, '' ORDER BY wmin)) AS fp_digest
+FROM fp GROUP BY doc_id
+""",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, MOSS-style: hash every
+    3-gram, slide a window of 4 gram-hashes, keep each window's minimum —
+    the selected minima are the document's fingerprints (guaranteed to
+    catch any shared substring of >= 6 tokens between documents). Digest =
+    md5 over the sorted distinct minima.
+
+    Scale: one explode + one partition-local window + one groupBy — all on
+    a single doc_id shuffle; fingerprints are 32-byte strings, so the
+    matching join downstream never touches document text.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    gram = lambda i: F.md5(
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+            F.element_at(F.col("toks"), i + 3),
+        )
+    )
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3), lambda i: gram(i)
+            )
+        ).alias("idx0", "h"),
+        (F.size("toks") - 2).alias("n_grams"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx0")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    winmin = grams.withColumn("wmin", F.min("h").over(w)).filter(
+        F.col("idx0") <= F.col("n_grams") - 4
+    )
+    fp = winmin.select("doc_id", "wmin").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("wmin")))).alias(
+            "fp_digest"
+        ),
     )
