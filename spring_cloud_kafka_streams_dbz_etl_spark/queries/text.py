@@ -321,3 +321,77 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+             / len(string_split(text, ' ')) AS en_ratio,
+         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, quality FROM scored
+  WHERE en_ratio >= 0.05 AND quality >= 0.5),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality) AS quality
+  FROM kept GROUP BY md5(text))
+SELECT doc_id, quality,
+       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, quality,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      FROM deduped)
+""",
+    bench=True,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass (the engine's north-star
+    job, composed from its own operators): language-ID gate (English
+    stopword ratio) -> quality-score gate -> exact dedup (content-hash
+    keep-first) -> deterministic train/val/test assignment. Every stage is
+    built-in expressions; the only shuffle in the whole pipeline is the
+    dedup groupBy on the 16-byte digest.
+
+    ANY_VALUE(quality) is deterministic here BECAUSE identical text
+    implies identical score (the grouped value is functionally dependent
+    on the group key).
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    en_ratio = en_stopword_count(toks) / n_tok
+    quality = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_tok)
+        + 0.3 * F.least((token_total_len(toks).cast("double") / n_tok) / 8.0, F.lit(1.0))
+    )
+    kept = (
+        d.select("doc_id", "text", en_ratio.alias("en_ratio"), quality.alias("quality"))
+        .filter((F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+    )
+    deduped = (
+        kept.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("quality").alias("quality"))
+        .drop("__h")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    ).cast("int")
+    return deduped.select(
+        "doc_id",
+        "quality",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
