@@ -37,10 +37,12 @@ def stream_events(
     `maxOffsetsPerTrigger`.
     """
     # The streaming file source needs a directory; point it at sf_dir and
-    # glob-filter to the events table file.
+    # glob-filter to the events table file(s). The wildcard admits
+    # multi-file test layouts (events.parquet, events2.parquet, ...) so
+    # later-arriving files become later micro-batches.
     reader = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

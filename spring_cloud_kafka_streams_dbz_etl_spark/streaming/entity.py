@@ -127,7 +127,11 @@ def build_entity_pipeline(
     """Returns an unstarted query builder (StreamRegistry-compatible)."""
     source_batch = spark.read.parquet(f"{sf_dir}/{spec.source_table}.parquet")
     schema = entity_envelope_schema(source_batch, spec)
-    dim = spark.read.parquet(f"{sf_dir}/{spec.dim_table}.parquet")
+
+    def load_dim():
+        # per-batch re-resolution: dimension upserts between micro-batches
+        # are visible, matching the reference's always-fresh lookup
+        return spark.read.parquet(f"{sf_dir}/{spec.dim_table}.parquet")
 
     reader = spark.readStream.schema(source_batch.schema).option(
         "pathGlobFilter", f"{spec.source_table}.parquet"
@@ -148,7 +152,7 @@ def build_entity_pipeline(
             F.lit("parse_error").alias("reason"),
         )
         ok_in = batch.filter(~F.col("parse_failed"))
-        joined = ok_in.join(F.broadcast(dim), F.expr(spec.dim_join), "left").cache()
+        joined = ok_in.join(F.broadcast(load_dim()), F.expr(spec.dim_join), "left").cache()
         try:
             ok = joined.filter(F.col(spec.dim_match_col).isNotNull()).selectExpr(
                 *[f"{expr} AS {alias}" for alias, expr in spec.output_cols]

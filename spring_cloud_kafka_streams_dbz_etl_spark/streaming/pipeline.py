@@ -144,10 +144,18 @@ def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path:
 def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     """Main CDC enrichment stream (§2A #1-#14). Returns an unstarted
     writer factory for StreamRegistry (so start/stop/reset own the
-    lifecycle and checkpoint)."""
-    dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
-    if cfg.dim_filter:
-        dim = dim.filter(cfg.dim_filter)
+    lifecycle and checkpoint).
+
+    The dimension is re-resolved PER MICRO-BATCH (fresh file listing +
+    read), matching the reference's always-fresh REST lookup (§2A #22:
+    CRUD upserts on the dimension are visible to the next batch). A
+    build-time DataFrame would freeze the file listing forever."""
+
+    def load_dim():
+        dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
+        if cfg.dim_filter:
+            dim = dim.filter(cfg.dim_filter)
+        return dim
     # Decouple codec parallelism from source partitioning (a Kafka topic's
     # partition count, or here a single-row-group file): shuffle the raw
     # records across the cluster before the JSON encode/decode stage.
@@ -172,7 +180,9 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", cfg.checkpoint)
             .foreachBatch(
-                lambda b, _id: _enrich_and_split(b, dim, cfg.out_path, cfg.dlq_path)
+                lambda b, _id: _enrich_and_split(
+                    b, load_dim(), cfg.out_path, cfg.dlq_path
+                )
             )
             .start()
         )
@@ -194,7 +204,10 @@ def build_dlq_reprocess(
     appends recovered records to the output. Independently checkpointed ->
     resumes from its own committed position after stop/start
     (DlqPipelineIT.java:128-170 semantics)."""
-    dim = spark.read.parquet(f"{repair_sf_dir}/customer.parquet")
+
+    def load_dim():
+        return spark.read.parquet(f"{repair_sf_dir}/customer.parquet")
+
     raw = stream_parquet_dir(spark, dlq_path, DLQ_SCHEMA, throttle_files)
     parsed = _parse_keep_original(raw.select("kafka_key", "value"))
 
@@ -205,7 +218,9 @@ def build_dlq_reprocess(
             .foreachBatch(
                 # repair path: misses stay in a dead-letter parquet next to
                 # the output (reprocessing can itself fail)
-                lambda b, _id: _enrich_and_split(b, dim, out_path, out_path + "_dlq")
+                lambda b, _id: _enrich_and_split(
+                    b, load_dim(), out_path, out_path + "_dlq"
+                )
             )
             .start()
         )

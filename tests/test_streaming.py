@@ -359,3 +359,47 @@ def test_entity_spec_pipeline_matches_handbuilt(spark, sf_smoke):
     hb = spark.read.schema(ENRICHED_SCHEMA).parquet(out2)
     assert ent.count() == hb.count() > 0
     assert ent.exceptAll(hb).count() == 0 and hb.exceptAll(ent).count() == 0
+
+
+def test_dimension_update_visible_between_batches(spark, sf_smoke):
+    """The reference's enrichment lookup is always fresh (REST hits the
+    CRUD app per record, §2A #22); the stream-static join must match that:
+    dimension rows upserted between micro-batches enrich the NEXT batch.
+    Phase 1 runs with half the customers (misses -> DLQ); the dimension is
+    then updated in place; phase 2's records for previously-missing
+    customers now enrich successfully."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src_dir = _tmp("dimupd_sf")
+    ev = pq.read_table(f"{sf_smoke}/events.parquet")
+    cust = pq.read_table(f"{sf_smoke}/customer.parquet")
+    even_ev = ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 0))
+    odd_ev = ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1))
+    pq.write_table(even_ev, f"{src_dir}/events.parquet")
+    # dimension starts with only even custkeys
+    pq.write_table(
+        cust.filter(pc.equal(pc.bit_wise_and(cust["c_custkey"], 1), 0)),
+        f"{src_dir}/customer.parquet",
+    )
+
+    out, dlq, ckpt = _tmp("dim_out"), _tmp("dim_dlq"), _tmp("dim_ckpt")
+    cfg = CdcPipelineConfig(sf_dir=src_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("dim", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("dim")
+
+    out1 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    assert out1.count() > 0
+    assert out1.filter(F.col("user_id") % 2 == 1).count() == 0  # odd users missed
+
+    # upsert: the full customer table replaces the half dimension in place
+    pq.write_table(cust, f"{src_dir}/customer.parquet")
+    # phase 2 events arrive as a new file -> next micro-batch
+    pq.write_table(odd_ev, f"{src_dir}/events2.parquet")
+    reg.process_available("dim")
+    reg.stop("dim")
+
+    out2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    # phase-2 records with odd users enriched against the updated dimension
+    assert out2.filter(F.col("user_id") % 2 == 1).count() > 0
