@@ -52,13 +52,15 @@ def no_pushdown(cond: Column) -> Column:
     column (from_json/to_json): each pushed disjunct re-evaluates the full
     codec, AND the work lands below the fan-out repartition at source
     parallelism (measured 4x wall-time on the CDC parse at 1.6M rows).
-    ANDing an always-true NONDETERMINISTIC term pins the filter where it
-    was written, so the codec column is computed once, after the fan-out.
-    The guard must survive three optimizer attacks AND streaming checks:
-    rand() >= -1 is folded (known [0,1) range), uuid().isNotNull() is
-    folded (non-nullable), monotonically_increasing_id() is rejected in
-    streaming plans. length(uuid()) > -1 survives all of them, costs
-    ~0.5 us/row, and was measured to cut the CDC parse from 16 s to 6 s
-    at 1.6M rows on local[32].
+    Wrapping the predicate in an always-true NONDETERMINISTIC guard pins
+    the filter where it was written, so the codec column is computed once,
+    after the fan-out. The guard must survive four optimizer attacks AND
+    streaming checks: rand() >= -1 is folded (known [0,1) range),
+    uuid().isNotNull() is folded (non-nullable),
+    monotonically_increasing_id() is rejected in streaming plans, and an
+    AND-ed guard gets split off so deterministic conjuncts push anyway —
+    hence a single CASE expression (nondeterministic as a whole,
+    unsplittable). Costs ~0.5 us/row; measured to cut the CDC parse from
+    16 s to 4 s at 1.6M rows on local[32].
     """
-    return (F.length(F.expr("uuid()")) > -1) & cond
+    return F.when(F.length(F.expr("uuid()")) > -1, cond).otherwise(F.lit(False))

@@ -92,3 +92,27 @@ def test_quantize_no_shuffle_no_python(spark, sf_smoke):
     text = explain_str(df)
     assert "Exchange" not in text, text[:2000]
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_cdc_parse_codec_stays_above_fanout_exchange(spark, sf_smoke):
+    """Regression guard for the no_pushdown fix: the envelope codec
+    (from_json / StructsToJson) must never appear BELOW the fan-out
+    repartition — pushed-down codec predicates ran 5 evaluations per row
+    at source parallelism (4x wall time at 1.6M rows)."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.cdc import (
+        synthesize_event_envelopes,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.pipeline import (
+        _parse_keep_original,
+    )
+
+    src = spark.read.parquet(f"{sf_smoke}/events.parquet").repartition(8)
+    df = _parse_keep_original(synthesize_event_envelopes(src))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_pos = plan.find("Exchange RoundRobinPartitioning")
+    assert exchange_pos != -1, plan[:1500]
+    below = plan[exchange_pos:]
+    assert "from_json" not in below, below[:2000]
+    assert "StructsToJson" not in below, below[:2000]
