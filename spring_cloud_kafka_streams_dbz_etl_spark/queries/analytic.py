@@ -526,3 +526,70 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("q"),
         F.weekofyear(d).cast("int").alias("iso_week"),
     )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, NULLIF(user_id % 50, 0) AS bucket_key, value FROM events),
+d AS (
+  SELECT NULLIF(c_custkey % 50, 0) AS bucket_key,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY 1)
+SELECT e.event_id, e.bucket_key, d.n_cust, e.value
+FROM e JOIN d ON e.bucket_key IS NOT DISTINCT FROM d.bucket_key
+""",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — required when the join key is
+    itself derived and legitimately nullable (here NULLIF-sentineled
+    buckets). Plans as a normal hash join on the null-safe key.
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("user_id") % 50, F.lit(0)).alias("bucket_key"),
+        "value",
+    )
+    d = (
+        table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("bucket_key"))
+        .groupBy("bucket_key")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return e.join(d, e.bucket_key.eqNullSafe(d.bucket_key)).select(
+        "event_id", e.bucket_key.alias("bucket_key"), "n_cust", "value"
+    )
+
+
+@query(
+    "q_multiset_ops",
+    oracle="""
+SELECT 'intersect_all' AS op, k FROM (
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A')
+UNION ALL
+SELECT 'except_all' AS op, k FROM (
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A')
+""",
+)
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps min(m,n)
+    copies, EXCEPT ALL keeps max(m-n,0) — the semantics reconciliation
+    between at-least-once feeds needs (plain INTERSECT/EXCEPT would hide
+    duplicate-count differences). Catalyst plans both as count-based
+    aggregations + generate, one shuffle each.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("k"))
+    return (
+        r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "k")
+        .unionByName(r.exceptAll(a).select(F.lit("except_all").alias("op"), "k"))
+    )
