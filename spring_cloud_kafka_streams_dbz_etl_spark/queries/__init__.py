@@ -38,6 +38,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         analytic,
         cdc,
+        curation,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,145 @@
+"""Corpus-curation surface over `documents` (north-star extensions beyond
+the reference: sampling, sequence packing, chunking for training/RAG).
+
+No reference counterpart (BASELINE.json north star — "the operations a
+large-scale training-data pipeline would need"). Everything here is either
+a pure map (sampling, chunking: parquet-scan speed, embarrassingly
+parallel) or a per-source window + partial agg (packing: one shuffle keyed
+on `source`, parallel across sources/shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import tune
+from . import query
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+SELECT doc_id, source, rate_permille, bucket
+FROM (
+  SELECT doc_id, source,
+         CAST(100 + (CAST(substr(source, 4, 10) AS INT) * 45) % 900 AS INT) AS rate_permille,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample-seed-7'), 1, 8)) AS BIGINT) % 1000 AS INT) AS bucket
+  FROM documents)
+WHERE bucket < rate_permille
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each stratum (source) gets its own
+    keep-rate; membership is md5(doc_id+seed) bucketing, not an RNG — so the
+    sample is identical across runs, engines, partitionings and re-ingests
+    (dataset-mixing weights for a training corpus must be reproducible;
+    `sample()`/TABLESAMPLE RNGs are engine- and partitioning-specific).
+
+    Scale: pure map + filter over the scan, no shuffle, no state; rates live
+    in the expression (or a broadcast dim), so this runs at parquet-scan
+    speed on any cluster size.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    rate = (F.lit(100) + (F.substring("source", 4, 10).cast("int") * 45) % 900).cast("int")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample-seed-7"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+    ).cast("int")
+    return (
+        d.select("doc_id", "source", rate.alias("rate_permille"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM (
+  SELECT source, n_tokens,
+         CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+  FROM (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents))
+GROUP BY source, bin
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: stream each stratum's docs in stable
+    doc_id order, accumulate token counts, and assign each doc to the
+    512-token bin where its first token lands (contiguous-fill packing —
+    the deterministic relational form of example packing for LLM
+    pretraining batches). Output is the per-bin manifest (doc count +
+    token total), i.e. the packing plan a writer job would execute.
+
+    Scale: one shuffle keyed on `source` for the running-sum window, then a
+    partial-agg groupBy on the same key (no second shuffle — the window's
+    partitioning is reused). Parallelism is bounded by stratum count; at
+    100 TB you pre-shard the window key to (source, doc_id div S) so every
+    shard packs independently — the bin formula is unchanged.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    staged = d.select("source", "doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        staged.select(
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("long").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+SELECT doc_id,
+       CAST(u.start / 150 AS INT) AS chunk_id,
+       CAST(u.start AS INT) AS chunk_start,
+       CAST(LENGTH(substr(text, CAST(u.start AS INT) + 1, 200)) AS INT) AS chunk_len,
+       md5(substr(text, CAST(u.start AS INT) + 1, 200)) AS chunk_hash
+FROM documents, UNNEST(range(0, GREATEST(1, LENGTH(text)), 150)) AS u(start)
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char chunks, 150-char stride,
+    50-char overlap) — the RAG / context-window segmentation pass. Emits a
+    chunk manifest keyed by (doc_id, chunk_id) with a content hash, the
+    form downstream dedup/embedding stages join on.
+
+    Scale: generate-only (sequence + posexplode + substring), zero shuffle;
+    output is ~len/stride rows per doc produced streaming from the scan —
+    whole-stage codegen end to end, no Python.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), F.length("text") - 1), F.lit(150))
+    chunk = F.substring(F.col("text"), F.col("start") + 1, 200)
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 150).cast("int").alias("chunk_id"),
+            F.col("start").cast("int").alias("chunk_start"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )

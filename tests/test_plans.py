@@ -116,3 +116,31 @@ def test_cdc_parse_codec_stays_above_fanout_exchange(spark, sf_smoke):
     below = plan[exchange_pos:]
     assert "from_json" not in below, below[:2000]
     assert "StructsToJson" not in below, below[:2000]
+
+
+def test_doc_chunks_generate_only_no_shuffle(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_doc_chunks"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Generate" in text, text[:2000]
+    assert "Exchange" not in text  # chunking streams from the scan
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_stratified_sample_no_shuffle(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_stratified_sample"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Exchange" not in text, text[:2000]
+
+
+def test_pack_sequences_single_shuffle(spark, sf_smoke):
+    """The groupBy(source, bin) must reuse the window's hash partitioning
+    on `source` — exactly one Exchange in the whole plan."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_pack_sequences"].fn(spark, sf_smoke)
+    text = explain_str(df, mode="simple")
+    assert text.count("Exchange") == 1, text[:3000]
