@@ -50,6 +50,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     warm = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    # round-robin exchange + decimal partial agg (the fan_out query shape)
+    warm.repartition(8).groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_nationkey").cast("decimal(18,6)")).cast("double").alias("s"),
+    ).write.format("noop").mode("overwrite").save()
     warm.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_nationkey").cast("decimal(18,6)")).cast("double").alias("s"),

@@ -4,7 +4,7 @@ skew-safe salted aggregation, approximate aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -209,4 +209,123 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via fixed-size bitmaps (Spark 3.5+
+    bitmap_* family): keys fold into (bucket, bit) positions, each
+    (group, bucket) partial-aggregates to a <=4 KB bitmap, and the final
+    pass sums bitmap popcounts. Unlike COUNT(DISTINCT), which shuffles
+    every distinct VALUE (an Expand + two full exchanges), the shuffle
+    payload here is bounded by keyspace/32k bitmaps per group regardless
+    of row count — the same sum-of-popcounts contract HLL sketches
+    approximate, but exact.
+
+    Scale: two hash aggs; all heavy reduction is map-side bitmap OR-ing.
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.bitmap_bucket_number("l_partkey").alias("bucket"),
+            F.bitmap_bit_position("l_partkey").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_parts"))
+    )
+
+
+@query(
+    "q_sequence_gaps",
+    oracle="""
+WITH present AS (
+  SELECT event_id AS k, CAST(FLOOR(event_id / 4096.0) AS BIGINT) AS bucket
+  FROM events WHERE event_type = 'click'),
+intra AS (
+  SELECT k + 1 AS gap_start, nxt - 1 AS gap_end
+  FROM (SELECT k, bucket,
+               LEAD(k) OVER (PARTITION BY bucket ORDER BY k) AS nxt
+        FROM present)
+  WHERE nxt > k + 1),
+bounds AS (
+  SELECT bucket, MIN(k) AS min_k, MAX(k) AS max_k FROM present GROUP BY bucket),
+boundary AS (
+  SELECT max_k + 1 AS gap_start, nxt_min - 1 AS gap_end
+  FROM (SELECT max_k, LEAD(min_k) OVER (ORDER BY bucket) AS nxt_min
+        FROM bounds)
+  WHERE nxt_min > max_k + 1)
+SELECT CAST(gap_start AS BIGINT) AS gap_start,
+       CAST(gap_end AS BIGINT) AS gap_end,
+       CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing,
+       kind
+FROM (SELECT *, 'intra' AS kind FROM intra
+      UNION ALL
+      SELECT *, 'boundary' AS kind FROM boundary)
+""",
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-continuity audit: find every missing run in an expected-dense
+    key sequence (here: event_ids that arrived as 'click') — the
+    delivery-completeness check a CDC consumer runs against offsets or
+    monotonic entity ids to prove nothing was dropped.
+
+    Distributed design: keys bucket by k div 4096 and each bucket finds
+    its internal gaps with a partition-local LEAD (embarrassingly
+    parallel, state = one key); the seams between buckets are closed by a
+    second LEAD over the per-bucket [min,max] summary — a dataset with
+    one row per bucket, ~5 orders of magnitude smaller than the input. No
+    global sort of the raw keys ever happens, which is what makes this
+    hold at 100 TB (a naive LEAD over ORDER BY k is a single-partition
+    window).
+    """
+    tune(spark)
+    present = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("k"),
+            F.floor(F.col("event_id") / 4096).cast("long").alias("bucket"),
+        )
+    )
+    w_bucket = Window.partitionBy("bucket").orderBy("k")
+    intra = (
+        present.withColumn("nxt", F.lead("k").over(w_bucket))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+        )
+    )
+    bounds = present.groupBy("bucket").agg(
+        F.min("k").alias("min_k"), F.max("k").alias("max_k")
+    )
+    w_all = Window.orderBy("bucket")
+    boundary = (
+        bounds.withColumn("nxt_min", F.lead("min_k").over(w_all))
+        .filter(F.col("nxt_min") > F.col("max_k") + 1)
+        .select(
+            (F.col("max_k") + 1).alias("gap_start"),
+            (F.col("nxt_min") - 1).alias("gap_end"),
+        )
+    )
+    out = intra.select("*", F.lit("intra").alias("kind")).unionByName(
+        boundary.select("*", F.lit("boundary").alias("kind"))
+    )
+    return out.select(
+        F.col("gap_start").cast("long"),
+        F.col("gap_end").cast("long"),
+        (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("n_missing"),
+        "kind",
     )

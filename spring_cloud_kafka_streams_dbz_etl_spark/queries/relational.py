@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.scalars import dec_sum, exact_avg
 from ..operators.relational import enrich_join, latest_by_key, top_k
 from ..session import tune
@@ -197,13 +197,24 @@ GROUP BY l_returnflag, l_linestatus
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation: 8 aggregates, one shuffle,
     map-side partial agg; decimal accumulation keeps it deterministic.
+
+    The filter + 6-column projection happen BEFORE fan_out so predicate
+    pushdown and column pruning still reach the scan; fan_out then spreads
+    the 8-decimal-agg compute across the cluster (no-op on a real multi-
+    row-group layout — see catalog.fan_out).
     """
     tune(spark)
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    ).select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    li = fan_out(li, spark)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum(F.col("l_quantity"), "sum_qty"),
