@@ -593,3 +593,67 @@ def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.intersectAll(a).select(F.lit("intersect_all").alias("op"), "k")
         .unionByName(r.exceptAll(a).select(F.lit("except_all").alias("op"), "k"))
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dec_total
+  FROM events GROUP BY 1, 2)
+SELECT 'hour' AS grain, bucket, event_type, n_events,
+       CAST(dec_total AS DOUBLE) AS total_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket, event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dec_total) AS DOUBLE) AS total_value
+FROM hourly GROUP BY 2, 3
+""",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY grain is computed
+    by RE-AGGREGATING the hourly partials (sums of sums, counts of
+    counts), never by rescanning raw events — the invariant that lets a
+    materialized hourly rollup serve every coarser grain incrementally.
+    Decimal accumulation stays exact through both levels; the double cast
+    happens only at the output edge.
+
+    Scale: one shuffle builds the hourly partials (map-side partial agg);
+    the daily pass shuffles only |hours|x|types| rows — at 100 TB that
+    second stage is ~6 orders of magnitude smaller than the input, which
+    is the entire point of the pattern.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_total"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("dec_total").alias("dec_total"),
+        )
+    )
+    cols = ["grain", "bucket", "event_type", "n_events", "total_value"]
+    return (
+        hourly.select(
+            F.lit("hour").alias("grain"), "bucket", "event_type", "n_events",
+            F.col("dec_total").cast("double").alias("total_value"),
+        ).select(cols)
+        .unionByName(
+            daily.select(
+                F.lit("day").alias("grain"), "bucket", "event_type", "n_events",
+                F.col("dec_total").cast("double").alias("total_value"),
+            ).select(cols)
+        )
+    )
