@@ -565,3 +565,36 @@ def s_offset_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.process_available("main")
     reg.stop("main")
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+
+
+@query(
+    "s_idempotent_sink",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID}
+""",
+)
+def s_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC topology with the EXACTLY-ONCE sink upgrade: every epoch
+    writes through batch-id-keyed dynamic partition overwrite
+    (sources/sinks.py::idempotent_batch_write), so checkpoint-recovery
+    replays rewrite their own partition in place instead of appending
+    duplicates — same logical output as s_cdc_pipeline, different (and
+    stronger) delivery contract than the reference's at_least_once
+    default (CLAUDE.md:157-159)."""
+    from ..sources.sinks import read_idempotent_sink
+
+    tune(spark)
+    out, dlq, ckpt = _tmp("ido_out"), _tmp("ido_dlq"), _tmp("ido_ckpt")
+    cfg = CdcPipelineConfig(
+        sf_dir=sf_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt,
+        idempotent=True,
+    )
+    _run_to_completion(build_cdc_pipeline(spark, cfg))
+    return read_idempotent_sink(spark, out).select(
+        "id", "user_id", "name", "segment", "event_type", "value"
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -45,3 +46,29 @@ def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned layout (partition columns become columns;
     filters on them prune directories — assert via plans.inspect)."""
     return spark.read.parquet(path)
+
+
+def idempotent_batch_write(df: DataFrame, batch_id: int, path: str) -> None:
+    """Exactly-once foreachBatch sink: the epoch's rows land in a
+    ``_batch_id=<N>`` partition via DYNAMIC partition overwrite, so a
+    replayed epoch (checkpoint recovery re-runs the last uncommitted
+    batch) REPLACES its own partition instead of appending duplicates.
+    This is the upgrade path from the reference's at_least_once default
+    (CLAUDE.md:157-159) to effective exactly-once on an object-store sink:
+    idempotent writes + the checkpoint WAL's deterministic batch ids.
+
+    Scale: overwrite touches only the one partition being (re)written —
+    other epochs' directories are never listed or rewritten.
+    """
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+    )
+
+
+def read_idempotent_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read an idempotent sink's logical content (partition key dropped)."""
+    return spark.read.parquet(path).drop("_batch_id")

@@ -59,6 +59,7 @@ class CdcPipelineConfig:
     dim_filter: str | None = None  # simulate broken enrichment (DLQ tests)
     max_files_per_trigger: int | None = None
     corrupt_every: int | None = None  # garble every Nth payload (deser-DLQ tests)
+    idempotent: bool = False  # batch-id-keyed dynamic-overwrite sinks (exactly-once)
 
 
 def _parse_keep_original(raw: DataFrame) -> DataFrame:
@@ -96,17 +97,27 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     )
 
 
-def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path: str) -> None:
+def _enrich_and_split(
+    batch: DataFrame,
+    dim: DataFrame,
+    out_path: str,
+    dlq_path: str,
+    batch_id: int | None = None,
+    idempotent: bool = False,
+) -> None:
     """foreachBatch body: split off decode failures, one broadcast join,
-    branch on join miss, dual append write. Delivery is at-least-once on
-    batch retry (append is not transactional) — deliberately matching the
-    reference's processing.guarantee default (CLAUDE.md:157-159); the
-    documented upgrade paths are batch-id-keyed overwrite or downstream
-    key+version dedup (q_window_rank / s_dedup_stream), and s_offset_reset
-    proves the replay-duplicate semantics end-to-end. Both DLQ reasons
-    keep the ORIGINAL payload (reference parity:
-    deserialization DLQ is framework-level, enrichment DLQ is explicit —
-    application.yml:23-31 / AnimalTransformerStream.java:55-59)."""
+    branch on join miss, dual write. Default delivery is at-least-once on
+    batch retry (append is not transactional) — matching the reference's
+    processing.guarantee default (CLAUDE.md:157-159); `idempotent=True`
+    upgrades both sinks to batch-id-keyed DYNAMIC partition overwrite
+    (sources/sinks.py::idempotent_batch_write), making epoch replay
+    rewrite-in-place — effective exactly-once. The remaining at-least-once
+    mitigations stay documented: downstream key+version dedup
+    (q_window_rank / s_dedup_stream); s_offset_reset proves the
+    replay-duplicate semantics end-to-end. Both DLQ reasons keep the
+    ORIGINAL payload (reference parity: deserialization DLQ is
+    framework-level, enrichment DLQ is explicit — application.yml:23-31 /
+    AnimalTransformerStream.java:55-59)."""
     if "parse_failed" in batch.columns:
         corrupt = batch.filter(F.col("parse_failed")).select(
             F.col("kafka_key"),
@@ -135,8 +146,14 @@ def _enrich_and_split(batch: DataFrame, dim: DataFrame, out_path: str, dlq_path:
         )
         if corrupt is not None:
             bad = bad.unionByName(corrupt)
-        ok.write.mode("append").parquet(out_path)
-        bad.write.mode("append").parquet(dlq_path)
+        if idempotent:
+            from ..sources.sinks import idempotent_batch_write
+
+            idempotent_batch_write(ok, batch_id or 0, out_path)
+            idempotent_batch_write(bad, batch_id or 0, dlq_path)
+        else:
+            ok.write.mode("append").parquet(out_path)
+            bad.write.mode("append").parquet(dlq_path)
     finally:
         joined.unpersist()
 
@@ -180,8 +197,9 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", cfg.checkpoint)
             .foreachBatch(
-                lambda b, _id: _enrich_and_split(
-                    b, load_dim(), cfg.out_path, cfg.dlq_path
+                lambda b, bid: _enrich_and_split(
+                    b, load_dim(), cfg.out_path, cfg.dlq_path,
+                    batch_id=bid, idempotent=cfg.idempotent,
                 )
             )
             .start()

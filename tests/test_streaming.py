@@ -403,3 +403,28 @@ def test_dimension_update_visible_between_batches(spark, sf_smoke):
     out2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
     # phase-2 records with odd users enriched against the updated dimension
     assert out2.filter(F.col("user_id") % 2 == 1).count() > 0
+
+
+def test_idempotent_sink_replay_rewrites_in_place(spark, tmp_path):
+    """Replaying an epoch through the idempotent sink must not duplicate:
+    the second write of batch 7 REPLACES the first (dynamic partition
+    overwrite), while a different batch id appends alongside."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        idempotent_batch_write,
+        read_idempotent_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    rows = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    idempotent_batch_write(rows, 7, out)
+    idempotent_batch_write(rows, 7, out)  # replayed epoch
+    assert read_idempotent_sink(spark, out).count() == 10
+    idempotent_batch_write(spark.range(10, 15).select(F.col("id"), F.lit(0).alias("v")), 8, out)
+    got = read_idempotent_sink(spark, out)
+    assert got.count() == 15
+    # replay with DIFFERENT content for the same epoch (retry after partial
+    # failure) still converges to exactly-one copy of the batch
+    idempotent_batch_write(spark.range(10, 12).select(F.col("id"), F.lit(1).alias("v")), 8, out)
+    assert read_idempotent_sink(spark, out).count() == 12
