@@ -45,6 +45,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und.b == labels.id)
@@ -71,4 +72,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation needs diameter rounds; exiting via
+        # max_iter means a chain longer than max_iter hops exists and the
+        # labels are NOT a fixpoint — silently returning them would make
+        # downstream dedup clusters wrong. Callers with genuinely deep
+        # graphs should raise max_iter or switch to pointer-jumping
+        # (large-star/small-star), which converges in O(log d) rounds.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds max_iter)"
+        )
     return labels

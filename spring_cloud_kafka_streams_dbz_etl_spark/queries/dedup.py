@@ -21,7 +21,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..session import tune
-from . import query
+from . import cache_scoped, query
 
 MINHASH_K = 6
 MINHASH_BANDS = 3
@@ -107,13 +107,14 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     # Shingle arrays feed three consumers (signature + both verify-join
-    # sides); persist so the expensive shingling runs once, not 3x
-    # (measured 5-20x wall-clock difference at sf0.1).
+    # sides); cache so the expensive shingling runs once, not 3x
+    # (measured 5-20x wall-clock difference at sf0.1). Scoped: released
+    # when the next registered query starts.
     docs = (
         fan_out(d.select("doc_id", toks.alias("toks")), spark)
         .filter(F.size("toks") >= 3)
         .select("doc_id", shingle(F.col("toks"), 3).alias("shingles"))
-        .persist()
+        .transform(cache_scoped)
     )
     sig = minhash_signature(docs, "doc_id", "shingles", k=MINHASH_K)
     bands = lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
@@ -269,7 +270,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
             shingle(toks, 2).alias("grams"),
         )
-        .persist()  # consumed by both sides of the blocked self-join
+        .transform(cache_scoped)  # consumed by both sides of the blocked self-join
     )
     a = base.select(
         F.col("doc_id").alias("doc_a"),

@@ -389,7 +389,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
         )
         .unionByName(
-            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+            # subtract == SQL EXCEPT (set semantics). exceptAll().distinct()
+            # would only coincide for unique keys: with duplicate inputs
+            # exceptAll keeps keys present in BOTH sides when m>n. Bag
+            # semantics live in q_multiset_ops, where they're intended.
+            building.subtract(rich).select(F.lit("except").alias("op"), "c_custkey")
         )
     )
 

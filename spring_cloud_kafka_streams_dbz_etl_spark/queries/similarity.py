@@ -14,7 +14,7 @@ from ..catalog import fan_out, table
 from ..functions.vector import cosine, to_double
 from ..operators.similarity import brute_force_topk
 from ..session import tune
-from . import query
+from . import cache_scoped, query
 
 N_PROBE_QUERIES = 8  # vec_id < 8 are the probe set
 TOPK = 10
@@ -114,7 +114,7 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         fan_out(table(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        .persist()  # consumed by both sides of the blocked self-join
+        .transform(cache_scoped)  # consumed by both sides of the blocked self-join
     )
     a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))

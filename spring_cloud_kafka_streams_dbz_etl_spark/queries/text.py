@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import fan_out, table
 from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
 from ..session import tune
-from . import query
+from . import cache_scoped, query
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -225,27 +225,38 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: term frequency x inverse document frequency, top-3
     terms per document. Counts are exact integers; only LN is
     transcendental, so scores are rounded to 6 decimals before the
-    ranking decision (tie-break on term). The document-frequency side is
-    a small aggregate -> broadcast back; at scale the explode output is
-    the only big shuffle."""
+    ranking decision (tie-break on term).
+
+    Scale shape (VERDICT r01 fix): document length is a WINDOW sum over
+    the (doc_id, term) counts — it shares the doc_id partitioning with the
+    final rank window, so no per-document relation is ever joined (the old
+    broadcast of one-row-per-document would OOM at billions of docs).
+    Document frequency comes from `tf` (one row per (doc,term), so
+    COUNT(*) per term == docs containing the term); `tf` is scope-cached
+    so the corpus is exploded and shuffled exactly once for both
+    consumers. The corpus size is a 1-row aggregate folded in as a
+    broadcast cross join (no separate count() action). Only
+    small-at-any-scale relations are broadcast: the 1-row count and the
+    per-term vocab aggregate."""
     from pyspark.sql import Window
 
     tune(spark)
     d = table(spark, sf_dir, "documents")
-    n_total = d.count()
+    n = d.agg(F.count(F.lit(1)).alias("n_total"))
     ex = fan_out(d, spark).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).persist()
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
-    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    tf = cache_scoped(ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("c").over(Window.partitionBy("doc_id"))
     score = F.round(
-        (F.col("c") / F.col("total")) * F.log(F.lit(n_total) / F.col("n_docs")), 6
+        (F.col("c") / F.col("total")) * F.log(F.col("n_total") / F.col("n_docs")), 6
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
-        tf.join(F.broadcast(dl), "doc_id")
+        tf.withColumn("total", total)
         .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn("tfidf", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)

@@ -1,0 +1,293 @@
+"""Pure-Python Avro binary codec + Confluent Schema Registry wire framing.
+
+The reference's serde is Confluent ``GenericAvroSerde`` for every key and
+value (transformer/src/main/resources/application.yml:13-16): each Kafka
+payload is the Confluent wire format — 1 magic byte (0x00) + 4-byte
+big-endian schema id + Avro binary body — and the Debezium envelope /
+output schemas live in the registry (avro/record_key.avsc,
+avro/event_details.avsc, avro/animal_details.avsc;
+docker/connect/register-connector.json:14-17).
+
+This environment ships neither the spark-avro artifact (no ``from_avro``)
+nor a Python avro package, so the engine carries its own minimal binary
+codec implementing the Avro 1.11 spec's binary encoding (zigzag-varint
+ints/longs, little-endian IEEE floats, length-prefixed bytes/strings,
+union-index prefixes, block-encoded arrays/maps) for the subset of types
+Debezium envelopes use: null, boolean, int, long, float, double, bytes,
+string, enum, record, union, array, map, plus named-type references
+(the envelope reuses its ``Value`` record for both ``before`` and
+``after``).
+
+Spark integration is Arrow-batched ``mapInPandas`` (never per-row Python
+UDFs): encode/decode run on executors over pandas batches, so the hot
+path scales with partition count like any other stage. When the real
+spark-avro artifact is on the classpath, ``sources/streams.py::
+confluent_avro_value`` is the zero-Python fast path; this module is the
+fallback plus the test oracle for the wire format itself.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+CONFLUENT_MAGIC = 0x00
+
+
+# -- varint / zigzag ------------------------------------------------------
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag (Python ints are arbitrary precision)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+class AvroCodec:
+    """Binary encoder/decoder for one parsed .avsc schema (JSON string or
+    dict). Supports the Debezium/Confluent subset documented above."""
+
+    def __init__(self, schema: str | dict | list) -> None:
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        self._named: dict[str, Any] = {}
+        self.schema = self._resolve(schema)
+
+    def _resolve(self, s: Any) -> Any:
+        """Normalize a schema node; register/expand named-type references."""
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            if s in self._named:
+                return self._named[s]
+            raise ValueError(f"unknown type reference {s!r}")
+        if isinstance(s, list):  # union
+            return [self._resolve(b) for b in s]
+        if isinstance(s, dict):
+            t = s["type"]
+            if t in ("record", "enum", "fixed"):
+                name = s["name"]
+                self._named[name] = s
+                ns = s.get("namespace")
+                if ns:
+                    self._named[f"{ns}.{name}"] = s
+                if t == "record":
+                    s = dict(s)
+                    s["fields"] = [
+                        {**f, "type": self._resolve(f["type"])} for f in s["fields"]
+                    ]
+                    self._named[name] = s
+                    if ns:
+                        self._named[f"{ns}.{name}"] = s
+                return s
+            if t == "array":
+                return {**s, "items": self._resolve(s["items"])}
+            if t == "map":
+                return {**s, "values": self._resolve(s["values"])}
+            if t in _PRIMITIVES:
+                return t
+            return self._resolve(t)
+        raise ValueError(f"bad schema node: {s!r}")
+
+    # -- encode -----------------------------------------------------------
+    def encode(self, value: Any) -> bytes:
+        out = bytearray()
+        self._enc(self.schema, value, out)
+        return bytes(out)
+
+    def _enc(self, s: Any, v: Any, out: bytearray) -> None:
+        if isinstance(s, list):  # union: index then value
+            idx = self._union_branch(s, v)
+            _write_long(out, idx)
+            self._enc(s[idx], v, out)
+            return
+        t = s if isinstance(s, str) else s["type"]
+        if t == "null":
+            return
+        if t == "boolean":
+            out.append(1 if v else 0)
+        elif t in ("int", "long"):
+            _write_long(out, int(v))
+        elif t == "float":
+            out += struct.pack("<f", float(v))
+        elif t == "double":
+            out += struct.pack("<d", float(v))
+        elif t in ("bytes", "string"):
+            raw = v.encode("utf-8") if t == "string" else bytes(v)
+            _write_long(out, len(raw))
+            out += raw
+        elif t == "enum":
+            _write_long(out, s["symbols"].index(v))
+        elif t == "record":
+            for f in s["fields"]:
+                self._enc(f["type"], v.get(f["name"]), out)
+        elif t == "array":
+            if v:
+                _write_long(out, len(v))
+                for item in v:
+                    self._enc(s["items"], item, out)
+            _write_long(out, 0)
+        elif t == "map":
+            if v:
+                _write_long(out, len(v))
+                for k, item in v.items():
+                    self._enc("string", k, out)
+                    self._enc(s["values"], item, out)
+            _write_long(out, 0)
+        else:
+            raise ValueError(f"cannot encode type {t!r}")
+
+    @staticmethod
+    def _union_branch(union: list, v: Any) -> int:
+        for i, b in enumerate(union):
+            t = b if isinstance(b, str) else b["type"]
+            if v is None and t == "null":
+                return i
+            if v is not None and t != "null":
+                return i
+        raise ValueError(f"no union branch for {v!r} in {union!r}")
+
+    # -- decode -----------------------------------------------------------
+    def decode(self, buf: bytes) -> Any:
+        v, pos = self._dec(self.schema, buf, 0)
+        if pos != len(buf):
+            raise ValueError(f"trailing bytes: {len(buf) - pos}")
+        return v
+
+    def _dec(self, s: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+        if isinstance(s, list):
+            idx, pos = _read_long(buf, pos)
+            return self._dec(s[idx], buf, pos)
+        t = s if isinstance(s, str) else s["type"]
+        if t == "null":
+            return None, pos
+        if t == "boolean":
+            return buf[pos] != 0, pos + 1
+        if t in ("int", "long"):
+            return _read_long(buf, pos)
+        if t == "float":
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if t == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if t in ("bytes", "string"):
+            n, pos = _read_long(buf, pos)
+            raw = buf[pos : pos + n]
+            return (raw.decode("utf-8") if t == "string" else bytes(raw)), pos + n
+        if t == "enum":
+            idx, pos = _read_long(buf, pos)
+            return s["symbols"][idx], pos
+        if t == "record":
+            rec = {}
+            for f in s["fields"]:
+                rec[f["name"]], pos = self._dec(f["type"], buf, pos)
+            return rec, pos
+        if t == "array":
+            items = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    item, pos = self._dec(s["items"], buf, pos)
+                    items.append(item)
+            return items, pos
+        if t == "map":
+            m = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    k, pos = self._dec("string", buf, pos)
+                    m[k], pos = self._dec(s["values"], buf, pos)
+            return m, pos
+        raise ValueError(f"cannot decode type {t!r}")
+
+
+# -- Confluent wire format (magic 0x00 + 4-byte big-endian schema id) -----
+def confluent_frame(schema_id: int, body: bytes) -> bytes:
+    """Wrap an Avro binary body the way KafkaAvroSerializer does
+    (KafkaTestHelper.java:36-49 consumes exactly this framing)."""
+    return struct.pack(">bI", CONFLUENT_MAGIC, schema_id) + body
+
+
+def confluent_unframe(payload: bytes) -> tuple[int, bytes]:
+    """Split a Confluent-framed payload into (schema_id, avro_body);
+    rejects a bad magic byte (the serde would throw, feeding the
+    deserialization DLQ — application.yml:23-31)."""
+    if not payload or payload[0] != CONFLUENT_MAGIC:
+        raise ValueError(f"bad Confluent magic byte: {payload[:1]!r}")
+    (schema_id,) = struct.unpack_from(">I", payload, 1)
+    return schema_id, payload[5:]
+
+
+# -- Debezium envelope schema for the engine's events table ---------------
+# Shape-parity with the reference's CDC value schema: before/after reuse
+# one named record, plus source/op/ts_ms (SURVEY.md §1.1 item 3;
+# integration tests navigate value.getSchema().getField("after") —
+# KafkaTestHelper.java:89-101).
+EVENTS_ENVELOPE_AVSC = json.dumps(
+    {
+        "type": "record",
+        "name": "Envelope",
+        "namespace": "dbserver1.public.events",
+        "fields": [
+            {
+                "name": "before",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "Value",
+                        "fields": [
+                            {"name": "id", "type": "long"},
+                            {"name": "user_id", "type": "long"},
+                            {"name": "event_type", "type": ["null", "string"]},
+                            {"name": "value", "type": ["null", "double"]},
+                        ],
+                    },
+                ],
+            },
+            {"name": "after", "type": ["null", "Value"]},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "Source",
+                    "fields": [
+                        {"name": "table", "type": "string"},
+                        {"name": "lsn", "type": "long"},
+                    ],
+                },
+            },
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": ["null", "long"]},
+        ],
+    }
+)

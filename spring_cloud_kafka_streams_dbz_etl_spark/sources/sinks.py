@@ -57,9 +57,22 @@ def idempotent_batch_write(df: DataFrame, batch_id: int, path: str) -> None:
     (CLAUDE.md:157-159) to effective exactly-once on an object-store sink:
     idempotent writes + the checkpoint WAL's deterministic batch ids.
 
-    Scale: overwrite touches only the one partition being (re)written —
-    other epochs' directories are never listed or rewritten.
+    Dynamic overwrite only rewrites partitions PRESENT in the new data, so
+    a replay that produces zero rows (possible when the replayed transform
+    is non-deterministic — e.g. the enrichment dimension changed between
+    attempts) would otherwise strand the first attempt's rows. The epoch's
+    partition directory is therefore deleted up front (Hadoop FS API, so
+    the same code path works on HDFS/S3A/local), making the guarantee hold
+    for non-deterministic replays too.
+
+    Scale: the pre-delete + overwrite touch only the one partition being
+    (re)written — other epochs' directories are never listed or rewritten.
     """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    part_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_batch_id={batch_id}")
+    part_dir.getFileSystem(hconf).delete(part_dir, True)
     (
         df.withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")

@@ -97,6 +97,26 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     )
 
 
+def _size_aware_broadcast(dim: DataFrame) -> DataFrame:
+    """Broadcast the enrichment dimension only when the optimizer's size
+    estimate fits under autoBroadcastJoinThreshold; otherwise return it
+    unhinted so Catalyst picks a shuffle join. The reference's dims are
+    tiny (event/animal lookup tables), but an unconditional hint in the
+    per-batch path would pin a fixed decision onto a dimension that may
+    grow 100x — and AQE is disabled inside streaming queries, so a wrong
+    static hint would never be demoted at runtime."""
+    try:
+        stats = dim._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes().longValue())
+        conf = dim.sparkSession._jsparkSession.sessionState().conf()
+        threshold = int(conf.autoBroadcastJoinThreshold())
+    except Exception:  # estimation unavailable -> let Catalyst decide
+        return dim
+    if 0 < threshold and 0 <= size <= threshold:
+        return F.broadcast(dim)
+    return dim
+
+
 def _enrich_and_split(
     batch: DataFrame,
     dim: DataFrame,
@@ -128,7 +148,7 @@ def _enrich_and_split(
     else:  # DLQ-reprocess path re-parses already-valid payloads
         corrupt = None
     joined = batch.join(
-        F.broadcast(dim), batch.user_id == dim.c_custkey, "left"
+        _size_aware_broadcast(dim), batch.user_id == dim.c_custkey, "left"
     ).cache()
     try:
         ok = joined.filter(F.col("c_custkey").isNotNull()).select(

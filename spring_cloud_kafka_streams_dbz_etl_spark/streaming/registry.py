@@ -99,7 +99,10 @@ class StreamRegistry:
             # using <ckpt>/offsets" (the Spark twin of the reference's
             # waitForConsumerGroupInactive, StreamControlService.java:199-219).
             try:
-                s.query.awaitTermination(int((timeout_s or self.STOP_TIMEOUT_S) * 1000))
+                # awaitTermination takes SECONDS (PySpark converts to ms
+                # internally) — passing ms here would turn the 30 s bound
+                # into ~8 h, defeating the hung-teardown guard.
+                s.query.awaitTermination(timeout_s or self.STOP_TIMEOUT_S)
             except Exception:
                 pass  # terminated-with-exception still counts as stopped
         s.history.append("stopped")

@@ -144,3 +144,53 @@ def test_pack_sequences_single_shuffle(spark, sf_smoke):
     df = SPECS["q_pack_sequences"].fn(spark, sf_smoke)
     text = explain_str(df, mode="simple")
     assert text.count("Exchange") == 1, text[:3000]
+
+
+def test_tfidf_no_per_document_broadcast(spark, sf_smoke):
+    """VERDICT r01 fix: the only broadcast relations in q_tfidf may be
+    per-TERM (vocab) or global (1-row corpus count) — never a per-document
+    aggregate (billions of rows at 100 TB). Document length must come from
+    a window over the tf partitioning instead."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tfidf"].fn(spark, sf_smoke)
+    text = explain_str(df, mode="simple")
+    # Every BroadcastExchange subtree: grab its immediate child aggregate
+    # keys; none may be keyed by doc_id alone (per-document relation).
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "keys=[doc_id" not in child, text[:3000]
+    # and the per-doc total is computed as a window sum
+    assert "Window [sum(" in text, text[:3000]
+
+
+def test_cdc_dim_broadcast_is_size_aware(spark, sf_smoke):
+    """VERDICT r01 fix: the CDC enrichment join hints broadcast only when
+    the dimension's estimated size fits under autoBroadcastJoinThreshold
+    (AQE can't demote a bad static hint inside a streaming query)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.pipeline import (
+        _size_aware_broadcast,
+    )
+
+    dim = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    fact = spark.range(100).withColumnRenamed("id", "user_id")
+
+    def plan(threshold):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try:
+            j = fact.join(
+                _size_aware_broadcast(dim), fact.user_id == dim.c_custkey, "left"
+            )
+            return explain_str(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    small_dim = plan("10MB")  # sf0.001 customer ~ a few KB -> hinted
+    assert "BroadcastHashJoin" in small_dim, small_dim[:2000]
+    big_dim = plan("-1")  # dimension over threshold -> no hint, no auto
+    assert "BroadcastHashJoin" not in big_dim, big_dim[:2000]
