@@ -2,11 +2,14 @@
 
 The reference consumes Kafka records in two serializations — Avro
 (GenericAvroSerde, application.yml:13-16) and JSON (the REST enrichment
-payload, EventTransformerStream.java:67-72). The Avro path is built in
-sources/streams.py (Confluent wire-format handling, gated on the
-spark-avro artifact); here the JSON and CSV schema-on-read paths are
-proven value-for-value by round-tripping the events table through each
-format and checking against the parquet ground truth.
+payload, EventTransformerStream.java:67-72). The JSON and CSV
+schema-on-read paths are proven value-for-value by round-tripping the
+events table through each format against the parquet ground truth; the
+Avro path is proven the same way by q_avro_roundtrip, which pushes every
+event through the Confluent wire format (magic byte + schema id + Avro
+binary body, sources/avro_codec.py) on executors. When spark-avro is on
+the classpath, sources/streams.py::confluent_avro_value is the
+zero-Python fast path for the same framing.
 
 Also the Python UDTF surface (Spark 4): a table function expanding one
 row into many — the generalization of the reference's one-in/one-out
@@ -79,6 +82,94 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", ts_fmt)
         .csv(path)
         .select(*_EVENT_COLS)
+    )
+
+
+@query(
+    "q_avro_roundtrip",
+    oracle="""
+SELECT event_id AS id, user_id, event_type, value,
+       'c' AS op, 'events' AS src_table, event_id AS lsn
+FROM events
+""",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Avro serde path (§2A #2), end-to-end on executors:
+    every event becomes a Debezium-style change envelope, is serialized to
+    Avro BINARY (union-index prefixes, zigzag varints, IEEE doubles) and
+    framed exactly like KafkaAvroSerializer output (magic 0x00 + 4-byte
+    schema id — the framing KafkaTestHelper.java:36-49 consumes), then a
+    SECOND stage unframes + decodes and projects ``after.*`` — so the
+    oracle check proves the wire bytes are a faithful interchange format,
+    value-for-value against the parquet ground truth.
+
+    Scale: both codec stages are Arrow-batched mapInPandas (serialization
+    is inherently per-record work — this is the legitimate Python-touches-
+    data case); they pipeline map-only with zero shuffles, so throughput
+    scales with partitions like any scan-transform stage.
+    """
+    import pandas as pd
+
+    from ..sources.avro_codec import (
+        EVENTS_ENVELOPE_AVSC,
+        AvroCodec,
+        confluent_frame,
+        confluent_unframe,
+    )
+
+    tune(spark)
+    schema_id = 7  # registry-assigned id in production; any fixed id here
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def encode(batches):
+        codec = AvroCodec(EVENTS_ENVELOPE_AVSC)
+        for pdf in batches:
+            framed = []
+            for r in pdf.itertuples(index=False):
+                envelope = {
+                    "before": None,
+                    "after": {
+                        "id": int(r.event_id),
+                        "user_id": int(r.user_id),
+                        "event_type": None if r.event_type is None else str(r.event_type),
+                        "value": None if pd.isna(r.value) else float(r.value),
+                    },
+                    "source": {"table": "events", "lsn": int(r.event_id)},
+                    "op": "c",
+                    "ts_ms": None,
+                }
+                framed.append(confluent_frame(schema_id, codec.encode(envelope)))
+            yield pd.DataFrame({"kafka_value": framed})
+
+    def decode(batches):
+        codec = AvroCodec(EVENTS_ENVELOPE_AVSC)
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "id": [], "user_id": [], "event_type": [],
+                "value": [], "op": [], "src_table": [], "lsn": [],
+            }
+            for buf in pdf["kafka_value"]:
+                sid, body = confluent_unframe(bytes(buf))
+                if sid != schema_id:
+                    raise ValueError(f"unexpected schema id {sid}")
+                env = codec.decode(body)
+                after = env["after"]
+                cols["id"].append(after["id"])
+                cols["user_id"].append(after["user_id"])
+                cols["event_type"].append(after["event_type"])
+                cols["value"].append(after["value"])
+                cols["op"].append(env["op"])
+                cols["src_table"].append(env["source"]["table"])
+                cols["lsn"].append(env["source"]["lsn"])
+            yield pd.DataFrame(cols)
+
+    framed = ev.mapInPandas(encode, "kafka_value binary")
+    return framed.mapInPandas(
+        decode,
+        "id long, user_id long, event_type string, value double, "
+        "op string, src_table string, lsn long",
     )
 
 

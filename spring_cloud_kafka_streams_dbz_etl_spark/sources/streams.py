@@ -63,6 +63,37 @@ def stream_parquet_dir(
     return reader.parquet(path)
 
 
+def starting_offsets_json(topic: str, partition_offsets: dict[int, int]) -> str:
+    """Build the ``startingOffsets`` JSON for a reset-to-specific-offsets
+    restart (the Spark twin of alterConsumerGroupOffsets,
+    KafkaOffsetService.java:80-90): ``{"topic": {"0": 42, ...}}``.
+    -1 = latest, -2 = earliest per Kafka convention."""
+    import json
+
+    return json.dumps({topic: {str(p): int(o) for p, o in partition_offsets.items()}})
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Reader options for the CDC source, assembled as data so they are
+    unit-testable without a broker (the sandbox has none). Mirrors the
+    reference's consumer bindings (application.yml:38-44): subscribe +
+    earliest default + the max.poll.records throttle analogue."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_cdc_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -72,17 +103,16 @@ def kafka_cdc_source(
 ) -> DataFrame:
     """Production CDC source (reference §2A #1): subscribe to a Debezium
     topic. Returns raw (key, value) binary columns; decode with
-    `confluent_avro_value` or `from_json` downstream.
+    `confluent_avro_value` (spark-avro) or the built-in pure-Python codec
+    (sources/avro_codec.py) downstream. Needs the spark-sql-kafka package
+    on the classpath — see KAFKA.md for the smoke recipe against the
+    reference's docker-compose topology.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 
@@ -104,13 +134,38 @@ def confluent_avro_value(value: F.Column, avro_schema_json: str) -> F.Column:
     return from_avro(payload, avro_schema_json)
 
 
-def kafka_sink_writer(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    producer_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Writer options for the Kafka sink; ``producer_conf`` passes through
+    the reference's producer tuning knobs (batch.size / linger.ms /
+    compression.type profiles, CLAUDE.md:148-153) as ``kafka.*`` options."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+    for k, v in (producer_conf or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    return opts
+
+
+def kafka_sink_writer(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    producer_conf: dict[str, str] | None = None,
+):
     """Production Kafka sink (§2A #14): expects `key`/`value` binary/string
     columns; at-least-once with checkpointed offsets (reference
     processing.guarantee default, CLAUDE.md:157-159)."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-    )
+    writer = df.writeStream.format("kafka")
+    for k, v in kafka_sink_options(
+        bootstrap_servers, topic, checkpoint, producer_conf
+    ).items():
+        writer = writer.option(k, v)
+    return writer

@@ -1,0 +1,132 @@
+"""Optional HTTP control plane over StreamRegistry.
+
+The reference exposes stream lifecycle/offset control as REST on the
+transformer app (AnimalStreamController.java:46-184: status, offsets,
+start/stop, reset earliest/latest/specific; DLQ start/stop on
+AnimalDlqTransformerStream.java:39-66). The engine's Python API
+(streaming/registry.py) is the semantic surface; this facade is a thin
+stdlib shell over it for HTTP parity — same routes, same response
+fields, 404 for unknown streams and 409 for failed resets
+(AnimalStreamController.java:211) — so a user of the reference's
+endpoints can point the same calls here (MIGRATION.md maps each one).
+
+Deliberately not a web framework: one ThreadingHTTPServer, regex routes,
+JSON bodies. The control plane is low-QPS by construction (a handful of
+lifecycle calls), so stdlib is the right dependency footprint.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+_ROUTES = [
+    ("GET", re.compile(r"^/api/stream/([^/]+)/status$"), "status"),
+    ("GET", re.compile(r"^/api/stream/([^/]+)/offsets$"), "offsets"),
+    ("POST", re.compile(r"^/api/stream/([^/]+)/start$"), "start"),
+    ("POST", re.compile(r"^/api/stream/([^/]+)/stop$"), "stop"),
+    ("POST", re.compile(r"^/api/stream/([^/]+)/offsets/reset/earliest$"), "reset_earliest"),
+    ("POST", re.compile(r"^/api/stream/([^/]+)/offsets/reset/latest$"), "reset_latest"),
+    ("POST", re.compile(r"^/api/stream/([^/]+)/offsets/reset$"), "reset_specific"),
+    # DLQ stream lifecycle (AnimalDlqTransformerStream.java:51-65) — the
+    # DLQ reprocess stream is just a named stream here
+    ("POST", re.compile(r"^/api/dlq/([^/]+)/start$"), "start"),
+    ("POST", re.compile(r"^/api/dlq/([^/]+)/stop$"), "stop"),
+]
+
+
+class StreamControlHttp:
+    """Serve a StreamRegistry over HTTP. ``port=0`` binds an ephemeral
+    port (returned by start())."""
+
+    def __init__(self, registry: Any, host: str = "127.0.0.1", port: int = 0) -> None:
+        self._registry = registry
+        self._host = host
+        self._port = port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> int:
+        registry = self._registry
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _dispatch(self, method: str) -> None:
+                for m, rx, action in _ROUTES:
+                    if m != method:
+                        continue
+                    match = rx.match(self.path)
+                    if not match:
+                        continue
+                    name = match.group(1)
+                    try:
+                        self._send(*_invoke(registry, action, name, self._body()))
+                    except KeyError:
+                        self._send(404, {"error": f"unknown stream {name!r}"})
+                    except Exception as exc:  # reset/lifecycle failure
+                        self._send(409, {"error": str(exc)})
+                    return
+                self._send(404, {"error": f"no route {method} {self.path}"})
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                if not n:
+                    return {}
+                try:
+                    return json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return {}
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+        self._server = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dict]:
+    """Map a route action onto the registry API; response fields mirror the
+    reference DTOs (StreamStatusResponse.java:1-10 carries a timestamp)."""
+    stamp = {"timestamp": time.time()}
+    if action == "status":
+        return 200, {**registry.status(name), **stamp}
+    if action == "offsets":
+        return 200, {**registry.offsets(name), **stamp}
+    if action in ("start", "stop"):
+        return 200, {**getattr(registry, action)(name), **stamp}
+    if action == "reset_earliest":
+        return 200, {**registry.reset_offsets(name, "earliest"), **stamp}
+    if action == "reset_latest":
+        return 200, {**registry.reset_offsets(name, "latest"), **stamp}
+    if action == "reset_specific":
+        if "batch" not in body:
+            return 400, {"error": "body must carry {'batch': <int>}"}
+        return 200, {**registry.reset_offsets(name, int(body["batch"])), **stamp}
+    raise AssertionError(action)

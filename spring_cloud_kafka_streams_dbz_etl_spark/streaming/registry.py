@@ -140,7 +140,9 @@ class StreamRegistry:
     def offsets(self, name: str) -> dict[str, Any]:
         """Committed vs available positions + lag, from the checkpoint's
         offset/commit logs (the Spark twin of committed/end offsets per
-        partition, KafkaOffsetService.java:31-56)."""
+        partition, KafkaOffsetService.java:31-56). For a Kafka source the
+        per-(topic, partition) breakdown appears as ``partitionOffsets``
+        with the reference's PartitionOffsetInfo fields."""
         s = self._get(name)
         avail = self._log_batches(s.checkpoint, "offsets")
         committed = self._log_batches(s.checkpoint, "commits")
@@ -149,13 +151,58 @@ class StreamRegistry:
         lag = 0
         if end_batch is not None:
             lag = end_batch - (committed_batch if committed_batch is not None else -1)
-        return {
+        end_offsets = self._latest_source_offsets(s.checkpoint, end_batch)
+        out = {
             "name": name,
             "committedBatch": committed_batch,
             "endBatch": end_batch,
             "lag": lag,
-            "sourceOffsets": self._latest_source_offsets(s.checkpoint, end_batch),
+            "sourceOffsets": end_offsets,
         }
+        committed_offsets = self._latest_source_offsets(s.checkpoint, committed_batch)
+        partition_lag = self.partition_lag(committed_offsets, end_offsets)
+        if partition_lag is not None:
+            out["partitionOffsets"] = partition_lag
+        return out
+
+    @staticmethod
+    def partition_lag(
+        committed: Any, end: Any
+    ) -> list[dict[str, Any]] | None:
+        """Per-topic-partition committed/end/lag rows from two Kafka-source
+        offset maps (the checkpoint offset log stores
+        ``{"topic": {"partition": offset}}`` per batch). Mirrors
+        OffsetInfoResponse{partition, committedOffset, endOffset, lag}
+        (KafkaOffsetService.java:31-56, PartitionOffsetInfo.java:1-8);
+        a partition not yet committed reports committedOffset None and
+        lag = endOffset, like a group with no commits.
+        Returns None when the offsets aren't Kafka-shaped (e.g. the file
+        source logs {"logOffset": N})."""
+
+        def kafka_shaped(o: Any) -> bool:
+            return isinstance(o, dict) and all(
+                isinstance(parts, dict)
+                and all(isinstance(v, int) for v in parts.values())
+                for parts in o.values()
+            ) and any(o.values())
+
+        if not kafka_shaped(end):
+            return None
+        committed = committed if kafka_shaped(committed) else {}
+        rows = []
+        for topic, parts in sorted(end.items()):
+            for part, end_off in sorted(parts.items(), key=lambda kv: int(kv[0])):
+                comm = committed.get(topic, {}).get(part)
+                rows.append(
+                    {
+                        "topic": topic,
+                        "partition": int(part),
+                        "committedOffset": comm,
+                        "endOffset": end_off,
+                        "lag": end_off - (comm if comm is not None else 0),
+                    }
+                )
+        return rows
 
     @staticmethod
     def _log_batches(checkpoint: str, log: str) -> list[int]:

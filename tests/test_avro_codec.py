@@ -1,0 +1,126 @@
+"""Avro binary codec + Confluent wire-format tests.
+
+The byte fixtures are hand-derived from the Avro 1.11 spec's binary
+encoding section, so they pin spec compliance — not just encode/decode
+symmetry (a self-roundtrip would pass even if both sides shared a bug).
+Mirrors the reference's serde configuration (GenericAvroSerde,
+application.yml:13-16) and the consumer in KafkaTestHelper.java:36-49.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+    EVENTS_ENVELOPE_AVSC,
+    AvroCodec,
+    confluent_frame,
+    confluent_unframe,
+)
+
+
+def codec(schema):
+    return AvroCodec(json.dumps(schema))  # always JSON text, like an .avsc file
+
+
+# -- spec byte fixtures ---------------------------------------------------
+@pytest.mark.parametrize(
+    "schema,value,expected",
+    [
+        ("long", 0, b"\x00"),
+        ("long", -1, b"\x01"),
+        ("long", 1, b"\x02"),
+        ("long", -64, b"\x7f"),
+        ("long", 64, b"\x80\x01"),  # spec's varint example boundary
+        ("int", 3, b"\x06"),
+        ("string", "foo", b"\x06foo"),
+        ("bytes", b"\x01\x02", b"\x04\x01\x02"),
+        ("boolean", True, b"\x01"),
+        ("double", 1.0, b"\x00\x00\x00\x00\x00\x00\xf0\x3f"),
+        ("float", 1.0, b"\x00\x00\x80\x3f"),
+    ],
+)
+def test_primitive_spec_bytes(schema, value, expected):
+    c = codec(schema)
+    assert c.encode(value) == expected
+    assert c.decode(expected) == value
+
+
+def test_union_spec_bytes():
+    # spec example: union ["null","string"]; null -> 0x00; "a" -> 0x02 0x02 a
+    c = codec(["null", "string"])
+    assert c.encode(None) == b"\x00"
+    assert c.encode("a") == b"\x02\x02a"
+    assert c.decode(b"\x02\x02a") == "a"
+    assert c.decode(b"\x00") is None
+
+
+def test_record_spec_bytes():
+    # spec's example record {a: long, b: string} with {27, "foo"}
+    # -> 0x36 0x06 f o o
+    c = codec(
+        {
+            "type": "record",
+            "name": "test",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+            ],
+        }
+    )
+    assert c.encode({"a": 27, "b": "foo"}) == b"\x36\x06foo"
+    assert c.decode(b"\x36\x06foo") == {"a": 27, "b": "foo"}
+
+
+def test_array_spec_bytes():
+    # spec's example: array<long> [3, 27] -> 0x04 0x06 0x36 0x00
+    c = codec({"type": "array", "items": "long"})
+    assert c.encode([3, 27]) == b"\x04\x06\x36\x00"
+    assert c.decode(b"\x04\x06\x36\x00") == [3, 27]
+    # negative block count (size-prefixed block) also decodes
+    assert c.decode(b"\x03\x04\x06\x36\x00") == [3, 27]
+
+
+def test_map_enum_roundtrip():
+    c = codec({"type": "map", "values": "int"})
+    assert c.decode(c.encode({"x": 1, "y": -2})) == {"x": 1, "y": -2}
+    e = codec({"type": "enum", "name": "Op", "symbols": ["c", "u", "d"]})
+    assert e.encode("u") == b"\x02"
+    assert e.decode(b"\x04") == "d"
+
+
+def test_envelope_named_type_reuse_roundtrip():
+    """before/after reference the same named record ('Value') — the shape
+    Debezium registers (SURVEY.md §1.1 item 3)."""
+    c = AvroCodec(EVENTS_ENVELOPE_AVSC)
+    env = {
+        "before": {"id": 1, "user_id": 2, "event_type": "click", "value": 1.5},
+        "after": {"id": 1, "user_id": 2, "event_type": None, "value": None},
+        "source": {"table": "events", "lsn": 123456789},
+        "op": "u",
+        "ts_ms": 1700000000123,
+    }
+    assert c.decode(c.encode(env)) == env
+
+
+def test_confluent_framing():
+    framed = confluent_frame(42, b"\x36\x06foo")
+    assert framed[:5] == b"\x00\x00\x00\x00\x2a"  # magic + big-endian id
+    sid, body = confluent_unframe(framed)
+    assert sid == 42 and body == b"\x36\x06foo"
+
+
+def test_confluent_bad_magic_rejected():
+    # a non-Avro payload must fail loudly -> deserialization-DLQ path
+    # (enable-dlq, application.yml:23-31)
+    with pytest.raises(ValueError):
+        confluent_unframe(b"\x01\x00\x00\x00\x2a")
+    with pytest.raises(ValueError):
+        confluent_unframe(b"")
+
+
+def test_unknown_type_reference_rejected():
+    with pytest.raises(ValueError):
+        codec({"type": "record", "name": "r", "fields": [{"name": "x", "type": "Nope"}]})

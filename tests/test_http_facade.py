@@ -1,0 +1,129 @@
+"""HTTP control-plane facade tests (no Spark needed): route/verb parity
+with AnimalStreamController.java:46-184 over a stub registry, plus one
+real-StreamRegistry wiring check using a synthesized checkpoint."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.http_facade import (
+    StreamControlHttp,
+)
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.registry import StreamRegistry
+
+
+class StubRegistry:
+    def __init__(self):
+        self.calls = []
+
+    def _known(self, name):
+        if name != "animal":
+            raise KeyError(name)
+
+    def status(self, name):
+        self._known(name)
+        return {"name": name, "running": True, "state": "RUNNING"}
+
+    def offsets(self, name):
+        self._known(name)
+        return {"name": name, "committedBatch": 3, "endBatch": 3, "lag": 0}
+
+    def start(self, name):
+        self._known(name)
+        self.calls.append(("start", name))
+        return {"name": name, "running": True}
+
+    def stop(self, name):
+        self._known(name)
+        self.calls.append(("stop", name))
+        return {"name": name, "running": False}
+
+    def reset_offsets(self, name, to):
+        self._known(name)
+        if to == "latest":
+            raise RuntimeError("simulated reset failure")
+        self.calls.append(("reset", name, to))
+        return {"previousOffsets": {}, "newOffsets": {}, "restarted": True}
+
+
+@pytest.fixture()
+def facade():
+    stub = StubRegistry()
+    srv = StreamControlHttp(stub)
+    port = srv.start()
+    yield stub, f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def _call(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_status_and_offsets_routes(facade):
+    _, base = facade
+    code, payload = _call(f"{base}/api/stream/animal/status")
+    assert code == 200 and payload["state"] == "RUNNING" and "timestamp" in payload
+    code, payload = _call(f"{base}/api/stream/animal/offsets")
+    assert code == 200 and payload["lag"] == 0
+
+
+def test_lifecycle_and_dlq_routes(facade):
+    stub, base = facade
+    assert _call(f"{base}/api/stream/animal/stop", "POST")[0] == 200
+    assert _call(f"{base}/api/stream/animal/start", "POST")[0] == 200
+    # DLQ start/stop are the same lifecycle on the DLQ stream's name
+    assert _call(f"{base}/api/dlq/animal/start", "POST")[0] == 200
+    assert stub.calls[:3] == [("stop", "animal"), ("start", "animal"), ("start", "animal")]
+
+
+def test_reset_routes(facade):
+    stub, base = facade
+    code, _ = _call(f"{base}/api/stream/animal/offsets/reset/earliest", "POST")
+    assert code == 200 and ("reset", "animal", "earliest") in stub.calls
+    code, _ = _call(f"{base}/api/stream/animal/offsets/reset", "POST", {"batch": 2})
+    assert code == 200 and ("reset", "animal", 2) in stub.calls
+
+
+def test_reset_specific_requires_body(facade):
+    _, base = facade
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(f"{base}/api/stream/animal/offsets/reset", "POST", {})
+    assert e.value.code == 400
+
+
+def test_unknown_stream_404_and_failed_reset_409(facade):
+    _, base = facade
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(f"{base}/api/stream/nope/status")
+    assert e.value.code == 404
+    # reference returns 409 when a reset fails (AnimalStreamController.java:211)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(f"{base}/api/stream/animal/offsets/reset/latest", "POST")
+    assert e.value.code == 409
+
+
+def test_real_registry_wiring(tmp_path):
+    """End-to-end over a real StreamRegistry (unstarted stream + synthesized
+    Kafka-shaped checkpoint): offsets flow through HTTP with partition lag."""
+    from tests.test_kafka_control import _commit, _write_offsets_log
+
+    ckpt = str(tmp_path / "ckpt")
+    _write_offsets_log(ckpt, 0, {"t": {"0": 5}})
+    _commit(ckpt, 0)
+    reg = StreamRegistry()
+    reg.register("cdc", builder=lambda: None, checkpoint=ckpt, auto_start=False)
+    srv = StreamControlHttp(reg)
+    port = srv.start()
+    try:
+        code, payload = _call(f"http://127.0.0.1:{port}/api/stream/cdc/offsets")
+        assert code == 200
+        assert payload["partitionOffsets"][0]["endOffset"] == 5
+    finally:
+        srv.stop()
