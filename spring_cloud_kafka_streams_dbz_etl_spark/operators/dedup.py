@@ -127,3 +127,41 @@ def simhash16(docs: DataFrame, id_col: str, token_col: str) -> DataFrame:
         ],
     )
     return summed.select(id_col, fp.cast("int").alias("simhash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed (MOSS-style) fingerprints: hash every word n-gram, slide a
+    window of `window` gram-hashes, keep each window's minimum; returns
+    (id, wmin) distinct — guaranteed to catch any shared substring of
+    >= n + window - 1 tokens between documents. Caller pre-filters
+    ``size(toks) >= n``.
+
+    Scale: one explode + one partition-local window + a distinct, all on a
+    single id shuffle; fingerprints are 32-byte hashes, so downstream
+    matching never touches document text.
+    """
+    from pyspark.sql import Window as W
+
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(F.col(toks_col), i + k + 1) for k in range(n)]
+        )
+    )
+    grams = docs.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size(toks_col) - n), lambda i: gram(i))
+        ).alias("idx0", "h"),
+        (F.size(toks_col) - (n - 1)).alias("n_grams"),
+    )
+    w = W.partitionBy(id_col).orderBy("idx0").rowsBetween(W.currentRow, window - 1)
+    winmin = grams.withColumn("wmin", F.min("h").over(w)).filter(
+        F.col("idx0") <= F.col("n_grams") - window
+    )
+    return winmin.select(id_col, "wmin").distinct()

@@ -163,6 +163,7 @@ SELECT doc_id, cluster_id,
        doc_id = cluster_id AS is_kept
 FROM (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
 """,
+    bench=True,
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS (transitive closure) -> keep-one
@@ -323,4 +324,88 @@ def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+# Winnowed-fingerprint CTE (same selection as q_winnow_fingerprint's
+# oracle in queries/text.py: 3-gram md5, window of 4, 1-based idx).
+_WINNOW_FP_CTE = """
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS h,
+              unnest(range(1, len(toks) - 1)) AS idx,
+              len(toks) - 2 AS n_grams
+       FROM t WHERE len(toks) >= 3),
+wm AS (SELECT doc_id, idx, n_grams,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       FROM sh),
+fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE idx <= n_grams - 3)
+"""
+
+CONTAINMENT_MIN = 0.5
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+WITH {_WINNOW_FP_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared, cont_a, cont_b FROM (
+  SELECT doc_a, doc_b, n_shared,
+         n_shared / CAST(sa.nf AS DOUBLE) AS cont_a,
+         n_shared / CAST(sb.nf AS DOUBLE) AS cont_b
+  FROM ov JOIN sz sa ON ov.doc_a = sa.doc_id
+          JOIN sz sb ON ov.doc_b = sb.doc_id)
+WHERE cont_a >= {CONTAINMENT_MIN} OR cont_b >= {CONTAINMENT_MIN}
+""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (containment) detection via winnowed
+    fingerprints, MOSS-style: containment(A in B) = |fp(A) ∩ fp(B)| /
+    |fp(A)| — catches a document EMBEDDED inside a larger one, which
+    symmetric Jaccard dilutes below threshold. Integer overlap counts,
+    exact int/int divisions.
+
+    Scale: candidates come from the fingerprint self-join, so pair work is
+    sum over fingerprints of |docs sharing it|^2 — never |corpus|^2 — and
+    only 32-byte hashes shuffle. Per-document fingerprint counts join back
+    as plain shuffle joins on doc id (a per-doc relation is never
+    broadcast)."""
+    from ..operators.dedup import winnow_fingerprints
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = fan_out(d.select("doc_id", toks.alias("toks")), spark).filter(
+        F.size("toks") >= 3
+    )
+    fp = cache_scoped(winnow_fingerprints(base, "doc_id", "toks", n=3, window=4))
+    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "wmin")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "wmin")
+    ov = (
+        a.join(b, "wmin")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b"))
+    return (
+        ov.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared") / F.col("nf_a").cast("double")).alias("cont_a"),
+            (F.col("n_shared") / F.col("nf_b").cast("double")).alias("cont_b"),
+        )
+        .filter((F.col("cont_a") >= CONTAINMENT_MIN) | (F.col("cont_b") >= CONTAINMENT_MIN))
     )

@@ -164,3 +164,113 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_abs.alias("max_abs"),
         F.transform(v, lambda x: F.round(x * scale, 0).cast("int")).alias("q8"),
     )
+
+
+# -- random-hyperplane LSH -------------------------------------------------
+# Deterministic "random" hyperplanes: sign(p, i) derived from md5 so both
+# engines (and every run/cluster) agree bit-for-bit. Precomputed here and
+# inlined as literals into BOTH the Spark plan and the oracle SQL.
+LSH_PLANES = 8
+LSH_DIM = 64
+LSH_COS_MIN = 0.35
+
+
+def _lsh_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(LSH_DIM)
+        ]
+        for p in range(LSH_PLANES)
+    ]
+
+
+_SIGNS = _lsh_signs()
+
+
+def _lsh_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {LSH_DIM + 1}), "
+        f"i -> ([{', '.join(map(str, _SIGNS[p]))}])[i] * iv[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    dot = f"list_sum(list_transform(range(1, {LSH_DIM + 1}), i -> a.iv[i] * b.iv[i]))"
+    na = f"list_sum(list_transform(range(1, {LSH_DIM + 1}), i -> a.iv[i] * a.iv[i]))"
+    nb = f"list_sum(list_transform(range(1, {LSH_DIM + 1}), i -> b.iv[i] * b.iv[i]))"
+    return f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, iv, CAST({bucket} AS INT) AS bucket FROM iv
+)
+SELECT vec_a, vec_b, bucket, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         ROUND({dot} / (SQRT({na}) * SQRT({nb})), 6) AS cos_sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cos_sim >= {LSH_COS_MIN}
+"""
+
+
+@query("q_lsh_cosine", oracle=_lsh_oracle())
+def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH for cosine similarity (SimHash for vectors):
+    8 fixed ±1 hyperplanes -> 8 sign bits -> 256 buckets; exact cosine only
+    WITHIN buckets. The probability two vectors share all 8 bits is
+    (1 - θ/π)^8 — the S-curve that makes candidate count ~ Σ|bucket|^2
+    instead of |corpus|^2, and the embedding-space dual of the MinHash band
+    join.
+
+    Determinism: sign projections accumulate floor(x*1e6) BIGINTs (exact
+    IEEE ops, no libm) so the bucket decision — the part a 1-ulp divergence
+    would flip — is bit-identical across engines; within-bucket cosine uses
+    the same integer vectors with IEEE sqrt, rounded to 6 before the
+    threshold.
+
+    Scale: bucketing is a map-only pass; the self-join shuffles 8-bit keys
+    + int vectors. Pathological buckets (mass at one signature) go
+    quadratic — AQE skew-split mitigates, more planes shrink buckets."""
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+    )
+    with_iv = fan_out(e, spark).select("vec_id", iv.alias("iv"))
+
+    def plane_dot(p: int) -> F.Column:
+        signs = F.array(*[F.lit(s) for s in _SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(signs, F.col("iv"), lambda s, x: s * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        (F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(LSH_PLANES)),
+        start=F.lit(0),
+    ).cast("int")
+    bk = cache_scoped(with_iv.withColumn("bucket", bucket))
+    a = bk.select(F.col("vec_id").alias("vec_a"), "bucket", F.col("iv").alias("iv_a"))
+    b = bk.select(F.col("vec_id").alias("vec_b"), "bucket", F.col("iv").alias("iv_b"))
+    pair_dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(v), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        pair_dot("iv_a", "iv_b")
+        / (F.sqrt(pair_dot("iv_a", "iv_a")) * F.sqrt(pair_dot("iv_b", "iv_b"))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= LSH_COS_MIN)
+    )

@@ -577,6 +577,7 @@ SELECT e.event_id AS id, e.user_id,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 WHERE {_VALID}
 """,
+    bench=True,
 )
 def s_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC topology with the EXACTLY-ONCE sink upgrade: every epoch

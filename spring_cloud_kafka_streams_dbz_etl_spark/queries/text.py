@@ -220,6 +220,7 @@ SELECT doc_id, term, tfidf, rank FROM (
   CROSS JOIN n)
 WHERE rank <= 3
 """,
+    bench=True,
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: term frequency x inverse document frequency, top-3
@@ -265,6 +266,280 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bm25",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+), tfdl AS (
+  SELECT doc_id, term, c, SUM(c) OVER (PARTITION BY doc_id) AS dl FROM tf
+), df AS (
+  SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term
+), g AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(len(string_split(text, ' '))) AS total_len
+  FROM documents
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT t.doc_id, t.term,
+         ROUND(LN((g.n_total - df.n_docs + 0.5) / (df.n_docs + 0.5) + 1.0)
+               * (t.c * 2.2)
+               / (t.c + 1.2 * (0.25 + 0.75 * t.dl / (CAST(g.total_len AS DOUBLE) / g.n_total))),
+               6) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY
+              ROUND(LN((g.n_total - df.n_docs + 0.5) / (df.n_docs + 0.5) + 1.0)
+                    * (t.c * 2.2)
+                    / (t.c + 1.2 * (0.25 + 0.75 * t.dl / (CAST(g.total_len AS DOUBLE) / g.n_total))),
+                    6) DESC, t.term ASC) AS INT) AS rank
+  FROM tfdl t JOIN df ON t.term = df.term CROSS JOIN g)
+WHERE rank <= 3
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (k1=1.2, b=0.75): the IDF-saturated
+    upgrade of TF-IDF every retrieval/curation stack reaches for. Inputs
+    are exact integer counts; LN is the only transcendental, so scores
+    round to 6 decimals before the per-document top-3 ranking (term
+    tie-break), keeping both engines' decisions identical.
+
+    Scale shape == the fixed q_tfidf: document length is a window sum over
+    the (doc,term) counts (no per-document relation is built, let alone
+    broadcast); corpus totals (N, avgdl) are a 1-row broadcast cross join;
+    only the per-term vocab aggregate is broadcast."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    k1, b = 1.2, 0.75
+    d = table(spark, sf_dir, "documents")
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_len"),
+    )
+    ex = fan_out(d, spark).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = cache_scoped(ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = F.sum("c").over(Window.partitionBy("doc_id"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_total")
+    idf = F.log((F.col("n_total") - F.col("n_docs") + 0.5) / (F.col("n_docs") + 0.5) + 1.0)
+    score = F.round(
+        idf * (F.col("c") * (k1 + 1.0))
+        / (F.col("c") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("dl", dl)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(g))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+SELECT doc_id, n_chars_actual, n_distinct_chars,
+       ROUND(-list_sum(list_transform(counts,
+              c -> (c / CAST(n_chars_actual AS DOUBLE))
+                   * LN(c / CAST(n_chars_actual AS DOUBLE)))), 6) AS entropy_nats
+FROM (
+  SELECT doc_id,
+         CAST(len(chars) AS BIGINT) AS n_chars_actual,
+         CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+         list_transform(list_sort(list_distinct(chars)),
+                        x -> len(list_filter(chars, y -> y = x))) AS counts
+  FROM (SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS chars
+        FROM documents))
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy (nats) per document — the classic
+    gibberish/binary-noise quality gate (low entropy = repeated chars,
+    high = random bytes). Computed entirely with array expressions so it
+    is map-only AND deterministic: char counts come from the SORTED
+    distinct-char array and the entropy sum reduces over that array in a
+    fixed left-to-right order on both engines (a groupBy SUM of doubles
+    would be shuffle-order-dependent and could differ in the last ulp).
+
+    Scale: no shuffle, no UDF; O(|alphabet| * doc_len) per document with
+    |alphabet| small by definition."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    base = d.select("doc_id", chars.alias("chars"))
+    counts = F.transform(
+        F.array_sort(F.array_distinct(F.col("chars"))),
+        lambda x: F.size(F.filter(F.col("chars"), lambda y: y == x)),
+    )
+    n = F.size(F.col("chars")).cast("bigint")
+    with_counts = base.select(
+        "doc_id",
+        n.alias("n_chars_actual"),
+        F.size(F.array_distinct(F.col("chars"))).cast("bigint").alias("n_distinct_chars"),
+        counts.alias("counts"),
+    )
+    p = lambda c: c / F.col("n_chars_actual").cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log(p(c)),
+    )
+    return with_counts.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_distinct_chars",
+        F.round(ent, 6).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+SELECT doc_id, n_bigrams, dup_bigram_ratio, top_bigram_frac FROM (
+  SELECT doc_id,
+         CAST(len(g) AS BIGINT) AS n_bigrams,
+         1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE) AS dup_bigram_ratio,
+         list_max(list_transform(list_distinct(g),
+                  x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE)
+             AS top_bigram_frac
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2))
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-bigram ratio and
+    most-frequent-bigram fraction — high values flag boilerplate/spam
+    (nav bars, keyword stuffing) that per-token stats miss. All-integer
+    counts, two divisions per row.
+
+    Scale: map-only array expressions, no shuffle. The top-bigram count is
+    O(distinct^2) per document (array filter per distinct gram) — the
+    deliberate trade for staying shuffle-free; exploding bigrams through a
+    groupBy would shuffle the whole corpus for a per-doc statistic."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i + 1), F.element_at(F.col("toks"), i + 2)
+        ),
+    )
+    g = base.select("doc_id", gram.alias("g"))
+    n = F.size(F.col("g")).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("g")),
+            lambda x: F.size(F.filter(F.col("g"), lambda y: y == x)),
+        )
+    )
+    return g.select(
+        "doc_id",
+        F.size(F.col("g")).cast("bigint").alias("n_bigrams"),
+        (F.lit(1.0) - F.size(F.array_distinct(F.col("g"))) / n).alias("dup_bigram_ratio"),
+        (top / n).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT term, COUNT(*) AS c_u
+  FROM (SELECT unnest(t) AS term FROM toks WHERE len(t) >= 2) GROUP BY term
+), bi AS (
+  SELECT term_a, term_b, COUNT(*) AS c_ab
+  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS term_a,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS term_b
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY term_a, term_b
+), g AS (
+  SELECT SUM(len(t)) AS n_uni, SUM(len(t) - 1) AS n_bi FROM toks WHERE len(t) >= 2
+)
+SELECT term_a, term_b, c_ab, pmi FROM (
+  SELECT term_a, term_b, c_ab,
+         ROUND(LN((c_ab / CAST(g.n_bi AS DOUBLE))
+               / ((ua.c_u / CAST(g.n_uni AS DOUBLE)) * (ub.c_u / CAST(g.n_uni AS DOUBLE)))), 6) AS pmi
+  FROM bi JOIN uni ua ON bi.term_a = ua.term
+          JOIN uni ub ON bi.term_b = ub.term
+          CROSS JOIN g
+  WHERE c_ab >= 5)
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT 20
+""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent token
+    pairs, top-20 (min count 5). PMI = ln(P(ab) / (P(a)P(b))) from exact
+    integer counts; round-6 before the fully tie-broken global ordering.
+
+    Scale: one explode->groupBy for bigrams, one for unigrams; the unigram
+    side joins back as a broadcast (vocab-sized — same assumption as the
+    TF-IDF family); the final top-20 is TakeOrderedAndProject, no global
+    sort. NOTE the unigram totals deliberately count only docs with >= 2
+    tokens so P(a), P(b) and P(ab) come from the same population."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = cache_scoped(
+        fan_out(d.select("doc_id", toks.alias("t")), spark).filter(F.size("t") >= 2)
+    )
+    g = base.agg(
+        F.sum(F.size("t")).alias("n_uni"),
+        F.sum(F.size("t") - 1).alias("n_bi"),
+    )
+    uni = (
+        base.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i + 1).alias("term_a"),
+            F.element_at(F.col("t"), i + 2).alias("term_b"),
+        ),
+    )
+    bi = (
+        base.select(F.explode(pair).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c_u").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c_u").alias("c_b"))
+    n_uni = F.col("n_uni").cast("double")
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi").cast("double"))
+            / ((F.col("c_a") / n_uni) * (F.col("c_b") / n_uni))
+        ),
+        6,
+    )
+    return (
+        bi.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(g))
+        .select("term_a", "term_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(20)
+    )
+
+
+@query(
     "q_winnow_fingerprint",
     oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -296,36 +571,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single doc_id shuffle; fingerprints are 32-byte strings, so the
     matching join downstream never touches document text.
     """
+    from ..operators.dedup import winnow_fingerprints
+
     tune(spark)
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    gram = lambda i: F.md5(
-        F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-            F.element_at(F.col("toks"), i + 3),
-        )
-    )
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3), lambda i: gram(i)
-            )
-        ).alias("idx0", "h"),
-        (F.size("toks") - 2).alias("n_grams"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("idx0")
-        .rowsBetween(Window.currentRow, 3)
-    )
-    winmin = grams.withColumn("wmin", F.min("h").over(w)).filter(
-        F.col("idx0") <= F.col("n_grams") - 4
-    )
-    fp = winmin.select("doc_id", "wmin").distinct()
+    fp = winnow_fingerprints(base, "doc_id", "toks", n=3, window=4)
     return fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.md5(F.concat_ws("", F.array_sort(F.collect_list("wmin")))).alias(
