@@ -39,8 +39,13 @@ def connected_components(
     doesn't grow with iteration count (lineage blowup is the classic
     iterative-Spark failure mode).
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the edge list ONCE: `edges` usually carries an expensive
+    # lineage (e.g. the whole MinHash/LSH candidate pipeline), and every
+    # round's join would otherwise re-execute it from the scan.
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
@@ -52,24 +57,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # The convergence flag rides along in the SAME join that computes
+        # the new labels (nbr_min < component <=> this vertex improves), so
+        # the per-round termination check is a narrow scan of the
+        # checkpointed result — no extra join job per iteration.
+        stepped = (
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "__improved"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__improved")).limit(1).count()
+        labels = stepped.drop("__improved")
         if changed == 0:
             break
     if changed != 0:

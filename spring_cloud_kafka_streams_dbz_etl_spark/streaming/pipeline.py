@@ -97,14 +97,22 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     )
 
 
-def _size_aware_broadcast(dim: DataFrame) -> DataFrame:
+def _size_aware_broadcast(dim: DataFrame, memo: list | None = None) -> DataFrame:
     """Broadcast the enrichment dimension only when the optimizer's size
     estimate fits under autoBroadcastJoinThreshold; otherwise return it
     unhinted so Catalyst picks a shuffle join. The reference's dims are
     tiny (event/animal lookup tables), but an unconditional hint in the
     per-batch path would pin a fixed decision onto a dimension that may
     grow 100x — and AQE is disabled inside streaming queries, so a wrong
-    static hint would never be demoted at runtime."""
+    static hint would never be demoted at runtime.
+
+    ``memo`` (a mutable list owned by the pipeline) caches the DECISION
+    across micro-batches: the size estimate costs a plan-analysis
+    round-trip, and dimensions don't cross the broadcast threshold between
+    batches in practice. The dimension DATA is still re-read every batch;
+    a stream restart re-decides."""
+    if memo:
+        return F.broadcast(dim) if memo[0] else dim
     try:
         stats = dim._jdf.queryExecution().optimizedPlan().stats()
         size = int(stats.sizeInBytes().longValue())
@@ -112,9 +120,10 @@ def _size_aware_broadcast(dim: DataFrame) -> DataFrame:
         threshold = int(conf.autoBroadcastJoinThreshold())
     except Exception:  # estimation unavailable -> let Catalyst decide
         return dim
-    if 0 < threshold and 0 <= size <= threshold:
-        return F.broadcast(dim)
-    return dim
+    fits = 0 < threshold and 0 <= size <= threshold
+    if memo is not None:
+        memo.append(fits)
+    return F.broadcast(dim) if fits else dim
 
 
 def _enrich_and_split(
@@ -124,6 +133,7 @@ def _enrich_and_split(
     dlq_path: str,
     batch_id: int | None = None,
     idempotent: bool = False,
+    broadcast_memo: list | None = None,
 ) -> None:
     """foreachBatch body: split off decode failures, one broadcast join,
     branch on join miss, dual write. Default delivery is at-least-once on
@@ -148,7 +158,9 @@ def _enrich_and_split(
     else:  # DLQ-reprocess path re-parses already-valid payloads
         corrupt = None
     joined = batch.join(
-        _size_aware_broadcast(dim), batch.user_id == dim.c_custkey, "left"
+        _size_aware_broadcast(dim, broadcast_memo),
+        batch.user_id == dim.c_custkey,
+        "left",
     ).cache()
     try:
         ok = joined.filter(F.col("c_custkey").isNotNull()).select(
@@ -213,6 +225,7 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     )
 
     def start():
+        memo: list = []  # per-run broadcast decision (re-decided on restart)
         return (
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", cfg.checkpoint)
@@ -220,6 +233,7 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
                 lambda b, bid: _enrich_and_split(
                     b, load_dim(), cfg.out_path, cfg.dlq_path,
                     batch_id=bid, idempotent=cfg.idempotent,
+                    broadcast_memo=memo,
                 )
             )
             .start()
@@ -250,6 +264,7 @@ def build_dlq_reprocess(
     parsed = _parse_keep_original(raw.select("kafka_key", "value"))
 
     def start():
+        memo: list = []  # throttled stream = many tiny batches; decide once
         return (
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
@@ -257,7 +272,8 @@ def build_dlq_reprocess(
                 # repair path: misses stay in a dead-letter parquet next to
                 # the output (reprocessing can itself fail)
                 lambda b, _id: _enrich_and_split(
-                    b, load_dim(), out_path, out_path + "_dlq"
+                    b, load_dim(), out_path, out_path + "_dlq",
+                    broadcast_memo=memo,
                 )
             )
             .start()
