@@ -194,3 +194,65 @@ def test_cdc_dim_broadcast_is_size_aware(spark, sf_smoke):
     assert "BroadcastHashJoin" in small_dim, small_dim[:2000]
     big_dim = plan("-1")  # dimension over threshold -> no hint, no auto
     assert "BroadcastHashJoin" not in big_dim, big_dim[:2000]
+
+
+def test_bm25_no_per_document_broadcast(spark, sf_smoke):
+    """Same invariant as q_tfidf: only per-term / 1-row relations may be
+    broadcast; document length must come from a window sum."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_bm25"].fn(spark, sf_smoke)
+    text = explain_str(df, mode="simple")
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "keys=[doc_id" not in child, text[:3000]
+    assert "Window [sum(" in text, text[:3000]
+
+
+def test_lsh_cosine_bucket_equijoin_no_cartesian(spark, sf_smoke):
+    """Candidates must come from the bucket equi-join (S-curve blocking),
+    never an all-pairs cartesian."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_lsh_cosine"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "bucket" in text
+
+
+def test_containment_no_cartesian(spark, sf_smoke):
+    """Containment pairs come from the fingerprint equi-join."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_containment"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "wmin" in text
+
+
+def test_quality_gates_map_only(spark, sf_smoke):
+    """Entropy + repetition are pure array expressions: no shuffle, no
+    Python in the plan."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    for name in ("q_char_entropy", "q_repetition"):
+        df = SPECS[name].fn(spark, sf_smoke)
+        text = explain_str(df)
+        assert "Exchange" not in text, (name, text[:2000])
+        assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text, name
+
+
+def test_avro_and_media_pipelines_map_only_arrow(spark, sf_smoke):
+    """The codec/decode pipelines are shuffle-free and Arrow-batched
+    (MapInPandas stages, never row-at-a-time PythonUDF)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    for name in ("q_avro_roundtrip", "q_media_decode"):
+        df = SPECS[name].fn(spark, sf_smoke)
+        text = explain_str(df)
+        assert "Exchange" not in text, (name, text[:2000])
+        assert "MapInPandas" in text, (name, text[:2000])
+        assert "BatchEvalPython" not in text, name
