@@ -39,10 +39,47 @@ _ROUND_1 = frozenset(
     }
 )
 
-CHECKED_BY_ROUND: dict[int, frozenset[str]] = {1: _ROUND_1}
+# Keys of CORRECTNESS_r02.json whose row was GREEN (hash_match, or
+# rows-only by design for q_approx_stats). Policy: a RED row does NOT
+# count as checked — q_vector_quantize failed r02 on the driver's
+# canonicalizer (unhashable array column), so it re-fronts in round 3
+# alongside new queries until it earns a green row.
+_ROUND_2 = frozenset(
+    {
+        "q_containment", "q_media_decode", "q_scalar_funcs",
+        "q_cosine_topk", "q_ann_ivf", "q_embedding_cosine_dup",
+        "q_lsh_cosine", "q_json_source", "q_csv_source",
+        "q_avro_roundtrip", "q_udtf_tokens", "q_hash_split",
+        "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_dlq_split",
+        "s_dlq_reprocess", "s_window_agg", "s_late_data",
+        "s_stateful_count", "s_session_window", "s_dedup_stream",
+        "s_dedup_within_watermark", "s_stream_stream_join",
+        "s_offset_reset", "s_idempotent_sink", "q_text_stats",
+        "q_token_count", "q_lang_id", "q_quality_score", "q_fingerprint",
+        "q_top_terms", "q_tfidf", "q_bm25", "q_char_entropy",
+        "q_repetition", "q_pmi_bigrams", "q_winnow_fingerprint",
+        "q_curation_pipeline", "q_asof_join", "q_sessionize", "q_pivot",
+        "q_cube", "q_salted_agg", "q_approx_stats", "q_bitmap_distinct",
+        "q_sequence_gaps", "q_percentiles", "q_stats_moments",
+        "q_conditional_agg",
+        # excluded: q_vector_quantize (red row; see CORRECTNESS_r02.json)
+    }
+)
+
+CHECKED_BY_ROUND: dict[int, frozenset[str]] = {1: _ROUND_1, 2: _ROUND_2}
+
+# Queries whose IMPLEMENTATION changed materially since their last green
+# driver row. A green row for the old plan says nothing about the new one,
+# so these re-front exactly like never-checked queries until re-verified.
+# Round 3: q_lsh_cosine went from 8 fixed planes to 16 banded planes;
+# q_repetition's per-doc stat was rewritten from O(distinct^2) to a
+# sort-then-scan. Clear entries once the round's CORRECTNESS shows green.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_lsh_cosine", "q_repetition"})
 
 
 def times_checked(name: str) -> int:
+    if name in CHANGED_SINCE_CHECK:
+        return 0
     return sum(1 for checked in CHECKED_BY_ROUND.values() if name in checked)
 
 

@@ -137,10 +137,10 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS n_dims,
        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
-       list_transform(embedding,
-         x -> CAST(round(CAST(x AS DOUBLE)
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(round(CAST(x AS DOUBLE)
                    * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
-                 , 0) AS INT)) AS q8
+                 , 0) AS INT) AS VARCHAR)), ',') AS q8
 FROM embeddings
 """,
 )
@@ -149,6 +149,11 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every large embedding corpus ships with): per-vector scale =
     127/max|x|, elementwise round — pure higher-order array functions
     (transform/array_max), zero Python, zero shuffle, fully codegen'd.
+
+    Output contract: ``q8`` is the comma-joined int8 vector as a STRING —
+    the driver's canonicalizer factorizes result columns through pandas,
+    which cannot hash raw array cells (the one red row of round 2); a
+    canonical string keeps the value check exact while staying scalar.
 
     Scale: embarrassingly parallel map; at 100 TB the win IS this op
     (int8 vectors quarter the scan bytes for every downstream ANN pass).
@@ -162,7 +167,10 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("int").alias("n_dims"),
         max_abs.alias("max_abs"),
-        F.transform(v, lambda x: F.round(x * scale, 0).cast("int")).alias("q8"),
+        F.array_join(
+            F.transform(v, lambda x: F.round(x * scale, 0).cast("int").cast("string")),
+            ",",
+        ).alias("q8"),
     )
 
 

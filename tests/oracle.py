@@ -48,6 +48,17 @@ def canonical(rows, columns) -> list[tuple]:
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "query") -> None:
+    # Driver contract: the external canonicalizer factorizes columns through
+    # pandas, which cannot hash array/map/struct cells (CORRECTNESS_r02's one
+    # red row). Oracled queries must emit scalar columns only — encode
+    # nested values as canonical strings (array_join/to_json) on BOTH sides.
+    from pyspark.sql import types as T
+
+    for f in spark_df.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+            f"{name}: column {f.name!r} is {f.dataType.simpleString()} — the driver's "
+            "pandas canonicalizer cannot hash nested cells; emit a canonical string"
+        )
     con = duck_connection(sf_dir)
     expected = con.execute(oracle_sql).fetchall()
     exp_cols = [d[0] for d in con.description]
