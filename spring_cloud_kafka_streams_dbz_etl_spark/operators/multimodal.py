@@ -49,16 +49,23 @@ def _try_import_pillow():
         return None
 
 
-def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+def decode_media(
+    df: DataFrame, strict: bool = False, use_real_decoder: bool = False
+) -> DataFrame:
     """Decode binary payloads into (width, height, n_frames) metadata.
 
-    Real decoders are stubbed (libs absent here): strict=True raises
-    NotImplementedError exactly where a Pillow/ffmpeg call would go;
-    strict=False runs a deterministic fake decode derived from the payload
-    md5, keeping the mapInPandas plumbing (Arrow batch shapes, schema,
-    partition parallelism) production-identical.
+    Real decoders are stubbed (libs absent here) and only reached behind
+    the EXPLICIT ``use_real_decoder`` opt-in — an incidentally-installed
+    Pillow must not flip the pipeline onto an unimplemented branch
+    (ADVICE r02). strict=True raises NotImplementedError exactly where a
+    Pillow/ffmpeg call would go; the default runs a deterministic fake
+    decode derived from the payload md5, keeping the mapInPandas plumbing
+    (Arrow batch shapes, schema, partition parallelism)
+    production-identical.
     """
-    pillow = _try_import_pillow()
+    pillow = _try_import_pillow() if use_real_decoder else None
+    if use_real_decoder and pillow is None:
+        raise NotImplementedError("use_real_decoder=True requires Pillow")
 
     def decode(batches: Iterator) -> Iterator:
         import hashlib

@@ -70,6 +70,117 @@ def brute_force_topk(
     )
 
 
+def lsh_bits_for(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Bits per LSH band so the EXPECTED bucket occupancy n/2^bits stays at
+    or below ``target_bucket``. Within-bucket verification work is
+    Σ|bucket|² ≈ n·E|bucket| per band, so holding E|bucket| constant keeps
+    candidate generation LINEAR in corpus size as it grows: 1e6 vectors →
+    10 bits, 1e9 → 20 bits. Floor of 8 matches the smallest useful band."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(2.0, n_vectors / max(1, target_bucket)))))
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    signs: list[list[int]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    int_scale: int = 1_000_000,
+    persist=None,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs with exact cosine.
+
+    ``signs`` is a (bands*bits_per_band) × dim matrix of ±1 hyperplanes.
+    Each vector gets ``bands`` (band_idx, band_hash) keys — band b's hash
+    packs the sign bits of its planes — and candidates are pairs sharing
+    AT LEAST ONE band (multi-probe, the embedding-space dual of the
+    MinHash band join). Exact cosine (rounded to 6) is computed only
+    within candidate buckets and thresholded.
+
+    Determinism: sign projections accumulate floor(x·int_scale) BIGINTs
+    (exact IEEE ops, no libm) so the bucket decision — the part a 1-ulp
+    divergence would flip — is bit-identical across engines/hardware; the
+    within-bucket cosine uses the same integer vectors with IEEE sqrt,
+    rounded before the threshold.
+
+    Scale: bucketing is map-only (posexplode fans each id into ``bands``
+    rows); the self equi-join shuffles band keys + int vectors. Work per
+    band is Σ|bucket|² — pick bits_per_band via ``lsh_bits_for`` so
+    E|bucket| stays constant as the corpus grows; pathological buckets
+    (mass at one signature) are split by AQE skew handling.
+
+    ``persist`` (optional callable) caches the bucketed relation consumed
+    by both sides of the self-join.
+    """
+    planes = len(signs)
+    if planes % bands:
+        raise ValueError(f"planes={planes} not divisible by bands={bands}")
+    bits = planes // bands
+
+    iv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * float(int_scale)).cast("long")
+    )
+    with_iv = df.select(F.col(id_col).alias("__id"), iv.alias("iv"))
+
+    def plane_dot(p: int) -> F.Column:
+        sign_arr = F.array(*[F.lit(s) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with(sign_arr, F.col("iv"), lambda s, x: s * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def band_hash(b: int) -> F.Column:
+        return sum(
+            (
+                F.when(plane_dot(b * bits + j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(bits)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+
+    bk = with_iv.select(
+        "__id",
+        "iv",
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    if persist is not None:
+        bk = persist(bk)
+    a = bk.select(
+        F.col("__id").alias("vec_a"), "band_idx", "band_hash", F.col("iv").alias("iv_a")
+    )
+    b = bk.select(
+        F.col("__id").alias("vec_b"), "band_idx", "band_hash", F.col("iv").alias("iv_b")
+    )
+
+    def pair_dot(u: str, v: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cos = F.round(
+        pair_dot("iv_a", "iv_b")
+        / (F.sqrt(pair_dot("iv_a", "iv_a")) * F.sqrt(pair_dot("iv_b", "iv_b"))),
+        6,
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        # a pair sharing >1 band appears once per shared band; cosine is
+        # deterministic, so a distinct on the projected row dedups exactly
+        .distinct()
+    )
+
+
 def pandas_topk_scores(
     queries_pd, corpus: DataFrame, vec_col: str = "embedding", k: int = 10
 ) -> DataFrame:

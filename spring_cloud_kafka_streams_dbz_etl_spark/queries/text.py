@@ -421,10 +421,14 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nav bars, keyword stuffing) that per-token stats miss. All-integer
     counts, two divisions per row.
 
-    Scale: map-only array expressions, no shuffle. The top-bigram count is
-    O(distinct^2) per document (array filter per distinct gram) — the
-    deliberate trade for staying shuffle-free; exploding bigrams through a
-    groupBy would shuffle the whole corpus for a per-doc statistic."""
+    Scale: map-only array expressions, no shuffle (exploding bigrams
+    through a groupBy would shuffle the whole corpus for a per-doc
+    statistic). The top-bigram count is array_sort + a single run-length
+    scan — O(n log n) per document (VERDICT r02 replaced the earlier
+    O(distinct²) filter-per-distinct-gram, which concentrated 10¹⁰
+    comparisons in one row for a 10⁵-distinct-bigram pathological doc).
+    The oracle keeps the quadratic spelling as the readable spec; on a
+    sorted array max run length == max frequency, so the two agree."""
     tune(spark)
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -437,11 +441,25 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = base.select("doc_id", gram.alias("g"))
     n = F.size(F.col("g")).cast("double")
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("g")),
-            lambda x: F.size(F.filter(F.col("g"), lambda y: y == x)),
-        )
+    # Run-length scan over the sorted gram array: acc = (prev, current run,
+    # best run). Initial prev="" is safe — the equality branch still yields
+    # run 0+1=1 for a genuine empty-string first gram.
+    top = F.aggregate(
+        F.array_sort(F.col("g")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return g.select(
         "doc_id",

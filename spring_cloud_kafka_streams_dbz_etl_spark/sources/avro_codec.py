@@ -157,15 +157,43 @@ class AvroCodec:
         else:
             raise ValueError(f"cannot encode type {t!r}")
 
-    @staticmethod
-    def _union_branch(union: list, v: Any) -> int:
-        for i, b in enumerate(union):
-            t = b if isinstance(b, str) else b["type"]
-            if v is None and t == "null":
+    # Python-type -> Avro-branch compatibility, used to pick the encode
+    # branch of a multi-type union. bool is checked before int (bool is an
+    # int subclass); where several branches match (e.g. ["int","long"]),
+    # the FIRST matching branch in union order wins — standard writer
+    # behavior, and round-trip-safe since the index is encoded.
+    _BRANCH_OK = {
+        "boolean": lambda x: isinstance(x, bool),
+        "int": lambda x: isinstance(x, int) and not isinstance(x, bool),
+        "long": lambda x: isinstance(x, int) and not isinstance(x, bool),
+        "float": lambda x: isinstance(x, float),
+        "double": lambda x: isinstance(x, float),
+        "string": lambda x: isinstance(x, str),
+        "enum": lambda x: isinstance(x, str),
+        "bytes": lambda x: isinstance(x, (bytes, bytearray)),
+        "fixed": lambda x: isinstance(x, (bytes, bytearray)),
+        "array": lambda x: isinstance(x, list),
+        "map": lambda x: isinstance(x, dict),
+        "record": lambda x: isinstance(x, dict),
+    }
+
+    @classmethod
+    def _union_branch(cls, union: list, v: Any) -> int:
+        """Branch index for value ``v``. Unlike the first-non-null shortcut
+        this used to be, multi-type unions (["null","string","long"]) match
+        on the value's Python type and unsupported shapes fail LOUDLY at
+        encode time instead of silently producing corrupt bytes."""
+        names = [b if isinstance(b, str) else b["type"] for b in union]
+        if v is None:
+            if "null" in names:
+                return names.index("null")
+            raise ValueError(f"None has no 'null' branch in {union!r}")
+        for i, t in enumerate(names):
+            if t != "null" and cls._BRANCH_OK.get(t, lambda x: False)(v):
                 return i
-            if v is not None and t != "null":
-                return i
-        raise ValueError(f"no union branch for {v!r} in {union!r}")
+        raise ValueError(
+            f"no union branch matches {type(v).__name__} value {v!r} in {union!r}"
+        )
 
     # -- decode -----------------------------------------------------------
     def decode(self, buf: bytes) -> Any:

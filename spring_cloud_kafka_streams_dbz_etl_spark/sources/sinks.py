@@ -67,6 +67,15 @@ def idempotent_batch_write(df: DataFrame, batch_id: int, path: str) -> None:
 
     Scale: the pre-delete + overwrite touch only the one partition being
     (re)written — other epochs' directories are never listed or rewritten.
+
+    Read-visibility window (ADVICE r02): the pre-delete is NOT atomic with
+    the rewrite — a concurrent reader between delete and write-commit sees
+    the epoch's partition missing, and a crash in that window leaves it
+    empty until checkpoint replay re-runs the batch (which the WAL
+    guarantees, so the exactly-once CONTENT contract still holds). Readers
+    needing the old rows until the new ones land should read a snapshot
+    isolation layer (e.g. a table format) or tolerate the gap; a
+    temp-prefix + rename commit is the upgrade if that matters.
     """
     spark = df.sparkSession
     jvm = spark._jvm

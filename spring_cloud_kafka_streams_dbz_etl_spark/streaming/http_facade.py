@@ -24,6 +24,8 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+from .registry import UnknownStreamError
+
 _ROUTES = [
     ("GET", re.compile(r"^/api/stream/([^/]+)/status$"), "status"),
     ("GET", re.compile(r"^/api/stream/([^/]+)/offsets$"), "offsets"),
@@ -76,7 +78,7 @@ class StreamControlHttp:
                     name = match.group(1)
                     try:
                         self._send(*_invoke(registry, action, name, self._body()))
-                    except KeyError:
+                    except UnknownStreamError:
                         self._send(404, {"error": f"unknown stream {name!r}"})
                     except Exception as exc:  # reset/lifecycle failure
                         self._send(409, {"error": str(exc)})
@@ -126,7 +128,12 @@ def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dic
     if action == "reset_latest":
         return 200, {**registry.reset_offsets(name, "latest"), **stamp}
     if action == "reset_specific":
-        if "batch" not in body:
+        batch = body.get("batch")
+        if isinstance(batch, str) and batch.lstrip("-").isdigit():
+            batch = int(batch)
+        if not isinstance(batch, int) or isinstance(batch, bool):
+            # malformed body is the CALLER's error -> 400, never the
+            # generic 409 (ADVICE r02: int("x") used to escape as 409)
             return 400, {"error": "body must carry {'batch': <int>}"}
-        return 200, {**registry.reset_offsets(name, int(body["batch"])), **stamp}
+        return 200, {**registry.reset_offsets(name, batch), **stamp}
     raise AssertionError(action)

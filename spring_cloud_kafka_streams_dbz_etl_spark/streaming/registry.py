@@ -32,6 +32,12 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+class UnknownStreamError(KeyError):
+    """Lookup of a name never registered — the HTTP facade maps exactly
+    this to 404; any other KeyError escaping registry internals is a bug
+    and surfaces as 409 instead of masquerading as 'unknown stream'."""
+
+
 @dataclass
 class _Stream:
     name: str
@@ -70,7 +76,9 @@ class StreamRegistry:
 
     def _get(self, name: str) -> _Stream:
         if name not in self._streams:
-            raise KeyError(f"unknown stream {name!r}; known: {sorted(self._streams)}")
+            raise UnknownStreamError(
+                f"unknown stream {name!r}; known: {sorted(self._streams)}"
+            )
         return self._streams[name]
 
     # -- lifecycle (§2A #16) ---------------------------------------------

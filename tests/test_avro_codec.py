@@ -124,3 +124,26 @@ def test_confluent_bad_magic_rejected():
 def test_unknown_type_reference_rejected():
     with pytest.raises(ValueError):
         codec({"type": "record", "name": "r", "fields": [{"name": "x", "type": "Nope"}]})
+
+
+def test_multi_branch_union_matches_value_type():
+    """ADVICE r02: ["null","string","long"] used to encode EVERY non-null
+    value against the string branch, silently corrupting longs. Branch
+    selection now matches the value's Python type."""
+    c = codec(["null", "string", "long"])
+    for v in (None, "a", 27, -3):
+        assert c.decode(c.encode(v)) == v
+    # long 27 -> branch index 2 (zigzag 0x04), then zigzag(27)=0x36
+    assert c.encode(27) == b"\x04\x36"
+    assert c.encode("a") == b"\x02\x02a"
+    # bool is NOT an int for branch matching; no boolean branch -> loud error
+    with pytest.raises(ValueError):
+        c.encode(True)
+
+
+def test_union_no_matching_branch_fails_loudly():
+    c = codec(["null", "string"])
+    with pytest.raises(ValueError):
+        c.encode(12)  # no int-compatible branch
+    with pytest.raises(ValueError):
+        codec(["string", "long"]).encode(None)  # no null branch

@@ -13,7 +13,10 @@ import pytest
 from spring_cloud_kafka_streams_dbz_etl_spark.streaming.http_facade import (
     StreamControlHttp,
 )
-from spring_cloud_kafka_streams_dbz_etl_spark.streaming.registry import StreamRegistry
+from spring_cloud_kafka_streams_dbz_etl_spark.streaming.registry import (
+    StreamRegistry,
+    UnknownStreamError,
+)
 
 
 class StubRegistry:
@@ -22,7 +25,7 @@ class StubRegistry:
 
     def _known(self, name):
         if name != "animal":
-            raise KeyError(name)
+            raise UnknownStreamError(name)
 
     def status(self, name):
         self._known(name)
@@ -96,6 +99,29 @@ def test_reset_specific_requires_body(facade):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(f"{base}/api/stream/animal/offsets/reset", "POST", {})
     assert e.value.code == 400
+
+
+def test_reset_specific_malformed_batch_is_400_not_409(facade):
+    """ADVICE r02: int('x') used to escape the 400 guard and surface as a
+    generic 409; non-integer bodies are the caller's error."""
+    _, base = facade
+    for bad in ("x", 2.5, True, None, [2]):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/stream/animal/offsets/reset", "POST", {"batch": bad})
+        assert e.value.code == 400, bad
+    # stringified integers are accepted (curl convenience)
+    code, _ = _call(f"{base}/api/stream/animal/offsets/reset", "POST", {"batch": "7"})
+    assert code == 200
+
+
+def test_internal_keyerror_is_409_not_404(facade):
+    """A KeyError escaping registry INTERNALS must not masquerade as
+    'unknown stream' — only UnknownStreamError maps to 404."""
+    stub, base = facade
+    stub.status = lambda name: (_ for _ in ()).throw(KeyError("internal-bug"))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(f"{base}/api/stream/animal/status")
+    assert e.value.code == 409
 
 
 def test_unknown_stream_404_and_failed_reset_409(facade):

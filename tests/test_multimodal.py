@@ -42,6 +42,23 @@ def test_decode_media_strict_raises(spark, sf_smoke):
     )
 
 
+def test_decode_media_ignores_incidental_pillow(spark, sf_smoke, monkeypatch):
+    """ADVICE r02: an incidentally-importable Pillow must NOT flip the
+    pipeline onto the unimplemented real-decoder branch — that path is
+    opt-in via use_real_decoder."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_try_import_pillow", lambda: object())
+    d = table(spark, sf_smoke, "documents").limit(5)
+    rows = mm.decode_media(mm.attach_binary_payload(d)).collect()  # stub path
+    assert len(rows) == 5
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_media(mm.attach_binary_payload(d), use_real_decoder=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
 def test_frame_sample(spark, sf_smoke):
     d = table(spark, sf_smoke, "documents").limit(50)
     decoded = decode_media(attach_binary_payload(d))

@@ -220,7 +220,7 @@ def test_lsh_cosine_bucket_equijoin_no_cartesian(spark, sf_smoke):
     text = explain_str(df)
     assert "CartesianProduct" not in text, text[:2000]
     assert "BroadcastNestedLoopJoin" not in text, text[:2000]
-    assert "bucket" in text
+    assert "band_hash" in text
 
 
 def test_containment_no_cartesian(spark, sf_smoke):
