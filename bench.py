@@ -78,19 +78,32 @@ def main() -> None:
     )
     wq.processAllAvailable()
     wq.stop()
-    for name in sorted(specs):
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median of 3 passes per query (VERDICT r02: single-shot driver numbers
+    # were ~20% load-skewed; medians make round-over-round deltas signal).
+    # Passes are interleaved (full sweep x3, not query x3 back-to-back) so
+    # a transient load spike lands on different queries in different passes.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    raw: dict[str, list[float]] = {n: [] for n in specs}
+    for _ in range(passes):
+        for name in sorted(specs):
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, SF_DIR))
+            raw[name].append(round(time.perf_counter() - t0, 3))
+    spread: dict[str, list[float]] = {}
+    for name, ts in raw.items():
+        timings[name] = sorted(ts)[len(ts) // 2]  # median
+        spread[name] = [min(ts), max(ts)]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline query wall time (batch relational + dedup + "
-                "similarity + streaming CDC pipeline), noop-sink materialization",
+                "similarity + streaming CDC pipeline), noop-sink materialization; "
+                f"median of {passes} interleaved passes per query",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -258,3 +258,97 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_avro_registry_dlq",
+    oracle="""
+SELECT event_id AS id, user_id, event_type, value, 'c' AS op,
+       FALSE AS parse_failed, CAST(NULL AS VARCHAR) AS error
+FROM events WHERE event_id % 7 <> 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       TRUE, 'schema id 99 not registered'
+FROM events WHERE event_id % 7 = 0
+""",
+)
+def q_avro_registry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry resolution + deserialization-DLQ split (§2A #2/#12):
+    producers frame every record with a writer-schema id; one producer in
+    seven is misconfigured and frames with an id the registry never
+    assigned (id 99). The consumer resolves each record's writer schema
+    through SchemaRegistry — known ids decode to ``after.*`` rows,
+    unknown ids raise SchemaNotFoundError and are routed to error rows
+    with parse_failed=true instead of crashing the stream, mirroring the
+    reference's enable-dlq deserialization handler (application.yml:23-31;
+    registry resolution: application.yml:16).
+
+    Scale: same two map-only Arrow-batched codec stages as
+    q_avro_roundtrip; the registry is schema metadata (bytes, not data)
+    shipped whole inside the closure — no lookup service in the hot path.
+    """
+    import pandas as pd
+
+    from ..sources.avro_codec import (
+        EVENTS_ENVELOPE_AVSC,
+        SchemaNotFoundError,
+        SchemaRegistry,
+    )
+
+    tune(spark)
+    registry = SchemaRegistry()
+    good_id = registry.register(EVENTS_ENVELOPE_AVSC)
+    bad_id = 99  # never registered
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            framed = []
+            for r in pdf.itertuples(index=False):
+                envelope = {
+                    "before": None,
+                    "after": {
+                        "id": int(r.event_id),
+                        "user_id": int(r.user_id),
+                        "event_type": None if r.event_type is None else str(r.event_type),
+                        "value": None if pd.isna(r.value) else float(r.value),
+                    },
+                    "source": {"table": "events", "lsn": int(r.event_id)},
+                    "op": "c",
+                    "ts_ms": None,
+                }
+                body = registry.codec_for(good_id).encode(envelope)
+                sid = bad_id if int(r.event_id) % 7 == 0 else good_id
+                from ..sources.avro_codec import confluent_frame
+
+                framed.append(confluent_frame(sid, body))
+            yield pd.DataFrame({"kafka_value": framed})
+
+    def decode(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "id": [], "user_id": [], "event_type": [], "value": [],
+                "op": [], "parse_failed": [], "error": [],
+            }
+            for buf in pdf["kafka_value"]:
+                try:
+                    _, env = registry.decode_framed(bytes(buf))
+                    after = env["after"]
+                    row = (after["id"], after["user_id"], after["event_type"],
+                           after["value"], env["op"], False, None)
+                except (SchemaNotFoundError, ValueError) as exc:
+                    row = (None, None, None, None, None, True, str(exc))
+                for k, v in zip(cols, row):
+                    cols[k].append(v)
+            yield pd.DataFrame(cols)
+
+    framed = ev.mapInPandas(encode, "kafka_value binary")
+    return framed.mapInPandas(
+        decode,
+        "id long, user_id long, event_type string, value double, "
+        "op string, parse_failed boolean, error string",
+    )

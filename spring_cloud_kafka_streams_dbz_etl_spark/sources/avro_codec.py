@@ -275,6 +275,62 @@ def confluent_unframe(payload: bytes) -> tuple[int, bytes]:
     return schema_id, payload[5:]
 
 
+class SchemaNotFoundError(LookupError):
+    """Unknown schema id — the deserialization failure the reference's
+    serde config routes to the DLQ (enable-dlq + deserialization handler,
+    application.yml:23-31) rather than crashing the stream."""
+
+
+class SchemaRegistry:
+    """In-memory Confluent-registry semantics (the reference resolves
+    writer schemas by id over HTTP, application.yml:16): id<->schema map
+    with sequential id assignment, idempotent re-registration of an
+    identical schema string, and codec caching per id.
+
+    Executor use: the registry dict is tiny (schemas, not data) — ship it
+    into mapInPandas closures whole; decode resolves the WRITER schema
+    from each record's frame, so mixed-schema topics decode correctly and
+    unknown ids fail as SchemaNotFoundError for the caller's DLQ split.
+    """
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, str] = {}
+        self._id_by_schema: dict[str, int] = {}
+        self._codecs: dict[int, AvroCodec] = {}
+        self._next_id = 1
+
+    def register(self, schema_json: str) -> int:
+        """Assign (or return the existing) id for a schema string."""
+        if schema_json in self._id_by_schema:
+            return self._id_by_schema[schema_json]
+        sid = self._next_id
+        self._next_id += 1
+        self._by_id[sid] = schema_json
+        self._id_by_schema[schema_json] = sid
+        return sid
+
+    def schema_for(self, schema_id: int) -> str:
+        if schema_id not in self._by_id:
+            raise SchemaNotFoundError(f"schema id {schema_id} not registered")
+        return self._by_id[schema_id]
+
+    def codec_for(self, schema_id: int) -> AvroCodec:
+        if schema_id not in self._codecs:
+            self._codecs[schema_id] = AvroCodec(self.schema_for(schema_id))
+        return self._codecs[schema_id]
+
+    # -- framed serde (KafkaAvroSerializer twins) -------------------------
+    def encode_framed(self, schema_id: int, value) -> bytes:
+        return confluent_frame(schema_id, self.codec_for(schema_id).encode(value))
+
+    def decode_framed(self, payload: bytes):
+        """(schema_id, decoded value); raises ValueError on bad framing and
+        SchemaNotFoundError on an unregistered id — both are DLQ-routable
+        deserialization failures."""
+        sid, body = confluent_unframe(payload)
+        return sid, self.codec_for(sid).decode(body)
+
+
 # -- Debezium envelope schema for the engine's events table ---------------
 # Shape-parity with the reference's CDC value schema: before/after reuse
 # one named record, plus source/op/ts_ms (SURVEY.md §1.1 item 3;

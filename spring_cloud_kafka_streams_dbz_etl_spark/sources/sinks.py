@@ -94,3 +94,78 @@ def idempotent_batch_write(df: DataFrame, batch_id: int, path: str) -> None:
 def read_idempotent_sink(spark: SparkSession, path: str) -> DataFrame:
     """Read an idempotent sink's logical content (partition key dropped)."""
     return spark.read.parquet(path).drop("_batch_id")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
+
+
+def _swap_into(spark: SparkSession, merged: DataFrame, path: str) -> None:
+    """Materialize ``merged`` to a temp dir, then swap it into ``path``.
+    Spark cannot overwrite a path it is reading from (the self-overwrite
+    trap), and a delete-then-write window would expose a half-written
+    dimension to the per-micro-batch re-read; rename is atomic on
+    HDFS/local (on S3A use a table format for the same guarantee)."""
+    fs, target = _hadoop_fs(spark, path)
+    _, tmp = _hadoop_fs(spark, path + "._upsert_tmp")
+    _, old = _hadoop_fs(spark, path + "._upsert_old")
+    fs.delete(tmp, True)
+    merged.write.mode("overwrite").parquet(tmp.toString())
+    fs.delete(old, True)
+    if fs.exists(target):
+        if not fs.rename(target, old):
+            raise OSError(f"could not move {path} aside for swap")
+    if not fs.rename(tmp, target):
+        raise OSError(f"could not swap upserted dimension into {path}")
+    fs.delete(old, True)
+
+
+def upsert_dimension(df: DataFrame, path: str, keys: Sequence[str]) -> dict:
+    """CRUD write side of the enrichment dimension (§2A #22 — the
+    reference's POST/PUT on the dim app, AnimalController.java:27-63,
+    whose writes are visible to the stream's next lookup). Latest-wins
+    merge: incoming rows REPLACE existing rows sharing ``keys``; new keys
+    append. The streaming pipeline re-reads the dimension per micro-batch,
+    so the batch after an upsert enriches against the new rows — the same
+    visibility the reference gets from per-record REST lookups.
+
+    Scale: one anti-join shuffle on the key columns, sized by the
+    DIMENSION (not the stream); dims are orders of magnitude smaller than
+    facts, and the write rewrites only the dimension. For a very large
+    partitioned dim, partition-restricted dynamic overwrite is the
+    upgrade path.
+    """
+    spark = df.sparkSession
+    fs, target = _hadoop_fs(spark, path)
+    if fs.exists(target):
+        existing = spark.read.parquet(path)
+        if set(existing.columns) != set(df.columns):
+            raise ValueError(
+                f"dimension schema mismatch: existing {sorted(existing.columns)} "
+                f"vs upsert {sorted(df.columns)}"
+            )
+        kept = existing.join(df.select(*keys).distinct(), on=list(keys), how="left_anti")
+        merged = kept.unionByName(df)
+    else:
+        merged = df
+    _swap_into(spark, merged, path)
+    return {
+        "upserted": df.count(),
+        "total": spark.read.parquet(path).count(),
+        "path": path,
+    }
+
+
+def delete_from_dimension(
+    spark: SparkSession, path: str, keys: Sequence[str], keys_df: DataFrame
+) -> dict:
+    """DELETE side of the dimension CRUD (AnimalController.java DELETE):
+    drop rows whose ``keys`` appear in ``keys_df``, with the same
+    swap-based visibility contract as :func:`upsert_dimension`."""
+    existing = spark.read.parquet(path)
+    remaining = existing.join(
+        keys_df.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    _swap_into(spark, remaining, path)
+    return {"total": spark.read.parquet(path).count(), "path": path}

@@ -43,3 +43,19 @@ def manual_export(
     df = spark.createDataFrame([row], schema=ENRICHED_SCHEMA)
     df.write.mode("append").parquet(out_path)
     return df
+
+
+def make_exporter(spark: SparkSession, out_paths: dict[str, str]):
+    """Bind manual_export to the HTTP facade's exporter contract:
+    (entity_name, body_dict) -> exported-row dict. Unknown entities raise
+    LookupError (-> 404); payload errors propagate as ValueError (-> 400).
+
+    ``out_paths`` maps entity name -> sink path (the reference has one
+    hardwired topic per controller; the engine generalizes to a map)."""
+
+    def export(entity: str, body: dict[str, Any]) -> dict[str, Any]:
+        if entity not in out_paths:
+            raise LookupError(f"unknown export entity {entity!r}; known: {sorted(out_paths)}")
+        return manual_export(spark, body, out_paths[entity]).first().asDict()
+
+    return export

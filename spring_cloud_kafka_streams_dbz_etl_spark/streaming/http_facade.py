@@ -38,6 +38,11 @@ _ROUTES = [
     # DLQ reprocess stream is just a named stream here
     ("POST", re.compile(r"^/api/dlq/([^/]+)/start$"), "start"),
     ("POST", re.compile(r"^/api/dlq/([^/]+)/stop$"), "stop"),
+    # Manual export bypassing CDC (ManualAnimalExportController.java:46-77):
+    # body is an entity or change envelope (after -> root fallback); the
+    # reference returns 200 with the produced record, 422 when enrichment
+    # fails; a missing/zero id is the caller's error -> 400.
+    ("POST", re.compile(r"^/api/export/([^/]+)$"), "export"),
 ]
 
 
@@ -45,16 +50,28 @@ class StreamControlHttp:
     """Serve a StreamRegistry over HTTP. ``port=0`` binds an ephemeral
     port (returned by start())."""
 
-    def __init__(self, registry: Any, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        registry: Any,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        exporter: Any = None,
+    ) -> None:
+        """``exporter``: optional callable (entity_name, body_dict) -> row
+        dict, wired to ``streaming.export.make_exporter``. Raise LookupError
+        for an unknown entity (-> 404), ValueError for a bad payload
+        (-> 400); other failures map to 422 like the reference."""
         self._registry = registry
         self._host = host
         self._port = port
+        self._exporter = exporter
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> int:
         registry = self._registry
+        exporter = self._exporter
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -76,6 +93,9 @@ class StreamControlHttp:
                     if not match:
                         continue
                     name = match.group(1)
+                    if action == "export":
+                        self._send(*_export(exporter, name, self._body()))
+                        return
                     try:
                         self._send(*_invoke(registry, action, name, self._body()))
                     except UnknownStreamError:
@@ -137,3 +157,21 @@ def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dic
             return 400, {"error": "body must carry {'batch': <int>}"}
         return 200, {**registry.reset_offsets(name, batch), **stamp}
     raise AssertionError(action)
+
+
+def _export(exporter: Any, entity: str, body: dict) -> tuple[int, dict]:
+    """POST /api/export/{entity}: status mapping mirrors the reference
+    (200 + produced record; unprocessable payload -> 422,
+    ManualAnimalExportController.java:74-76) with 400 reserved for the
+    missing/zero-id caller error and 404 for unknown entities."""
+    if exporter is None:
+        return 404, {"error": "no exporter configured"}
+    try:
+        row = exporter(entity, body)
+    except ValueError as exc:
+        return 400, {"error": str(exc)}
+    except LookupError as exc:
+        return 404, {"error": str(exc)}
+    except Exception as exc:
+        return 422, {"error": f"Could not enrich payload: {exc}"}
+    return 200, {"entity": entity, "exported": row, "timestamp": time.time()}

@@ -147,3 +147,33 @@ def test_union_no_matching_branch_fails_loudly():
         c.encode(12)  # no int-compatible branch
     with pytest.raises(ValueError):
         codec(["string", "long"]).encode(None)  # no null branch
+
+
+def test_schema_registry_roundtrip_and_unknown_id():
+    """VERDICT r03 item 7: id<->schema map; an unknown id is a
+    DLQ-routable SchemaNotFoundError, not a crash or silent misdecode."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaNotFoundError,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    sid = reg.register('"string"')
+    assert reg.register('"string"') == sid  # idempotent re-registration
+    sid2 = reg.register('"long"')
+    assert sid2 != sid
+
+    framed = reg.encode_framed(sid, "hi")
+    got_sid, value = reg.decode_framed(framed)
+    assert (got_sid, value) == (sid, "hi")
+    # a different registered writer schema resolves correctly (mixed topic)
+    assert reg.decode_framed(reg.encode_framed(sid2, 27)) == (sid2, 27)
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        confluent_frame,
+    )
+
+    with pytest.raises(SchemaNotFoundError):
+        reg.decode_framed(confluent_frame(99, b"\x04hi"))
+    with pytest.raises(ValueError):
+        reg.decode_framed(b"\x01bad-magic")

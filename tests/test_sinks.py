@@ -52,3 +52,52 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS ev_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS cust_b_{suffix}")
+
+
+# -- dimension CRUD (§2A #22) ------------------------------------------------
+
+
+def test_upsert_dimension_latest_wins_and_append(spark, tmp_path):
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        delete_from_dimension,
+        upsert_dimension,
+    )
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, v double"
+    )
+    info = upsert_dimension(base, path, keys=["k"])
+    assert info["total"] == 2
+
+    # replace k=2, append k=3
+    up = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    info = upsert_dimension(up, path, keys=["k"])
+    assert info == {"upserted": 2, "total": 3, "path": path}
+    rows = {r.k: r for r in spark.read.parquet(path).collect()}
+    assert rows[1].name == "a"          # untouched key kept
+    assert rows[2].name == "b2" and rows[2].v == 21.0  # replaced, not duplicated
+    assert rows[3].name == "c"          # new key appended
+
+    # schema drift fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        upsert_dimension(
+            spark.createDataFrame([(9,)], "k int"), path, keys=["k"]
+        )
+
+    # delete side
+    info = delete_from_dimension(
+        spark, path, keys=["k"], keys_df=spark.createDataFrame([(1,)], "k int")
+    )
+    assert info["total"] == 2
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [2, 3]
+
+    # swap hygiene: no temp/old dirs left behind
+    import os
+
+    leftovers = [p for p in os.listdir(tmp_path) if "_upsert_" in p]
+    assert leftovers == []

@@ -428,3 +428,45 @@ def test_idempotent_sink_replay_rewrites_in_place(spark, tmp_path):
     # failure) still converges to exactly-one copy of the batch
     idempotent_batch_write(spark.range(10, 12).select(F.col("id"), F.lit(1).alias("v")), 8, out)
     assert read_idempotent_sink(spark, out).count() == 12
+
+
+def test_upsert_dimension_api_visible_to_next_batch(spark, sf_smoke):
+    """§2A #22 closure: the engine's own upsert_dimension() write API
+    (reference: PUT on AnimalController.java:44-50) is visible to the next
+    micro-batch's enrichment — phase 1 misses odd customers, an API upsert
+    adds them, phase 2 enriches them."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import upsert_dimension
+
+    src_dir = _tmp("dimapi_sf")
+    ev = pq.read_table(f"{sf_smoke}/events.parquet")
+    even_ev = ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 0))
+    odd_ev = ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1))
+    pq.write_table(even_ev, f"{src_dir}/events.parquet")
+
+    cust = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    dim_path = f"{src_dir}/customer.parquet"
+    upsert_dimension(cust.filter(F.col("c_custkey") % 2 == 0), dim_path, keys=["c_custkey"])
+
+    out, dlq, ckpt = _tmp("dimapi_out"), _tmp("dimapi_dlq"), _tmp("dimapi_ckpt")
+    cfg = CdcPipelineConfig(sf_dir=src_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("dimapi", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("dimapi")
+    out1 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    assert out1.count() > 0
+    assert out1.filter(F.col("user_id") % 2 == 1).count() == 0  # odd users missed
+
+    # the CRUD write side: upsert the odd customers through the engine API
+    info = upsert_dimension(
+        cust.filter(F.col("c_custkey") % 2 == 1), dim_path, keys=["c_custkey"]
+    )
+    assert info["total"] == cust.count()
+    pq.write_table(odd_ev, f"{src_dir}/events2.parquet")  # phase-2 arrivals
+    reg.process_available("dimapi")
+    reg.stop("dimapi")
+
+    out2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+    assert out2.filter(F.col("user_id") % 2 == 1).count() > 0
