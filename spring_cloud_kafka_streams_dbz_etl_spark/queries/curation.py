@@ -143,3 +143,72 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+# Benchmark decontamination: documents with doc_id < DECON_BENCH_DOCS act
+# as the held-out eval suite; any corpus document sharing a token n-gram
+# with it is contamination a training corpus must drop (the n-gram overlap
+# rule OpenAI/GPT-3 appendix C and The Pile popularized). 4-grams here
+# (the synthetic corpus' ~40-word vocab makes longer grams vanishingly
+# rare); real corpora use 8-13.
+DECON_BENCH_DOCS = 25
+DECON_N = 4
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                                   i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))) AS gh
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT gh, doc_id AS bench_doc FROM grams WHERE doc_id < {DECON_BENCH_DOCS}),
+corpus AS (SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id >= {DECON_BENCH_DOCS})
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.gh) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+FROM corpus c JOIN bench b ON c.gh = b.gh
+GROUP BY c.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any token
+    4-gram with the benchmark set (docs 0..24), with how many distinct
+    grams and distinct benchmark docs each one collides with.
+
+    Scale: grams are md5-hashed BEFORE the join, so only 32-byte digests
+    shuffle — never gram text; the benchmark side is the eval suite
+    (thousands of docs even for a big harness → millions of grams), small
+    enough to BROADCAST against a corpus of any size, making the whole
+    check a map-side hash probe + one groupBy on contaminated docs only.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - DECON_N),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, DECON_N)),
+    )
+    g = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= DECON_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5(F.col("gram")).alias("gh"))
+    )
+    bench = (
+        g.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select(F.col("gh"), F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") >= DECON_BENCH_DOCS).distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )

@@ -599,3 +599,64 @@ def s_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_idempotent_sink(spark, out).select(
         "id", "user_id", "name", "segment", "event_type", "value"
     )
+
+
+@query(
+    "s_dim_upsert",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID} AND (e.event_id % 2 = 1 OR c.c_custkey % 2 = 0)
+""",
+)
+def s_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRUD dimension maintenance END-TO-END in the stream (§2A #22,
+    AnimalController.java:27-63): phase 1 runs even-id events against a
+    dimension holding only even custkeys (odd lookups miss -> DLQ, not the
+    sink); `upsert_dimension` then writes the odd customers through the
+    engine's CRUD API; phase 2's odd-id events arrive and enrich against
+    the updated dimension — proving the per-micro-batch dim re-read sees
+    the upsert, the reference's PUT-visible-to-next-lookup semantics.
+
+    Oracle: even events survive only with even-custkey customers; odd
+    events enrich fully.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.sinks import upsert_dimension
+
+    tune(spark)
+    src_dir, out, dlq, ckpt = _tmp("du_src"), _tmp("du_out"), _tmp("du_dlq"), _tmp("du_ckpt")
+    # pyarrow file writes: the streaming source's pathGlobFilter matches
+    # leaf FILE names (events*.parquet), and copying bytes preserves the
+    # original TIMESTAMP(NANOS) physical type the source schema expects.
+    ev = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(
+        ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 0)),
+        f"{src_dir}/events.parquet",
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim_path = f"{src_dir}/customer.parquet"
+    upsert_dimension(cust.filter(F.col("c_custkey") % 2 == 0), dim_path, keys=["c_custkey"])
+
+    cfg = CdcPipelineConfig(sf_dir=src_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("s_dim_upsert", build_cdc_pipeline(spark, cfg), checkpoint=ckpt, auto_start=False)
+    reg.start("s_dim_upsert")
+    reg.process_available("s_dim_upsert")
+
+    # the CRUD write side, between micro-batches
+    upsert_dimension(cust.filter(F.col("c_custkey") % 2 == 1), dim_path, keys=["c_custkey"])
+    pq.write_table(
+        ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1)),
+        f"{src_dir}/events2.parquet",
+    )
+    reg.process_available("s_dim_upsert")
+    reg.stop("s_dim_upsert")
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
+        "id", "user_id", "name", "segment", "event_type", "value"
+    )

@@ -676,3 +676,111 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "q_unigram_nll",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), uni AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS n FROM uni
+), per AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(CAST(u.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tok t JOIN uni u USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+FROM per GROUP BY doc_id
+""",
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: corpus MLE p(w) = c_w/N, then
+    each document's mean negative log-likelihood (avg surprisal — exp of it
+    is perplexity). The CCNet/KenLM-style fluency signal: word-salad and
+    boilerplate score high, typical prose scores low.
+
+    Determinism: per-token -ln p is rounded to 6 decimals and summed as
+    DECIMAL(18,6), so the per-doc sum is EXACT and order-independent —
+    float summation order across engines/partitionings can never flip the
+    hash (the engine's cross-engine float policy; see q_tfidf).
+
+    Scale: one explode -> vocab groupBy (map-side combinable), the
+    vocab-sized count relation broadcasts back onto the token stream, N is
+    a 1-row broadcast cross join; then one groupBy on doc_id. Two
+    shuffles total, none carrying document text.
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = cache_scoped(
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
+            F.col("term") != ""
+        )
+    )
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    nll = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    per = (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
+    )
+
+
+# GPT-2-style pretokenizer pattern, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+# letter runs, digit runs, and single non-alphanumeric-non-space chars.
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "q_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_other,
+       CAST(list_sum(list_append(list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                 t -> length(t)), 0)) AS BIGINT) AS alpha_chars
+FROM documents
+""",
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the prompt-budget estimator a training
+    pipeline runs before the real tokenizer): a GPT-2-pretokenizer-shaped
+    pattern splits text into letter runs / digit runs / punctuation, giving
+    a token count that tracks BPE counts far better than whitespace
+    splitting (which q_token_count provides). Pattern constrained to the
+    Java-regex ∩ RE2 common subset so both engines match identically.
+
+    Scale: map-only regexp_extract_all over the scan — no shuffle, no
+    Python; the pattern compiles once per task inside codegen.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))  # noqa: E731
+    alpha = F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+"), F.lit(0))
+    return d.select(
+        "doc_id",
+        n(_BPE_PATTERN).cast("bigint").alias("n_bpe_tokens"),
+        n("[a-zA-Z]+").cast("bigint").alias("n_alpha_runs"),
+        n("[0-9]+").cast("bigint").alias("n_digit_runs"),
+        n("[^a-zA-Z0-9 ]").cast("bigint").alias("n_other"),
+        F.aggregate(
+            alpha, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("alpha_chars"),
+    )

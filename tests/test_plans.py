@@ -256,3 +256,47 @@ def test_avro_and_media_pipelines_map_only_arrow(spark, sf_smoke):
         assert "Exchange" not in text, (name, text[:2000])
         assert "MapInPandas" in text, (name, text[:2000])
         assert "BatchEvalPython" not in text, name
+
+
+def test_decontaminate_broadcasts_bench_no_cartesian(spark, sf_smoke):
+    """Contamination candidates come from the broadcast hash probe on gram
+    digests — the benchmark side must broadcast, never cartesian."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_decontaminate"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert has_broadcast_join(df)
+
+
+def test_unigram_nll_broadcasts_vocab_not_docs(spark, sf_smoke):
+    """The vocab count relation broadcasts; nothing doc-keyed may broadcast
+    (the per-document-relation rule from the r01 tfidf finding)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_unigram_nll"].fn(spark, sf_smoke)
+    text = explain_str(df, mode="simple")
+    assert has_broadcast_join(df)
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "keys=[doc_id" not in child, text[:3000]
+
+
+def test_bpe_tokens_is_map_only(spark, sf_smoke):
+    """Regex token counting must stay a shuffle-free scan-project."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_bpe_tokens"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Exchange" not in text, text[:2000]
+
+
+def test_repetition_is_map_only(spark, sf_smoke):
+    """The sort-then-scan rewrite must not introduce a shuffle."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_repetition"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Exchange" not in text, text[:2000]
