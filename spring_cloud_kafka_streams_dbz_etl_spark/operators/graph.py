@@ -90,3 +90,84 @@ def connected_components(
             "rounds (graph diameter exceeds max_iter)"
         )
     return labels
+
+
+def connected_components_pointer_jumping(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): the O(log d)-round path for graphs whose diameter makes
+    min-label propagation (one round per hop) too slow.
+
+    large-star: every node links its LARGER neighbors to the minimum of
+    its neighborhood; small-star: every node links its smaller-or-equal
+    neighbors (and itself) to that minimum. Alternating the two contracts
+    chains exponentially — a 10⁶-hop chain converges in ~20 rounds where
+    min-label would need 10⁶.
+
+    Same contract as :func:`connected_components`: (id, component) with
+    component = min reachable vertex id; isolated vertices keep their own
+    id. Each round is two groupBy shuffles over the CURRENT edge set
+    (which only shrinks toward stars); edge sets are localCheckpointed so
+    lineage stays O(1). Use for long-chain graphs; for shallow near-dup
+    graphs min-label's single join per round is cheaper.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        both = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            both.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        down = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = down.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
+        nbrs = down.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfs = m.select(F.col("u"), F.col("m").alias("v"))
+        return nbrs.union(selfs).filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        stepped = small_star(large_star(e)).localCheckpoint(eager=True)
+        # Fixpoint = identical edge set. subtract is a narrow
+        # anti-join over two checkpointed edge lists that SHRINK toward
+        # star count; limit(1) short-circuits the scan.
+        changed = (
+            stepped.subtract(e).limit(1).count() + e.subtract(stepped).limit(1).count()
+        )
+        e = stepped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"pointer-jumping did not converge within max_iter={max_iter} rounds"
+        )
+    # e is now a union of stars: u -> component root. Roots and isolated
+    # vertices label themselves.
+    membership = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    ids = vertices.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(membership, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

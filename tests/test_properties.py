@@ -156,3 +156,97 @@ def test_connected_components_matches_union_find(spark, cases):
     out = connected_components(vertices, edges_df, id_col="id")
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == expected
+
+
+@given(st.lists(graph_case, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_pointer_jumping_matches_union_find(spark, cases):
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+        connected_components_pointer_jumping,
+    )
+
+    N = 10
+    vrows, erows, expected = [], [], {}
+    for case_id, edges in enumerate(cases):
+        off = case_id * N
+        vrows += [(off + v,) for v in range(N)]
+        erows += [(off + a, off + b) for a, b in edges]
+        for v, c in _union_find_components(N, edges).items():
+            expected[off + v] = off + c
+    vertices = spark.createDataFrame(vrows, "id long")
+    edges_df = (
+        spark.createDataFrame(erows, "src long, dst long")
+        if erows
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    out = connected_components_pointer_jumping(vertices, edges_df, id_col="id")
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == expected
+
+
+def test_pointer_jumping_long_chain_few_rounds(spark):
+    """The reason pointer-jumping exists: a 200-hop path graph converges
+    in O(log d) rounds where min-label propagation needs one round PER HOP
+    (it raises at max_iter=25 on this graph)."""
+    import pytest
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_pointer_jumping,
+    )
+
+    n = 200
+    vertices = spark.range(n).withColumnRenamed("id", "id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components_pointer_jumping(vertices, edges, id_col="id")
+    assert {r["component"] for r in out.collect()} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, id_col="id", max_iter=25)
+
+
+# -- Avro codec roundtrip ---------------------------------------------------
+# Pure-Python codec — no Spark job per example, so a full hypothesis budget
+# is affordable. The schema exercises every branch-selection path the
+# ADVICE-r02 union fix added (multi-type unions, null branches, nesting).
+
+_AVRO_PROP_SCHEMA = {
+    "type": "record",
+    "name": "Prop",
+    "fields": [
+        {"name": "u3", "type": ["null", "string", "long"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": ["null", "double"]}},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+avro_value = st.fixed_dictionaries(
+    {
+        "u3": st.one_of(st.none(), st.text(max_size=20), st.integers(-(2**62), 2**62)),
+        "flag": st.booleans(),
+        "xs": st.lists(st.integers(-(2**62), 2**62), max_size=8),
+        "m": st.dictionaries(
+            st.text(max_size=8),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+            max_size=5,
+        ),
+        "blob": st.binary(max_size=32),
+    }
+)
+
+
+@given(avro_value)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_avro_codec_roundtrip_property(value):
+    import json as _json
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import AvroCodec
+
+    c = AvroCodec(_json.dumps(_AVRO_PROP_SCHEMA))
+    assert c.decode(c.encode(value)) == value
