@@ -37,7 +37,12 @@ def connected_components(
     Scale: each round is one shuffle join on the current labels plus a
     min-aggregate; labels are localCheckpointed per round so the plan
     doesn't grow with iteration count (lineage blowup is the classic
-    iterative-Spark failure mode).
+    iterative-Spark failure mode). Crucially, the iterated label relation
+    covers only EDGE ENDPOINTS, not all vertices: a vertex in no pair can
+    never change label, and near-dup graphs are sparse — at corpus scale
+    that's millions of endpoints iterated instead of billions of
+    documents, with the full vertex set joined back exactly once at the
+    end.
     """
     # Materialize the edge list ONCE: `edges` usually carries an expensive
     # lineage (e.g. the whole MinHash/LSH candidate pipeline), and every
@@ -47,9 +52,12 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("id"))  # both directions -> all endpoints
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -89,7 +97,11 @@ def connected_components(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds (graph diameter exceeds max_iter)"
         )
-    return labels
+    # Re-attach the full vertex set once: isolated vertices label themselves.
+    ids = vertices.select(F.col(id_col).alias("id"))
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
 
 
 def connected_components_pointer_jumping(
