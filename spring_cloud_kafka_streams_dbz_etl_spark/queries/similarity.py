@@ -263,3 +263,64 @@ def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=LSH_COS_MIN,
         persist=cache_scoped,
     )
+
+
+@query(
+    "q_semantic_clusters",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(a='a.v', b='b.v')} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+  WHERE cos_sim >= {COSINE_DUP_MIN}
+),
+und AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS node FROM embeddings
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_kept
+FROM (SELECT src AS vec_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+""",
+)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): embedding
+    near-dup PAIRS (cell-blocked cosine, q_embedding_cosine_dup's
+    candidate graph) -> transitive CLUSTERS via distributed connected
+    components -> keep-one-per-cluster policy. The embedding-space twin
+    of q_dup_clusters: where MinHash catches lexical duplicates, this
+    catches paraphrases/translations that share no n-grams.
+
+    Scale: pair generation is Σ|cell|² (blocked, never all-pairs);
+    the CC iteration touches only pair endpoints (sparse at any scale);
+    the oracle states the same closure as a recursive CTE.
+    """
+    from ..operators.graph import connected_components
+
+    tune(spark)
+    pairs = q_embedding_cosine_dup.__wrapped__(spark, sf_dir).select("vec_a", "vec_b")
+    vertices = table(spark, sf_dir, "embeddings").select("vec_id")
+    comp = connected_components(
+        vertices, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
