@@ -100,6 +100,15 @@ def hyperplane_lsh_pairs(
     MinHash band join). Exact cosine (rounded to 6) is computed only
     within candidate buckets and thresholded.
 
+    Operating regime: P(candidate) = 1-(1-p^bits)^bands with p = 1-θ/π.
+    With 8-bit bands that S-curve passes ~50% at cos ≈ 0.9 (2 bands) —
+    this is a NEAR-DUPLICATE detector. For moderate thresholds
+    (cos ~0.3-0.7) recall at few bands is a few percent by design; use
+    the exact cell-blocked search (q_embedding_cosine_dup) or raise
+    ``bands`` (recall 1-(1-p^bits)^B, candidate cost linear in B). The
+    S-curve is empirically pinned by
+    ``test_lsh_pairs_sound_and_recall_matches_s_curve``.
+
     Determinism: sign projections accumulate floor(x·int_scale) BIGINTs
     (exact IEEE ops, no libm) so the bucket decision — the part a 1-ulp
     divergence would flip — is bit-identical across engines/hardware; the

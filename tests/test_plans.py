@@ -300,3 +300,93 @@ def test_repetition_is_map_only(spark, sf_smoke):
     df = SPECS["q_repetition"].fn(spark, sf_smoke)
     text = explain_str(df)
     assert "Exchange" not in text, text[:2000]
+
+
+def test_lsh_bits_for_scaling():
+    """bits grow log2 with corpus size, holding E|bucket| at target."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(1_000, 1024) == 8          # floor
+    assert lsh_bits_for(1_000_000, 1024) == 10
+    assert lsh_bits_for(1_000_000_000, 1024) == 20
+    # expected occupancy n / 2^bits stays <= target for big n
+    for n in (10**6, 10**8, 10**10):
+        bits = lsh_bits_for(n, 1024)
+        assert n / (1 << bits) <= 1024
+
+
+def test_lsh_pairs_sound_and_recall_matches_s_curve(spark, sf_smoke):
+    """Every LSH pair must be a true >=threshold pair (soundness is exact:
+    the within-bucket cosine IS the verifier), and observed recall must
+    MATCH the S-curve prediction sum(1-(1-p_i^bits)^bands) over the true
+    pairs' actual angles — validating the probability model the operator's
+    scale story rests on. (At cos 0.35 predicted recall is only a few
+    percent: banded-AND hyperplane LSH is a NEAR-DUP detector — its
+    operating regime is cos >= ~0.9 where p^bits is large; moderate
+    thresholds belong to the exact cell-blocked path,
+    q_embedding_cosine_dup. The operator docstring states this.)"""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
+        LSH_BANDS,
+        LSH_COS_MIN,
+        _SIGNS,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in hyperplane_lsh_pairs(
+            e, signs=_SIGNS, bands=LSH_BANDS, threshold=LSH_COS_MIN
+        ).collect()
+    }
+    # brute-force ground truth on the same integerized vectors
+    iv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+    )
+    v = e.select("vec_id", iv.alias("iv"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("iv").alias("ia"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("iv").alias("ib"))
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(w), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot("ia", "ib") / (F.sqrt(dot("ia", "ia")) * F.sqrt(dot("ib", "ib"))), 6)
+    truth_rows = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("c"))
+        .filter(F.col("c") >= LSH_COS_MIN)
+        .collect()
+    )
+    truth = {(r.vec_a, r.vec_b) for r in truth_rows}
+    assert got <= truth  # no false positives, ever
+    assert truth, "smoke corpus must contain at least one true pair"
+
+    # S-curve prediction: per true pair, P(kept) = 1 - (1 - p^bits)^bands
+    # with p = 1 - theta/pi. The hyperplanes are md5-pseudorandom, not
+    # actually angle-uniform, so allow a generous band around the binomial
+    # expectation — this catches structural regressions (e.g. a band-hash
+    # bug collapsing recall to ~0 or admitting everything), not noise.
+    import math
+
+    bits = len(_SIGNS) // LSH_BANDS
+    probs = [
+        1.0 - (1.0 - (1.0 - math.acos(max(-1.0, min(1.0, r.c))) / math.pi) ** bits)
+        ** LSH_BANDS
+        for r in truth_rows
+    ]
+    expected = sum(probs)
+    sd = math.sqrt(sum(p * (1 - p) for p in probs))
+    observed = len(got)
+    assert abs(observed - expected) <= 6 * sd + 6, (
+        f"recall off the S-curve: observed {observed} vs expected "
+        f"{expected:.1f} ± {sd:.1f} over {len(truth)} true pairs"
+    )
