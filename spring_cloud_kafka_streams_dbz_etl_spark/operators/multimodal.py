@@ -105,3 +105,96 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         .filter(F.col("frame_idx") % every_n == 0)
         .select("doc_id", "frame_idx", "width", "height")
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "out_bytes binary"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 32, strict: bool = False) -> DataFrame:
+    """Resize payloads so the longer side is <= ``max_side``, preserving
+    aspect ratio (the thumbnail/preprocess stage of an image pipeline).
+
+    Output dimensions are REAL math (scale = max_side/max(w,h), floor,
+    min 1). The pixel resample itself is stubbed like ``decode_media``:
+    strict=True raises where the Pillow call would go; the default emits a
+    deterministic fake payload md5(payload || 'WxH') sized
+    out_width*out_height bytes — so downstream stages see realistic byte
+    volumes and the whole Arrow pipeline is testable without codecs.
+
+    Scale: mapInPandas, map-only; resize is embarrassingly parallel and
+    the dominant byte-REDUCTION stage (run it before any shuffle so
+    shuffles carry thumbnails, not originals).
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media resize requires Pillow (not in this container)"
+                )
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "out_width", "out_height", "out_bytes")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = hashlib.md5(bytes(payload)).digest()
+                w, h = 16 + d[0] % 64, 16 + d[1] % 64  # decode_media's dims
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                fake = hashlib.md5(bytes(payload) + f"{ow}x{oh}".encode()).digest()
+                body = (fake * (ow * oh // len(fake) + 1))[: ow * oh]
+                for k, v in (("doc_id", doc_id), ("width", w), ("height", h),
+                             ("out_width", ow), ("out_height", oh), ("out_bytes", body)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, feat array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+    """Embedding extraction from binary payloads (the CLIP-encoder stage of
+    a multimodal curation pipeline; its output feeds the similarity/dedup
+    operators — q_embedding_cosine_dup, q_semantic_clusters — unchanged).
+
+    The encoder forward pass is stubbed: strict=True raises where the
+    model call would go; the default derives ``dim`` deterministic floats
+    in [-1, 1) from the payload md5, so identical payloads get identical
+    vectors (exact-dup detection through the embedding path works
+    end-to-end in tests).
+
+    Scale: Arrow-batched mapInPandas — the real encoder would batch onto
+    an accelerator per partition; partitioning, schema, and batch shape
+    here are exactly what that deployment uses.
+    """
+
+    def encode(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "feature extraction requires an encoder model (not in this container)"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                d = hashlib.md5(bytes(payload)).digest()
+                raw = (d * (4 * dim // len(d) + 1))[: 4 * dim]
+                feats.append(
+                    [
+                        (int.from_bytes(raw[4 * i : 4 * i + 4], "big") / 2**31) - 1.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return df.mapInPandas(encode, schema=FEATURES_SCHEMA)

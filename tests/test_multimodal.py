@@ -87,3 +87,61 @@ def test_pandas_topk_matches_builtin(spark, sf_smoke):
     b = {(r.query_id, r.neighbor_id) for r in builtin.collect()}
     p = {(r.query_id, r.neighbor_id) for r in pandas_path.collect()}
     assert b == p
+
+
+def test_resize_media_dims_and_bytes(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    d = attach_binary_payload(table(spark, sf_smoke, "documents").limit(40))
+    rows = resize_media(d, max_side=32).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert max(r.out_width, r.out_height) <= 32
+        assert r.out_width >= 1 and r.out_height >= 1
+        # aspect ratio preserved within floor rounding (error <= ~1/out_height)
+        ratio = r.width / r.height
+        assert abs(r.out_width / r.out_height - ratio) / ratio <= 1.0 / min(
+            r.out_width, r.out_height
+        ) + 0.01
+        assert len(r.out_bytes) == r.out_width * r.out_height
+    # deterministic across runs
+    again = resize_media(d, max_side=32).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_extract_features_deterministic_and_dedupable(spark, sf_smoke):
+    """Identical payloads must embed identically — exact-dup detection
+    through the embedding path (the q_semantic_clusters input shape)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = table(spark, sf_smoke, "documents").limit(20)
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000))  # same text
+    feats = extract_features(attach_binary_payload(dup), dim=8).collect()
+    assert len(feats) == 40
+    by_id = {r.doc_id: tuple(r.feat) for r in feats}
+    for i in range(20):
+        base = by_id.get(i)
+        twin = by_id.get(i + 1000)
+        if base is not None and twin is not None:
+            assert base == twin
+    for v in by_id.values():
+        assert len(v) == 8 and all(-1.0 <= x < 1.0 for x in v)
+
+
+def test_resize_feature_strict_raise(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    d = attach_binary_payload(table(spark, sf_smoke, "documents").limit(3))
+    for op in (lambda: resize_media(d, strict=True), lambda: extract_features(d, strict=True)):
+        with pytest.raises(Exception) as exc_info:
+            op().collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
