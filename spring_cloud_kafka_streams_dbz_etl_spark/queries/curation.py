@@ -157,6 +157,7 @@ DECON_N = 4
 
 @query(
     "q_decontaminate",
+    bench=True,
     oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -267,6 +267,7 @@ def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semantic_clusters",
+    bench=True,
     oracle=f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

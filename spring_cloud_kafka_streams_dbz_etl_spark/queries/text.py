@@ -680,6 +680,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_unigram_nll",
+    bench=True,
     oracle="""
 WITH tok AS (
   SELECT doc_id, term FROM (
