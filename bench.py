@@ -82,7 +82,7 @@ def main() -> None:
     # were ~20% load-skewed; medians make round-over-round deltas signal).
     # Passes are interleaved (full sweep x3, not query x3 back-to-back) so
     # a transient load spike lands on different queries in different passes.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     raw: dict[str, list[float]] = {n: [] for n in specs}
     for _ in range(passes):
         for name in sorted(specs):

@@ -24,6 +24,13 @@ DECODED_SCHEMA = (
 )
 
 
+def _fake_dims(digest: bytes) -> tuple[int, int, int]:
+    """The deterministic fake decode: (width, height, n_frames) from a
+    payload md5. Single source — decode_media emits these and resize_media
+    must report the SAME pre-resize dims for the same payload."""
+    return 16 + digest[0] % 64, 16 + digest[1] % 64, 1 + digest[2] % 8
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -79,8 +86,8 @@ def decode_media(
                 raise NotImplementedError(
                     "media decode requires Pillow/ffmpeg (not in this container)"
                 )
-            digests = [
-                hashlib.md5(bytes(p)).digest() for p in pdf["payload"]
+            dims = [
+                _fake_dims(hashlib.md5(bytes(p)).digest()) for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -88,9 +95,9 @@ def decode_media(
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
                     # deterministic fake dimensions from the content hash
-                    "width": [16 + d[0] % 64 for d in digests],
-                    "height": [16 + d[1] % 64 for d in digests],
-                    "n_frames": [1 + d[2] % 8 for d in digests],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
                 }
             )
 
@@ -142,8 +149,7 @@ def resize_media(df: DataFrame, max_side: int = 32, strict: bool = False) -> Dat
             rows = {k: [] for k in ("doc_id", "width", "height",
                                     "out_width", "out_height", "out_bytes")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = hashlib.md5(bytes(payload)).digest()
-                w, h = 16 + d[0] % 64, 16 + d[1] % 64  # decode_media's dims
+                w, h, _ = _fake_dims(hashlib.md5(bytes(payload)).digest())
                 scale = min(1.0, max_side / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
                 fake = hashlib.md5(bytes(payload) + f"{ow}x{oh}".encode()).digest()

@@ -30,12 +30,14 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def pii_counts(text: Column) -> list[Column]:
-    """One count column per PII class (``n_<class>``)."""
-    return [
-        F.regexp_count(text, F.lit(pat)).cast("int").alias(f"n_{name}")
+def pii_counts(text: Column, classes: list[str] | None = None) -> dict[str, Column]:
+    """``{"n_<class>": count}`` per PII class — the single source of the
+    count expressions (redact_pii builds on this; don't fork the logic)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("int")
         for name, pat in PII_PATTERNS.items()
-    ]
+        if classes is None or name in classes
+    }
 
 
 def redact_pii(
@@ -54,10 +56,7 @@ def redact_pii(
     order = [c for c in ("email", "ssn", "phone", "ip") if c in PII_PATTERNS]
     selected = [c for c in order if classes is None or c in classes]
     text = F.col(text_col)
-    new_cols = {
-        f"n_{name}": F.regexp_count(text, F.lit(PII_PATTERNS[name])).cast("int")
-        for name in selected
-    }
+    new_cols = pii_counts(text, classes=selected)
     redacted = text
     for name in selected:
         redacted = F.regexp_replace(redacted, PII_PATTERNS[name], f"<{name.upper()}>")

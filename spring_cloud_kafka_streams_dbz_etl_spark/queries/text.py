@@ -711,7 +711,11 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-token -ln p is rounded to 6 decimals and summed as
     DECIMAL(18,6), so the per-doc sum is EXACT and order-independent —
     float summation order across engines/partitionings can never flip the
-    hash (the engine's cross-engine float policy; see q_tfidf).
+    hash (the engine's cross-engine float policy; see q_tfidf). Residual
+    risk (accepted): ln itself is libm (JVM Math.log vs DuckDB's C log),
+    so a count whose -ln(c/N) lands within 1 ulp of a 0.5e-6 rounding
+    boundary could round differently across engines — probability
+    ~1e-10 per distinct count value, checked green at sf0.01 and sf0.1.
 
     Scale: one explode -> vocab groupBy (map-side combinable), the
     vocab-sized count relation broadcasts back onto the token stream, N is

@@ -166,8 +166,12 @@ class AvroCodec:
         "boolean": lambda x: isinstance(x, bool),
         "int": lambda x: isinstance(x, int) and not isinstance(x, bool),
         "long": lambda x: isinstance(x, int) and not isinstance(x, bool),
-        "float": lambda x: isinstance(x, float),
-        "double": lambda x: isinstance(x, float),
+        # ints are valid float/double values (JSON-decoded payloads carry
+        # `1` for 1.0; _enc coerces via float(v)) — standard Avro writers
+        # accept the widening. Union order still prefers an int/long
+        # branch when one exists.
+        "float": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+        "double": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
         "string": lambda x: isinstance(x, str),
         "enum": lambda x: isinstance(x, str),
         "bytes": lambda x: isinstance(x, (bytes, bytearray)),

@@ -101,12 +101,32 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
 
 
+def _recover_swap(spark: SparkSession, path: str) -> None:
+    """Crash recovery for :func:`_swap_into`: if a previous swap died
+    between its two renames, the data sits at ``path._upsert_old`` and the
+    target is missing — restore it BEFORE any caller inspects the target,
+    otherwise the next upsert would rebuild the dimension from the
+    incoming batch alone and silently drop every prior row."""
+    fs, target = _hadoop_fs(spark, path)
+    _, old = _hadoop_fs(spark, path + "._upsert_old")
+    if not fs.exists(target) and fs.exists(old):
+        if not fs.rename(old, target):
+            raise OSError(f"could not restore {path} from interrupted swap")
+
+
 def _swap_into(spark: SparkSession, merged: DataFrame, path: str) -> None:
     """Materialize ``merged`` to a temp dir, then swap it into ``path``.
     Spark cannot overwrite a path it is reading from (the self-overwrite
-    trap), and a delete-then-write window would expose a half-written
-    dimension to the per-micro-batch re-read; rename is atomic on
-    HDFS/local (on S3A use a table format for the same guarantee)."""
+    trap), so the new data is fully written before the target moves.
+
+    Atomicity contract (honest version): each RENAME is atomic on
+    HDFS/local, but the swap is two renames, so a concurrent reader can
+    hit a brief path-NOT-FOUND window (the per-micro-batch dim loader
+    retries for exactly this reason), and a crash between the renames
+    leaves the data parked at ``path._upsert_old`` — recovered by
+    :func:`_recover_swap` on the next CRUD call. No window ever exposes
+    HALF-WRITTEN data. On object stores use a table format for a
+    single-commit swap."""
     fs, target = _hadoop_fs(spark, path)
     _, tmp = _hadoop_fs(spark, path + "._upsert_tmp")
     _, old = _hadoop_fs(spark, path + "._upsert_old")
@@ -117,6 +137,8 @@ def _swap_into(spark: SparkSession, merged: DataFrame, path: str) -> None:
         if not fs.rename(target, old):
             raise OSError(f"could not move {path} aside for swap")
     if not fs.rename(tmp, target):
+        # put the previous dimension back rather than leaving nothing
+        fs.rename(old, target)
         raise OSError(f"could not swap upserted dimension into {path}")
     fs.delete(old, True)
 
@@ -130,6 +152,11 @@ def upsert_dimension(df: DataFrame, path: str, keys: Sequence[str]) -> dict:
     so the batch after an upsert enriches against the new rows — the same
     visibility the reference gets from per-record REST lookups.
 
+    The incoming batch must carry UNIQUE keys — two rows for the same key
+    in one call have no defined winner, and letting both in would give the
+    dimension duplicate join keys (every subsequent enrichment would
+    fan out events silently). Duplicate-key batches fail loudly.
+
     Scale: one anti-join shuffle on the key columns, sized by the
     DIMENSION (not the stream); dims are orders of magnitude smaller than
     facts, and the write rewrites only the dimension. For a very large
@@ -137,6 +164,15 @@ def upsert_dimension(df: DataFrame, path: str, keys: Sequence[str]) -> dict:
     upgrade path.
     """
     spark = df.sparkSession
+    _recover_swap(spark, path)
+    dup = (
+        df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert batch has duplicate keys (e.g. {dup[0][:len(keys)]}); "
+            "resolve a single winner per key before upserting"
+        )
     fs, target = _hadoop_fs(spark, path)
     if fs.exists(target):
         existing = spark.read.parquet(path)
@@ -163,6 +199,7 @@ def delete_from_dimension(
     """DELETE side of the dimension CRUD (AnimalController.java DELETE):
     drop rows whose ``keys`` appear in ``keys_df``, with the same
     swap-based visibility contract as :func:`upsert_dimension`."""
+    _recover_swap(spark, path)
     existing = spark.read.parquet(path)
     remaining = existing.join(
         keys_df.select(*keys).distinct(), on=list(keys), how="left_anti"

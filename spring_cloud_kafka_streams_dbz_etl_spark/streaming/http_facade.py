@@ -149,7 +149,10 @@ def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dic
         return 200, {**registry.reset_offsets(name, "latest"), **stamp}
     if action == "reset_specific":
         batch = body.get("batch")
-        if isinstance(batch, str) and batch.lstrip("-").isdigit():
+        # Strict ASCII integer shape — lstrip('-').isdigit() would admit
+        # "--7" and Unicode digits that int() then rejects, escaping as
+        # 409 (the exact class ADVICE r02 flagged).
+        if isinstance(batch, str) and re.fullmatch(r"-?[0-9]+", batch):
             batch = int(batch)
         if not isinstance(batch, int) or isinstance(batch, bool):
             # malformed body is the CALLER's error -> 400, never the

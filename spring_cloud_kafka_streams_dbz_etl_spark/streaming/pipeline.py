@@ -201,10 +201,24 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     build-time DataFrame would freeze the file listing forever."""
 
     def load_dim():
-        dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
-        if cfg.dim_filter:
-            dim = dim.filter(cfg.dim_filter)
-        return dim
+        # upsert_dimension's two-rename swap has a brief path-not-found
+        # window between renames (sources/sinks.py::_swap_into); a
+        # micro-batch landing inside it retries instead of dying.
+        import time as _time
+
+        last_exc: Exception | None = None
+        for _ in range(5):
+            try:
+                dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
+                if cfg.dim_filter:
+                    dim = dim.filter(cfg.dim_filter)
+                return dim
+            except Exception as exc:  # AnalysisException PATH_NOT_FOUND
+                if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                    raise
+                last_exc = exc
+                _time.sleep(0.2)
+        raise last_exc
     # Decouple codec parallelism from source partitioning (a Kafka topic's
     # partition count, or here a single-row-group file): shuffle the raw
     # records across the cluster before the JSON encode/decode stage.

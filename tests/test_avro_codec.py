@@ -177,3 +177,17 @@ def test_schema_registry_roundtrip_and_unknown_id():
         reg.decode_framed(confluent_frame(99, b"\x04hi"))
     with pytest.raises(ValueError):
         reg.decode_framed(b"\x01bad-magic")
+
+
+def test_union_numeric_widening_int_for_double():
+    """Review finding r03: JSON-decoded payloads carry int 1 for double
+    fields; the typed branch matcher must accept the standard widening."""
+    c = codec(["null", "double"])
+    assert c.decode(c.encode(1)) == 1.0
+    assert c.encode(1) == c.encode(1.0)
+    # int/long branch still wins when present (union order)
+    c2 = codec(["null", "long", "double"])
+    assert c2.encode(27)[0:1] == b"\x02"  # branch index 1 = long
+    # bool still never matches a numeric branch
+    with pytest.raises(ValueError):
+        c.encode(True)

@@ -105,7 +105,7 @@ def test_reset_specific_malformed_batch_is_400_not_409(facade):
     """ADVICE r02: int('x') used to escape the 400 guard and surface as a
     generic 409; non-integer bodies are the caller's error."""
     _, base = facade
-    for bad in ("x", 2.5, True, None, [2]):
+    for bad in ("x", "--7", "²", 2.5, True, None, [2]):
         with pytest.raises(urllib.error.HTTPError) as e:
             _call(f"{base}/api/stream/animal/offsets/reset", "POST", {"batch": bad})
         assert e.value.code == 400, bad

@@ -101,3 +101,49 @@ def test_upsert_dimension_latest_wins_and_append(spark, tmp_path):
 
     leftovers = [p for p in os.listdir(tmp_path) if "_upsert_" in p]
     assert leftovers == []
+
+
+def test_upsert_rejects_duplicate_key_batch(spark, tmp_path):
+    """Review finding r03: duplicate keys in one upsert batch have no
+    defined winner and would give the dimension duplicate join keys —
+    must fail loudly, not fan out enrichment."""
+    import pytest
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import upsert_dimension
+
+    path = str(tmp_path / "dim")
+    upsert_dimension(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path, keys=["k"]
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_dimension(
+            spark.createDataFrame([(2, "x"), (2, "y")], "k int, v string"),
+            path,
+            keys=["k"],
+        )
+    # dimension untouched by the rejected batch
+    assert [r.k for r in spark.read.parquet(path).collect()] == [1]
+
+
+def test_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """Review finding r03: a crash between _swap_into's two renames parks
+    the dimension at path._upsert_old; the next CRUD call must restore it
+    instead of rebuilding from the incoming batch alone."""
+    import os
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import upsert_dimension
+
+    path = str(tmp_path / "dim")
+    upsert_dimension(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path,
+        keys=["k"],
+    )
+    # simulate the crash window: target moved aside, new data never landed
+    os.rename(path, path + "._upsert_old")
+    assert not os.path.exists(path)
+    info = upsert_dimension(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, keys=["k"]
+    )
+    assert info["total"] == 3  # prior rows recovered, not dropped
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2, 3]
