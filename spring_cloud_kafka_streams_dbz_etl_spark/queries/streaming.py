@@ -651,10 +651,16 @@ def s_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the CRUD write side, between micro-batches
     upsert_dimension(cust.filter(F.col("c_custkey") % 2 == 1), dim_path, keys=["c_custkey"])
-    pq.write_table(
-        ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1)),
-        f"{src_dir}/events2.parquet",
-    )
+    # Atomic drop: the stream keeps triggering between process_available
+    # calls, and a micro-batch listing a PARTIALLY-written parquet file
+    # reads garbage. Write under a dot-prefix (invisible to the file
+    # source) and rename into place — the Kafka-world equivalent of a
+    # record being appended atomically to the topic.
+    import os
+
+    tmp2 = f"{src_dir}/.events2.parquet.tmp"
+    pq.write_table(ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1)), tmp2)
+    os.rename(tmp2, f"{src_dir}/events2.parquet")
     reg.process_available("s_dim_upsert")
     reg.stop("s_dim_upsert")
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -395,8 +396,10 @@ def test_dimension_update_visible_between_batches(spark, sf_smoke):
 
     # upsert: the full customer table replaces the half dimension in place
     pq.write_table(cust, f"{src_dir}/customer.parquet")
-    # phase 2 events arrive as a new file -> next micro-batch
-    pq.write_table(odd_ev, f"{src_dir}/events2.parquet")
+    # phase 2 events arrive as a new file -> next micro-batch (atomic drop:
+    # the running stream must never list a partially-written file)
+    pq.write_table(odd_ev, f"{src_dir}/.events2.parquet.tmp")
+    os.rename(f"{src_dir}/.events2.parquet.tmp", f"{src_dir}/events2.parquet")
     reg.process_available("dim")
     reg.stop("dim")
 
@@ -464,7 +467,9 @@ def test_upsert_dimension_api_visible_to_next_batch(spark, sf_smoke):
         cust.filter(F.col("c_custkey") % 2 == 1), dim_path, keys=["c_custkey"]
     )
     assert info["total"] == cust.count()
-    pq.write_table(odd_ev, f"{src_dir}/events2.parquet")  # phase-2 arrivals
+    # phase-2 arrivals (atomic drop; see test_dimension_update above)
+    pq.write_table(odd_ev, f"{src_dir}/.events2.parquet.tmp")
+    os.rename(f"{src_dir}/.events2.parquet.tmp", f"{src_dir}/events2.parquet")
     reg.process_available("dimapi")
     reg.stop("dimapi")
 
