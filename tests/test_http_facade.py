@@ -229,3 +229,54 @@ def test_export_roundtrip_readable_from_sink(spark, tmp_path):
         assert rows[43].name == "root-fallback" and rows[43].event_type == "manual"
     finally:
         srv.stop()
+
+
+def test_full_http_lifecycle_against_real_stream(spark, sf_smoke):
+    """§2A control plane end-to-end over HTTP against a REAL streaming
+    pipeline (not a stub): status -> offsets -> stop -> reset earliest ->
+    full reprocess — the reference's operational loop
+    (AnimalStreamController.java:46-184) driven through the facade."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.pipeline import (
+        ENRICHED_SCHEMA,
+        CdcPipelineConfig,
+        build_cdc_pipeline,
+    )
+
+    def tmp(kind):
+        return tempfile.mkdtemp(prefix=f"http_e2e_{kind}_{uuid.uuid4().hex[:6]}_")
+
+    out, dlq, ckpt = tmp("out"), tmp("dlq"), tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("cdc", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("cdc")
+    srv = StreamControlHttp(reg)
+    base = f"http://127.0.0.1:{srv.start()}"
+    try:
+        code, st = _call(f"{base}/api/stream/cdc/status")
+        assert code == 200 and st["running"] and st["state"] == "RUNNING"
+        code, offs = _call(f"{base}/api/stream/cdc/offsets")
+        assert code == 200 and offs["lag"] == 0 and offs["endBatch"] is not None
+        code, st = _call(f"{base}/api/stream/cdc/stop", "POST")
+        assert code == 200 and not st["running"]
+        n1 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+        assert n1 > 0
+
+        # reset earliest over HTTP -> full reprocess from batch 0; the
+        # stream was stopped, so (reference semantics) reset does NOT
+        # restart it — start explicitly over HTTP
+        code, reset = _call(f"{base}/api/stream/cdc/offsets/reset/earliest", "POST")
+        assert code == 200 and reset["restarted"] is False
+        code, st = _call(f"{base}/api/stream/cdc/start", "POST")
+        assert code == 200 and st["running"]
+        reg.process_available("cdc")
+        _call(f"{base}/api/stream/cdc/stop", "POST")
+        n2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out).count()
+        assert n2 == 2 * n1  # append sink: reprocessed rows land again
+    finally:
+        srv.stop()
