@@ -52,16 +52,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_cte() -> str:
     """Shared WITH-clause body computing verified near-dup pairs (used by
-    the pair oracle and the recursive clustering oracle)."""
+    the pair oracle and the recursive clustering oracle). Mirrors the
+    operator's universal-hash scheme: one md5 per shingle -> 60-bit int
+    mod P, then (a_j*h + b_j) mod P per slot — exact int64 arithmetic,
+    identical in both engines."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
     mins = ",\n    ".join(
-        f"min(md5('{j}:' || s)) AS mh_{j}" for j in range(k)
+        "min(({a} * h + {b}) % {p}) AS mh_{j}".format(
+            a=minhash_coeffs(j)[0], b=minhash_coeffs(j)[1], p=MINHASH_P, j=j
+        )
+        for j in range(k)
     )
     band_rows = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM mh".format(
             b=b,
-            expr=" || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+            expr=" || '|' || ".join(
+                f"CAST(mh_{b * r + i} AS VARCHAR)" for i in range(r)
+            ),
         )
         for b in range(bands)
     )
@@ -74,10 +84,14 @@ def _minhash_cte() -> str:
   FROM d WHERE len(toks) >= 3
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
+), hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM ex
 ), mh AS (
   SELECT doc_id,
     {mins}
-  FROM ex GROUP BY doc_id
+  FROM hx GROUP BY doc_id
 ), bands AS (
   {band_rows}
 ), cand AS (
@@ -117,7 +131,11 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cache_scoped)
     )
     sig = minhash_signature(docs, "doc_id", "shingles", k=MINHASH_K)
-    bands = lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
+    # The band relation feeds BOTH sides of the candidate self-join;
+    # uncached, the entire shingle->signature->band lineage executes
+    # twice (measured ~2x the whole pairs stage at 80k docs). It's tiny
+    # (k ints + a 32-char hash per doc x bands), so cache it.
+    bands = cache_scoped(lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS))
     cand = candidate_pairs(bands, "doc_id")
     x = docs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
