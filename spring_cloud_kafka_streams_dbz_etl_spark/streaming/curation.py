@@ -1,0 +1,122 @@
+"""Incremental corpus curation as a streaming topology.
+
+The batch pipeline (`operators/curation.py::curate`) assumes the whole
+corpus is present; real training corpora GROW — crawl shards land over
+days. This topology curates incrementally: each micro-batch of arriving
+documents passes the same gates, then documents whose content hash
+already exists in the CORPUS SINK are dropped (cross-batch exact dedup
+without unbounded stream state — the sink itself is the state, exactly
+like the reference's idempotent-output pattern).
+
+Scale: per-batch gates are map-only; the dedup anti-join is keyed on
+16-byte content digests — the sink side reads ONLY its digest column
+(column pruning keeps the probe cheap no matter how wide the corpus
+rows are). For very large corpora, partition the sink by digest prefix
+so the anti-join prunes partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.curation import CurationConfig, quality_score
+from ..operators.pii import redact_pii
+from ..functions.textfns import en_stopword_count, tokens
+
+DOCUMENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+CURATED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class CurationStreamConfig:
+    src_dir: str  # documents*.parquet shards arrive here
+    out_path: str  # curated corpus sink (parquet append)
+    checkpoint: str
+    curation: CurationConfig = CurationConfig()
+    max_files_per_trigger: int | None = None
+
+
+def build_curation_stream(spark: SparkSession, cfg: CurationStreamConfig):
+    """Returns an unstarted writer factory (StreamRegistry contract).
+
+    Per micro-batch: lang gate -> quality gate -> [PII redact] ->
+    in-batch exact dedup (keep min doc_id per content hash) -> anti-join
+    against the sink's existing content hashes -> append.
+    """
+    reader = spark.readStream.schema(DOCUMENTS_FILE_SCHEMA).option(
+        "pathGlobFilter", "documents*.parquet"
+    )
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    src = reader.parquet(cfg.src_dir)
+
+    cc = cfg.curation
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        cur = batch
+        if cc.redact:
+            cur = redact_pii(cur, text_col="text")
+        if cc.lang_stopword_min is not None:
+            toks = tokens(F.col("text"))
+            cur = cur.filter(en_stopword_count(toks) / F.size(toks) >= cc.lang_stopword_min)
+        cur = cur.withColumn("quality", quality_score(F.col("text")))
+        if cc.quality_min is not None:
+            cur = cur.filter(F.col("quality") >= cc.quality_min)
+        cur = cur.withColumn("content_hash", F.md5("text"))
+        # in-batch exact dedup: keep the smallest doc_id per content hash
+        # (min is deterministic under replay, unlike first/arbitrary)
+        cur = (
+            cur.groupBy("content_hash")
+            .agg(
+                F.min_by(F.struct("doc_id", "text", "quality"), "doc_id").alias("__r")
+            )
+            .select("__r.doc_id", "__r.text", "__r.quality", "content_hash")
+        )
+        # cross-batch dedup: the sink IS the state — probe only its
+        # digest column (pruned scan)
+        spark_l = batch.sparkSession
+        try:
+            seen = spark_l.read.schema(CURATED_SCHEMA).parquet(cfg.out_path).select(
+                "content_hash"
+            )
+            cur = cur.join(seen, "content_hash", "left_anti")
+        except Exception as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise  # first batch: sink doesn't exist yet
+        cur.select("doc_id", "text", "quality", "content_hash").write.mode(
+            "append"
+        ).parquet(cfg.out_path)
+
+    def start():
+        return (
+            src.writeStream.outputMode("append")
+            .option("checkpointLocation", cfg.checkpoint)
+            .foreachBatch(process)
+            .start()
+        )
+
+    return start
+
+
+def read_curated(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.schema(CURATED_SCHEMA).parquet(out_path)
