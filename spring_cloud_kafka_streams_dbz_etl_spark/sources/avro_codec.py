@@ -279,6 +279,138 @@ def confluent_unframe(payload: bytes) -> tuple[int, bytes]:
     return schema_id, payload[5:]
 
 
+class SchemaResolutionError(ValueError):
+    """Writer and reader schemas are incompatible for a datum (missing
+    field with no default, non-promotable type, unknown enum symbol)."""
+
+
+def _type_name(s: Any) -> str:
+    if isinstance(s, list):
+        return "union"
+    return s if isinstance(s, str) else s["type"]
+
+
+# Avro spec type promotions (writer -> allowed readers; identity included).
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def resolve_datum(value: Any, writer: Any, reader: Any) -> Any:
+    """Schema-resolution (Avro spec 'Schema Resolution') applied to a
+    DECODED datum: project a value written with ``writer`` onto
+    ``reader`` — reader-only record fields take their defaults,
+    writer-only fields are dropped, primitive promotions apply
+    (int→long→float→double, string↔bytes), union branches re-match
+    against the reader union. This is how a Confluent consumer reads old
+    records with its current schema; the reference gets it from
+    KafkaAvroDeserializer + the registry (application.yml:13-16).
+
+    Datum-level resolution is semantically equivalent to the spec's
+    byte-level resolution for the types this codec supports, and keeps
+    the decode path single-schema (decode with writer, then adapt)."""
+    # unions: unwrap to the concrete schemas first
+    if isinstance(writer, list):
+        # the decoded value came from ONE writer branch; find the branch
+        # whose shape the value matches, then resolve against the reader
+        for b in writer:
+            try:
+                return resolve_datum(value, b, reader)
+            except SchemaResolutionError:
+                continue
+        raise SchemaResolutionError(f"no writer branch of {writer!r} resolves to reader")
+    if isinstance(reader, list):
+        for b in reader:
+            try:
+                return resolve_datum(value, writer, b)
+            except SchemaResolutionError:
+                continue
+        raise SchemaResolutionError(
+            f"value {value!r} ({_type_name(writer)}) matches no reader branch {reader!r}"
+        )
+
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "null":
+        # a non-None value can NEVER have come from a null writer branch —
+        # rejecting it here is what makes union branch-matching correct
+        if value is not None:
+            raise SchemaResolutionError(f"non-null value {value!r} for null writer")
+        if rt != "null":
+            raise SchemaResolutionError("null value for non-null reader")
+        return None
+    if value is None:
+        raise SchemaResolutionError(f"null value for non-null writer type {wt!r}")
+    # validate the VALUE's shape against the writer branch — this is what
+    # lets the union loops above identify which branch a datum came from
+    _shape_ok = {
+        "boolean": lambda x: isinstance(x, bool),
+        "int": lambda x: isinstance(x, int) and not isinstance(x, bool),
+        "long": lambda x: isinstance(x, int) and not isinstance(x, bool),
+        "float": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+        "double": lambda x: isinstance(x, (int, float)) and not isinstance(x, bool),
+        "string": lambda x: isinstance(x, str),
+        "enum": lambda x: isinstance(x, str),
+        "bytes": lambda x: isinstance(x, (bytes, bytearray)),
+        "fixed": lambda x: isinstance(x, (bytes, bytearray)),
+        "array": lambda x: isinstance(x, list),
+        "map": lambda x: isinstance(x, dict),
+        "record": lambda x: isinstance(x, dict),
+    }
+    if wt in _shape_ok and not _shape_ok[wt](value):
+        raise SchemaResolutionError(
+            f"value {value!r} does not match writer type {wt!r}"
+        )
+    if wt in _PROMOTIONS:
+        if rt not in _PROMOTIONS[wt]:
+            raise SchemaResolutionError(f"cannot promote {wt} -> {rt}")
+        if rt in ("float", "double"):
+            return float(value)
+        if wt == "string" and rt == "bytes":
+            return value.encode() if isinstance(value, str) else value
+        if wt == "bytes" and rt == "string":
+            return value.decode() if isinstance(value, (bytes, bytearray)) else value
+        return value
+    if wt != rt:
+        raise SchemaResolutionError(f"incompatible types {wt} -> {rt}")
+    if wt == "boolean":
+        return value
+    if wt == "enum":
+        if value not in reader["symbols"]:
+            raise SchemaResolutionError(f"enum symbol {value!r} unknown to reader")
+        return value
+    if wt == "fixed":
+        return value
+    if wt == "array":
+        return [resolve_datum(v, writer["items"], reader["items"]) for v in value]
+    if wt == "map":
+        return {
+            k: resolve_datum(v, writer["values"], reader["values"])
+            for k, v in value.items()
+        }
+    if wt == "record":
+        writer_fields = {f["name"]: f for f in writer["fields"]}
+        out = {}
+        for rf in reader["fields"]:
+            name = rf["name"]
+            if name in writer_fields:
+                out[name] = resolve_datum(
+                    value.get(name), writer_fields[name]["type"], rf["type"]
+                )
+            elif "default" in rf:
+                out[name] = rf["default"]
+            else:
+                raise SchemaResolutionError(
+                    f"reader field {name!r} absent from writer and has no default"
+                )
+        return out  # writer-only fields dropped
+    raise SchemaResolutionError(f"unsupported resolution type {wt!r}")
+
+
 class SchemaNotFoundError(LookupError):
     """Unknown schema id — the deserialization failure the reference's
     serde config routes to the DLQ (enable-dlq + deserialization handler,
@@ -333,6 +465,17 @@ class SchemaRegistry:
         deserialization failures."""
         sid, body = confluent_unframe(payload)
         return sid, self.codec_for(sid).decode(body)
+
+    def decode_framed_as(self, payload: bytes, reader_schema_json: str):
+        """Confluent-consumer semantics: decode with the record's WRITER
+        schema (resolved by framed id), then schema-resolve onto the
+        caller's READER schema — old records gain new fields' defaults,
+        removed fields drop, promoted types widen. Raises
+        SchemaResolutionError (DLQ-routable) on incompatibility."""
+        sid, value = self.decode_framed(payload)
+        reader = AvroCodec(reader_schema_json).schema
+        writer = self.codec_for(sid).schema
+        return sid, resolve_datum(value, writer, reader)
 
 
 # -- Debezium envelope schema for the engine's events table ---------------

@@ -191,3 +191,118 @@ def test_union_numeric_widening_int_for_double():
     # bool still never matches a numeric branch
     with pytest.raises(ValueError):
         c.encode(True)
+
+
+# -- schema evolution (Avro spec "Schema Resolution") -----------------------
+
+_V1 = {
+    "type": "record", "name": "Ev", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "legacy", "type": "string"},
+    ],
+}
+_V2 = {
+    "type": "record", "name": "Ev", "fields": [
+        {"name": "id", "type": "long"},              # int -> long promotion
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double", "default": 0.0},  # added w/ default
+        {"name": "tag", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def test_schema_evolution_old_record_new_reader():
+    """A v1-written record read with the v2 schema: promoted id, defaults
+    for added fields, removed field dropped — Confluent-consumer behavior."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    v1_id = reg.register(json.dumps(_V1))
+    payload = reg.encode_framed(v1_id, {"id": 7, "name": "a", "legacy": "x"})
+    sid, value = reg.decode_framed_as(payload, json.dumps(_V2))
+    assert sid == v1_id
+    assert value == {"id": 7, "name": "a", "score": 0.0, "tag": None}
+
+
+def test_schema_evolution_mixed_topic_resolves_per_record():
+    """v1 and v2 writers on one topic, one v2 reader — each record
+    resolves against ITS writer schema by framed id."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    v1_id = reg.register(json.dumps(_V1))
+    v2_id = reg.register(json.dumps(_V2))
+    p1 = reg.encode_framed(v1_id, {"id": 1, "name": "old", "legacy": "x"})
+    p2 = reg.encode_framed(v2_id, {"id": 2, "name": "new", "score": 1.5, "tag": "t"})
+    out = [reg.decode_framed_as(p, json.dumps(_V2))[1] for p in (p1, p2)]
+    assert out == [
+        {"id": 1, "name": "old", "score": 0.0, "tag": None},
+        {"id": 2, "name": "new", "score": 1.5, "tag": "t"},
+    ]
+
+
+def test_schema_evolution_incompatible_raises():
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+        SchemaResolutionError,
+    )
+
+    reg = SchemaRegistry()
+    v1_id = reg.register(json.dumps(_V1))
+    payload = reg.encode_framed(v1_id, {"id": 7, "name": "a", "legacy": "x"})
+    # reader adds a field WITHOUT a default -> must fail loudly (DLQ route)
+    bad = {
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "required_new", "type": "string"},
+        ],
+    }
+    with pytest.raises(SchemaResolutionError):
+        reg.decode_framed_as(payload, json.dumps(bad))
+    # narrowing promotion (int reader for string writer field) also fails
+    narrow = {
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "int"},
+        ],
+    }
+    with pytest.raises(SchemaResolutionError):
+        reg.decode_framed_as(payload, json.dumps(narrow))
+
+
+def test_schema_evolution_nested_and_enum():
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+        SchemaResolutionError,
+    )
+
+    w = {
+        "type": "record", "name": "N", "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "op", "type": {"type": "enum", "name": "Op", "symbols": ["c", "u", "d"]}},
+        ],
+    }
+    r_ok = {
+        "type": "record", "name": "N", "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "double"}},
+            {"name": "op", "type": {"type": "enum", "name": "Op", "symbols": ["c", "u", "d", "r"]}},
+        ],
+    }
+    r_enum_missing = {
+        "type": "record", "name": "N", "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "op", "type": {"type": "enum", "name": "Op", "symbols": ["c"]}},
+        ],
+    }
+    reg = SchemaRegistry()
+    wid = reg.register(json.dumps(w))
+    payload = reg.encode_framed(wid, {"xs": [1, 2], "op": "u"})
+    _, v = reg.decode_framed_as(payload, json.dumps(r_ok))
+    assert v == {"xs": [1.0, 2.0], "op": "u"}
+    with pytest.raises(SchemaResolutionError):
+        reg.decode_framed_as(payload, json.dumps(r_enum_missing))
