@@ -433,17 +433,36 @@ class SchemaRegistry:
         self._by_id: dict[int, str] = {}
         self._id_by_schema: dict[str, int] = {}
         self._codecs: dict[int, AvroCodec] = {}
+        self._subjects: dict[str, list[int]] = {}
         self._next_id = 1
 
-    def register(self, schema_json: str) -> int:
-        """Assign (or return the existing) id for a schema string."""
+    def register(self, schema_json: str, subject: str | None = None) -> int:
+        """Assign (or return the existing) id for a schema string; with
+        ``subject``, also append it to the subject's version list (the
+        Confluent subject model — one subject per topic-value, versions in
+        registration order)."""
         if schema_json in self._id_by_schema:
-            return self._id_by_schema[schema_json]
-        sid = self._next_id
-        self._next_id += 1
-        self._by_id[sid] = schema_json
-        self._id_by_schema[schema_json] = sid
+            sid = self._id_by_schema[schema_json]
+        else:
+            sid = self._next_id
+            self._next_id += 1
+            self._by_id[sid] = schema_json
+            self._id_by_schema[schema_json] = sid
+        if subject is not None:
+            versions = self._subjects.setdefault(subject, [])
+            if sid not in versions:
+                versions.append(sid)
         return sid
+
+    def subject_versions(self, subject: str) -> list[int]:
+        """Schema ids registered under ``subject``, oldest first."""
+        if subject not in self._subjects:
+            raise SchemaNotFoundError(f"subject {subject!r} not registered")
+        return list(self._subjects[subject])
+
+    def latest_for_subject(self, subject: str) -> tuple[int, str]:
+        sid = self.subject_versions(subject)[-1]
+        return sid, self._by_id[sid]
 
     def schema_for(self, schema_id: int) -> str:
         if schema_id not in self._by_id:

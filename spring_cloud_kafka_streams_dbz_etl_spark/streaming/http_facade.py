@@ -43,6 +43,12 @@ _ROUTES = [
     # reference returns 200 with the produced record, 422 when enrichment
     # fails; a missing/zero id is the caller's error -> 400.
     ("POST", re.compile(r"^/api/export/([^/]+)$"), "export"),
+    # Schema-registry REST subset (the reference points its serdes at a
+    # Confluent registry, application.yml:16; these are the three routes
+    # its consumers/producers actually hit):
+    ("GET", re.compile(r"^/api/schemas/ids/([0-9]+)$"), "schema_by_id"),
+    ("POST", re.compile(r"^/api/subjects/([^/]+)/versions$"), "schema_register"),
+    ("GET", re.compile(r"^/api/subjects/([^/]+)/versions/latest$"), "schema_latest"),
 ]
 
 
@@ -56,15 +62,21 @@ class StreamControlHttp:
         host: str = "127.0.0.1",
         port: int = 0,
         exporter: Any = None,
+        schema_registry: Any = None,
     ) -> None:
         """``exporter``: optional callable (entity_name, body_dict) -> row
         dict, wired to ``streaming.export.make_exporter``. Raise LookupError
         for an unknown entity (-> 404), ValueError for a bad payload
-        (-> 400); other failures map to 422 like the reference."""
+        (-> 400); other failures map to 422 like the reference.
+
+        ``schema_registry``: optional ``sources.avro_codec.SchemaRegistry``
+        served on the Confluent-shaped /api/schemas + /api/subjects routes.
+        """
         self._registry = registry
         self._host = host
         self._port = port
         self._exporter = exporter
+        self._schema_registry = schema_registry
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -72,6 +84,7 @@ class StreamControlHttp:
     def start(self) -> int:
         registry = self._registry
         exporter = self._exporter
+        schema_registry = self._schema_registry
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -95,6 +108,11 @@ class StreamControlHttp:
                     name = match.group(1)
                     if action == "export":
                         self._send(*_export(exporter, name, self._body()))
+                        return
+                    if action.startswith("schema_"):
+                        self._send(
+                            *_schema_route(schema_registry, action, name, self._body())
+                        )
                         return
                     try:
                         self._send(*_invoke(registry, action, name, self._body()))
@@ -159,6 +177,38 @@ def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dic
             # generic 409 (ADVICE r02: int("x") used to escape as 409)
             return 400, {"error": "body must carry {'batch': <int>}"}
         return 200, {**registry.reset_offsets(name, batch), **stamp}
+    raise AssertionError(action)
+
+
+def _schema_route(reg: Any, action: str, name: str, body: dict) -> tuple[int, dict]:
+    """Confluent-registry REST subset over SchemaRegistry: schema by id,
+    register under subject, latest for subject. 404 unknown id/subject,
+    400 malformed register body, 422 invalid schema."""
+    if reg is None:
+        return 404, {"error": "no schema registry configured"}
+    from ..sources.avro_codec import AvroCodec, SchemaNotFoundError
+
+    try:
+        if action == "schema_by_id":
+            return 200, {"id": int(name), "schema": reg.schema_for(int(name))}
+        if action == "schema_register":
+            schema = body.get("schema")
+            if not isinstance(schema, str) or not schema:
+                return 400, {"error": "body must carry {'schema': '<avsc json>'}"}
+            try:
+                AvroCodec(schema)  # validate before registering
+            except (ValueError, KeyError, TypeError) as exc:
+                return 422, {"error": f"invalid schema: {exc}"}
+            return 200, {"id": reg.register(schema, subject=name)}
+        if action == "schema_latest":
+            sid, schema = reg.latest_for_subject(name)
+            return 200, {
+                "id": sid,
+                "version": len(reg.subject_versions(name)),
+                "schema": schema,
+            }
+    except SchemaNotFoundError as exc:
+        return 404, {"error": str(exc)}
     raise AssertionError(action)
 
 

@@ -280,3 +280,67 @@ def test_full_http_lifecycle_against_real_stream(spark, sf_smoke):
         assert n2 == 2 * n1  # append sink: reprocessed rows land again
     finally:
         srv.stop()
+
+
+# -- schema-registry routes (Confluent REST subset, application.yml:16) ----
+
+
+def test_schema_registry_routes():
+    import json as _json
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    srv = StreamControlHttp(StubRegistry(), schema_registry=reg)
+    base = f"http://127.0.0.1:{srv.start()}"
+    v1 = _json.dumps({"type": "record", "name": "Ev",
+                      "fields": [{"name": "id", "type": "long"}]})
+    v2 = _json.dumps({"type": "record", "name": "Ev",
+                      "fields": [{"name": "id", "type": "long"},
+                                 {"name": "q", "type": "double", "default": 0.0}]})
+    try:
+        code, out = _call(f"{base}/api/subjects/events-value/versions", "POST",
+                          {"schema": v1})
+        assert code == 200 and out["id"] == 1
+        code, out = _call(f"{base}/api/subjects/events-value/versions", "POST",
+                          {"schema": v2})
+        assert code == 200 and out["id"] == 2
+        # re-registering an existing schema is idempotent (same id)
+        code, out = _call(f"{base}/api/subjects/events-value/versions", "POST",
+                          {"schema": v1})
+        assert code == 200 and out["id"] == 1
+
+        code, out = _call(f"{base}/api/schemas/ids/1")
+        assert code == 200 and _json.loads(out["schema"])["fields"][0]["name"] == "id"
+        code, out = _call(f"{base}/api/subjects/events-value/versions/latest")
+        assert code == 200 and out["id"] == 2 and out["version"] == 2
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/schemas/ids/99")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/subjects/nope/versions/latest")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/subjects/s/versions", "POST", {"schema": ""})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/subjects/s/versions", "POST",
+                  {"schema": '{"type": "record", "name": "x", "fields": [{"name": "y", "type": "Nope"}]}'})
+        assert e.value.code == 422
+        # the registered schemas actually decode wire payloads (round trip)
+        payload = reg.encode_framed(2, {"id": 7, "q": 1.5})
+        assert reg.decode_framed(payload) == (2, {"id": 7, "q": 1.5})
+    finally:
+        srv.stop()
+
+    bare = StreamControlHttp(StubRegistry())
+    base = f"http://127.0.0.1:{bare.start()}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(f"{base}/api/schemas/ids/1")
+        assert e.value.code == 404
+    finally:
+        bare.stop()
