@@ -250,3 +250,52 @@ def test_avro_codec_roundtrip_property(value):
 
     c = AvroCodec(_json.dumps(_AVRO_PROP_SCHEMA))
     assert c.decode(c.encode(value)) == value
+
+
+# -- as-of join (backward, inclusive) --------------------------------------
+
+asof_case = st.tuples(
+    st.lists(  # left events: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    st.lists(  # right versions: (key, t, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+        max_size=12,
+    ),
+)
+
+
+@given(st.lists(asof_case, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_asof_join_matches_model(spark, cases):
+    """asof_join_backward == 'greatest right_t <= left_t per key', with the
+    right side pre-deduped latest-wins per (key, t) as the contract demands."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    K = 10
+    lrows, rrows, expected = [], [], {}
+    for case_id, (left, right) in enumerate(cases):
+        off = case_id * K
+        # dedup right per (key, t): keep the LARGEST payload (deterministic)
+        best: dict[tuple[int, int], int] = {}
+        for k, t, p in right:
+            best[(k, t)] = max(best.get((k, t), -1), p)
+        rrows += [(off + k, t, p) for (k, t), p in best.items()]
+        for i, (k, t) in enumerate(left):
+            lid = off * 100 + i
+            lrows.append((lid, off + k, t))
+            cands = [(rt, p) for (rk, rt), p in best.items() if rk == k and rt <= t]
+            expected[lid] = max(cands)[1] if cands else None
+    ldf = spark.createDataFrame(lrows, "event_id long, k long, t long")
+    rdf = (
+        spark.createDataFrame(rrows, "k long, t long, payload long")
+        if rrows
+        else spark.createDataFrame([], "k long, t long, payload long")
+    )
+    out = asof_join_backward(
+        ldf, rdf, key="k", left_time="t", right_time="t", payload_cols=["payload"]
+    )
+    got = {r.event_id: r.asof_payload for r in out.collect()}
+    assert got == expected
