@@ -71,7 +71,9 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view for the SQL API — the same
+    names the DuckDB oracles use, so any oracle SQL in this repo is also
+    directly runnable here (modulo dialect)."""
     for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
