@@ -240,16 +240,46 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
 
     def start():
         memo: list = []  # per-run broadcast decision (re-decided on restart)
+
+        def process(b, bid):
+            # Spark runs NO-DATA micro-batches after data batches (state
+            # bookkeeping); skipping them avoids pointless dim reads —
+            # and any batch may race a concurrent upsert_dimension swap,
+            # whose two-rename window can yank the dim files between
+            # this batch's path resolution and its file listing
+            # (execution-time FileNotFoundException). Nothing commits on
+            # the failed attempt (the joined cache materializes in the
+            # FIRST sink write), so a bounded retry re-resolving the dim
+            # is exactly-once-safe.
+            if b.isEmpty():
+                return
+            import time as _time
+
+            last: Exception | None = None
+            for _ in range(3):
+                try:
+                    _enrich_and_split(
+                        b, load_dim(), cfg.out_path, cfg.dlq_path,
+                        batch_id=bid, idempotent=cfg.idempotent,
+                        broadcast_memo=memo,
+                    )
+                    return
+                except Exception as exc:
+                    msg = str(exc)
+                    if (
+                        "FileNotFoundException" not in msg
+                        and "does not exist" not in msg
+                        and "PATH_NOT_FOUND" not in msg
+                    ):
+                        raise
+                    last = exc
+                    _time.sleep(0.2)
+            raise last
+
         return (
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", cfg.checkpoint)
-            .foreachBatch(
-                lambda b, bid: _enrich_and_split(
-                    b, load_dim(), cfg.out_path, cfg.dlq_path,
-                    batch_id=bid, idempotent=cfg.idempotent,
-                    broadcast_memo=memo,
-                )
-            )
+            .foreachBatch(process)
             .start()
         )
 
