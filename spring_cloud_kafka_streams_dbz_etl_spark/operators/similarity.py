@@ -190,6 +190,82 @@ def hyperplane_lsh_pairs(
     )
 
 
+# -- product quantization ---------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_K = 16
+PQ_DIM = 64
+
+
+def pq_codebook(m: int, k: int, sub_dim: int) -> list[float]:
+    """Deterministic md5-derived centroid (subspace m, code k): components
+    in [-0.5, 0.5) — the embedding corpus' range — so codebooks are
+    identical across engines/runs and inlineable into oracle SQL."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"pq:{m}:{k}:{d}".encode()).hexdigest()[:8], 16) % 1_000_001)
+        / 1_000_000.0
+        - 0.5
+        for d in range(sub_dim)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    dim: int = PQ_DIM,
+) -> DataFrame:
+    """Product-quantize vectors: split into ``subspaces`` sub-vectors,
+    assign each to its nearest of ``k`` fixed centroids (squared L2,
+    summed in ascending-dimension order so the doubles are bit-identical
+    across engines; ties break on the smaller code). Returns
+    (id, pq_codes string 'c0,c1,...', recon_err double) — codes compress
+    dim×4 bytes to ``subspaces`` nibbles (32x for 64-d float32 at 8×16),
+    recon_err is the summed squared distance to the chosen centroids.
+
+    Production PQ trains codebooks with k-means; the codebooks here are
+    fixed md5-derived grids so the OPERATOR (split/assign/argmin plan
+    shape, zero Python, zero shuffle) is exact and oracle-checkable —
+    swap `pq_codebook` for trained centroids at deployment.
+
+    Scale: pure map over the scan (array expressions + struct array_min);
+    at 100 TB this is the standard 10-30x memory cut that makes
+    billion-vector ANN fit a cluster's RAM.
+    """
+    sub_dim = dim // subspaces
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(m: int) -> F.Column:
+        # struct(dist, code): array_min orders lexicographically -> argmin
+        # with smallest-code tie-break
+        cands = []
+        for kk in range(k):
+            cb = pq_codebook(m, kk, sub_dim)
+            dist = None
+            for d in range(sub_dim):
+                t = F.element_at(v, m * sub_dim + d + 1) - F.lit(cb[d])
+                term = t * t
+                dist = term if dist is None else dist + term
+            cands.append(F.struct(dist.alias("dist"), F.lit(kk).alias("code")))
+        return F.array_min(F.array(*cands))
+
+    chosen = [code_for(m) for m in range(subspaces)]
+    codes = F.concat_ws(
+        ",", *[c["code"].cast("string") for c in chosen]
+    )
+    err = None
+    for c in chosen:
+        err = c["dist"] if err is None else err + c["dist"]
+    return df.select(
+        F.col(id_col),
+        codes.alias("pq_codes"),
+        F.round(err, 6).alias("recon_err"),
+    )
+
+
 def pandas_topk_scores(
     queries_pd, corpus: DataFrame, vec_col: str = "embedding", k: int = 10
 ) -> DataFrame:

@@ -390,3 +390,45 @@ def test_lsh_pairs_sound_and_recall_matches_s_curve(spark, sf_smoke):
         f"recall off the S-curve: observed {observed} vs expected "
         f"{expected:.1f} ± {sd:.1f} over {len(truth)} true pairs"
     )
+
+
+def test_pq_encode_matches_numpy_and_is_map_only(spark, sf_smoke):
+    """PQ assignment == numpy brute-force argmin over the same codebooks;
+    plan is a shuffle-free, Python-free map (the 100 TB contract)."""
+    import numpy as np
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+        pq_codebook,
+        pq_encode,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    e = table(spark, sf_smoke, "embeddings").limit(100)
+    out = pq_encode(e)
+    text = explain_str(out)
+    assert "Exchange" not in text, text[:2000]
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+    rows = {r.vec_id: r for r in out.collect()}
+    src = {r.vec_id: np.array(r.embedding, dtype="float64") for r in e.collect()}
+    sub = 64 // PQ_SUBSPACES
+    books = np.array(
+        [[pq_codebook(m, k, sub) for k in range(PQ_K)] for m in range(PQ_SUBSPACES)]
+    )  # (M, K, sub)
+    for vid, vec in src.items():
+        want_codes, want_err = [], 0.0
+        for m in range(PQ_SUBSPACES):
+            seg = vec[m * sub : (m + 1) * sub]
+            d2 = ((books[m] - seg) ** 2).sum(axis=1)
+            c = int(np.argmin(d2))
+            want_codes.append(c)
+            want_err += float(d2[c])
+        got = rows[vid]
+        assert got.pq_codes == ",".join(map(str, want_codes)), vid
+        assert abs(got.recon_err - want_err) < 1e-5, vid
+    # codes use the full range somewhere (codebooks aren't degenerate)
+    all_codes = {int(c) for r in rows.values() for c in r.pq_codes.split(",")}
+    assert len(all_codes) > 4
