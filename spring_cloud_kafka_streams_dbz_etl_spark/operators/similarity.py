@@ -266,6 +266,67 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    queries_pd,
+    codes: DataFrame,
+    k: int = 10,
+    subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_K,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, precompute the
+    (subspace × code) -> partial-squared-distance lookup table
+    driver-side (subspaces·n_codes doubles — trivially small), inline it
+    as literal arrays, and score every coded vector with
+    Σ_m lut[m][code_m] — a pure map over the CODES table. This is the
+    standard billion-scale ANN serving path: the corpus lives as
+    ``subspaces``-byte codes (32x smaller), scans never touch raw
+    vectors, and distance evaluation is ``subspaces`` array lookups.
+
+    ``queries_pd``: pandas DataFrame with (id_col, vec_col) probe rows.
+    ``codes``: output of :func:`pq_encode`. Ranking is deterministic
+    (adc_dist asc, neighbor id asc). Approximation quality is the
+    codebooks' — with trained k-means books this is production PQ-ADC.
+    """
+    sub = dim // subspaces
+    parts = F.split(F.col("pq_codes"), ",")
+    per_query = []
+    for _, q in queries_pd.iterrows():
+        qv = [float(x) for x in q[vec_col]]
+        dist = None
+        for m in range(subspaces):
+            seg = qv[m * sub : (m + 1) * sub]
+            lut = [
+                sum((seg[d] - c[d]) ** 2 for d in range(sub))
+                for c in (pq_codebook(m, kk, sub) for kk in range(n_codes))
+            ]
+            lut_arr = F.array(*[F.lit(x) for x in lut])
+            term = F.element_at(
+                lut_arr, F.element_at(parts, m + 1).cast("int") + 1
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            codes.select(
+                F.lit(int(q[id_col])).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(dist, 9).alias("adc_dist"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pandas_topk_scores(
     queries_pd, corpus: DataFrame, vec_col: str = "embedding", k: int = 10
 ) -> DataFrame:

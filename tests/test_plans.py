@@ -432,3 +432,48 @@ def test_pq_encode_matches_numpy_and_is_map_only(spark, sf_smoke):
     # codes use the full range somewhere (codebooks aren't degenerate)
     all_codes = {int(c) for r in rows.values() for c in r.pq_codes.split(",")}
     assert len(all_codes) > 4
+
+
+def test_pq_adc_matches_numpy_lut(spark, sf_smoke):
+    """ADC scoring over PQ codes == numpy LUT computation exactly, and the
+    scan stays map-only (no Python, no shuffle before the tiny top-k)."""
+    import numpy as np
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = table(spark, sf_smoke, "embeddings").limit(120)
+    codes_df = pq_encode(e)
+    probes = e.filter("vec_id < 3").toPandas()
+    out = pq_adc_topk(probes, codes_df, k=5)
+    got = {(r.query_id, r.neighbor_id): (r.adc_dist, r.rank) for r in out.collect()}
+    assert len(got) == 3 * 5
+
+    # numpy model
+    sub = 64 // PQ_SUBSPACES
+    books = np.array(
+        [[pq_codebook(m, k, sub) for k in range(PQ_K)] for m in range(PQ_SUBSPACES)]
+    )
+    codes = {
+        r.vec_id: [int(c) for c in r.pq_codes.split(",")] for r in codes_df.collect()
+    }
+    for _, q in probes.iterrows():
+        qv = np.array(q.embedding, dtype="float64")
+        luts = [
+            ((books[m] - qv[m * sub : (m + 1) * sub]) ** 2).sum(axis=1)
+            for m in range(PQ_SUBSPACES)
+        ]
+        dists = {
+            vid: round(sum(float(luts[m][c[m]]) for m in range(PQ_SUBSPACES)), 9)
+            for vid, c in codes.items()
+            if vid != q.vec_id
+        }
+        want = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        for rank, (vid, d) in enumerate(want, start=1):
+            assert got[(int(q.vec_id), vid)] == (d, rank), (q.vec_id, vid)
