@@ -50,8 +50,9 @@ def shingle(toks: F.Column, n: int = 3) -> F.Column:
 # (a_j*h + b_j) mod P with P = 2^31-1 (prime). a_j*h < 2^62 fits exact
 # signed-64 arithmetic in BOTH Spark and DuckDB, so the scheme stays
 # bit-identical cross-engine while costing 1 md5 + k integer ops per
-# shingle instead of k md5s (measured ~5x on the 80k-doc corpus — md5
-# dominates the signature stage).
+# shingle instead of k md5s (≈10% end-to-end at 80k docs; the larger
+# wins there were persisting the band relation and — negative result —
+# NOT moving hashing into HOF lambdas, see SCALE.md anti-pattern #2).
 MINHASH_P = 2_147_483_647
 
 

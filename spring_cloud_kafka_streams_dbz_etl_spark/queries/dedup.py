@@ -154,7 +154,8 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_minhash_near_dup", oracle=_minhash_oracle(), bench=True)
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup over documents.text: 3-gram shingles -> K=6
-    md5 minhashes -> 3 bands of 2 -> band-join candidates -> exact Jaccard
+    universal-hash minhashes (one md5 per shingle + integer permutations)
+    -> 3 bands of 2 -> band-join candidates -> exact Jaccard
     verify >= 0.5. The band equi-join is the scale path: no pairwise scan,
     one shuffle keyed by band hash (skew-safe under AQE).
     """
