@@ -168,10 +168,12 @@ def build_entity_pipeline(
             joined.unpersist()
 
     def start():
+        from .pipeline import resilient_batch
+
         return (
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(enrich_and_split)
+            .foreachBatch(resilient_batch(enrich_and_split))
             .start()
         )
 

@@ -126,6 +126,41 @@ def _size_aware_broadcast(dim: DataFrame, memo: list | None = None) -> DataFrame
     return F.broadcast(dim) if fits else dim
 
 
+def resilient_batch(fn):
+    """Wrap a foreachBatch body: skip NO-DATA micro-batches (Spark fires
+    one after data batches for state bookkeeping — pointless dim reads),
+    and retry up to 3x when a concurrently-swapped input path (the CRUD
+    dimension's two-rename window, sources/sinks.py::_swap_into) vanishes
+    between path resolution and execution-time file listing. Safe for the
+    delivery contract: nothing commits on a failed attempt (the batch's
+    cache materializes in the first sink write; FileOutputCommitter v1
+    exposes files only at job commit), so the retry re-runs a batch that
+    produced nothing."""
+
+    def wrapped(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        import time as _time
+
+        last: Exception | None = None
+        for _ in range(3):
+            try:
+                return fn(batch, batch_id)
+            except Exception as exc:
+                msg = str(exc)
+                if (
+                    "FileNotFoundException" not in msg
+                    and "does not exist" not in msg
+                    and "PATH_NOT_FOUND" not in msg
+                ):
+                    raise
+                last = exc
+                _time.sleep(0.2)
+        raise last
+
+    return wrapped
+
+
 def _enrich_and_split(
     batch: DataFrame,
     dim: DataFrame,
@@ -240,46 +275,18 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
 
     def start():
         memo: list = []  # per-run broadcast decision (re-decided on restart)
-
-        def process(b, bid):
-            # Spark runs NO-DATA micro-batches after data batches (state
-            # bookkeeping); skipping them avoids pointless dim reads —
-            # and any batch may race a concurrent upsert_dimension swap,
-            # whose two-rename window can yank the dim files between
-            # this batch's path resolution and its file listing
-            # (execution-time FileNotFoundException). Nothing commits on
-            # the failed attempt (the joined cache materializes in the
-            # FIRST sink write), so a bounded retry re-resolving the dim
-            # is exactly-once-safe.
-            if b.isEmpty():
-                return
-            import time as _time
-
-            last: Exception | None = None
-            for _ in range(3):
-                try:
-                    _enrich_and_split(
+        return (
+            parsed.writeStream.outputMode("append")
+            .option("checkpointLocation", cfg.checkpoint)
+            .foreachBatch(
+                resilient_batch(
+                    lambda b, bid: _enrich_and_split(
                         b, load_dim(), cfg.out_path, cfg.dlq_path,
                         batch_id=bid, idempotent=cfg.idempotent,
                         broadcast_memo=memo,
                     )
-                    return
-                except Exception as exc:
-                    msg = str(exc)
-                    if (
-                        "FileNotFoundException" not in msg
-                        and "does not exist" not in msg
-                        and "PATH_NOT_FOUND" not in msg
-                    ):
-                        raise
-                    last = exc
-                    _time.sleep(0.2)
-            raise last
-
-        return (
-            parsed.writeStream.outputMode("append")
-            .option("checkpointLocation", cfg.checkpoint)
-            .foreachBatch(process)
+                )
+            )
             .start()
         )
 
@@ -315,9 +322,11 @@ def build_dlq_reprocess(
             .foreachBatch(
                 # repair path: misses stay in a dead-letter parquet next to
                 # the output (reprocessing can itself fail)
-                lambda b, _id: _enrich_and_split(
-                    b, load_dim(), out_path, out_path + "_dlq",
-                    broadcast_memo=memo,
+                resilient_batch(
+                    lambda b, _id: _enrich_and_split(
+                        b, load_dim(), out_path, out_path + "_dlq",
+                        broadcast_memo=memo,
+                    )
                 )
             )
             .start()
