@@ -45,8 +45,14 @@ def cmd_run(args) -> int:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
     df = specs[args.query].fn(_spark(), args.sf)
-    df.show(args.limit, truncate=False)
-    print(f"({df.count()} rows total)")
+    # single execution: fetch limit+1 rows once instead of show()+count()
+    # (count() would re-run the whole query — painful for the iterative ones)
+    rows = df.take(args.limit + 1)
+    import pandas as pd
+
+    print(pd.DataFrame(rows[: args.limit], columns=df.columns).to_string(index=False))
+    more = " (more rows exist)" if len(rows) > args.limit else ""
+    print(f"({len(rows[: args.limit])} rows shown{more})")
     return 0
 
 

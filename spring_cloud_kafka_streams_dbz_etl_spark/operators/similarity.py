@@ -286,15 +286,17 @@ def pq_adc_topk(
     vectors, and distance evaluation is ``subspaces`` array lookups.
 
     ``queries_pd``: pandas DataFrame with (id_col, vec_col) probe rows.
-    ``codes``: output of :func:`pq_encode`. Ranking is deterministic
-    (adc_dist asc, neighbor id asc). Approximation quality is the
-    codebooks' — with trained k-means books this is production PQ-ADC.
+    ``codes``: output of :func:`pq_encode` (same ``id_col``). All queries
+    score in ONE pass over the codes table (an array of per-query
+    (query_id, dist) structs, exploded) — the corpus scan and the code
+    parse never repeat per query. Ranking is deterministic (adc_dist
+    asc, neighbor id asc). Approximation quality is the codebooks' —
+    with trained k-means books this is production PQ-ADC.
     """
     sub = dim // subspaces
     parts = F.split(F.col("pq_codes"), ",")
-    per_query = []
-    for _, q in queries_pd.iterrows():
-        qv = [float(x) for x in q[vec_col]]
+
+    def dist_for(qv: list[float]) -> F.Column:
         dist = None
         for m in range(subspaces):
             seg = qv[m * sub : (m + 1) * sub]
@@ -303,20 +305,25 @@ def pq_adc_topk(
                 for c in (pq_codebook(m, kk, sub) for kk in range(n_codes))
             ]
             lut_arr = F.array(*[F.lit(x) for x in lut])
-            term = F.element_at(
-                lut_arr, F.element_at(parts, m + 1).cast("int") + 1
-            )
+            term = F.element_at(lut_arr, F.element_at(parts, m + 1).cast("int") + 1)
             dist = term if dist is None else dist + term
-        per_query.append(
-            codes.select(
-                F.lit(int(q[id_col])).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(dist, 9).alias("adc_dist"),
-            )
+        return F.round(dist, 9)
+
+    entries = [
+        F.struct(
+            F.lit(int(q[id_col])).alias("query_id"),
+            dist_for([float(x) for x in q[vec_col]]).alias("adc_dist"),
         )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionByName(p)
+        for _, q in queries_pd.iterrows()
+    ]
+    if not entries:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*entries)).alias("__q"),
+    ).select("__q.query_id", "neighbor_id", "__q.adc_dist")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

@@ -642,18 +642,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     implies identical score (the grouped value is functionally dependent
     on the group key).
     """
+    from ..operators.curation import quality_score
+
     tune(spark)
     d = fan_out(table(spark, sf_dir, "documents"), spark)
     toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    en_ratio = en_stopword_count(toks) / n_tok
-    quality = (
-        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (F.size(F.array_distinct(toks)) / n_tok)
-        + 0.3 * F.least((token_total_len(toks).cast("double") / n_tok) / 8.0, F.lit(1.0))
-    )
+    en_ratio = en_stopword_count(toks) / F.size(toks)
     kept = (
-        d.select("doc_id", "text", en_ratio.alias("en_ratio"), quality.alias("quality"))
+        d.select(
+            "doc_id",
+            "text",
+            en_ratio.alias("en_ratio"),
+            quality_score(F.col("text")).alias("quality"),
+        )
         .filter((F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5))
     )
     deduped = (

@@ -373,7 +373,14 @@ def resolve_datum(value: Any, writer: Any, reader: Any) -> Any:
         if wt == "string" and rt == "bytes":
             return value.encode() if isinstance(value, str) else value
         if wt == "bytes" and rt == "string":
-            return value.decode() if isinstance(value, (bytes, bytearray)) else value
+            try:
+                return (
+                    bytes(value).decode() if isinstance(value, (bytes, bytearray)) else value
+                )
+            except UnicodeDecodeError as exc:
+                # non-UTF8 bytes cannot promote to string — keep the
+                # failure inside the SchemaResolutionError -> DLQ contract
+                raise SchemaResolutionError(f"bytes not UTF-8 decodable: {exc}") from exc
         return value
     if wt != rt:
         raise SchemaResolutionError(f"incompatible types {wt} -> {rt}")
@@ -433,6 +440,7 @@ class SchemaRegistry:
         self._by_id: dict[int, str] = {}
         self._id_by_schema: dict[str, int] = {}
         self._codecs: dict[int, AvroCodec] = {}
+        self._readers: dict[str, Any] = {}  # parsed reader schemas by json
         self._subjects: dict[str, list[int]] = {}
         self._next_id = 1
 
@@ -490,11 +498,16 @@ class SchemaRegistry:
         schema (resolved by framed id), then schema-resolve onto the
         caller's READER schema — old records gain new fields' defaults,
         removed fields drop, promoted types widen. Raises
-        SchemaResolutionError (DLQ-routable) on incompatibility."""
+        SchemaResolutionError (DLQ-routable) on incompatibility.
+
+        The parsed reader schema is cached per schema string — this is
+        the per-record consumer path and must not re-parse JSON per call.
+        """
         sid, value = self.decode_framed(payload)
-        reader = AvroCodec(reader_schema_json).schema
+        if reader_schema_json not in self._readers:
+            self._readers[reader_schema_json] = AvroCodec(reader_schema_json).schema
         writer = self.codec_for(sid).schema
-        return sid, resolve_datum(value, writer, reader)
+        return sid, resolve_datum(value, writer, self._readers[reader_schema_json])
 
 
 # -- Debezium envelope schema for the engine's events table ---------------

@@ -152,7 +152,12 @@ def build_entity_pipeline(
             F.lit("parse_error").alias("reason"),
         )
         ok_in = batch.filter(~F.col("parse_failed"))
-        joined = ok_in.join(F.broadcast(load_dim()), F.expr(spec.dim_join), "left").cache()
+        from pyspark import StorageLevel
+
+        # spill-don't-recompute: see pipeline.py::_enrich_and_split
+        joined = ok_in.join(F.broadcast(load_dim()), F.expr(spec.dim_join), "left").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
             ok = joined.filter(F.col(spec.dim_match_col).isNotNull()).selectExpr(
                 *[f"{expr} AS {alias}" for alias, expr in spec.output_cols]

@@ -127,19 +127,23 @@ def _size_aware_broadcast(dim: DataFrame, memo: list | None = None) -> DataFrame
 
 
 def resilient_batch(fn):
-    """Wrap a foreachBatch body: skip NO-DATA micro-batches (Spark fires
-    one after data batches for state bookkeeping — pointless dim reads),
-    and retry up to 3x when a concurrently-swapped input path (the CRUD
-    dimension's two-rename window, sources/sinks.py::_swap_into) vanishes
-    between path resolution and execution-time file listing. Safe for the
-    delivery contract: nothing commits on a failed attempt (the batch's
-    cache materializes in the first sink write; FileOutputCommitter v1
-    exposes files only at job commit), so the retry re-runs a batch that
-    produced nothing."""
+    """Wrap a foreachBatch body: retry up to 3x when a concurrently-
+    swapped input path (the CRUD dimension's two-rename window,
+    sources/sinks.py::_swap_into) vanishes between path resolution and
+    execution-time file listing — Spark's NO-DATA micro-batches (fired
+    after data batches for state bookkeeping) make that race reachable
+    at any time. (No isEmpty() pre-check: that action re-executes the
+    micro-batch's repartition lineage on EVERY data batch, a worse cost
+    than letting the rare empty batch run a no-op join.)
+
+    Delivery contract: a failed attempt commits nothing in practice —
+    the batch's joined relation persists MEMORY_AND_DISK during the
+    first sink write, so the second write never re-reads the dimension,
+    and FileOutputCommitter v1 exposes files only at job commit. The
+    idempotent sink path is retry-safe unconditionally (batch-id-keyed
+    overwrite)."""
 
     def wrapped(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         import time as _time
 
         last: Exception | None = None
@@ -192,11 +196,17 @@ def _enrich_and_split(
         batch = batch.filter(~F.col("parse_failed"))
     else:  # DLQ-reprocess path re-parses already-valid payloads
         corrupt = None
+    from pyspark import StorageLevel
+
+    # MEMORY_AND_DISK (not cache/MEMORY_ONLY): eviction must spill, never
+    # recompute — a recompute in the SECOND sink write would re-read the
+    # dimension, breaking resilient_batch's nothing-committed-on-failure
+    # retry contract (and double-appending on retry).
     joined = batch.join(
         _size_aware_broadcast(dim, broadcast_memo),
         batch.user_id == dim.c_custkey,
         "left",
-    ).cache()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         ok = joined.filter(F.col("c_custkey").isNotNull()).select(
             F.col("id"),

@@ -306,3 +306,22 @@ def test_schema_evolution_nested_and_enum():
     assert v == {"xs": [1.0, 2.0], "op": "u"}
     with pytest.raises(SchemaResolutionError):
         reg.decode_framed_as(payload, json.dumps(r_enum_missing))
+
+
+def test_bytes_to_string_promotion_non_utf8_is_resolution_error():
+    """Review r03: non-UTF8 bytes promoting to string must stay inside the
+    SchemaResolutionError -> DLQ contract, not leak UnicodeDecodeError."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaRegistry,
+        SchemaResolutionError,
+    )
+
+    w = {"type": "record", "name": "B", "fields": [{"name": "x", "type": "bytes"}]}
+    r = {"type": "record", "name": "B", "fields": [{"name": "x", "type": "string"}]}
+    reg = SchemaRegistry()
+    wid = reg.register(json.dumps(w))
+    ok = reg.encode_framed(wid, {"x": b"hi"})
+    assert reg.decode_framed_as(ok, json.dumps(r))[1] == {"x": "hi"}
+    bad = reg.encode_framed(wid, {"x": b"\xff\xfe"})
+    with pytest.raises(SchemaResolutionError):
+        reg.decode_framed_as(bad, json.dumps(r))

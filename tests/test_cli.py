@@ -14,7 +14,7 @@ def test_cli_list(capsys):
 def test_cli_run_query(spark, sf_smoke, capsys):
     assert main(["run", "q_agg_group", "--sf", sf_smoke, "--limit", "3"]) == 0
     out = capsys.readouterr().out
-    assert "rows total" in out
+    assert "rows shown" in out
     assert main(["run", "nope"]) == 2
 
 
