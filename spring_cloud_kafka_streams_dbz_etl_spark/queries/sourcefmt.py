@@ -48,13 +48,23 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     read); JSONL splits by line so the format stays parallelizable.
     """
     tune(spark)
-    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # default JSON format drops micros
+    # ts is TIMESTAMP_NTZ (catalog.table converts the testdata's nano longs);
+    # NTZ columns are governed by timestampNTZFormat, not timestampFormat,
+    # and both defaults drop micros — set both so either column type
+    # round-trips at full precision.
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     ev = table(spark, sf_dir, "events").select(*_EVENT_COLS)
     path = _tmpdir("json_src")
-    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .json(path)
+    )
     return (
         spark.read.schema(ev.schema)
         .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
         .json(path)
         .select(*_EVENT_COLS)
     )
@@ -74,12 +84,14 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.write.mode("overwrite")
         .option("header", "true")
         .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
         .csv(path)
     )
     return (
         spark.read.schema(ev.schema)
         .option("header", "true")
         .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
         .csv(path)
         .select(*_EVENT_COLS)
     )
