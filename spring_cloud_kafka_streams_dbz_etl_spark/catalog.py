@@ -38,12 +38,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS), read as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (see session.tune); convert
-        # to µs-precision timestamp exactly like DuckDB truncates nanos.
+        # Fallback for readers that surface parquet TIMESTAMP(NANOS) as
+        # long nanos (legacy nanosAsLong behavior). Spark 4.1 reads the
+        # column natively as TIMESTAMP_NTZ truncated to micros, so this is
+        # normally inert; cast to NTZ to match that native path exactly.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

@@ -83,7 +83,10 @@ def sessionize(
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
     w = Window.partitionBy(key).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t_us = F.unix_micros(F.col(time_col))
+    # unix_micros requires TIMESTAMP_LTZ; the cast from NTZ interprets the
+    # wall clock in the session timezone (pinned to UTC by session.tune),
+    # so it is value-preserving for either timestamp flavor.
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
     prev_us = F.lag(t_us).over(w)
     is_new = F.when(prev_us.isNull() | ((t_us - prev_us) > gap), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(run).cast("bigint"))

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation,
         dedup,
         multimodal,
+        olap,
         relational,
         similarity,
         sourcefmt,

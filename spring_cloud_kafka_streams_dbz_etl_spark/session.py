@@ -39,11 +39,11 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # The driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS),
-    # which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
-    # long; catalog.table() converts to a microsecond timestamp (matching
-    # DuckDB's nanos->micros truncation).
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver testdata stores `events.ts` as parquet TIMESTAMP(NANOS);
+    # Spark 4.1 reads it natively as TIMESTAMP_NTZ truncated to micros —
+    # the same truncation DuckDB applies — so no legacy conf is needed.
+    # (catalog.table keeps a long-nanos fallback for engines that still
+    # surface the column as bigint.)
     try:
         par = spark.sparkContext.defaultParallelism
     except Exception:  # pragma: no cover - connect-only sessions

@@ -14,11 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# On-disk schema of events.parquet under nanosAsLong (ts is long nanos).
+# On-disk schema of events.parquet. The table stores parquet
+# TIMESTAMP(NANOS), which Spark 4.1 reads natively as TIMESTAMP_NTZ
+# truncated to micros (same truncation DuckDB applies). Declaring any
+# other type here would make the source CAST the decoded timestamp —
+# LongType, for instance, yields epoch SECONDS and silently destroys
+# event time for every watermark downstream.
 EVENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -46,8 +51,7 @@ def stream_events(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(sf_dir)
 
 
 def stream_parquet_dir(
