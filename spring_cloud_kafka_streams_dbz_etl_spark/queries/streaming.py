@@ -261,8 +261,12 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     name = f"late_{uuid.uuid4().hex[:8]}"
     src, ckpt = _tmp("late_src"), _tmp("late_ckpt")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        # catalog reads are NTZ; withWatermark needs LTZ (value-preserving
+        # under the UTC session tz — see sources/streams.py::stream_events)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     on_time = ev.filter(F.col("ts") >= "2024-01-30")
     late = ev.filter(F.col("ts") < "2024-01-30")
@@ -383,7 +387,12 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     src = _tmp("sess_src")
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        # NTZ -> LTZ for withWatermark (UTC session tz, value-preserving)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
     ev.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(ev.schema).parquet(src)

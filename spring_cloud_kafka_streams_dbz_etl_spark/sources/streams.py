@@ -51,7 +51,11 @@ def stream_events(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    # Decode as NTZ (the file's physical type), then cast to TIMESTAMP_LTZ:
+    # `withWatermark` rejects NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    # and the session tz is pinned UTC (session.tune), so the cast is
+    # value-preserving — same pattern as operators/temporal.py sessionize.
+    return reader.parquet(sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_parquet_dir(
