@@ -66,28 +66,63 @@ _ROUND_2 = frozenset(
     }
 )
 
-CHECKED_BY_ROUND: dict[int, frozenset[str]] = {1: _ROUND_1, 2: _ROUND_2}
+# Keys of CORRECTNESS_r03.json whose row was GREEN (50/50) — the full
+# round-3 window: the 39 r01-only re-verifications plus the round's new /
+# changed queries, zero red rows.
+_ROUND_3 = frozenset(
+    {
+        "q_agg_distinct", "q_agg_group", "q_avro_registry_dlq",
+        "q_bpe_tokens", "q_cdc_apply", "q_cdc_envelope_parse",
+        "q_containment", "q_date_funcs", "q_decontaminate", "q_dedup_docs",
+        "q_dedup_exact", "q_doc_chunks", "q_dup_clusters", "q_enrich_join",
+        "q_explode_array", "q_filter_predicate", "q_grouping_sets",
+        "q_histogram", "q_join_inner_multi", "q_lsh_cosine", "q_media_decode",
+        "q_minhash_near_dup", "q_multimodal_schema", "q_multiset_ops",
+        "q_ngram_jaccard", "q_nullsafe_join", "q_outer_join",
+        "q_pack_sequences", "q_project_rename", "q_range_join",
+        "q_repetition", "q_rollup_cube", "q_scalar_subquery", "q_scd2",
+        "q_semantic_clusters", "q_semi_anti_join", "q_set_ops", "q_simhash",
+        "q_sort_limit_topk", "q_stratified_sample", "q_string_funcs",
+        "q_time_rollup", "q_udf_scalar", "q_unigram_nll", "q_unpivot",
+        "q_vector_quantize", "q_window_analytic", "q_window_rank",
+        "q_window_ranks", "s_dim_upsert",
+    }
+)
+
+CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
+    1: _ROUND_1,
+    2: _ROUND_2,
+    3: _ROUND_3,
+}
 
 # Queries whose IMPLEMENTATION changed materially since their last green
 # driver row. A green row for the old plan says nothing about the new one,
 # so these re-front exactly like never-checked queries until re-verified.
-# Round 3: q_lsh_cosine went from 8 fixed planes to 16 banded planes;
-# q_repetition's per-doc stat was rewritten from O(distinct^2) to a
-# sort-then-scan. Clear entries once the round's CORRECTNESS shows green.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_lsh_cosine", "q_repetition"})
-
-# Queries added AFTER this round's 50-query window was already budgeted.
-# The round-3 window is exactly spoken for: 9 zero-checked (6 new + 1 red
-# + 2 changed) + the 39 r01-only queries + 2 spare. A brand-new query
-# would sort to the front (0 checks) and displace an r01-only query whose
-# re-verification is this round's explicit goal (VERDICT r02 item 2), so
-# late additions get pseudo-count 2 — after every once-checked query,
-# outside the window — and enter the rotation normally next round (move
-# them out of this set when CHECKED_BY_ROUND[3] is recorded). Until then
-# the local parity suite is their regression net.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_tpch_q3", "q_tpch_q5", "q_tpch_q10"}
+# Round 4: every events-time-reading query changed since its last green
+# row — round 3's TIMESTAMP_NTZ migration (d718afa/2c72621) plus round 4's
+# NTZ->LTZ cast before watermarking (sources/streams.py::stream_events)
+# re-planned the whole family. The five watermark queries were outright
+# broken at r03 HEAD (VERDICT r03 'What's wrong' #1); the rest re-front per
+# the ADVICE r03 medium finding. q_lsh_cosine / q_repetition cleared (green
+# r03 rows post-rewrite).
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {
+        # watermark family, broken at r03 HEAD, fixed this round
+        "s_window_agg", "s_late_data", "s_session_window",
+        "s_stream_stream_join", "s_dedup_within_watermark",
+        # events-reading plans changed by the NTZ migration + LTZ cast
+        "q_sessionize", "q_json_source", "q_csv_source",
+        "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_dlq_split",
+        "s_dlq_reprocess", "s_stateful_count", "s_dedup_stream",
+        "s_offset_reset", "s_idempotent_sink",
+    }
 )
+
+# Queries added AFTER the current round's 50-query window was budgeted.
+# Round 3's deferrals (the TPC-H trio) are cleared — CHECKED_BY_ROUND[3]
+# is recorded, so q_tpch_q3/q5/q10 now sort to the front as zero-checked
+# and earn their first driver rows in round 4.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
