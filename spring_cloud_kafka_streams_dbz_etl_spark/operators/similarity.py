@@ -301,7 +301,9 @@ def pq_adc_topk(
         for m in range(subspaces):
             seg = qv[m * sub : (m + 1) * sub]
             lut = [
-                sum((seg[d] - c[d]) ** 2 for d in range(sub))
+                # explicit multiply (not **2): bit-identical to the SQL
+                # oracle's (a-b)*(a-b) on every libm
+                sum((seg[d] - c[d]) * (seg[d] - c[d]) for d in range(sub))
                 for c in (pq_codebook(m, kk, sub) for kk in range(n_codes))
             ]
             lut_arr = F.array(*[F.lit(x) for x in lut])

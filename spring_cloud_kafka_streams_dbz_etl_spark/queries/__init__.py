@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         olap,
+        pii,
         relational,
         similarity,
         sourcefmt,

@@ -265,6 +265,144 @@ def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- product quantization ---------------------------------------------------
+# The PQ codebooks are md5-derived (operators.similarity.pq_codebook), so
+# they are plain constants inlineable into BOTH the Spark plan and the
+# oracle SQL — same technique as the LSH hyperplanes above. Arithmetic is
+# mirrored operation-for-operation: squared terms as (a-b)*(a-b), per-dim
+# sums in ascending-dimension order, per-subspace sums in ascending-m order,
+# so the doubles (and therefore the argmin code decisions) are bit-identical
+# across engines.
+
+def _pq_consts():
+    from ..operators.similarity import PQ_DIM, PQ_K, PQ_SUBSPACES, pq_codebook
+
+    sub = PQ_DIM // PQ_SUBSPACES
+    books = [
+        [pq_codebook(m, k, sub) for k in range(PQ_K)] for m in range(PQ_SUBSPACES)
+    ]
+    return PQ_SUBSPACES, PQ_K, sub, books
+
+
+def _pq_cb_sql() -> str:
+    """The (subspace x code x dim) codebook tensor as a DuckDB literal;
+    repr() round-trips every double exactly."""
+    _, _, _, books = _pq_consts()
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(x) for x in cb) + "]" for cb in bk) + "]"
+            for bk in books
+        )
+        + "]"
+    )
+
+
+def _pq_dd_sql() -> str:
+    """Per-row (subspace -> [dist to each code]) expression over column
+    ``v`` (double list) with codebook constant ``CB`` in scope."""
+    m_count, k_count, sub, _ = _pq_consts()
+    return (
+        f"list_transform(range(0, {m_count}), m -> "
+        f"list_transform(range(0, {k_count}), k -> "
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(v[m * {sub} + i] - CB[m + 1][k + 1][i]) * "
+        f"(v[m * {sub} + i] - CB[m + 1][k + 1][i])))))"
+    )
+
+
+def _pq_encode_oracle() -> str:
+    m_count, _, _, _ = _pq_consts()
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_pq_cb_sql()} AS CB
+  FROM embeddings
+), dd AS (
+  SELECT vec_id, {_pq_dd_sql()} AS dd FROM v
+)
+SELECT vec_id,
+       array_to_string(list_transform(dd, d ->
+         CAST(list_position(d, list_min(d)) - 1 AS VARCHAR)), ',') AS pq_codes,
+       ROUND(list_sum(list_transform(dd, d -> list_min(d))), 6) AS recon_err
+FROM dd
+"""
+
+
+@query("q_pq_encode", oracle=_pq_encode_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus (8 subspaces x 16
+    codes over 64-d): each vector compresses to 8 nibble codes (32x) plus
+    its reconstruction error. Pure map over the scan — array expressions +
+    struct array_min argmin, zero Python, zero shuffle (the billion-vector
+    memory-cut path; see operators/similarity.py::pq_encode).
+
+    Oracle: identical split/assign/argmin restated over DuckDB list
+    lambdas; list_position(d, list_min(d)) reproduces the
+    smallest-code-on-tie rule because it returns the FIRST index."""
+    from ..operators.similarity import pq_encode
+
+    tune(spark)
+    return pq_encode(fan_out(table(spark, sf_dir, "embeddings"), spark))
+
+
+def _pq_adc_oracle() -> str:
+    m_count, _, sub, _ = _pq_consts()
+    # ADC distance: per subspace, index the query-side LUT by the corpus
+    # row's code. Σ_d runs inside list_sum (ascending d), Σ_m is the
+    # ascending-m chain below — mirroring pq_adc_topk's Python LUT builder.
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_pq_cb_sql()} AS CB
+  FROM embeddings
+), dd AS (
+  SELECT vec_id, v, CB, {_pq_dd_sql()} AS dd FROM v
+), coded AS (
+  SELECT vec_id, CB,
+         list_transform(dd, d -> list_position(d, list_min(d)) - 1) AS codes
+  FROM dd
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({adc}, 9) AS adc_dist,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS INT) AS rank
+  FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+  CROSS JOIN coded c
+  WHERE q.vec_id <> c.vec_id)
+WHERE rank <= {TOPK}
+"""
+
+
+@query("q_pq_adc_topk", oracle=_pq_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the billion-scale ANN
+    serving path: the corpus is scanned as 8-byte codes only, each probe's
+    (subspace x code) LUT is built driver-side (8x16 doubles — the probe
+    side of a serving request, not a data-path collect) and inlined as
+    literals, and every probe scores in ONE pass over the codes relation
+    (see operators/similarity.py::pq_adc_topk).
+
+    Scale: raw vectors are never touched after encode; distance is 8
+    array lookups per (probe, code) pair, map-only until the tiny
+    per-probe top-k window."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES).toPandas()
+    codes = pq_encode(fan_out(e, spark)).select("vec_id", "pq_codes")
+    return pq_adc_topk(probes, codes, k=TOPK)
+
+
 @query(
     "q_semantic_clusters",
     bench=True,
