@@ -127,12 +127,12 @@ def _size_aware_broadcast(dim: DataFrame, memo: list | None = None) -> DataFrame
 
 
 def resilient_batch(fn):
-    """Wrap a foreachBatch body: retry up to 3x when a concurrently-
-    swapped input path (the CRUD dimension's two-rename window,
-    sources/sinks.py::_swap_into) vanishes between path resolution and
-    execution-time file listing — Spark's NO-DATA micro-batches (fired
-    after data batches for state bookkeeping) make that race reachable
-    at any time. (No isEmpty() pre-check: that action re-executes the
+    """Wrap a foreachBatch body: retry up to 3x when an input path
+    vanishes between path resolution and execution-time file listing.
+    With the dimension's immutable-version layout
+    (sources/sinks.py::_commit_version) this is a belt-and-suspenders
+    guard — the only remaining window is a version dir pruned while a
+    micro-batch that resolved it two upserts ago is still running. (No isEmpty() pre-check: that action re-executes the
     micro-batch's repartition lineage on EVERY data batch, a worse cost
     than letting the rare empty batch run a no-op join.)
 
@@ -246,24 +246,17 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
     build-time DataFrame would freeze the file listing forever."""
 
     def load_dim():
-        # upsert_dimension's two-rename swap has a brief path-not-found
-        # window between renames (sources/sinks.py::_swap_into); a
-        # micro-batch landing inside it retries instead of dying.
-        import time as _time
+        # Resolves through the dimension's committed-version layout
+        # (sources/sinks.py::load_dimension): the resolved version dir is
+        # immutable, so a concurrent CRUD upsert can never yank files out
+        # from under this micro-batch — no retry loop needed. Static dims
+        # (plain testdata parquet) read directly.
+        from ..sources.sinks import load_dimension
 
-        last_exc: Exception | None = None
-        for _ in range(5):
-            try:
-                dim = spark.read.parquet(f"{cfg.sf_dir}/customer.parquet")
-                if cfg.dim_filter:
-                    dim = dim.filter(cfg.dim_filter)
-                return dim
-            except Exception as exc:  # AnalysisException PATH_NOT_FOUND
-                if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                    raise
-                last_exc = exc
-                _time.sleep(0.2)
-        raise last_exc
+        dim = load_dimension(spark, f"{cfg.sf_dir}/customer.parquet")
+        if cfg.dim_filter:
+            dim = dim.filter(cfg.dim_filter)
+        return dim
     # Decouple codec parallelism from source partitioning (a Kafka topic's
     # partition count, or here a single-row-group file): shuffle the raw
     # records across the cluster before the JSON encode/decode stage.
@@ -319,7 +312,9 @@ def build_dlq_reprocess(
     (DlqPipelineIT.java:128-170 semantics)."""
 
     def load_dim():
-        return spark.read.parquet(f"{repair_sf_dir}/customer.parquet")
+        from ..sources.sinks import load_dimension
+
+        return load_dimension(spark, f"{repair_sf_dir}/customer.parquet")
 
     raw = stream_parquet_dir(spark, dlq_path, DLQ_SCHEMA, throttle_files)
     parsed = _parse_keep_original(raw.select("kafka_key", "value"))

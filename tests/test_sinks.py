@@ -60,6 +60,7 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke):
 def test_upsert_dimension_latest_wins_and_append(spark, tmp_path):
     from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
         delete_from_dimension,
+        load_dimension,
         upsert_dimension,
     )
 
@@ -76,7 +77,7 @@ def test_upsert_dimension_latest_wins_and_append(spark, tmp_path):
     )
     info = upsert_dimension(up, path, keys=["k"])
     assert info == {"upserted": 2, "total": 3, "path": path}
-    rows = {r.k: r for r in spark.read.parquet(path).collect()}
+    rows = {r.k: r for r in load_dimension(spark, path).collect()}
     assert rows[1].name == "a"          # untouched key kept
     assert rows[2].name == "b2" and rows[2].v == 21.0  # replaced, not duplicated
     assert rows[3].name == "c"          # new key appended
@@ -94,13 +95,19 @@ def test_upsert_dimension_latest_wins_and_append(spark, tmp_path):
         spark, path, keys=["k"], keys_df=spark.createDataFrame([(1,)], "k int")
     )
     assert info["total"] == 2
-    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [2, 3]
+    assert sorted(r.k for r in load_dimension(spark, path).collect()) == [2, 3]
 
-    # swap hygiene: no temp/old dirs left behind
+    # commit hygiene: only the latest two committed versions remain, no
+    # staging leftovers (3 CRUD commits happened -> _v00002/_v00003)
     import os
 
-    leftovers = [p for p in os.listdir(tmp_path) if "_upsert_" in p]
-    assert leftovers == []
+    entries = sorted(os.listdir(path))
+    assert entries == ["_v00002", "_v00003"]
+
+    # static-dim fallback: load_dimension on a plain parquet path
+    plain = str(tmp_path / "static")
+    base.write.parquet(plain)
+    assert load_dimension(spark, plain).count() == 2
 
 
 def test_upsert_rejects_duplicate_key_batch(spark, tmp_path):
@@ -109,7 +116,10 @@ def test_upsert_rejects_duplicate_key_batch(spark, tmp_path):
     must fail loudly, not fan out enrichment."""
     import pytest
 
-    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import upsert_dimension
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        load_dimension,
+        upsert_dimension,
+    )
 
     path = str(tmp_path / "dim")
     upsert_dimension(
@@ -122,16 +132,21 @@ def test_upsert_rejects_duplicate_key_batch(spark, tmp_path):
             keys=["k"],
         )
     # dimension untouched by the rejected batch
-    assert [r.k for r in spark.read.parquet(path).collect()] == [1]
+    assert [r.k for r in load_dimension(spark, path).collect()] == [1]
 
 
-def test_upsert_recovers_interrupted_swap(spark, tmp_path):
-    """Review finding r03: a crash between _swap_into's two renames parks
-    the dimension at path._upsert_old; the next CRUD call must restore it
-    instead of rebuilding from the incoming batch alone."""
+def test_upsert_survives_interrupted_commit(spark, tmp_path):
+    """Crash model of the versioned-commit layout: a writer dying before
+    its atomic staging->version rename leaves only an invisible
+    ``.staging_*`` dir. The dimension must stay fully readable the whole
+    time, and the next CRUD call must merge against the committed state
+    and clean the leftover."""
     import os
 
-    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import upsert_dimension
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        load_dimension,
+        upsert_dimension,
+    )
 
     path = str(tmp_path / "dim")
     upsert_dimension(
@@ -139,11 +154,15 @@ def test_upsert_recovers_interrupted_swap(spark, tmp_path):
         path,
         keys=["k"],
     )
-    # simulate the crash window: target moved aside, new data never landed
-    os.rename(path, path + "._upsert_old")
-    assert not os.path.exists(path)
+    # simulate the crash window: a half-written staging dir, never committed
+    dead = f"{path}/.staging_deadbeef0000"
+    os.makedirs(dead)
+    with open(f"{dead}/part-00000.parquet", "w") as f:
+        f.write("garbage")
+    assert sorted(r.k for r in load_dimension(spark, path).collect()) == [1, 2]
     info = upsert_dimension(
         spark.createDataFrame([(3, "c")], "k int, v string"), path, keys=["k"]
     )
-    assert info["total"] == 3  # prior rows recovered, not dropped
-    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2, 3]
+    assert info["total"] == 3  # prior rows kept, staging ignored
+    assert sorted(r.k for r in load_dimension(spark, path).collect()) == [1, 2, 3]
+    assert not os.path.exists(dead)  # dead staging pruned by the commit
