@@ -146,7 +146,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            # no broadcast hint: supplier scales with SF (~1B rows at the
+            # 100 TB target) — only the bounded nation x region dim gets an
+            # explicit broadcast; AQE still broadcasts supplier at small SF
+            # on its size estimate, and demotes it at scale (ADVICE r03).
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
