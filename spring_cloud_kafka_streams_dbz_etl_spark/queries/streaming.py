@@ -610,6 +610,95 @@ def s_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_incremental_oracle() -> str:
+    from .text import _STOP_SQL
+
+    # Final corpus = batch curation of the full unique text set, with
+    # first-writer-wins ids: a hash seen in shard 1 (even doc_ids) keeps
+    # its smallest even id; hashes arriving only in shard 2 keep their
+    # smallest odd id. Re-crawled copies (even ids + 1e6) never survive:
+    # in-batch dedup prefers the smaller odd id and the sink anti-join
+    # drops everything shard 1 already admitted.
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+             / len(string_split(text, ' ')) AS en_ratio,
+         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, quality FROM scored
+  WHERE en_ratio >= 0.05 AND quality >= 0.5)
+SELECT COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END), MIN(doc_id)) AS doc_id,
+       ANY_VALUE(quality) AS quality,
+       md5(text) AS content_hash
+FROM kept GROUP BY md5(text)
+"""
+
+
+@query("s_curation_incremental", oracle=_curation_incremental_oracle())
+def s_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation END-TO-END as a stream
+    (streaming/curation.py): crawl shard 1 (even doc_ids) lands and is
+    gated + deduped; shard 2 arrives later carrying the odd documents
+    PLUS re-crawled copies of shard 1's texts under new ids (+1e6) — the
+    realistic recrawl-duplicate shape. Cross-shard exact dedup uses the
+    SINK as the state (anti-join on its pruned digest column — no
+    unbounded stream state), so the re-crawls are rejected and the final
+    corpus equals the batch curation of the full unique set with
+    first-writer-wins ids, which is exactly what the oracle states.
+
+    Scale: gates are map-only per batch; dedup state is the sink itself
+    (16-byte digest column scan, partitionable by digest prefix), so
+    state never outgrows the corpus it already wrote."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..operators.curation import CurationConfig
+    from ..streaming.curation import (
+        CurationStreamConfig,
+        build_curation_stream,
+        read_curated,
+    )
+
+    tune(spark)
+    src_dir, out, ckpt = _tmp("cur_src"), _tmp("cur_out"), _tmp("cur_ckpt")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    even = pc.equal(pc.bit_wise_and(docs["doc_id"], 1), 0)
+    shard1 = docs.filter(even)
+    pq.write_table(shard1, f"{src_dir}/documents.parquet")
+
+    cfg = CurationStreamConfig(
+        src_dir=src_dir,
+        out_path=out,
+        checkpoint=ckpt,
+        curation=CurationConfig(lang_stopword_min=0.05, quality_min=0.5),
+    )
+    reg = StreamRegistry()
+    reg.register("s_cur_inc", build_curation_stream(spark, cfg), checkpoint=ckpt)
+    reg.process_available("s_cur_inc")
+
+    # shard 2: the odd docs + shard 1's texts re-crawled under new ids
+    recrawl = shard1.set_column(
+        shard1.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(shard1["doc_id"], 1_000_000),
+    )
+    shard2 = pa.concat_tables([docs.filter(pc.invert(even)), recrawl])
+    tmp2 = f"{src_dir}/.documents2.parquet.tmp"
+    pq.write_table(shard2, tmp2)
+    os.rename(tmp2, f"{src_dir}/documents2.parquet")  # atomic arrival
+    reg.process_available("s_cur_inc")
+    reg.stop("s_cur_inc")
+    return read_curated(spark, out).select("doc_id", "quality", "content_hash")
+
+
 @query(
     "s_dim_upsert",
     oracle=f"""
