@@ -610,6 +610,92 @@ def s_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_kafka_replay",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_kafka_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka data plane on recorded wire bytes (§2A #1/#2/#14 evidence
+    path — sources/kafka_replay.py): a distributed 'producer' records a
+    transcript with the Kafka source's exact row shape (binary key/value,
+    Confluent-framed Avro envelopes from the engine codec, murmur2
+    partitions, dense per-partition offsets); the transcript replays as a
+    stream through the production consumer topology — unframe + Avro
+    decode on executors, envelope -> after projection, dimension enrich,
+    parquet sink. Byte-identical to a broker-fed run everywhere past the
+    socket; the oracle pins the decoded+enriched output against the
+    parquet ground truth."""
+    import pandas as pd
+
+    from ..sources.avro_codec import EVENTS_ENVELOPE_AVSC, AvroCodec, confluent_unframe
+    from ..sources.kafka_replay import (
+        record_kafka_transcript,
+        replay_kafka_transcript,
+        transcript_end_offsets,
+    )
+
+    tune(spark)
+    topic_dir, out, ckpt = _tmp("kr_topic"), _tmp("kr_out"), _tmp("kr_ckpt")
+    from ..catalog import table as load_table
+
+    events = load_table(spark, sf_dir, "events")
+    record_kafka_transcript(events, topic_dir, n_partitions=4)
+    # sanity: the transcript has broker-like dense offsets on 4 partitions
+    ends = transcript_end_offsets(spark, topic_dir)
+    assert sum(ends.values()) == events.count(), ends
+
+    schema_id = 7
+
+    def decode(batches):
+        codec = AvroCodec(EVENTS_ENVELOPE_AVSC)
+        for pdf in batches:
+            cols: dict[str, list] = {"id": [], "user_id": [], "event_type": [], "value": []}
+            for buf in pdf["value"]:
+                sid, body = confluent_unframe(bytes(buf))
+                if sid != schema_id:
+                    raise ValueError(f"unexpected schema id {sid}")
+                after = codec.decode(body)["after"]
+                for k in cols:
+                    cols[k].append(after["id" if k == "id" else k])
+            yield pd.DataFrame(cols)
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        decoded = batch.select("value").mapInPandas(
+            decode, "id long, user_id long, event_type string, value double"
+        )
+        dim = batch.sparkSession.read.parquet(f"{sf_dir}/customer.parquet")
+        enriched = decoded.join(
+            F.broadcast(dim), decoded.user_id == dim.c_custkey, "left"
+        ).select(
+            "id",
+            "user_id",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+            F.col("value"),
+        )
+        enriched.write.mode("append").parquet(out)
+
+    src = replay_kafka_transcript(spark, topic_dir)
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+
+
 def _curation_incremental_oracle() -> str:
     from .text import _STOP_SQL
 

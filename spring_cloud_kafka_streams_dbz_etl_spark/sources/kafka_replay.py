@@ -1,0 +1,173 @@
+"""Recorded-Kafka-transcript replay: broker-shaped evidence without a broker.
+
+The sandbox has neither a Kafka broker nor the spark-sql-kafka artifact,
+so the connector itself (`sources/streams.py::kafka_cdc_source`) cannot
+execute here. This module closes the rest of the gap: it RECORDS a
+transcript — rows byte-identical to what ``.format("kafka").load()``
+yields (key/value binary, topic, partition, offset, timestamp,
+timestampType), with Confluent-framed Avro values produced by the
+engine's own codec and partitions assigned by Kafka's actual default
+partitioner (murmur2, Apache Kafka ``Utils.murmur2`` — public algorithm)
+— and REPLAYS it as a stream through the production decode + enrich
+topology. Everything downstream of the socket runs on real wire bytes;
+only the network client remains untested (KAFKA.md carries the recipe
+for running that against the reference's docker-compose topology).
+
+Reference parity: the transcript is the durable topic (§2A #1), offsets
+are per-partition and dense like broker offsets (#18), and the replayed
+consumer is the same micro-batch machinery a Kafka-fed query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Exactly the schema Spark's Kafka source produces (minus headers, which
+# are opt-in via includeHeaders).
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+_M = 0x5BD1E995
+_MASK = 0xFFFFFFFF
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (32-bit, seed 0x9747b28c) — the hash behind the
+    default producer partitioner, ported from the public Apache Kafka
+    ``Utils.murmur2``. Returns the SIGNED 32-bit value Java would."""
+    length = len(data)
+    h = (0x9747B28C ^ length) & _MASK
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _M) & _MASK
+        k ^= k >> 24
+        k = (k * _M) & _MASK
+        h = (h * _M) & _MASK
+        h ^= k
+    rem = length & 3
+    if rem == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * _M) & _MASK
+    h ^= h >> 13
+    h = (h * _M) & _MASK
+    h ^= h >> 15
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def default_partition(key: bytes, n_partitions: int) -> int:
+    """Kafka DefaultPartitioner for keyed records: toPositive(murmur2) % n."""
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+def record_kafka_transcript(
+    events: DataFrame,
+    path: str,
+    topic: str = "dbserver1.public.events",
+    n_partitions: int = 4,
+    schema_id: int = 7,
+) -> None:
+    """Produce the transcript: each event becomes a Debezium-style change
+    envelope, Avro-encoded and Confluent-framed by the engine codec on
+    EXECUTORS (Arrow-batched — the producer side is distributed), keyed by
+    the record id's 8-byte big-endian bytes, partitioned by murmur2 like a
+    real producer, with dense per-partition offsets in event_id order.
+
+    Scale: encode is map-only; the only shuffle is the per-partition
+    offset window — which a real broker performs implicitly by appending.
+    """
+    import pandas as pd
+
+    from .avro_codec import EVENTS_ENVELOPE_AVSC, AvroCodec, confluent_frame
+
+    n_parts = n_partitions
+
+    def produce(batches):
+        codec = AvroCodec(EVENTS_ENVELOPE_AVSC)
+        for pdf in batches:
+            keys, values, parts = [], [], []
+            for r in pdf.itertuples(index=False):
+                key = int(r.event_id).to_bytes(8, "big")
+                envelope = {
+                    "before": None,
+                    "after": {
+                        "id": int(r.event_id),
+                        "user_id": int(r.user_id),
+                        "event_type": None if r.event_type is None else str(r.event_type),
+                        "value": None if pd.isna(r.value) else float(r.value),
+                    },
+                    "source": {"table": "events", "lsn": int(r.event_id)},
+                    "op": "c",
+                    "ts_ms": None,
+                }
+                keys.append(key)
+                values.append(confluent_frame(schema_id, codec.encode(envelope)))
+                parts.append(default_partition(key, n_parts))
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "value": values,
+                    "partition": pd.array(parts, dtype="int32"),
+                    "event_id": pdf["event_id"],
+                    "timestamp": pdf["ts"],
+                }
+            )
+
+    produced = events.select(
+        "event_id", "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+    ).mapInPandas(
+        produce,
+        "key binary, value binary, partition int, event_id long, timestamp timestamp",
+    )
+    w = Window.partitionBy("partition").orderBy("event_id")
+    transcript = produced.select(
+        "key",
+        "value",
+        F.lit(topic).alias("topic"),
+        "partition",
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        "timestamp",
+        F.lit(0).alias("timestampType"),  # CreateTime
+    )
+    transcript.write.mode("overwrite").parquet(path)
+
+
+def replay_kafka_transcript(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The transcript as a streaming DataFrame with the Kafka source's
+    exact schema — a drop-in stand-in for ``kafka_cdc_source`` whose rows
+    are byte-identical to broker-fed ones."""
+    reader = spark.readStream.schema(KAFKA_SOURCE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def transcript_end_offsets(spark: SparkSession, path: str) -> dict[int, int]:
+    """Per-partition end offsets (max committed + 1) — the
+    ``AdminClient.listOffsets(latest)`` analogue over a transcript, used
+    for lag math against a consumer's committed positions."""
+    rows = (
+        spark.read.schema(KAFKA_SOURCE_SCHEMA)
+        .parquet(path)
+        .groupBy("partition")
+        .agg((F.max("offset") + 1).alias("end"))
+        .collect()
+    )
+    return {int(r["partition"]): int(r["end"]) for r in rows}

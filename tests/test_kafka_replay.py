@@ -1,0 +1,64 @@
+"""Recorded-Kafka-transcript mechanics (sources/kafka_replay.py): the
+murmur2 partitioner, broker-shaped transcript invariants, and offset/lag
+arithmetic. The decoded+enriched replay itself is oracle-checked by
+s_kafka_replay in the parity suite."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+from spring_cloud_kafka_streams_dbz_etl_spark.sources.kafka_replay import (
+    KAFKA_SOURCE_SCHEMA,
+    default_partition,
+    murmur2,
+    record_kafka_transcript,
+    transcript_end_offsets,
+)
+
+
+def _tmp() -> str:
+    return tempfile.mkdtemp(prefix=f"kreplay_{uuid.uuid4().hex[:8]}_")
+
+
+def test_murmur2_is_java_signed_32bit_and_stable():
+    # stable across calls, signed 32-bit range, spreads keys
+    vals = {murmur2(str(i).encode()) for i in range(1000)}
+    assert len(vals) > 990  # effectively injective on this key set
+    assert all(-(1 << 31) <= v < (1 << 31) for v in vals)
+    assert murmur2(b"hello") == murmur2(b"hello")
+    assert murmur2(b"") == murmur2(b"")
+    # tail-byte handling: lengths 1..5 cover every switch arm
+    assert len({murmur2(b"x" * n) for n in range(1, 6)}) == 5
+
+
+def test_default_partition_in_range_and_balanced():
+    n = 4
+    parts = [default_partition(int(i).to_bytes(8, "big"), n) for i in range(10_000)]
+    assert set(parts) <= set(range(n))
+    counts = [parts.count(p) for p in range(n)]
+    assert min(counts) > 10_000 / n / 2  # no dead partition
+
+def test_transcript_is_broker_shaped(spark, sf_smoke):
+    path = _tmp()
+    events = table(spark, sf_smoke, "events")
+    record_kafka_transcript(events, path, n_partitions=4)
+    t = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    n = events.count()
+    assert t.count() == n
+    rows = t.select("partition", "offset", "key", "topic", "timestampType").collect()
+    assert {r.topic for r in rows} == {"dbserver1.public.events"}
+    assert {r.timestampType for r in rows} == {0}
+    # offsets dense per partition starting at 0 (broker append semantics)
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), p
+    # partitions follow the murmur2 default partitioner on the key bytes
+    for r in rows[:200]:
+        assert r.partition == default_partition(bytes(r.key), 4)
+    # end-offset math equals per-partition counts (lag arithmetic input)
+    ends = transcript_end_offsets(spark, path)
+    assert ends == {p: len(offs) for p, offs in by_part.items()}
