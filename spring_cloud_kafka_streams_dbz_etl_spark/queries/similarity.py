@@ -403,6 +403,64 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(probes, codes, k=TOPK)
 
 
+def _pq_ivf_adc_oracle() -> str:
+    m_count, _, sub, _ = _pq_consts()
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_pq_cb_sql()} AS CB
+  FROM embeddings
+), dd AS (
+  SELECT vec_id, label, v, CB, {_pq_dd_sql()} AS dd FROM v
+), coded AS (
+  SELECT vec_id, label, CB,
+         list_transform(dd, d -> list_position(d, list_min(d)) - 1) AS codes
+  FROM dd
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({adc}, 9) AS adc_dist,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS INT) AS rank
+  FROM (SELECT vec_id, label, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+  JOIN coded c ON q.label = c.label
+  WHERE q.vec_id <> c.vec_id)
+WHERE rank <= {TOPK}
+"""
+
+
+@query("q_ann_ivfpq", oracle=_pq_ivf_adc_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ fused ANN (the FAISS IVFADC layout, the de-facto
+    billion-scale architecture): the corpus lives as PQ codes partitioned
+    by IVF cell (`label`); each probe scores codes ONLY in its own cell
+    via the asymmetric-distance LUT. Two multiplicative scan cuts — the
+    cell predicate partition-prunes to nprobe/n_cells of the files, and
+    each surviving row is 8 nibble codes instead of 256 bytes of floats —
+    so a probe at 10^9 vectors touches ~1/n_cells x 1/32 of the bytes a
+    brute-force scan would.
+
+    Composes q_ann_ivf's pruning with q_pq_adc_topk's compression; still
+    one pass over the (pruned) codes relation for all probes, map-only
+    until the tiny per-probe top-k window."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES).toPandas()
+    codes = pq_encode(fan_out(e, spark), keep_cols=("label",)).select(
+        "vec_id", "label", "pq_codes"
+    )
+    return pq_adc_topk(probes, codes, k=TOPK, cell_col="label")
+
+
 @query(
     "q_semantic_clusters",
     bench=True,

@@ -477,3 +477,54 @@ def test_pq_adc_matches_numpy_lut(spark, sf_smoke):
         want = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:5]
         for rank, (vid, d) in enumerate(want, start=1):
             assert got[(int(q.vec_id), vid)] == (d, rank), (q.vec_id, vid)
+
+
+def test_pq_adc_cell_restricted_matches_numpy(spark, sf_smoke):
+    """IVF-PQ fusion (pq_adc_topk with cell_col): every neighbor shares
+    the probe's cell, and within-cell ranking equals the numpy LUT model
+    restricted to that cell — i.e. the cell predicate prunes the scan
+    without changing any surviving distance."""
+    import numpy as np
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = table(spark, sf_smoke, "embeddings").limit(150)
+    codes_df = pq_encode(e, keep_cols=("label",))
+    probes = e.filter("vec_id < 3").toPandas()
+    out = pq_adc_topk(probes, codes_df, k=5, cell_col="label")
+    got = {(r.query_id, r.neighbor_id): (r.adc_dist, r.rank) for r in out.collect()}
+
+    sub = 64 // PQ_SUBSPACES
+    books = np.array(
+        [[pq_codebook(m, k, sub) for k in range(PQ_K)] for m in range(PQ_SUBSPACES)]
+    )
+    coded = {
+        r.vec_id: (r.label, [int(c) for c in r.pq_codes.split(",")])
+        for r in codes_df.collect()
+    }
+    for _, q in probes.iterrows():
+        qv = np.array(q.embedding, dtype="float64")
+        luts = [
+            ((books[m] - qv[m * sub : (m + 1) * sub]) ** 2).sum(axis=1)
+            for m in range(PQ_SUBSPACES)
+        ]
+        dists = {
+            vid: round(sum(float(luts[m][c[m]]) for m in range(PQ_SUBSPACES)), 9)
+            for vid, (lbl, c) in coded.items()
+            if vid != q.vec_id and lbl == q.label  # IVF: own cell only
+        }
+        want = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[: min(5, len(dists))]
+        got_q = sorted(
+            ((nid, dr) for (qid, nid), dr in got.items() if qid == int(q.vec_id)),
+            key=lambda kv: kv[1][1],
+        )
+        assert [n for n, _ in got_q] == [n for n, _ in want], q.vec_id
+        for rank, (vid, d) in enumerate(want, start=1):
+            assert got[(int(q.vec_id), vid)] == (d, rank), (q.vec_id, vid)
