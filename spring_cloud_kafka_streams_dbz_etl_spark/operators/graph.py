@@ -52,10 +52,14 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
+    # Seed labels with min(id, min neighbor id): identical to the state
+    # after one propagation round from identity labels, but computed as a
+    # bare groupBy on the edge list (no join against a label relation) —
+    # one full join+checkpoint round saved on every graph.
     labels = (
-        und.select(F.col("a").alias("id"))  # both directions -> all endpoints
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        und.groupBy("a")  # both directions -> all endpoints
+        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
         .localCheckpoint(eager=True)
     )
     changed = 0

@@ -115,6 +115,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_dlq_split",
         "s_dlq_reprocess", "s_stateful_count", "s_dedup_stream",
         "s_offset_reset", "s_idempotent_sink",
+        # connected-components seed changed round 4 (neighborhood-min
+        # init, one round saved) — the two CC-consuming cluster queries
+        # re-front even though r03 rows were green
+        "q_dup_clusters", "q_semantic_clusters",
     }
 )
 
