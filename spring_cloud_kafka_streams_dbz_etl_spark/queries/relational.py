@@ -149,6 +149,68 @@ def q_join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bucketed_join",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_DSUM.format(e='l_quantity')} AS sum_qty,
+       {_DSUM.format(e='l_extendedprice')} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_totalprice
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both orders and lineitem
+    are written as bucketed tables (same bucket count, bucketed+sorted on
+    the order key), so the join AND the per-order aggregate run with ZERO
+    exchanges — bucket i of one table joins bucket i of the other in
+    place (pinned by ``test_bucketed_join_has_no_exchange``).
+
+    This is the standing answer to the biggest shuffle in the engine: at
+    100 TB the orders x lineitem repartition is the dominant network
+    cost of every order-grain query, and bucketing both facts on the
+    order key at WRITE time amortizes that one shuffle across every
+    subsequent join, aggregate, and MERGE at that grain. On a real
+    deployment the bucketed write happens once in the ingest path (table
+    format clustering); here the query materializes the bucketed tables
+    from the parquet inputs, then runs the exchange-free join.
+    """
+    import os
+    import tempfile
+
+    tune(spark)
+    n_buckets = 8
+    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    src = {
+        "orders": ("o_orderkey", ["o_orderkey", "o_totalprice"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+    }
+    for tbl, (key, cols) in src.items():
+        name = f"bkt_{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(tmp, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+@query(
     "q_semi_anti_join",
     oracle="""
 SELECT 'has_orders' AS status, c_custkey, c_name

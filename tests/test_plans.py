@@ -528,3 +528,35 @@ def test_pq_adc_cell_restricted_matches_numpy(spark, sf_smoke):
         assert [n for n, _ in got_q] == [n for n, _ in want], q.vec_id
         for rank, (vid, d) in enumerate(want, start=1):
             assert got[(int(q.vec_id), vid)] == (d, rank), (q.vec_id, vid)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """q_bucketed_join's contract IS its plan: both facts bucketed on the
+    order key -> SortMergeJoin AND per-order aggregate with zero
+    Exchange operators (the write-time shuffle amortization story).
+
+    At smoke scale the planner rightly broadcasts the tiny orders side,
+    so the test pins the 100 TB scenario — broadcast disabled (two fact
+    tables never fit memory) — where bucketing is what removes the
+    exchanges."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.relational import (
+        q_bucketed_join,
+    )
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        out = q_bucketed_join.__wrapped__(spark, sf_smoke)
+        text = explain_str(out)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "SortMergeJoin" in text, text[:2000]
+    assert "Exchange" not in text, text[:2000]
+    assert "Bucketed: true" in text or "SelectedBucketsCount" in text, text[:2000]
