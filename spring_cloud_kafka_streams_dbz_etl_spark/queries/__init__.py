@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc,
         curation,
         dedup,
+        layout,
         multimodal,
         olap,
         pii,

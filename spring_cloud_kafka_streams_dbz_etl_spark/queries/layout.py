@@ -1,0 +1,103 @@
+"""Data-layout query surface: Z-order clustering for multi-column file
+skipping.
+
+Generalizes the reference's single-key physical layout (Kafka topics
+partitioned by record key — one clustering dimension) to the analytic
+engine's need: scans filtered by MORE than one column. A single-column
+sort gives parquet min/max pruning on that column only; the Morton
+(Z-order) interleave bounds EVERY indexed column's value range per file
+— the clustering primitive behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+Determinism: bucket encoding and bit interleave are integer/IEEE-exact
+expressions restated verbatim in the DuckDB oracle; no sampling, no
+rank — the file assignment is a pure function of the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.layout import min_max_bucket, z_file_id, z_value
+from ..session import tune
+from . import query
+
+Z_BITS = 16
+N_FILES = 64  # 6 z-prefix bits -> top 3 bits of EACH dimension fixed per file
+
+
+def _bucket_sql(col: str, lo: str, hi: str) -> str:
+    span = f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END)"
+    scaled = (
+        f"CAST(FLOOR(((CAST({col} AS DOUBLE) - {lo}) / {span}) * "
+        f"{(1 << Z_BITS) - 1}) AS BIGINT)"
+    )
+    return f"GREATEST(0, LEAST({(1 << Z_BITS) - 1}, {scaled}))"
+
+
+def _interleave_sql(a: str, b: str) -> str:
+    # bit i of each bucket -> z bit i*2 (col a) / i*2+1 (col b); matches
+    # operators.layout.z_value([a, b], Z_BITS) exactly.
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {i * 2})")
+        terms.append(f"((({b} >> {i}) & 1) << {i * 2 + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    shift = 2 * Z_BITS - max(1, N_FILES - 1).bit_length()
+    return f"""
+WITH g AS (
+  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo_a, MAX(CAST(o_custkey AS DOUBLE)) AS hi_a,
+         MIN(CAST(o_totalprice AS DOUBLE)) AS lo_b, MAX(CAST(o_totalprice AS DOUBLE)) AS hi_b
+  FROM orders
+), b AS (
+  SELECT o_orderkey,
+         {_bucket_sql('o_custkey', 'lo_a', 'hi_a')} AS ba,
+         {_bucket_sql('o_totalprice', 'lo_b', 'hi_b')} AS bb
+  FROM orders CROSS JOIN g
+), z AS (
+  SELECT o_orderkey, ({_interleave_sql('ba', 'bb')}) AS z_val FROM b
+)
+SELECT o_orderkey, z_val, CAST(z_val >> {shift} AS INT) AS file_id FROM z
+"""
+
+
+@query("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment over orders on (o_custkey,
+    o_totalprice): min/max-bucket both columns to 16 bits (bounds from a
+    1-row broadcast aggregate — no collect), interleave into a 32-bit
+    Morton code, and take the top 6 bits as the file id — every file
+    then spans at most 1/8 of BOTH dimensions, so a selective filter on
+    either column skips ~7/8 of the files (pinned by
+    ``test_zorder_bounds_both_dims_per_file``).
+
+    Scale: the z-value is pure codegen'd bit arithmetic on the scan (the
+    1-row bounds aggregate is the only pre-pass); the clustered write is
+    `repartitionByRange(n, z).sortWithinPartitions(z)` — one range
+    shuffle, the same cost as any sorted write, paid once at ingest and
+    amortized over every subsequent multi-predicate scan.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    g = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo_a"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi_a"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo_b"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi_b"),
+    )
+    ba = min_max_bucket(F.col("o_custkey"), F.col("lo_a"), F.col("hi_a"), Z_BITS)
+    bb = min_max_bucket(F.col("o_totalprice"), F.col("lo_b"), F.col("hi_b"), Z_BITS)
+    z = z_value([ba, bb], Z_BITS)
+    return (
+        o.crossJoin(F.broadcast(g))
+        .select("o_orderkey", z.alias("z_val"))
+        .select(
+            "o_orderkey",
+            "z_val",
+            z_file_id(F.col("z_val"), 2 * Z_BITS, N_FILES).alias("file_id"),
+        )
+    )

@@ -560,3 +560,60 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     assert "SortMergeJoin" in text, text[:2000]
     assert "Exchange" not in text, text[:2000]
     assert "Bucketed: true" in text or "SelectedBucketsCount" in text, text[:2000]
+
+
+def test_zorder_bounds_both_dims_per_file(spark, sf_smoke):
+    """The point of z-ordering: every file's span is bounded on BOTH
+    indexed dimensions (~1/8 of each with 6 prefix bits), where a
+    single-column sort leaves the second dimension unclustered (spans
+    ~the full range). Bounded spans per file == parquet min/max pruning
+    works for filters on either column."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        min_max_bucket,
+        z_file_id,
+        z_value,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.layout import N_FILES, Z_BITS
+
+    o = table(spark, sf_smoke, "orders")
+    g = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo_a"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi_a"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo_b"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi_b"),
+    )
+    ba = min_max_bucket(F.col("o_custkey"), F.col("lo_a"), F.col("hi_a"), Z_BITS)
+    bb = min_max_bucket(F.col("o_totalprice"), F.col("lo_b"), F.col("hi_b"), Z_BITS)
+    bucketed = o.crossJoin(F.broadcast(g)).select(
+        ba.alias("ba"), bb.alias("bb"), z_value([ba, bb], Z_BITS).alias("z")
+    )
+
+    # z-order layout: both dims bounded per file
+    dim_span = 1 << (Z_BITS - 3)  # 3 prefix bits fixed per dim at 64 files
+    spans = (
+        bucketed.withColumn("f", z_file_id(F.col("z"), 2 * Z_BITS, N_FILES))
+        .groupBy("f")
+        .agg(
+            (F.max("ba") - F.min("ba")).alias("span_a"),
+            (F.max("bb") - F.min("bb")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert spans, "no files"
+    assert all(r.span_a < dim_span and r.span_b < dim_span for r in spans), sorted(
+        (r.span_a, r.span_b) for r in spans
+    )[-3:]
+
+    # single-column layout: clustering on ba leaves bb unbounded —
+    # most files span a large fraction of the bb range
+    lin = (
+        bucketed.withColumn("f", z_file_id(F.col("ba") * (1 << Z_BITS), 2 * Z_BITS, N_FILES))
+        .groupBy("f")
+        .agg((F.max("bb") - F.min("bb")).alias("span_b"))
+        .collect()
+    )
+    wide = sum(1 for r in lin if r.span_b > 4 * dim_span)
+    assert wide > len(lin) // 2, (wide, len(lin))
