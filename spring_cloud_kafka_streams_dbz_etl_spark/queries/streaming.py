@@ -696,6 +696,58 @@ def s_kafka_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
 
 
+@query(
+    "s_kafka_sink_replay",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_kafka_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka SINK path executed for real minus only the socket (§2A
+    #14 — sources/kafka_replay.py::kafka_transcript_sink): the streaming
+    enrichment topology 'produces' every output row as broker-shaped
+    bytes — engine-codec Avro, Confluent framing, murmur2 partitions,
+    per-partition offsets that CONTINUE across micro-batches (broker
+    append semantics) — and the verification CONSUMES the transcript
+    back (unframe + decode on executors). The oracle pins the full
+    produce->consume round trip against the parquet ground truth: a
+    serialization bug, a partitioner mismatch, or an offset collision
+    all surface as a hash mismatch."""
+    from ..sources.kafka_replay import decode_enriched_transcript, kafka_transcript_sink
+
+    tune(spark)
+    topic_dir, ckpt = _tmp("ksink_topic"), _tmp("ksink_ckpt")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    sink = kafka_transcript_sink(topic_dir, n_partitions=4)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        enriched = batch.join(
+            F.broadcast(dim), batch.user_id == dim.c_custkey, "left"
+        ).select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+            "value",
+        )
+        sink(enriched, epoch)
+
+    src = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    _run_to_completion(
+        lambda: src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    return decode_enriched_transcript(spark, topic_dir)
+
+
 def _curation_incremental_oracle() -> str:
     from .text import _STOP_SQL
 

@@ -62,3 +62,53 @@ def test_transcript_is_broker_shaped(spark, sf_smoke):
     # end-offset math equals per-partition counts (lag arithmetic input)
     ends = transcript_end_offsets(spark, path)
     assert ends == {p: len(offs) for p, offs in by_part.items()}
+
+
+def test_sink_transcript_appends_broker_offsets(spark, sf_smoke):
+    """kafka_transcript_sink across micro-batches: offsets stay dense per
+    partition and CONTINUE from the previous batch's end (broker append),
+    partitions follow murmur2 on the key bytes, and the decoded
+    round-trip returns exactly the produced rows."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.kafka_replay import (
+        KAFKA_SOURCE_SCHEMA,
+        decode_enriched_transcript,
+        default_partition,
+        kafka_transcript_sink,
+    )
+
+    path = _tmp()
+    base = (
+        table(spark, sf_smoke, "events")
+        .select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.lit("n").alias("name"),
+            F.lit("SEG").alias("segment"),
+            "event_type",
+            "value",
+        )
+        .limit(400)
+    )
+    sink = kafka_transcript_sink(path, n_partitions=3)
+    b1 = base.filter("id % 2 = 0")
+    b2 = base.filter("id % 2 = 1")
+    sink(b1, 0)
+    sink(b2, 1)
+
+    t = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    assert t.count() == base.count()
+    rows = t.select("partition", "offset", "key", "timestampType").collect()
+    assert {r.timestampType for r in rows} == {1}  # LogAppendTime
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.partition == default_partition(bytes(r.key), 3)
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), (p, sorted(offs)[:5])
+
+    decoded = decode_enriched_transcript(spark, path)
+    assert sorted(r.id for r in decoded.collect()) == sorted(
+        r.id for r in base.collect()
+    )
