@@ -82,3 +82,106 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = table(spark, sf_dir, "documents")
     return frame_sample(decode_media(attach_binary_payload(d)), every_n=2)
+
+
+@query(
+    "q_media_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS INT) AS width,
+         CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, text, width, height,
+         LEAST(1.0, 32.0 / GREATEST(width, height)) AS scale
+  FROM d
+), r AS (
+  SELECT doc_id, text, width, height,
+         GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS out_width,
+         GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS out_height
+  FROM s
+)
+SELECT doc_id, width, height, out_width, out_height,
+       CAST(out_width * out_height AS BIGINT) AS out_len,
+       md5(text || (out_width || 'x' || out_height)) AS out_head_md5
+FROM r
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnail/preprocess stage end-to-end (operators/multimodal.py::
+    resize_media): binary payload -> Arrow-batched mapInPandas resize.
+    Output dimensions are real aspect-preserving math; the resample is the
+    deterministic stub (fake body = md5(payload||'WxH') repeated), so the
+    oracle recomputes dims AND the body head in SQL — the hash check
+    covers the Python stage value-for-value, Arrow plumbing included.
+    The emitted out_len / out_head_md5 are the scalar canonicalization of
+    the binary body (the driver's canonicalizer can't hash raw bytes).
+
+    Scale: map-only; resize is the dominant byte-REDUCTION stage — run
+    before any shuffle so shuffles carry thumbnails, not originals."""
+    from ..operators.multimodal import attach_binary_payload, resize_media
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    out = resize_media(attach_binary_payload(d), max_side=32)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.length("out_bytes").cast("bigint").alias("out_len"),
+        # body = md5 digest cycled to out_len bytes; its 16-byte head IS
+        # the digest (out_len >= 36 for every reachable dim pair)
+        F.lower(F.hex(F.substring("out_bytes", 1, 16))).alias("out_head_md5"),
+    )
+
+
+@query(
+    "q_media_features",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(text) AS x FROM documents
+), w AS (
+  -- 8 big-endian uint32 words over the digest cycled to 32 bytes
+  -- (word i reads hex chars [8*(i%4)+1, 8]); value = u/2^31 - 1 exactly
+  SELECT doc_id,
+         [CAST(('0x' || substr(x, 8 * (i % 4) + 1, 8)) AS BIGINT) / 2147483648.0 - 1.0
+          FOR i IN range(0, 8)] AS v
+  FROM h
+)
+SELECT doc_id, 8 AS dim,
+       array_to_string(
+         [CAST(FLOOR(CAST(CAST(u AS REAL) AS DOUBLE) * 1000000) AS BIGINT)
+          FOR u IN v], ',') AS feat_q6
+FROM w
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoder stage of a multimodal curation pipeline (operators/
+    multimodal.py::extract_features): payload -> Arrow-batched mapInPandas
+    -> 8-d embedding (deterministic md5-derived stub where the CLIP
+    forward pass would run; identical payloads get identical vectors, so
+    exact-dup detection through the embedding path is exercised for
+    real). Emitted as floor(x*1e6) integers per dimension — float32
+    storage canonicalized identically in both engines (IEEE
+    double->float32->double round-trip, then exact integer floor).
+
+    Scale: the real encoder batches onto accelerators per partition with
+    exactly this schema/batch shape; output feeds q_embedding_cosine_dup
+    / q_semantic_clusters unchanged."""
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    out = extract_features(attach_binary_payload(d), dim=8)
+    q6 = F.transform(
+        F.col("feat"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long").cast("string"),
+    )
+    return out.select(
+        "doc_id",
+        F.lit(8).alias("dim"),
+        F.array_join(q6, ",").alias("feat_q6"),
+    )
