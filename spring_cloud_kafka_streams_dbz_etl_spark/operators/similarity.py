@@ -412,3 +412,98 @@ def pandas_topk_scores(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- distributed k-means (IVF cell training) --------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_cells(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means over the corpus — the TRAINING half of the IVF
+    path (q_ann_ivf/q_ann_ivfpq consume a cell assignment; this is where
+    the cells come from). Returns (id, cell, dist) for the final
+    assignment.
+
+    Spark-first iteration shape (the MLlib pattern): the MODEL (k×dim
+    centroids) is driver-side metadata, the DATA never leaves executors.
+    Each round is (a) a map-only argmin assignment with centroids inlined
+    as literals, (b) one groupBy(cell, dim) over exploded integer
+    components to get per-dim sums/counts (map-side combinable,
+    k×dim-row result), (c) a k×dim collect to rebuild the literals.
+    Nothing data-sized ever reaches the driver.
+
+    Cross-engine determinism (same policy as LSH/PQ): vectors enter as
+    floor(x·int_scale) BIGINTs, centroids are sum/(n·int_scale) doubles
+    (exact integer operands -> one IEEE division, bit-identical
+    everywhere), distances accumulate (iv/int_scale − c)² in ascending
+    dimension order, argmin tie-breaks on the smaller cell id. Seeds are
+    the k smallest ``id_col`` rows — deterministic, no RNG.
+
+    Scale: per round, the argmin is whole-stage-codegen'd map work and
+    the update is ONE shuffle of k×dim partial sums (bytes independent
+    of corpus size). iters is fixed (production IVF trains on a sample
+    anyway); convergence quality is the standard Lloyd guarantee.
+    """
+    iv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * float(int_scale)).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("__id"), iv.alias("iv")).persist()
+
+    seeds = base.orderBy("__id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
+    cents = [[float(r.iv[d]) / float(int_scale) for d in range(dim)] for r in seeds]
+
+    def assign(cents_now: list[list[float]]) -> DataFrame:
+        cands = []
+        for cell, c in enumerate(cents_now):
+            dist = None
+            for d in range(dim):
+                t = F.element_at("iv", d + 1) / F.lit(float(int_scale)) - F.lit(c[d])
+                term = t * t
+                dist = term if dist is None else dist + term
+            cands.append(F.struct(dist.alias("dist"), F.lit(cell).alias("cell")))
+        best = F.array_min(F.array(*cands))
+        return base.select(
+            "__id", "iv", best["cell"].alias("cell"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        stats = (
+            assigned.select("cell", F.posexplode("iv").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
+        cents = [
+            [
+                float(by_cell[cell][d][0]) / (float(by_cell[cell][d][1]) * float(int_scale))
+                if cell in by_cell
+                else cents[cell][d]  # empty cell keeps its centroid
+                for d in range(dim)
+            ]
+            for cell in range(k)
+        ]
+
+    out = assign(cents).select(
+        F.col("__id").alias(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(F.col("dist"), 6).alias("dist"),
+    )
+    base.unpersist()
+    return out

@@ -521,3 +521,77 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_kept"),
     )
+
+
+# -- k-means IVF training ----------------------------------------------------
+
+def _kmeans_oracle() -> str:
+    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
+
+    k, dim, scale = KMEANS_K, 64, 1_000_000
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), d -> "
+        f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
+    )
+
+    def assign(src_iv: str, cents: str, out: str, extra: str = ", i.iv") -> str:
+        return f"""{out} AS (
+  SELECT vec_id{extra.replace('i.', '')}, cell, dist FROM (
+    SELECT i.vec_id{extra}, s.cell, {dist} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY {dist} ASC, s.cell ASC) AS rn
+    FROM {src_iv} i CROSS JOIN {cents} s)
+  WHERE rn = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""{out}_u AS (
+  SELECT cell, d, SUM(iv[d]) AS s, COUNT(*) AS n
+  FROM {assigned} CROSS JOIN range(1, {dim + 1}) t(d)
+  GROUP BY cell, d
+), {out}_new AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {scale}.0) ORDER BY d) AS c
+  FROM {out}_u GROUP BY cell
+), {out} AS (
+  SELECT cell, c FROM {out}_new
+  UNION ALL
+  SELECT cell, c FROM {prev} WHERE cell NOT IN (SELECT cell FROM {out}_new)
+)"""
+
+    return f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
+  FROM iv
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), {assign('iv', 'c0', 'a1')}, {update('a1', 'c0', 'c1')},
+{assign('iv', 'c1', 'a2')}, {update('a2', 'c1', 'c2')},
+{assign('iv', 'c2', 'af', extra=', i.iv')}
+SELECT vec_id, CAST(cell AS INT) AS cell, ROUND(dist, 6) AS dist FROM af
+"""
+
+
+@query("q_kmeans_cells", oracle=_kmeans_oracle())
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means — the TRAINING half of the IVF path (the cell
+    assignments q_ann_ivf / q_ann_ivfpq consume). Lloyd's algorithm in
+    the MLlib shape: the k x 64 centroid MODEL lives driver-side and is
+    inlined as literals into a map-only argmin assignment; the update is
+    one groupBy(cell, dim) over exploded integer components whose result
+    is k x dim rows regardless of corpus size — data never reaches the
+    driver, shuffle bytes are constant per round.
+
+    Cross-engine determinism (the LSH/PQ policy): integer vectors
+    floor(x*1e6), centroids sum/(n*1e6) as one exact-operand IEEE
+    division, distances accumulated in ascending-dimension order, argmin
+    tie-break on smaller cell; seeds are the k smallest vec_ids (no
+    RNG). The oracle unrolls both Lloyd iterations as CTEs, including
+    the empty-cell keep-old-centroid rule."""
+    from ..operators.similarity import kmeans_cells
+
+    tune(spark)
+    return kmeans_cells(fan_out(table(spark, sf_dir, "embeddings"), spark))
