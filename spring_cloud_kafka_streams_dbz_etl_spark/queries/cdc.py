@@ -139,3 +139,59 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "event_id", "event_type", "value",
         "valid_from", "valid_to", "is_current",
     )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value >= 0
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n % 2 = 1
+            THEN MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+            ELSE (MAX(CASE WHEN rn = n // 2 THEN value END)
+                  + MAX(CASE WHEN rn = n // 2 + 1 THEN value END)) / 2
+       END AS median_value
+FROM v GROUP BY event_type, n
+""",
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pandas UDF surface (§2B 'scalar +
+    grouped-agg'): an Arrow-batched UDAF — numpy median per event_type —
+    used directly inside groupBy().agg() alongside a built-in count.
+    Completes the Python-function family (scalar pandas_udf:
+    q_udf_scalar; table function: q_udtf_tokens; grouped agg: here).
+
+    Determinism: numpy's even-count median is (lo+hi)*0.5 on exact
+    doubles — identical to the oracle's (lo+hi)/2 middle-rank
+    formulation (both exact IEEE ops on the same two values).
+
+    Scale: each group's values stream into ONE Arrow batch — the
+    documented constraint of grouped-agg UDFs (per-group data must fit
+    an executor); for billion-row groups use the sketch surface
+    (q_approx_stats) or the exact rank-based q_percentiles instead.
+    This query exists to prove the plumbing on the right-sized case."""
+    import numpy as np
+
+    tune(spark)
+
+    @F.pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Catalyst refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a
+    # pandas aggregate too — both ride the same Arrow exchange.
+    @F.pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    return ev.groupBy("event_type").agg(
+        np_count(F.col("value")).alias("n"),
+        np_median(F.col("value")).alias("median_value"),
+    )
