@@ -304,7 +304,11 @@ def pq_adc_topk(
     standard IVF-PQ (FAISS IVFADC) layout.
     """
     sub = dim // subspaces
-    parts = F.split(F.col("pq_codes"), ",")
+    # Parse the code string ONCE per row into an int array (projection
+    # below); referencing the split expression per (probe x subspace)
+    # would re-split the string up to n_probes*subspaces times per row —
+    # measured 1.6x on the ADC scan (tools/measure_ann.py).
+    parts = F.col("__codes")
 
     def dist_for(qv: list[float]) -> F.Column:
         dist = None
@@ -344,7 +348,14 @@ def pq_adc_topk(
         return codes.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adc_dist double, rank int"
         )
-    scored = codes.select(
+    parsed = codes.select(
+        F.col(id_col),
+        *([F.col(cell_col)] if cell_col is not None else []),
+        F.transform(F.split(F.col("pq_codes"), ","), lambda x: x.cast("int")).alias(
+            "__codes"
+        ),
+    )
+    scored = parsed.select(
         F.col(id_col).alias("neighbor_id"),
         *([F.col(cell_col)] if cell_col is not None else []),
         F.explode(F.array(*entries)).alias("__q"),
