@@ -364,3 +364,49 @@ def q_avro_registry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, user_id long, event_type string, value double, "
         "op string, parse_failed boolean, error string",
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+SELECT event_id, user_id, value,
+       CASE WHEN event_id % 2 = 0 THEN NULL
+            ELSE 'r' || CAST(user_id % 4 AS VARCHAR) END AS source_region
+FROM events
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the sink/lake path: the upstream producer adds
+    a column mid-stream (the Debezium reality every CDC consumer faces —
+    ALTER TABLE upstream, new envelope fields downstream). Generation 1
+    files lack ``source_region``; generation 2 files carry it; a
+    mergeSchema read unifies them with NULLs for pre-evolution rows —
+    no rewrite of old data, the additive-evolution contract Avro/
+    parquet/table formats share.
+
+    Scale: schema merge is a FOOTER-level operation (per-file schemas
+    union at planning; data pages are untouched); the read stays one
+    scan. Pin the merged schema in production readers (mergeSchema scans
+    footers of every file — fine per table, not per query at 100 TB;
+    table formats track the evolved schema in metadata for exactly this
+    reason)."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    path = _tmpdir("schema_evo")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "value")
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")).alias(
+            "source_region"
+        ),
+    )
+    gen1.write.mode("overwrite").parquet(f"{path}/d=1")
+    gen2.write.mode("overwrite").parquet(f"{path}/d=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .select("event_id", "user_id", "value", "source_region")
+    )

@@ -748,6 +748,80 @@ def s_kafka_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_enriched_transcript(spark, topic_dir)
 
 
+@query(
+    "s_kafka_txn_sink",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_kafka_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exactly_once_v2 on the sink transcript (the reference's
+    processing.guarantee upgrade path, CLAUDE.md:157-159): the
+    transactional producer appends data rows, then commits the batch's
+    per-partition offset ranges to the aborted-transaction-index
+    sidecar. This query INJECTS a crash between append and commit on
+    the first attempt of epoch 0, restarts the stream from the same
+    checkpoint (the retried epoch re-appends at fresh offsets — the
+    aborted rows stay in the log, exactly like Kafka), and consumes
+    with read_committed isolation. The oracle pins that the committed
+    view is exactly-once: duplicates from the aborted attempt exist in
+    the raw log but never reach the committed result — a hash match
+    PROVES the isolation filter, since the raw log holds every row
+    twice."""
+    from ..sources.kafka_replay import decode_enriched_transcript, kafka_transcript_sink
+
+    tune(spark)
+    topic_dir, ckpt = _tmp("ktxn_topic"), _tmp("ktxn_ckpt")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sink = kafka_transcript_sink(
+        topic_dir,
+        n_partitions=4,
+        transactional=True,
+        abort_first_attempt_epochs=frozenset({0}),
+    )
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        enriched = batch.join(
+            F.broadcast(dim), batch.user_id == dim.c_custkey, "left"
+        ).select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+            "value",
+        )
+        sink(enriched, epoch)
+
+    def start():
+        return (
+            stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(process)
+            .start()
+        )
+
+    q = start()
+    crashed = False
+    try:
+        q.processAllAvailable()
+    except Exception:  # the injected crash fails the first run
+        crashed = True
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert crashed, "injected abort did not surface"
+    _run_to_completion(start)  # restart: epoch 0 retries and commits
+    return decode_enriched_transcript(spark, topic_dir, committed_only=True)
+
+
 def _curation_incremental_oracle() -> str:
     from .text import _STOP_SQL
 

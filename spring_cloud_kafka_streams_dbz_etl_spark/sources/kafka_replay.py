@@ -199,6 +199,8 @@ def kafka_transcript_sink(
     topic: str = "entity.events.enriched",
     n_partitions: int = 4,
     schema_id: int = 9,
+    transactional: bool = False,
+    abort_first_attempt_epochs: frozenset[int] = frozenset(),
 ):
     """A ``foreachBatch`` sink with ``kafka_sink_writer``'s semantics
     executed for real, minus only the socket: every enriched output row
@@ -213,7 +215,17 @@ def kafka_transcript_sink(
     window shuffles only this batch's rows on the (bounded) partition
     key; the base-offset lookup is a tiny metadata aggregate, exactly
     the producer's metadata fetch.
+
+    ``transactional=True`` adds exactly_once_v2 semantics: after the
+    data append, the batch's per-partition offset ranges are committed
+    to the ``_txn/`` sidecar (see :func:`read_committed`); a crash
+    between append and commit — injectable per epoch via
+    ``abort_first_attempt_epochs``, first attempt only — leaves aborted
+    rows in the log that read_committed filters out, and the retried
+    epoch re-appends at fresh offsets exactly like a Kafka transactional
+    producer.
     """
+    attempts: dict[int, int] = {}
 
     def write(batch_df: DataFrame, _epoch: int) -> None:
         import pandas as pd
@@ -274,14 +286,36 @@ def kafka_transcript_sink(
             F.lit(1).alias("timestampType"),  # LogAppendTime
         )
         transcript.write.mode("append").parquet(path)
+        if not transactional:
+            return
+        attempts[_epoch] = attempts.get(_epoch, 0) + 1
+        if _epoch in abort_first_attempt_epochs and attempts[_epoch] == 1:
+            # simulated crash AFTER the data append, BEFORE the commit —
+            # the aborted rows stay in the log at their offsets
+            raise RuntimeError(f"injected crash before txn commit (epoch {_epoch})")
+        # commit: this batch's appended ranges = (old end, new end) per
+        # partition — metadata-only, no data re-read
+        new_ends = transcript_end_offsets(spark, path)
+        ranges = [
+            (int(_epoch), p, int(base.get(p, 0)), int(end - 1))
+            for p, end in new_ends.items()
+            if end - 1 >= base.get(p, 0)
+        ]
+        if ranges:
+            spark.createDataFrame(
+                ranges, "epoch long, part int, lo long, hi long"
+            ).coalesce(1).write.mode("append").parquet(txn_ranges_path(path))
 
     return write
 
 
-def decode_enriched_transcript(spark: SparkSession, path: str) -> DataFrame:
+def decode_enriched_transcript(
+    spark: SparkSession, path: str, committed_only: bool = False
+) -> DataFrame:
     """Consume a sink transcript back into typed rows (unframe + Avro
     decode on executors) — the consumer-side check that what the sink
-    'produced' is exactly the topology's output."""
+    'produced' is exactly the topology's output. ``committed_only``
+    consumes with read_committed isolation (aborted rows filtered)."""
     import pandas as pd
 
     from .avro_codec import AvroCodec, confluent_unframe
@@ -300,13 +334,48 @@ def decode_enriched_transcript(spark: SparkSession, path: str) -> DataFrame:
                     cols[k].append(rec[k])
             yield pd.DataFrame(cols)
 
-    return (
-        spark.read.schema(KAFKA_SOURCE_SCHEMA)
-        .parquet(path)
-        .select("value")
-        .mapInPandas(
-            decode,
-            "id long, user_id long, name string, segment string, "
-            "event_type string, value double",
-        )
+    src = (
+        read_committed(spark, path)
+        if committed_only
+        else spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    )
+    return src.select("value").mapInPandas(
+        decode,
+        "id long, user_id long, name string, segment string, "
+        "event_type string, value double",
+    )
+
+
+# -- transactional produce / read-committed consume --------------------------
+#
+# Kafka's exactly_once_v2 story on the transcript: a transactional
+# producer's data records occupy log offsets whether or not the
+# transaction commits; the broker tracks committed ranges, and a
+# read_committed consumer filters out aborted ones. The transcript
+# mirrors exactly that: data rows append as usual, and a COMMIT writes
+# this batch's per-partition offset ranges to the ``_txn/`` sidecar
+# (the aborted-transaction-index analogue). A crash between the data
+# append and the range commit leaves orphaned rows in the log — visible
+# to read_uncommitted, invisible to read_committed — which is precisely
+# Kafka's abort semantics.
+
+def txn_ranges_path(path: str) -> str:
+    return f"{path}/_txn"
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame:
+    """The transcript as a read_committed consumer sees it: only rows
+    whose (partition, offset) fall inside a committed range. Ranges are
+    tiny metadata (rows per partition per epoch) -> broadcast semi-join,
+    the same cost shape as Kafka's client-side aborted-range filter."""
+    t = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    r = spark.read.parquet(txn_ranges_path(path))
+    # t["offset"], not t.offset — DataFrame.offset is the OFFSET method
+    # in Spark 4 and attribute access would bind it instead of the column
+    return t.join(
+        F.broadcast(r),
+        (t["partition"] == r["part"])
+        & (t["offset"] >= r["lo"])
+        & (t["offset"] <= r["hi"]),
+        "left_semi",
     )

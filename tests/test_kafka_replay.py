@@ -112,3 +112,55 @@ def test_sink_transcript_appends_broker_offsets(spark, sf_smoke):
     assert sorted(r.id for r in decoded.collect()) == sorted(
         r.id for r in base.collect()
     )
+
+
+def test_txn_sink_read_committed_filters_aborted(spark, sf_smoke):
+    """Transactional transcript semantics: an aborted attempt's rows stay
+    in the raw log (read_uncommitted sees duplicates) but read_committed
+    sees exactly one copy — the exactly_once_v2 contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.kafka_replay import (
+        KAFKA_SOURCE_SCHEMA,
+        decode_enriched_transcript,
+        kafka_transcript_sink,
+        read_committed,
+    )
+
+    path = _tmp()
+    base = (
+        table(spark, sf_smoke, "events")
+        .select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.lit("n").alias("name"),
+            F.lit("SEG").alias("segment"),
+            "event_type",
+            "value",
+        )
+        .limit(300)
+    )
+    n = base.count()
+    sink = kafka_transcript_sink(
+        path,
+        n_partitions=3,
+        transactional=True,
+        abort_first_attempt_epochs=frozenset({0}),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink(base, 0)  # data appended, commit never written
+    raw = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    assert raw.count() == n  # aborted rows occupy the log
+
+    sink(base, 0)  # retry commits at fresh offsets
+    # fresh read: the first DataFrame pinned its file listing at creation
+    raw = spark.read.schema(KAFKA_SOURCE_SCHEMA).parquet(path)
+    assert raw.count() == 2 * n  # read_uncommitted: both attempts
+    committed = read_committed(spark, path)
+    assert committed.count() == n  # read_committed: exactly once
+    # committed rows are the RETRY's offsets (after the aborted range)
+    decoded = decode_enriched_transcript(spark, path, committed_only=True)
+    assert sorted(r.id for r in decoded.collect()) == sorted(
+        r.id for r in base.collect()
+    )
