@@ -495,3 +495,91 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 1, 3).alias("etype3"),
         F.length("props").cast("int").alias("props_len"),
     )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       CAST((SELECT COUNT(*) FROM
+              (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+            AS BIGINT) AS violations,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS population
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0)
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders_date_not_null',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+""",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the expectations pass every production lake
+    runs before publishing a table): primary-key uniqueness,
+    referential integrity orders->customer and lineitem->orders (anti
+    joins), domain constraints, and null gates — one row per check with
+    its violation count and population.
+
+    Scale: uniqueness is one groupBy on the key; each FK check is a
+    LEFT ANTI join that shuffles only the key column (or broadcasts the
+    dim side under AQE); constraint/null gates are map-side counts.
+    Each check is a separate small aggregate — at 100 TB you run them
+    as one pass per fact table, and a failed expectation gates the
+    publish instead of corrupting downstream joins silently.
+    """
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    def check(name: str, violating: DataFrame, population: DataFrame) -> DataFrame:
+        # pure dataflow — each check is a 1-row aggregate x 1-row
+        # aggregate cross join, no driver-side actions anywhere
+        return (
+            violating.agg(F.count(F.lit(1)).alias("violations"))
+            .crossJoin(population.agg(F.count(F.lit(1)).alias("population")))
+            .select(F.lit(name).alias("check_name"), "violations", "population")
+        )
+
+    checks = [
+        check(
+            "orders_pk_unique",
+            o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+            o,
+        ),
+        check(
+            "orders_fk_customer",
+            o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"),
+            o,
+        ),
+        check(
+            "lineitem_fk_orders",
+            li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"),
+            li,
+        ),
+        check(
+            "lineitem_qty_positive",
+            li.filter(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+            li,
+        ),
+        check("orders_date_not_null", o.filter(F.col("o_orderdate").isNull()), o),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
