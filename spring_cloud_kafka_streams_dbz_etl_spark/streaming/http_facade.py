@@ -29,6 +29,7 @@ from .registry import UnknownStreamError
 _ROUTES = [
     ("GET", re.compile(r"^/api/stream/([^/]+)/status$"), "status"),
     ("GET", re.compile(r"^/api/stream/([^/]+)/offsets$"), "offsets"),
+    ("GET", re.compile(r"^/api/stream/([^/]+)/metrics$"), "metrics"),
     ("POST", re.compile(r"^/api/stream/([^/]+)/start$"), "start"),
     ("POST", re.compile(r"^/api/stream/([^/]+)/stop$"), "stop"),
     ("POST", re.compile(r"^/api/stream/([^/]+)/offsets/reset/earliest$"), "reset_earliest"),
@@ -159,6 +160,8 @@ def _invoke(registry: Any, action: str, name: str, body: dict) -> tuple[int, dic
         return 200, {**registry.status(name), **stamp}
     if action == "offsets":
         return 200, {**registry.offsets(name), **stamp}
+    if action == "metrics":
+        return 200, {**registry.metrics(name), **stamp}
     if action in ("start", "stop"):
         return 200, {**getattr(registry, action)(name), **stamp}
     if action == "reset_earliest":

@@ -144,6 +144,39 @@ class StreamRegistry:
             }
         return out
 
+    # -- metrics (§2A #13, the actuator-/metrics analogue) ----------------
+    def metrics(self, name: str) -> dict[str, Any]:
+        """Cumulative throughput metrics from the query's retained
+        progress events (Spark keeps the last ~100): batches, input rows,
+        rows/sec, trigger durations. The Spark twin of the reference's
+        micrometer/actuator stream metrics — no extra listener machinery,
+        the engine already emits progress per micro-batch."""
+        s = self._get(name)
+        q = s.query
+        progresses = list(q.recentProgress) if q is not None else []
+        total_rows = 0
+        trigger_ms: list[int] = []
+        rates: list[float] = []
+        for p in progresses:
+            total_rows += int(p.get("numInputRows") or 0)
+            dur = (p.get("durationMs") or {}).get("triggerExecution")
+            if dur is not None:
+                trigger_ms.append(int(dur))
+            rate = p.get("processedRowsPerSecond")
+            if rate:
+                rates.append(float(rate))
+        return {
+            "name": name,
+            "running": bool(q is not None and q.isActive),
+            "batches": len(progresses),
+            "totalInputRows": total_rows,
+            "avgProcessedRowsPerSecond": (
+                round(sum(rates) / len(rates), 3) if rates else None
+            ),
+            "maxTriggerMs": max(trigger_ms) if trigger_ms else None,
+            "lastTriggerMs": trigger_ms[-1] if trigger_ms else None,
+        }
+
     # -- offsets (§2A #18) -----------------------------------------------
     def offsets(self, name: str) -> dict[str, Any]:
         """Committed vs available positions + lag, from the checkpoint's

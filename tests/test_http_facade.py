@@ -35,6 +35,10 @@ class StubRegistry:
         self._known(name)
         return {"name": name, "committedBatch": 3, "endBatch": 3, "lag": 0}
 
+    def metrics(self, name):
+        self._known(name)
+        return {"name": name, "running": True, "batches": 2, "totalInputRows": 10}
+
     def start(self, name):
         self._known(name)
         self.calls.append(("start", name))
@@ -344,3 +348,15 @@ def test_schema_registry_routes():
         assert e.value.code == 404
     finally:
         bare.stop()
+
+
+def test_metrics_route(facade):
+    _, base = facade
+    code, payload = _call(f"{base}/api/stream/animal/metrics")
+    assert code == 200 and payload["batches"] == 2 and "timestamp" in payload
+    # unknown stream -> 404, same as every other stream route
+    try:
+        _call(f"{base}/api/stream/nope/metrics")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

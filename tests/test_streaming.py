@@ -475,3 +475,23 @@ def test_upsert_dimension_api_visible_to_next_batch(spark, sf_smoke):
 
     out2 = spark.read.schema(ENRICHED_SCHEMA).parquet(out)
     assert out2.filter(F.col("user_id") % 2 == 1).count() > 0
+
+
+def test_stream_metrics_cumulative(spark, sf_smoke):
+    """§2A #13 metrics: the registry's /metrics view accumulates retained
+    progress events — batches, input rows, rows/sec, trigger durations —
+    while the query runs, and survives (running=False) after stop."""
+    out, dlq, ckpt = _tmp("out"), _tmp("dlq"), _tmp("ckpt")
+    cfg = CdcPipelineConfig(sf_dir=sf_smoke, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("main", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("main")
+    m = reg.metrics("main")
+    assert m["running"] is True
+    assert m["batches"] >= 1
+    assert m["totalInputRows"] > 0
+    assert m["avgProcessedRowsPerSecond"] is None or m["avgProcessedRowsPerSecond"] > 0
+    assert m["lastTriggerMs"] is None or m["lastTriggerMs"] >= 0
+    reg.stop("main")
+    m2 = reg.metrics("main")
+    assert m2["running"] is False
