@@ -20,6 +20,8 @@ consumer is the same micro-batch machinery a Kafka-fed query uses.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -174,8 +176,6 @@ def transcript_end_offsets(spark: SparkSession, path: str) -> dict[int, int]:
 
 
 # -- sink-side transcript (§2A #14, the produce half) -----------------------
-
-import json as _json
 
 ENRICHED_RECORD_AVSC = _json.dumps(
     {

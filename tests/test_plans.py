@@ -617,3 +617,55 @@ def test_zorder_bounds_both_dims_per_file(spark, sf_smoke):
     )
     wide = sum(1 for r in lin if r.span_b > 4 * dim_span)
     assert wide > len(lin) // 2, (wide, len(lin))
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
+    """q_kmeans_cells' Spark dataflow == a plain numpy Lloyd's run with
+    the same integer-vector policy, seeds, and tie-breaks — guards
+    against the oracle SQL merely mirroring a shared bug."""
+    import numpy as np
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_cells,
+    )
+
+    e = table(spark, sf_smoke, "embeddings").limit(200)
+    got = {r.vec_id: (r.cell, r.dist) for r in kmeans_cells(e).collect()}
+
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    iv = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype="float64") * 1e6).astype("int64")
+        for r in rows
+    }
+    cents = [iv[r.vec_id].astype("float64") / 1e6 for r in rows[:KMEANS_K]]
+
+    def assign(cents_now):
+        out = {}
+        for vid, v in iv.items():
+            pts = v.astype("float64") / 1e6
+            dists = [float(((pts - c) ** 2).sum()) for c in cents_now]
+            cell = min(range(KMEANS_K), key=lambda i: (dists[i], i))
+            out[vid] = (cell, dists[cell])
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cents)
+        sums = {}
+        for vid, (cell, _d) in a.items():
+            s, n = sums.get(cell, (np.zeros(64, dtype="int64"), 0))
+            sums[cell] = (s + iv[vid], n + 1)
+        cents = [
+            (sums[c][0].astype("float64") / (float(sums[c][1]) * 1e6))
+            if c in sums
+            else cents[c]
+            for c in range(KMEANS_K)
+        ]
+    want = assign(cents)
+    assert set(got) == set(want)
+    for vid, (cell, dist) in want.items():
+        gcell, gdist = got[vid]
+        assert gcell == cell, vid
+        assert abs(gdist - round(dist, 6)) < 1e-9, vid
