@@ -547,37 +547,57 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     c = table(spark, sf_dir, "customer")
 
+    def cnt_if(cond) -> F.Column:
+        return F.count(F.when(cond, 1)).cast("bigint")
+
+    # One fused scan per fact table carries its population AND every
+    # map-side gate as conditional counts; only the structurally-
+    # shuffling checks (PK groupBy, FK anti joins) get their own pass.
+    # Pure dataflow — 1-row aggregates cross-joined/unioned, zero
+    # driver-side actions.
+    o_scan = o.agg(
+        F.count(F.lit(1)).alias("population"),
+        cnt_if(F.col("o_orderdate").isNull()).alias("null_date"),
+    )
+    li_scan = li.agg(
+        F.count(F.lit(1)).alias("population"),
+        cnt_if(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+            "bad_qty"
+        ),
+    )
+
     def check(name: str, violating: DataFrame, population: DataFrame) -> DataFrame:
-        # pure dataflow — each check is a 1-row aggregate x 1-row
-        # aggregate cross join, no driver-side actions anywhere
         return (
             violating.agg(F.count(F.lit(1)).alias("violations"))
-            .crossJoin(population.agg(F.count(F.lit(1)).alias("population")))
+            .crossJoin(population.select("population"))
             .select(F.lit(name).alias("check_name"), "violations", "population")
+        )
+
+    def gate(name: str, scan: DataFrame, viol_col: str) -> DataFrame:
+        return scan.select(
+            F.lit(name).alias("check_name"),
+            F.col(viol_col).alias("violations"),
+            "population",
         )
 
     checks = [
         check(
             "orders_pk_unique",
             o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
-            o,
+            o_scan,
         ),
         check(
             "orders_fk_customer",
             o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"),
-            o,
+            o_scan,
         ),
         check(
             "lineitem_fk_orders",
             li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"),
-            li,
+            li_scan,
         ),
-        check(
-            "lineitem_qty_positive",
-            li.filter(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
-            li,
-        ),
-        check("orders_date_not_null", o.filter(F.col("o_orderdate").isNull()), o),
+        gate("lineitem_qty_positive", li_scan, "bad_qty"),
+        gate("orders_date_not_null", o_scan, "null_date"),
     ]
     out = checks[0]
     for df in checks[1:]:
