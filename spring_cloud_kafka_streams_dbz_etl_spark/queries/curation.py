@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..session import tune
 from . import query
 
@@ -211,5 +211,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("gh").alias("n_shared_ngrams"),
             F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_int
+  FROM per_src
+)
+SELECT source, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6) AS actual_share,
+       ROUND(CAST(w_int AS DOUBLE) / SUM(w_int) OVER (), 6) AS target_share,
+       ROUND((CAST(w_int AS DOUBLE) / SUM(w_int) OVER ())
+             / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()), 6) AS weight
+FROM w
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planning (temperature resampling, the
+    multilingual/multi-source standard, alpha=0.5): per source, the
+    corpus' ACTUAL token share and the TARGET share proportional to
+    tokens^alpha, and the resulting sampling weight target/actual
+    (>1 upsample, <1 downsample) — the table a training loader consumes
+    to hit the planned mixture.
+
+    Determinism: sqrt is IEEE-correctly-rounded, but a SUM of 20 doubles
+    is accumulation-order-dependent — so the temperature weights are
+    floored to integers (floor(sqrt(tokens)*1e6) BIGINT) before the
+    global sum, making both totals exact integers; every division is
+    then a single deterministic IEEE op on identical operands.
+
+    Scale: one map-side-combinable groupBy(source); the global window
+    runs over ONE row per source (mixtures have dozens of sources, not
+    millions) — the only all-to-one step is bounded by design."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    per_src = fan_out(d, spark).groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
+    )
+    w_int = F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast("long")
+    win = Window.partitionBy()
+    actual = F.col("tokens").cast("double") / F.sum("tokens").over(win)
+    target = F.col("w_int").cast("double") / F.sum("w_int").over(win)
+    return (
+        per_src.withColumn("w_int", w_int)
+        .select(
+            "source",
+            "tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / actual, 6).alias("weight"),
         )
     )
