@@ -822,6 +822,126 @@ def s_kafka_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_enriched_transcript(spark, topic_dir, committed_only=True)
 
 
+@query(
+    "s_schema_drift",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       e.event_type, e.value,
+       CASE WHEN e.event_id % 2 = 1
+            THEN 'r' || CAST(e.user_id % 4 AS VARCHAR) END AS region
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema drift — the ALTER-TABLE-upstream reality of CDC:
+    half the topic's records were produced under envelope schema v1, half
+    under v2 (the after-record gained a nullable ``region`` field), each
+    Confluent-framed with ITS OWN schema id. The consumer decodes every
+    record with the WRITER schema resolved from its frame, then
+    schema-resolves onto the v2 READER (Avro Schema Resolution:
+    reader-only fields take their defaults) — so v1 records flow through
+    the same topology with region NULL, no stream restart, no DLQ. This
+    is exactly what KafkaAvroDeserializer + the registry give the
+    reference; here it is the engine's own codec doing it per record on
+    executors (sources/avro_codec.py::decode_framed_as).
+
+    Scale: the registry dict is schemas-not-data and ships inside the
+    mapInPandas closure; resolution caches parsed schemas per id, so the
+    per-record cost is a dict hit."""
+    import json as j
+
+    import pandas as pd
+
+    from ..sources.avro_codec import EVENTS_ENVELOPE_AVSC, SchemaRegistry
+
+    tune(spark)
+    v2_schema = j.loads(EVENTS_ENVELOPE_AVSC)
+    # the before-field declares the named record "Value" (after references
+    # it); v2 adds a nullable defaulted field to that declaration
+    value_rec = v2_schema["fields"][0]["type"][1]
+    value_rec["fields"].append(
+        {"name": "region", "type": ["null", "string"], "default": None}
+    )
+    v2_json = j.dumps(v2_schema)
+    reg = SchemaRegistry()
+    v1_id = reg.register(EVENTS_ENVELOPE_AVSC, subject="events-value")
+    v2_id = reg.register(v2_json, subject="events-value")
+
+    topic_dir, out, ckpt = _tmp("drift_topic"), _tmp("drift_out"), _tmp("drift_ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def produce(batches):
+        for pdf in batches:
+            vals = []
+            for r in pdf.itertuples(index=False):
+                after = {
+                    "id": int(r.event_id),
+                    "user_id": int(r.user_id),
+                    "event_type": None if r.event_type is None else str(r.event_type),
+                    "value": None if pd.isna(r.value) else float(r.value),
+                }
+                env = {
+                    "before": None,
+                    "after": after,
+                    "source": {"table": "events", "lsn": int(r.event_id)},
+                    "op": "c",
+                    "ts_ms": None,
+                }
+                if r.event_id % 2 == 1:  # produced AFTER the upstream ALTER
+                    after["region"] = f"r{int(r.user_id) % 4}"
+                    vals.append(reg.encode_framed(v2_id, env))
+                else:
+                    vals.append(reg.encode_framed(v1_id, env))
+            yield pd.DataFrame({"value": vals})
+
+    ev.mapInPandas(produce, "value binary").write.mode("overwrite").parquet(topic_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "id": [], "user_id": [], "event_type": [], "value": [], "region": [],
+            }
+            for buf in pdf["value"]:
+                _sid, env = reg.decode_framed_as(bytes(buf), v2_json)
+                after = env["after"]
+                for k in cols:
+                    cols[k].append(after["id" if k == "id" else k])
+            yield pd.DataFrame(cols)
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        decoded = batch.select("value").mapInPandas(
+            decode,
+            "id long, user_id long, event_type string, value double, region string",
+        )
+        dim = batch.sparkSession.read.parquet(f"{sf_dir}/customer.parquet")
+        enriched = decoded.join(
+            F.broadcast(dim), decoded.user_id == dim.c_custkey, "left"
+        ).select(
+            "id",
+            "user_id",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            "event_type",
+            "value",
+            "region",
+        )
+        enriched.write.mode("append").parquet(out)
+
+    src = spark.readStream.schema("value binary").parquet(topic_dir)
+    _run_to_completion(
+        lambda: src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    return spark.read.schema(
+        "id long, user_id long, name string, event_type string, "
+        "value double, region string"
+    ).parquet(out)
+
+
 def _curation_incremental_oracle() -> str:
     from .text import _STOP_SQL
 
