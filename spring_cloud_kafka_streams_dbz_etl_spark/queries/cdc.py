@@ -195,3 +195,57 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_count(F.col("value")).alias("n"),
         np_median(F.col("value")).alias("median_value"),
     )
+
+
+@query(
+    "q_dim_time_travel",
+    oracle="""
+SELECT 1 AS version, c_custkey, c_name, c_acctbal FROM customer
+UNION ALL
+SELECT 2, c_custkey,
+       CASE WHEN c_custkey % 100 = 0 THEN 'UPDATED' ELSE c_name END,
+       CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END
+FROM customer
+UNION ALL
+SELECT 2, 1000000000, 'NEW', 0.0
+""",
+)
+def q_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the CRUD dimension store (the AS OF contract table
+    formats give a lakehouse, here from the immutable-version commits of
+    sources/sinks.py): commit the customer dim (v1), upsert updates plus
+    a new key (v2), then read BOTH versions side by side —
+    ``load_dimension(version=1)`` still serves the exact pre-upsert
+    snapshot while v2 is current, proving snapshot isolation as a query
+    (the streaming twin is s_dim_upsert's between-batch visibility).
+
+    Scale: version resolution is directory metadata; each version read
+    is a plain immutable-parquet scan. Retention here is
+    current+previous; production table formats make the window a
+    config knob — the reader contract is identical."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.sinks import load_dimension, upsert_dimension
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix=f"dimtt_{_uuid.uuid4().hex[:8]}_")
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upsert_dimension(base, path, keys=["c_custkey"])  # -> _v00001
+    updates = base.filter(F.col("c_custkey") % 100 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_name"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(1000000000, "NEW", 0.0)], "c_custkey long, c_name string, c_acctbal double"
+        )
+    )
+    upsert_dimension(updates, path, keys=["c_custkey"])  # -> _v00002
+    v1 = load_dimension(spark, path, version=1)
+    v2 = load_dimension(spark, path)  # current == version 2
+    return v1.select(F.lit(1).alias("version"), "c_custkey", "c_name", "c_acctbal").unionByName(
+        v2.select(F.lit(2).alias("version"), "c_custkey", "c_name", "c_acctbal")
+    )

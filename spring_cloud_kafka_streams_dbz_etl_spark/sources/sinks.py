@@ -149,14 +149,25 @@ def _version_dir(path: str, n: int) -> str:
     return f"{path}/{_VERSION_RE}{n:05d}"
 
 
-def load_dimension(spark: SparkSession, path: str) -> DataFrame:
-    """Read the CURRENT committed version of a dimension. For CRUD-
-    maintained dims this resolves the highest ``_vNNNNN`` subdirectory
-    (immutable — safe against concurrent upserts, no retry loop needed);
-    for static dims (plain parquet file/dir with no version subdirs) it
+def load_dimension(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version of a dimension — the CURRENT one by
+    default, or a specific retained ``version`` (time travel / AS OF:
+    versions are immutable, so a reader pinned to N sees a stable
+    snapshot regardless of concurrent upserts; pruning retains
+    current+previous, table formats retain as configured). For static
+    dims (plain parquet file/dir with no version subdirs) the default
     falls back to a direct read."""
     fs, target = _hadoop_fs(spark, path)
     versions = _list_versions(fs, target)
+    if version is not None:
+        if version not in versions:
+            raise FileNotFoundError(
+                f"dimension version {version} not retained at {path} "
+                f"(have {versions})"
+            )
+        return spark.read.parquet(_version_dir(path, version))
     if versions:
         return spark.read.parquet(_version_dir(path, versions[-1]))
     return spark.read.parquet(path)
