@@ -126,7 +126,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # Round 3's deferrals (the TPC-H trio) are cleared — CHECKED_BY_ROUND[3]
 # is recorded, so q_tpch_q3/q5/q10 now sort to the front as zero-checked
 # and earn their first driver rows in round 4.
-DEFERRED_NEW: frozenset[str] = frozenset()
+# Round 4's deferrals: q_tpch_q6/q18 landed after the round-4 window hit
+# its 40-zero-checked budget; they are locally parity-green at sf0.01 and
+# sf0.1 and will front the round-5 window once CHECKED_BY_ROUND[4] is
+# recorded and this set is cleared.
+DEFERRED_NEW: frozenset[str] = frozenset({"q_tpch_q6", "q_tpch_q18"})
 
 
 def times_checked(name: str) -> int:
