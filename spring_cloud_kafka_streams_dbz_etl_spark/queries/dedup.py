@@ -428,3 +428,42 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("cont_a") >= CONTAINMENT_MIN) | (F.col("cont_b") >= CONTAINMENT_MIN))
     )
+
+
+@query(
+    "q_dup_hubs",
+    oracle=f"""
+WITH {_minhash_cte()},
+und AS (
+  SELECT doc_a AS doc_id, doc_b AS other, jaccard FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other, jaccard FROM verified
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_degree,
+       MAX(jaccard) AS max_jaccard,
+       COUNT(*) >= 3 AS is_hub
+FROM und GROUP BY doc_id
+""",
+)
+def q_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-degree analysis over the near-dup graph: how many
+    near-duplicates each document has and its strongest match. High-degree
+    nodes ('hubs') are boilerplate/templates — the pages that match
+    hundreds of others and should be dropped wholesale rather than
+    pairwise-deduped (the standard triage view a curation team runs on
+    MinHash output before picking thresholds).
+
+    Scale: reuses the banded pair pipeline (never all-pairs); the degree
+    aggregate is one map-side-combinable groupBy over the pair list,
+    which is sparse at any scale."""
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("jaccard")
+    ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), F.col("jaccard")))
+    return und.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_degree"),
+        F.max("jaccard").alias("max_jaccard"),
+        (F.count(F.lit(1)) >= 3).alias("is_hub"),
+    )

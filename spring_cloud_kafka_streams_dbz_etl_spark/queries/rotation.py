@@ -130,7 +130,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # its 40-zero-checked budget; they are locally parity-green at sf0.01 and
 # sf0.1 and will front the round-5 window once CHECKED_BY_ROUND[4] is
 # recorded and this set is cleared.
-DEFERRED_NEW: frozenset[str] = frozenset({"q_tpch_q6", "q_tpch_q18"})
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {"q_tpch_q6", "q_tpch_q18", "q_dup_hubs"}
+)
 
 
 def times_checked(name: str) -> int:
