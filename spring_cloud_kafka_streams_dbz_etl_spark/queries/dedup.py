@@ -209,15 +209,16 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_fp_cte() -> str:
+    """CTEs t/h/s/f ending in f(doc_id, simhash) — shared by the
+    fingerprint query and the block-permutation near-dup join."""
     votes = ",\n    ".join(
         f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) % 2 = 1"
         f" THEN 1 ELSE -1 END) AS s_{j}"
         for j in range(16)
     )
     fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
 ), h AS (
   SELECT doc_id, md5(tok) AS hx FROM t
@@ -227,7 +228,12 @@ WITH t AS (
   FROM h GROUP BY doc_id
 ), f AS (
   SELECT doc_id, CAST({fp} AS INT) AS simhash FROM s
-)
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH {_simhash_fp_cte()}
 SELECT doc_id, simhash,
        CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
 FROM f
@@ -466,4 +472,75 @@ def q_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("dup_degree"),
         F.max("jaccard").alias("max_jaccard"),
         (F.count(F.lit(1)) >= 3).alias("is_hub"),
+    )
+
+
+SIMHASH_BLOCKS = 4
+SIMHASH_MAX_HAMMING = 3  # blocks-1 differing bits always leave a shared block
+
+
+@query(
+    "q_simhash_near_dup",
+    oracle=f"""
+WITH {{fp_cte}},
+bk AS (
+  SELECT doc_id, simhash, b AS block_idx, (simhash >> (b * 4)) & 15 AS block_val
+  FROM f CROSS JOIN range(0, {SIMHASH_BLOCKS}) t2(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash, b2.simhash) AS BIGINT)) AS INT) AS hamming
+FROM bk a
+JOIN bk b2 ON a.block_idx = b2.block_idx AND a.block_val = b2.block_val
+          AND a.doc_id < b2.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b2.simhash) AS BIGINT)) <= {SIMHASH_MAX_HAMMING}
+""".format(fp_cte=_simhash_fp_cte()),
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via the block-permutation trick (Manku et
+    al., WWW'07): split the 16-bit fingerprint into 4 blocks of 4 bits —
+    by pigeonhole, any pair within Hamming distance 3 agrees EXACTLY on
+    at least one block, so candidates come from a band equi-join on
+    (block_idx, block_bits) and only candidates pay the popcount. The
+    same banded shape as MinHash/LSH, but for bit fingerprints: never
+    all-pairs, one shuffle on the block key.
+
+    Scale: 4 rows per doc fan-out (map-only), candidate work is
+    Σ|block bucket|²; at 64-bit production fingerprints the same split
+    (e.g. 5 blocks for distance 4) holds — block width is the occupancy
+    knob exactly like lsh_bits_for."""
+    from ..operators.dedup import simhash16
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    docs = fan_out(d, spark).select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    fp = cache_scoped(simhash16(docs, "doc_id", "toks"))
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"),
+        "block_idx", "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"),
+        "block_idx", "block_val",
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")).cast("long")).cast("int")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )

@@ -131,7 +131,7 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # sf0.1 and will front the round-5 window once CHECKED_BY_ROUND[4] is
 # recorded and this set is cleared.
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_tpch_q6", "q_tpch_q18", "q_dup_hubs"}
+    {"q_tpch_q6", "q_tpch_q18", "q_dup_hubs", "q_simhash_near_dup"}
 )
 
 
