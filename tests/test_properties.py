@@ -341,3 +341,53 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, docs_tokens
         for b in ids:
             if a < b:
                 assert by_doc[a] & by_doc[b], (a, b)
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zvalue_interleave_is_bijective_and_prefix_bounds_dims(spark, pairs):
+    """Morton-code properties q_zorder_layout relies on: (a) the
+    interleave is a BIJECTION on (a, b) bucket pairs — distinct inputs
+    never collide, and de-interleaving recovers the inputs exactly;
+    (b) a z-prefix (file id) fixes the top bits of BOTH dimensions, the
+    min/max-bounding property that makes multi-column file skipping
+    work."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        z_file_id,
+        z_value,
+    )
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a",
+        "b",
+        z_value([F.col("a"), F.col("b")], 16).alias("z"),
+        z_file_id(z_value([F.col("a"), F.col("b")], 16), 32, 64).alias("f"),
+    ).collect()
+    seen = {}
+    for r in rows:
+        # de-interleave: even z bits -> a, odd z bits -> b
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
+        assert r.z not in seen or seen[r.z] == (r.a, r.b)
+        seen[r.z] = (r.a, r.b)
+        # file id = top 6 z bits
+        assert 0 <= r.f < 64
+        assert r.f == (r.z >> 26) & 0x3F
+        # same file -> same top-3 bits of both dims
+    by_file: dict[int, list] = {}
+    for r in rows:
+        by_file.setdefault(r.f, []).append(r)
+    for f, grp in by_file.items():
+        assert len({r.a >> 13 for r in grp}) == 1, f
+        assert len({r.b >> 13 for r in grp}) == 1, f
