@@ -89,50 +89,64 @@ _ROUND_3 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r04.json whose row was GREEN (50/50) — the round-4
+# window: the 18 NTZ-migration re-verifications (all green), the round's
+# new queries, and the first driver rows for TPC-H q3/q5/q10, PQ family,
+# k-means, media features/resize, schema evolution, txn sink. Zero red.
+_ROUND_4 = frozenset(
+    {
+        "q_ann_ivf", "q_ann_ivfpq", "q_avro_registry_dlq",
+        "q_avro_roundtrip", "q_bucketed_join", "q_cosine_topk",
+        "q_csv_source", "q_decontaminate", "q_dim_time_travel",
+        "q_dq_audit", "q_dup_clusters", "q_embedding_cosine_dup",
+        "q_hash_split", "q_json_source", "q_kmeans_cells",
+        "q_media_features", "q_media_resize", "q_mixture_weights",
+        "q_pii_redact", "q_pq_adc_topk", "q_pq_encode", "q_scalar_funcs",
+        "q_schema_evolution", "q_semantic_clusters", "q_sessionize",
+        "q_tpch_q10", "q_tpch_q3", "q_tpch_q5", "q_udaf_grouped",
+        "q_udtf_tokens", "q_vector_quantize", "q_zorder_layout",
+        "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_curation_incremental",
+        "s_dedup_stream", "s_dedup_within_watermark", "s_dlq_reprocess",
+        "s_dlq_split", "s_idempotent_sink", "s_kafka_replay",
+        "s_kafka_sink_replay", "s_kafka_txn_sink", "s_late_data",
+        "s_offset_reset", "s_schema_drift", "s_session_window",
+        "s_stateful_count", "s_stream_stream_join", "s_window_agg",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
     3: _ROUND_3,
+    4: _ROUND_4,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
 # driver row. A green row for the old plan says nothing about the new one,
 # so these re-front exactly like never-checked queries until re-verified.
-# Round 4: every events-time-reading query changed since its last green
-# row — round 3's TIMESTAMP_NTZ migration (d718afa/2c72621) plus round 4's
-# NTZ->LTZ cast before watermarking (sources/streams.py::stream_events)
-# re-planned the whole family. The five watermark queries were outright
-# broken at r03 HEAD (VERDICT r03 'What's wrong' #1); the rest re-front per
-# the ADVICE r03 medium finding. q_lsh_cosine / q_repetition cleared (green
-# r03 rows post-rewrite).
+# Round 4's NTZ-migration entries all re-verified green in r04 and are
+# cleared. Round 5 entries: plans rewritten this round per VERDICT r04
+# ("What's wrong" / ADVICE findings) after their last green row.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
-        # watermark family, broken at r03 HEAD, fixed this round
-        "s_window_agg", "s_late_data", "s_session_window",
-        "s_stream_stream_join", "s_dedup_within_watermark",
-        # events-reading plans changed by the NTZ migration + LTZ cast
-        "q_sessionize", "q_json_source", "q_csv_source",
-        "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_dlq_split",
-        "s_dlq_reprocess", "s_stateful_count", "s_dedup_stream",
-        "s_offset_reset", "s_idempotent_sink",
-        # connected-components seed changed round 4 (neighborhood-min
-        # init, one round saved) — the two CC-consuming cluster queries
-        # re-front even though r03 rows were green
-        "q_dup_clusters", "q_semantic_clusters",
+        # r5: blocked self-join gained an occupancy-bounded sub-split
+        "q_ngram_jaccard",
+        # r5: oracle cell numbering rewritten (ROW_NUMBER over seeds,
+        # ADVICE r04 low) — re-verify the pair stays in lockstep
+        "q_kmeans_cells",
+        # r5: per-run unique table names + temp-dir cleanup (ADVICE r04)
+        "q_bucketed_join",
+        # r5: exact companion columns added so the driver hash-checks
+        # the exact half (VERDICT r04 next-round #8)
+        "q_approx_stats",
     }
 )
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 3's deferrals (the TPC-H trio) are cleared — CHECKED_BY_ROUND[3]
-# is recorded, so q_tpch_q3/q5/q10 now sort to the front as zero-checked
-# and earn their first driver rows in round 4.
-# Round 4's deferrals: q_tpch_q6/q18 landed after the round-4 window hit
-# its 40-zero-checked budget; they are locally parity-green at sf0.01 and
-# sf0.1 and will front the round-5 window once CHECKED_BY_ROUND[4] is
-# recorded and this set is cleared.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_tpch_q6", "q_tpch_q18", "q_dup_hubs", "q_simhash_near_dup"}
-)
+# Round 4's deferrals are cleared — CHECKED_BY_ROUND[4] is recorded, so
+# q_tpch_q6/q18, q_simhash_near_dup, q_dup_hubs sort to the front as
+# zero-checked and earn their first driver rows in round 5.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
