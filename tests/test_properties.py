@@ -391,3 +391,103 @@ def test_zvalue_interleave_is_bijective_and_prefix_bounds_dims(spark, pairs):
     for f, grp in by_file.items():
         assert len({r.a >> 13 for r in grp}) == 1, f
         assert len({r.b >> 13 for r in grp}) == 1, f
+
+
+@settings(deadline=None, max_examples=50)
+@given(
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    st.sets(st.integers(0, 63), max_size=3),
+    st.integers(0, (1 << 16) - 1),
+    st.sets(st.integers(0, 15), max_size=3),
+)
+def test_simhash_block_pigeonhole_both_widths(fp64, flips64, fp16, flips16):
+    """The Manku block-permutation guarantee q_simhash_near_dup relies on:
+    flipping at most d = max_hamming bits of a fingerprint split into
+    d+1 blocks always leaves >= 1 block bit-identical (pigeonhole), so
+    the (block_idx, block_val) equi-join's candidate set is COMPLETE —
+    every true near-dup pair is a candidate. Pinned at the 64-bit
+    production width (16-bit blocks) and the 16-bit oracle width (4-bit
+    blocks)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.dedup import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCKS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    assert SIMHASH_BLOCKS == SIMHASH_MAX_HAMMING + 1
+
+    def blocks(x, n_blocks, bits):
+        mask = (1 << bits) - 1
+        return [(x >> (b * bits)) & mask for b in range(n_blocks)]
+
+    for fp, flips, width, n_blocks, bits in (
+        (fp64, flips64, 64, SIMHASH_BLOCKS, SIMHASH_BLOCK_BITS),
+        (fp16, flips16, 16, 4, 4),
+    ):
+        other = fp
+        for j in flips:
+            other ^= 1 << j
+        # two's-complement wrap for the 64-bit signed fingerprint
+        if width == 64 and other >= 1 << 63:
+            other -= 1 << 64
+        if width == 64 and other < -(1 << 63):
+            other += 1 << 64
+        ham = bin((fp ^ other) & ((1 << width) - 1)).count("1")
+        assert ham <= SIMHASH_MAX_HAMMING
+        shared = [
+            a == b
+            for a, b in zip(blocks(fp, n_blocks, bits), blocks(other, n_blocks, bits))
+        ]
+        assert any(shared), (fp, other, width)
+
+
+def test_simhash_width_for_tracks_corpus_size():
+    """simhash_width_for follows lsh_bits_for's occupancy rule: width
+    grows with corpus size so E|block bucket| stays <= target, capping at
+    the 64-bit BIGINT fingerprint."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        simhash_width_for,
+    )
+
+    assert simhash_width_for(10_000) == 32  # floor of 8 bits/block * 4
+    assert simhash_width_for(1_000_000) == 40  # ceil(log2(1e6/1024)) = 10
+    assert simhash_width_for(1_000_000_000) == 64  # 20 bits/block, capped
+    assert simhash_width_for(10**12) == 64  # cap
+    # monotone in n
+    widths = [simhash_width_for(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_simhash_bits_matches_python_model(spark):
+    """simhash_bits(width=64) equals a direct Python computation of the
+    same nibble-bit vote scheme, including the sign-bit (two's complement)
+    assembly for bit 63."""
+    import hashlib
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import simhash_bits
+
+    docs = [
+        (1, ["alpha", "beta", "gamma"]),
+        (2, ["alpha", "beta", "gamma", "delta"]),
+        (3, ["zed"]),
+    ]
+
+    def model(toks):
+        votes = [0] * 64
+        for t in set(toks):
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                nib = int(hx[j // 4], 16)
+                votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+        fp = 0
+        for j in range(63):
+            if votes[j] > 0:
+                fp += 1 << j
+        if votes[63] > 0:
+            fp += -(1 << 63)
+        return fp
+
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {r.doc_id: r.simhash for r in simhash_bits(df, "doc_id", "toks").collect()}
+    for doc_id, toks in docs:
+        assert got[doc_id] == model(toks), doc_id
