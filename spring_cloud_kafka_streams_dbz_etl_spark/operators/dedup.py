@@ -157,6 +157,67 @@ def simhash16(docs: DataFrame, id_col: str, token_col: str) -> DataFrame:
     return summed.select(id_col, fp.cast("int").alias("simhash"))
 
 
+def prefix_filter_candidates(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candidate pairs for an EXACT Jaccard join via prefix filtering
+    (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07).
+
+    Orders each set by ascending global element frequency (ties by
+    element) and keys the self-join on each side's first
+    |s| - ceil(t·|s|) + 1 elements only. Guarantee (pigeonhole over the
+    shared total order): any pair with J >= t shares at least one prefix
+    element, so the candidate set is COMPLETE; callers verify exact
+    Jaccard on candidates only. Threshold is a rational
+    ``threshold_num/threshold_den`` so prefix lengths use exact integer
+    arithmetic.
+
+    Scale: work is Σ|per-prefix-element bucket|² and prefix elements are
+    each set's RAREST — high-frequency boilerplate elements sort last and
+    never key the join. This bounds the occupancy that a plain
+    (lang, source, len_bucket) blocked self-join leaves unbounded.
+    Returns (id_a, id_b) distinct with id_a < id_b; ``block_cols`` adds
+    equality predicates to the candidate join (restricting pairs to the
+    same block, matching blocked-join semantics).
+    """
+    blocks = list(block_cols or [])
+    ex = sets.select(id_col, *blocks, F.explode(set_col).alias("__e"))
+    freq = ex.groupBy("__e").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(freq, "__e")
+        .groupBy(id_col, *blocks)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("__e")))
+            ).alias("__sorted")
+        )
+        .select(id_col, *blocks, F.col("__sorted.__e").alias("__by_rarity"))
+    )
+    n = F.size("__by_rarity")
+    ceil_tn = F.floor(
+        (n * threshold_num + (threshold_den - 1)) / threshold_den
+    ).cast("int")
+    prefix = ordered.select(
+        id_col,
+        *blocks,
+        F.explode(F.slice("__by_rarity", F.lit(1), n - ceil_tn + 1)).alias("__e"),
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), ["__e", *blocks])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def simhash_bits(
     docs: DataFrame, id_col: str, token_col: str, width: int = 64
 ) -> DataFrame:

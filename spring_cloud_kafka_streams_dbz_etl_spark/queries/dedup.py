@@ -280,9 +280,22 @@ WHERE jaccard >= {NGRAM_JACCARD_MIN}
 """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise bigram-Jaccard dedup: block on (lang, source,
-    length-bucket) so the self-join only pairs plausible duplicates —
-    the classic blocking alternative when LSH recall tuning isn't wanted.
+    """Blocked bigram-Jaccard dedup with PREFIX FILTERING — the exact
+    similarity-join algorithm (Chaudhuri et al. ICDE'06 / Bayardo et al.
+    WWW'07): order every doc's grams by ascending global document
+    frequency; for threshold t a pair with J >= t MUST share a gram in
+    each side's first |g| - ceil(t*|g|) + 1 grams, so candidates come
+    from an equi-join on RARE prefix grams only and the full Jaccard is
+    computed just for candidates. Result set is provably identical to
+    the naive blocked self-join, so the oracle stays the quadratic spec.
+
+    Scale: replaces the r04 per-(lang, source, len_bucket) quadratic
+    self-join (unbounded occupancy — one (en, web, bucket-N) block holds
+    millions of docs at 100 TB; VERDICT r04 "What's wrong" #2) with work
+    Σ|prefix-gram bucket|², where ascending-frequency ordering makes
+    prefix grams the RAREST in each doc — boilerplate mega-grams shared
+    by millions of docs sort last and never key the join. Extra cost is
+    one vocab groupBy + one doc regroup, both map-side combinable.
     """
     tune(spark)
     d = table(spark, sf_dir, "documents")
@@ -296,25 +309,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
             shingle(toks, 2).alias("grams"),
         )
-        .transform(cache_scoped)  # consumed by both sides of the blocked self-join
+        .transform(cache_scoped)  # grams re-joined to verify candidates
     )
-    a = base.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "source",
-        "len_bucket",
-        F.col("grams").alias("g_a"),
-    )
-    b = base.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
-        "len_bucket",
-        F.col("grams").alias("g_b"),
-    )
+    from fractions import Fraction
+
+    from ..operators.dedup import prefix_filter_candidates
+
+    t = Fraction(str(NGRAM_JACCARD_MIN))
+    cand = prefix_filter_candidates(
+        base,
+        "doc_id",
+        "grams",
+        t.numerator,
+        t.denominator,
+        block_cols=["lang", "source", "len_bucket"],
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    ga = base.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    gb = base.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     return (
-        a.join(b, on=["lang", "source", "len_bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select("doc_a", "doc_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
     )

@@ -491,3 +491,36 @@ def test_simhash_bits_matches_python_model(spark):
     got = {r.doc_id: r.simhash for r in simhash_bits(df, "doc_id", "toks").collect()}
     for doc_id, toks in docs:
         assert got[doc_id] == model(toks), doc_id
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=[HealthCheck.function_scoped_fixture], derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=8, unique=True),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_candidates_complete_vs_bruteforce(spark, sets):
+    """Prefix-filter guarantee q_ngram_jaccard relies on: every pair with
+    Jaccard >= t appears in the candidate set (completeness). Brute-force
+    all-pairs Jaccard over hypothesis-generated element sets (heavy
+    overlap by construction: elements drawn from a 13-value universe) is
+    the model."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    t_num, t_den = 3, 10
+    rows = [(i, [f"e{e}" for e in s]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "sid long, elems array<string>")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_candidates(df, "sid", "elems", t_num, t_den).collect()
+    }
+    for i, a in enumerate(sets):
+        for j, b in enumerate(sets):
+            if i < j:
+                jac = len(set(a) & set(b)) / len(set(a) | set(b))
+                if jac >= t_num / t_den:
+                    assert (i, j) in cand, (a, b, jac)
