@@ -65,6 +65,12 @@ def z_file_id(zcol: Column, total_bits: int, n_files: int) -> Column:
     `df.repartitionByRange(n, zcol).sortWithinPartitions(zcol)` and gets
     the same clustering with balanced file sizes (one range shuffle,
     the cost of any sorted write).
+
+    The id space rounds ``n_files`` UP to the next power of two: ids lie
+    in [0, 2^ceil(log2(n_files))), so a non-power-of-two request (e.g.
+    65) may yield up to ~2x more distinct ids (128) than asked. Pass a
+    power of two for an exact file count (callers in this repo do), or
+    use the repartitionByRange form above when an exact count matters.
     """
     shift = total_bits - max(1, n_files - 1).bit_length()
     if shift < 0:

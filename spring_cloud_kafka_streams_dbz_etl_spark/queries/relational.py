@@ -148,6 +148,11 @@ def q_join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (table name, external data dir) of the last q_bucketed_join run,
+# swept at the start of the next run (external-table files outlive DROP)
+_BUCKETED_RUNS: list[tuple[str, str]] = []
+
+
 @query(
     "q_bucketed_join",
     oracle=f"""
@@ -176,18 +181,30 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the parquet inputs, then runs the exchange-free join.
     """
     import os
+    import shutil
     import tempfile
+    import uuid
 
     tune(spark)
+    # Per-run unique table names (concurrent sessions sharing a warehouse
+    # must not race on a fixed name), and eager cleanup of the PREVIOUS
+    # run's external tables + data dirs — DROP TABLE on an external table
+    # leaves its files behind, so each run sweeps its predecessor
+    # (ADVICE r04). The current run's artifacts live until the next call
+    # because the returned DataFrame reads them lazily.
+    for prev_name, prev_dir in _BUCKETED_RUNS:
+        spark.sql(f"DROP TABLE IF EXISTS {prev_name}")
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    _BUCKETED_RUNS.clear()
     n_buckets = 8
+    run = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix="bucketed_join_")
     src = {
         "orders": ("o_orderkey", ["o_orderkey", "o_totalprice"]),
         "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity", "l_extendedprice"]),
     }
     for tbl, (key, cols) in src.items():
-        name = f"bkt_{tbl}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        name = f"bkt_{tbl}_{run}"
         (
             table(spark, sf_dir, tbl)
             .select(*cols)
@@ -197,8 +214,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(name)
         )
-    o = spark.table("bkt_orders")
-    li = spark.table("bkt_lineitem")
+        _BUCKETED_RUNS.append((name, os.path.join(tmp, name)))
+    o = spark.table(f"bkt_orders_{run}")
+    li = spark.table(f"bkt_lineitem_{run}")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_totalprice")

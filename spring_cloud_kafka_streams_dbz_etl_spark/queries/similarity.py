@@ -565,7 +565,12 @@ WITH iv AS (
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
   FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS cell, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
+  -- Cells are numbered 0..k-1 by seed RANK (ROW_NUMBER over vec_id),
+  -- matching kmeans_cells' rank-based numbering structurally rather
+  -- than relying on the fixture's vec_ids being contiguous from 0
+  -- (ADVICE r04).
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM iv
   WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
 ), {assign('iv', 'c0', 'a1')}, {update('a1', 'c0', 'c1')},

@@ -21,6 +21,7 @@ consumer is the same micro-batch machinery a Kafka-fed query uses.
 from __future__ import annotations
 
 import json as _json
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -233,9 +234,14 @@ def kafka_transcript_sink(
         from .avro_codec import AvroCodec, confluent_frame
 
         spark = batch_df.sparkSession
-        try:
+        # Only a genuinely absent transcript means "first batch, offsets
+        # start at 0". Any OTHER read failure (corrupt footer, transient
+        # FS error) must propagate — treating it as first-batch would
+        # silently restart offsets at 0 and append colliding
+        # (partition, offset) rows, corrupting broker-append semantics.
+        if _os.path.exists(path):
             base = transcript_end_offsets(spark, path)
-        except Exception:  # first batch: no transcript yet
+        else:
             base = {}
 
         def produce(batches):

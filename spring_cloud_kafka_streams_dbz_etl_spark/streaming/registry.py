@@ -163,7 +163,10 @@ class StreamRegistry:
             if dur is not None:
                 trigger_ms.append(int(dur))
             rate = p.get("processedRowsPerSecond")
-            if rate:
+            # `is not None`, not truthiness: a legitimate 0.0 rate (empty
+            # trigger) must count toward the average or it biases upward
+            # relative to actuator-style cumulative metrics (ADVICE r04).
+            if rate is not None and not (isinstance(rate, float) and rate != rate):
                 rates.append(float(rate))
         return {
             "name": name,
