@@ -196,19 +196,88 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_stats", oracle=None)
+@query(
+    "q_approx_stats",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), pct AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END) AS p50_exact,
+         MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_extendedprice END) AS p99_exact
+  FROM r GROUP BY l_returnflag
+), dist AS (
+  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT d.l_returnflag, d.exact_parts, p.p50_exact, p.p99_exact,
+       TRUE AS approx_parts_ok, TRUE AS p50_approx_ok, TRUE AS p99_approx_ok
+FROM dist d JOIN pct p ON d.l_returnflag = p.l_returnflag
+""",
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the forms actually used at 100 TB:
-    approx_count_distinct (HyperLogLog++, one pass, no Expand) and
-    percentile_approx (GK sketch). Approximation is engine-specific, so
-    this entry is rows-only checked (no DuckDB oracle by design).
+    """Approximate aggregates — the forms actually used at 100 TB
+    (approx_count_distinct = HyperLogLog++, one pass, no Expand;
+    percentile_approx = GK sketch) — VERIFIED against exact companions
+    computed from the same scan.
+
+    Sketch internals are engine-specific, so the sketch half is checked
+    as an ERROR CONTRACT the oracle pins as TRUE: HLL within 3x its 5%
+    rsd of the exact distinct count; each approx percentile between the
+    exact discrete percentiles two rank-points away (GK rank error at
+    default accuracy 10000 is ~n/10000 rows, orders of magnitude inside
+    that band). The exact half — exact distinct + rank-based discrete
+    percentiles (value at rank ceil(p*n): no interpolation, no float
+    divergence) — is hash-checked value-for-value (replaces the r01-r04
+    rows-only row; VERDICT r04 next-round #8).
+
+    Scale: exact distinct is one Expand-free bitmap-style groupBy here
+    (COUNT DISTINCT at this column's cardinality); the discrete
+    percentiles are one window per group key, the standard
+    sort-within-partition rank pick; both share the lineitem scan.
     """
     tune(spark)
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def rank_at(pct_num: int) -> F.Column:  # ceil(p*n) in exact ints
+        return F.floor((F.col("n") * pct_num + 99) / 100).cast("long")
+
+    pct = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == rank_at(45), F.col("l_extendedprice"))).alias("p45"),
+        F.max(F.when(F.col("rn") == rank_at(50), F.col("l_extendedprice"))).alias("p50_exact"),
+        F.max(F.when(F.col("rn") == rank_at(55), F.col("l_extendedprice"))).alias("p55"),
+        F.max(F.when(F.col("rn") == rank_at(97), F.col("l_extendedprice"))).alias("p97"),
+        F.max(F.when(F.col("rn") == rank_at(99), F.col("l_extendedprice"))).alias("p99_exact"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_approx"),
+    )
+    return agg.join(pct, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        "p50_exact",
+        "p99_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("approx_parts_ok"),
+        F.col("p50_approx").between(F.col("p45"), F.col("p55")).alias("p50_approx_ok"),
+        F.col("p99_approx").between(F.col("p97"), F.col("pmax")).alias("p99_approx_ok"),
     )
 
 
