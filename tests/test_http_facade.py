@@ -360,3 +360,79 @@ def test_metrics_route(facade):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_dim_crud_routes(spark, tmp_path):
+    """GET/POST/PUT/DELETE /api/dim/{entity}[/{id}] — AnimalController
+    CRUD parity over the versioned dim store: create via POST, read it
+    back, PUT (path id wins), DELETE, then 404 on the deleted key; each
+    write is a new immutable version visible to the next read."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        upsert_dimension,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.dimstore import DimStore
+
+    dim_path = str(tmp_path / "animals")
+    seed = spark.createDataFrame(
+        [(1, "cat", "small"), (2, "dog", "medium")], "id long, name string, size string"
+    )
+    upsert_dimension(seed, dim_path, keys=["id"])
+
+    store = DimStore(spark, {"animal": (dim_path, "id")})
+    srv = StreamControlHttp(StubRegistry(), dim_store=store)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}/api/dim"
+    try:
+        code, row = _call(f"{base}/animal/1")
+        assert (code, row["name"], row["size"]) == (200, "cat", "small")
+
+        code, out = _call(
+            f"{base}/animal", "POST", {"id": 3, "name": "owl", "size": "small"}
+        )
+        assert code == 200 and out["total"] == 3
+        assert _call(f"{base}/animal/3")[1]["name"] == "owl"
+
+        # PUT: path id wins over body id
+        code, out = _call(
+            f"{base}/animal/2", "PUT", {"id": 99, "name": "dog", "size": "LARGE"}
+        )
+        assert code == 200
+        assert _call(f"{base}/animal/2")[1]["size"] == "LARGE"
+        with pytest.raises(urllib.error.HTTPError) as e99:
+            _call(f"{base}/animal/99")
+        assert e99.value.code == 404
+
+        code, out = _call(f"{base}/animal/1", "DELETE")
+        assert code == 200 and out["deleted"] == 1 and out["total"] == 2
+        with pytest.raises(urllib.error.HTTPError) as e1:
+            _call(f"{base}/animal/1")
+        assert e1.value.code == 404
+        # delete of a missing key is 404, not a silent no-op
+        with pytest.raises(urllib.error.HTTPError) as egone:
+            _call(f"{base}/animal/1", "DELETE")
+        assert egone.value.code == 404
+
+        # malformed POST rows -> 400
+        with pytest.raises(urllib.error.HTTPError) as ebad:
+            _call(f"{base}/animal", "POST", {"name": "no-key"})
+        assert ebad.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ecol:
+            _call(f"{base}/animal", "POST", {"id": 5, "bogus": 1})
+        assert ecol.value.code == 400
+
+        # unknown entity -> 404
+        with pytest.raises(urllib.error.HTTPError) as eent:
+            _call(f"{base}/plant/1")
+        assert eent.value.code == 404
+
+        # facade without a dim store -> 404
+        bare = StreamControlHttp(StubRegistry())
+        p2 = bare.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as enone:
+                _call(f"http://127.0.0.1:{p2}/api/dim/animal/1")
+            assert enone.value.code == 404
+        finally:
+            bare.stop()
+    finally:
+        srv.stop()
