@@ -510,6 +510,118 @@ class SchemaRegistry:
         return sid, resolve_datum(value, writer, self._readers[reader_schema_json])
 
 
+class HttpSchemaRegistry(SchemaRegistry):
+    """Confluent Schema Registry REST client with the same interface as
+    the in-memory :class:`SchemaRegistry` (VERDICT r04 next-round #7).
+
+    Speaks the public wire protocol the reference's serdes use
+    (application.yml:16 / register-connector.json:14-17):
+
+    - ``POST {base}/subjects/{subject}/versions`` body
+      ``{"schema": "<avsc json>"}`` -> ``{"id": N}``
+    - ``GET {base}/schemas/ids/{id}`` -> ``{"schema": ...}``
+    - ``GET {base}/subjects/{subject}/versions/latest`` ->
+      ``{"id", "version", "schema"}``
+
+    Every response populates the inherited in-memory cache, so repeat
+    lookups (the per-record decode path) never re-hit HTTP, and
+    :meth:`snapshot` returns a plain picklable ``SchemaRegistry`` of the
+    cached schemas for shipping into mapInPandas closures — executors
+    must never block on a control-plane HTTP call. HTTP 404 maps to
+    ``SchemaNotFoundError`` (the DLQ-routable miss); other HTTP errors
+    raise. Falls back to pure in-memory behavior when ``base_url`` is
+    None, so callers can hold one type either way.
+    """
+
+    def __init__(self, base_url: str | None = None, timeout: float = 5.0) -> None:
+        super().__init__()
+        self._base = base_url.rstrip("/") if base_url else None
+        self._timeout = timeout
+
+    # -- wire helpers ------------------------------------------------------
+    def _http(self, method: str, path: str, body: dict | None = None) -> dict:
+        import urllib.error
+        import urllib.request
+
+        assert self._base is not None
+        data = None if body is None else json.dumps(body).encode()
+        req = urllib.request.Request(
+            f"{self._base}{path}",
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            detail = exc.read().decode(errors="replace")
+            if exc.code == 404:
+                raise SchemaNotFoundError(f"registry 404 on {path}: {detail}")
+            raise OSError(f"registry HTTP {exc.code} on {path}: {detail}")
+
+    def _cache_remote(self, sid: int, schema_json: str) -> None:
+        self._by_id[sid] = schema_json
+        self._id_by_schema[schema_json] = sid
+
+    # -- SchemaRegistry interface over the wire ----------------------------
+    def register(self, schema_json: str, subject: str | None = None) -> int:
+        if self._base is None:
+            return super().register(schema_json, subject)
+        sid = int(
+            self._http(
+                "POST",
+                f"/subjects/{subject or 'default'}/versions",
+                {"schema": schema_json},
+            )["id"]
+        )
+        self._cache_remote(sid, schema_json)
+        if subject is not None:
+            versions = self._subjects.setdefault(subject, [])
+            if sid not in versions:
+                versions.append(sid)
+        return sid
+
+    def schema_for(self, schema_id: int) -> str:
+        if self._base is not None and schema_id not in self._by_id:
+            self._cache_remote(
+                schema_id,
+                self._http("GET", f"/schemas/ids/{schema_id}")["schema"],
+            )
+        return super().schema_for(schema_id)
+
+    def latest_for_subject(self, subject: str) -> tuple[int, str]:
+        if self._base is None:
+            return super().latest_for_subject(subject)
+        out = self._http("GET", f"/subjects/{subject}/versions/latest")
+        sid, schema = int(out["id"]), out["schema"]
+        self._cache_remote(sid, schema)
+        versions = self._subjects.setdefault(subject, [])
+        if sid not in versions:
+            versions.append(sid)
+        return sid, schema
+
+    def subject_versions(self, subject: str) -> list[int]:
+        if self._base is not None and subject not in self._subjects:
+            # prime the cache with at least the latest version
+            self.latest_for_subject(subject)
+        return super().subject_versions(subject)
+
+    def snapshot(self) -> SchemaRegistry:
+        """Picklable in-memory copy of everything cached so far, for
+        executor closures (decode resolves writer ids locally; an id the
+        snapshot has never seen raises SchemaNotFoundError -> DLQ, same
+        as a registry miss)."""
+        reg = SchemaRegistry()
+        for sid, schema in sorted(self._by_id.items()):
+            reg._by_id[sid] = schema
+            reg._id_by_schema[schema] = sid
+        for subject, versions in self._subjects.items():
+            reg._subjects[subject] = list(versions)
+        reg._next_id = max(self._by_id, default=0) + 1
+        return reg
+
+
 # -- Debezium envelope schema for the engine's events table ---------------
 # Shape-parity with the reference's CDC value schema: before/after reuse
 # one named record, plus source/op/ts_ms (SURVEY.md §1.1 item 3;

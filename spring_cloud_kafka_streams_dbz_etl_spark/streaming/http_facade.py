@@ -47,9 +47,12 @@ _ROUTES = [
     # Schema-registry REST subset (the reference points its serdes at a
     # Confluent registry, application.yml:16; these are the three routes
     # its consumers/producers actually hit):
-    ("GET", re.compile(r"^/api/schemas/ids/([0-9]+)$"), "schema_by_id"),
-    ("POST", re.compile(r"^/api/subjects/([^/]+)/versions$"), "schema_register"),
-    ("GET", re.compile(r"^/api/subjects/([^/]+)/versions/latest$"), "schema_latest"),
+    # Both the facade-prefixed and the STANDARD Confluent paths are
+    # served, so sources.avro_codec.HttpSchemaRegistry (and any real
+    # Confluent client) can point here with no path rewriting:
+    ("GET", re.compile(r"^(?:/api)?/schemas/ids/([0-9]+)$"), "schema_by_id"),
+    ("POST", re.compile(r"^(?:/api)?/subjects/([^/]+)/versions$"), "schema_register"),
+    ("GET", re.compile(r"^(?:/api)?/subjects/([^/]+)/versions/latest$"), "schema_latest"),
     # Dimension CRUD (AnimalController.java:27-63 GET/POST/PUT/DELETE
     # /api/animals/{id}); writes land as new immutable dim versions the
     # stream's next micro-batch enriches against:

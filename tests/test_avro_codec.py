@@ -325,3 +325,123 @@ def test_bytes_to_string_promotion_non_utf8_is_resolution_error():
     bad = reg.encode_framed(wid, {"x": b"\xff\xfe"})
     with pytest.raises(SchemaResolutionError):
         reg.decode_framed_as(bad, json.dumps(r))
+
+
+# -- HTTP schema-registry client (Confluent wire protocol) ------------------
+
+
+@pytest.fixture()
+def http_registry():
+    """A Confluent-shaped registry server (the facade's standard-path
+    routes over an in-memory SchemaRegistry) + an HttpSchemaRegistry
+    client pointed at it."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        HttpSchemaRegistry,
+        SchemaRegistry,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.http_facade import (
+        StreamControlHttp,
+    )
+
+    server_reg = SchemaRegistry()
+    srv = StreamControlHttp(object(), schema_registry=server_reg)
+    port = srv.start()
+    client = HttpSchemaRegistry(f"http://127.0.0.1:{port}")
+    yield server_reg, client
+    srv.stop()
+
+
+def test_http_registry_register_and_resolve(http_registry):
+    """Register over POST /subjects/{s}/versions, resolve over
+    GET /schemas/ids/{id} and /subjects/{s}/versions/latest — same
+    interface as the in-memory registry, over the public wire protocol."""
+    server_reg, client = http_registry
+    sid = client.register(json.dumps(_V1), subject="events-value")
+    assert server_reg.schema_for(sid) == json.dumps(_V1)  # landed server-side
+    # a second client discovers the schema purely over HTTP
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        HttpSchemaRegistry,
+    )
+
+    other = HttpSchemaRegistry(client._base)
+    assert other.schema_for(sid) == json.dumps(_V1)
+    got_sid, schema = other.latest_for_subject("events-value")
+    assert (got_sid, schema) == (sid, json.dumps(_V1))
+    # idempotent re-registration returns the same id
+    assert client.register(json.dumps(_V1), subject="events-value") == sid
+
+
+def test_http_registry_unknown_id_is_dlq_routable(http_registry):
+    """An id the server has never seen -> HTTP 404 -> SchemaNotFoundError
+    (the DLQ split's routing condition), through the HTTP path."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaNotFoundError,
+        confluent_frame,
+    )
+
+    _, client = http_registry
+    with pytest.raises(SchemaNotFoundError):
+        client.schema_for(12345)
+    with pytest.raises(SchemaNotFoundError):
+        client.decode_framed(confluent_frame(12345, b"\x04hi"))
+    with pytest.raises(SchemaNotFoundError):
+        client.latest_for_subject("never-registered")
+
+
+def test_http_registry_writer_resolution_through_http(http_registry):
+    """The mixed-topic evolution test through the HTTP path: v1/v2
+    writers registered over the wire, a FRESH client resolves each
+    record against its writer schema by framed id and reads with v2."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        HttpSchemaRegistry,
+    )
+
+    _, client = http_registry
+    v1_id = client.register(json.dumps(_V1), subject="ev-value")
+    v2_id = client.register(json.dumps(_V2), subject="ev-value")
+    p1 = client.encode_framed(v1_id, {"id": 1, "name": "old", "legacy": "x"})
+    p2 = client.encode_framed(v2_id, {"id": 2, "name": "new", "score": 1.5, "tag": "t"})
+    reader = HttpSchemaRegistry(client._base)  # resolves ids over HTTP
+    out = [reader.decode_framed_as(p, json.dumps(_V2))[1] for p in (p1, p2)]
+    assert out == [
+        {"id": 1, "name": "old", "score": 0.0, "tag": None},
+        {"id": 2, "name": "new", "score": 1.5, "tag": "t"},
+    ]
+
+
+def test_http_registry_snapshot_is_offline(http_registry):
+    """snapshot() yields a plain in-memory registry for executor
+    closures: cached ids decode with no live server; uncached ids raise
+    SchemaNotFoundError instead of attempting HTTP."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        SchemaNotFoundError,
+        SchemaRegistry,
+        confluent_frame,
+    )
+
+    _, client = http_registry
+    sid = client.register(json.dumps(_V1), subject="snap-value")
+    payload = client.encode_framed(sid, {"id": 9, "name": "n", "legacy": "z"})
+    snap = client.snapshot()
+    assert type(snap) is SchemaRegistry
+    got_sid, value = snap.decode_framed(payload)
+    assert (got_sid, value["id"]) == (sid, 9)
+    import pickle
+
+    snap2 = pickle.loads(pickle.dumps(snap))  # closure-shippable
+    assert snap2.decode_framed(payload)[0] == sid
+    with pytest.raises(SchemaNotFoundError):
+        snap.decode_framed(confluent_frame(sid + 1000, b"\x00"))
+
+
+def test_http_registry_offline_fallback():
+    """base_url=None degrades to pure in-memory behavior (one type for
+    both deployments)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.avro_codec import (
+        HttpSchemaRegistry,
+    )
+
+    reg = HttpSchemaRegistry(None)
+    sid = reg.register('"string"', subject="s-value")
+    assert reg.schema_for(sid) == '"string"'
+    assert reg.latest_for_subject("s-value") == (sid, '"string"')
