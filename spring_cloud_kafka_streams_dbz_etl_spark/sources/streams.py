@@ -124,6 +124,32 @@ def kafka_cdc_source(
     return reader.load()
 
 
+def kafka_raw_envelope_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Zero-arg factory adapting :func:`kafka_cdc_source` to the CDC
+    pipeline's raw contract (kafka_key long, value json-string) — pass as
+    ``CdcPipelineConfig.raw_source`` to run the EXACT sandbox topology
+    against a real broker (env-gated proof:
+    tests/test_kafka_integration.py; reference wire:
+    application.yml:38-45 consumer bindings). Keys are the long ids the
+    transcript/file paths use, UTF-8 on the wire."""
+
+    def source() -> DataFrame:
+        return kafka_cdc_source(
+            spark, bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+        ).select(
+            F.col("key").cast("string").cast("long").alias("kafka_key"),
+            F.col("value").cast("string").alias("value"),
+        )
+
+    return source
+
+
 def confluent_avro_value(value: F.Column, avro_schema_json: str) -> F.Column:
     """Decode a Confluent-framed Avro value column (§2A #2).
 

@@ -20,6 +20,7 @@ Failure semantics parity:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,13 @@ class CdcPipelineConfig:
     max_files_per_trigger: int | None = None
     corrupt_every: int | None = None  # garble every Nth payload (deser-DLQ tests)
     idempotent: bool = False  # batch-id-keyed dynamic-overwrite sinks (exactly-once)
+    # Optional source override: a zero-arg callable returning the raw
+    # (kafka_key, value-json) streaming DataFrame. This is how the SAME
+    # topology (parse -> enrich -> split -> dual sink) runs against a real
+    # broker: pass sources.streams.kafka_raw_envelope_source(...) here
+    # (see tests/test_kafka_integration.py). None = the sandbox's
+    # file-source stand-in over sf_dir.
+    raw_source: "Callable[[], DataFrame] | None" = None
 
 
 def _parse_keep_original(raw: DataFrame) -> DataFrame:
@@ -257,18 +265,25 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
         if cfg.dim_filter:
             dim = dim.filter(cfg.dim_filter)
         return dim
-    # Decouple codec parallelism from source partitioning (a Kafka topic's
-    # partition count, or here a single-row-group file): shuffle the raw
-    # records across the cluster before the JSON encode/decode stage.
-    # Project to the envelope's inputs FIRST so the fan-out shuffle never
-    # carries unused columns (props alone is most of the row's bytes).
-    par = spark.sparkContext.defaultParallelism
-    src = stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    raw = synthesize_event_envelopes(
-        src.repartition(par), corrupt_every=cfg.corrupt_every
-    )
+    if cfg.raw_source is not None:
+        # Real-broker path: the caller's source already yields
+        # (kafka_key, value-json) records; everything downstream —
+        # parse, DLQ flagging, enrichment, split, sinks — is identical.
+        raw = cfg.raw_source()
+    else:
+        # Decouple codec parallelism from source partitioning (a Kafka
+        # topic's partition count, or here a single-row-group file):
+        # shuffle the raw records across the cluster before the JSON
+        # encode/decode stage. Project to the envelope's inputs FIRST so
+        # the fan-out shuffle never carries unused columns (props alone
+        # is most of the row's bytes).
+        par = spark.sparkContext.defaultParallelism
+        src = stream_events(spark, cfg.sf_dir, cfg.max_files_per_trigger).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        raw = synthesize_event_envelopes(
+            src.repartition(par), corrupt_every=cfg.corrupt_every
+        )
     # The reference's peek()/log side-channel (§2A #13) as observe()
     # metrics: per-batch counts surface in query.lastProgress without
     # touching the data path (no extra action, no caching).
