@@ -403,6 +403,7 @@ SELECT doc_a, doc_b, n_shared, cont_a, cont_b FROM (
           JOIN sz sb ON ov.doc_b = sb.doc_id)
 WHERE cont_a >= {CONTAINMENT_MIN} OR cont_b >= {CONTAINMENT_MIN}
 """,
+    bench=True,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup (containment) detection via winnowed
@@ -547,6 +548,7 @@ JOIN bk b2 ON a.block_idx = b2.block_idx AND a.block_val = b2.block_val
           AND a.doc_id < b2.doc_id
 WHERE bit_count(xor(a.simhash, b2.simhash)) <= {SIMHASH_MAX_HAMMING}
 """.format(fp_cte=_simhash64_fp_cte()),
+    bench=True,
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS via the block-permutation trick (Manku et

@@ -65,7 +65,7 @@ SELECT o_orderkey, z_val, CAST(z_val >> {shift} AS INT) AS file_id FROM z
 """
 
 
-@query("q_zorder_layout", oracle=_zorder_oracle())
+@query("q_zorder_layout", oracle=_zorder_oracle(), bench=True)
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout assignment over orders on (o_custkey,
     o_totalprice): min/max-bucket both columns to 16 bits (bounds from a

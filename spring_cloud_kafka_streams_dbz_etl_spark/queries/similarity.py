@@ -382,7 +382,7 @@ WHERE rank <= {TOPK}
 """
 
 
-@query("q_pq_adc_topk", oracle=_pq_adc_oracle())
+@query("q_pq_adc_topk", oracle=_pq_adc_oracle(), bench=True)
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the billion-scale ANN
     serving path: the corpus is scanned as 8-byte codes only, each probe's
@@ -436,7 +436,7 @@ WHERE rank <= {TOPK}
 """
 
 
-@query("q_ann_ivfpq", oracle=_pq_ivf_adc_oracle())
+@query("q_ann_ivfpq", oracle=_pq_ivf_adc_oracle(), bench=True)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ fused ANN (the FAISS IVFADC layout, the de-facto
     billion-scale architecture): the corpus lives as PQ codes partitioned

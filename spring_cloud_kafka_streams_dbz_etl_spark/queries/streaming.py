@@ -757,6 +757,7 @@ SELECT e.event_id AS id, e.user_id,
        e.event_type, e.value
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """,
+    bench=True,
 )
 def s_kafka_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exactly_once_v2 on the sink transcript (the reference's
