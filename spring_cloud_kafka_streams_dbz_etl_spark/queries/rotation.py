@@ -139,6 +139,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # r5: exact companion columns added so the driver hash-checks
         # the exact half (VERDICT r04 next-round #8)
         "q_approx_stats",
+        # r5: PQ encode collapsed from the unrolled argmin tree to
+        # higher-order functions — output verified bit-identical, but the
+        # PLAN is new, so the family re-verifies per the staleness policy
+        "q_pq_encode", "q_pq_adc_topk", "q_ann_ivfpq",
     }
 )
 
