@@ -294,3 +294,245 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+Q7_FROM, Q7_TO = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {{dsum}} AS revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND l_shipdate >= TIMESTAMP '{Q7_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q7_TO} 00:00:00')
+GROUP BY supp_nation, cust_nation, l_year
+""".format(dsum=_DSUM.format(e=_REVENUE)),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations —
+    supplier nation x customer nation x ship year, BOTH directions via a
+    disjunctive nation-pair predicate.
+
+    Plan shape at scale: the two fact joins (lineitem->orders->customer /
+    ->supplier) shuffle on their keys; nation is a 25-row broadcast
+    joined TWICE under different aliases; the nation-pair disjunction is
+    applied after both nation joins on broadcast-resolved names, so fact
+    rows of non-participating nations are dropped before the aggregate
+    (at 100 TB one would pre-resolve the 2-key nationkey sets and push
+    them into the supplier/customer scans — same result, this plan
+    already keeps the disjunction off the fact shuffle)."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q7_FROM) & (F.col("l_shipdate") < Q7_TO)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+        | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("__sn_key"))
+        .join(n2, cust.c_nationkey == F.col("__cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dec_sum(_revenue(), "revenue"))
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "STANDARD"
+Q8_NATION = "NATION_5"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                     THEN CAST({_REVENUE} AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST({_REVENUE} AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice, l_discount, n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00')
+GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the supplier nation's share of
+    revenue for one part type sold into one region, per order year — the
+    8-way join with a conditional-aggregate ratio on top.
+
+    Scale: part (type-filtered) broadcasts and prunes lineitem FIRST —
+    the most selective reduction runs before any fact-fact shuffle;
+    nation(x2)/region broadcast; numerator and denominator both
+    accumulate as DECIMAL(18,6) and divide once as exact-operand doubles
+    (cross-engine deterministic, no per-row float sums)."""
+    tune(spark)
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q8_FROM) & (F.col("o_orderdate") < Q8_TO)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n2 = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("__cn_key"))
+    )
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")))
+    rev = F.col("l_extendedprice").cast("double") * (1 - F.col("l_discount"))
+    dec = rev.cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(n2, cust.c_nationkey == F.col("__cn_key"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("__sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, dec).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+                / F.sum(dec).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q14_FROM, Q14_TO = "1997-03-01", "1997-04-01"
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST({_REVENUE} AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST({_REVENUE} AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_TO} 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    promo-type parts — the canonical conditional-aggregate ratio over a
+    broadcast-joined dimension attribute.
+
+    Scale: the month filter pushes to the lineitem scan (row-group
+    skipping makes this a ~1/84th scan of the fact); part broadcasts;
+    both sums are DECIMAL-exact with ONE final exact-operand double
+    division, so the percentage is bit-stable across partitionings."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_FROM) & (F.col("l_shipdate") < Q14_TO)
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = _revenue().cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+                / F.sum(dec).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q19_BRANDS = (("Brand#3", 1, 5, 1, 11), ("Brand#12", 1, 10, 10, 20), ("Brand#21", 1, 15, 20, 30))
+
+
+def _q19_disjunct_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_BRANDS
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT {_DSUM.format(e=_REVENUE)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_q19_disjunct_sql()}
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive-predicate join —
+    three (brand, size-range, quantity-range) alternatives OR'd together
+    across the join boundary.
+
+    Scale: the disjunction mixes columns from BOTH sides, so it cannot
+    fully push below the join; what CAN push is derived: the union of
+    quantity ranges prunes the lineitem scan and the union of
+    brand/size alternatives prunes part BEFORE the broadcast join, with
+    the exact disjunction re-applied on the joined row — the standard
+    derived-predicate decomposition Catalyst can't always infer itself."""
+    tune(spark)
+    q_lo = min(q for *_, q, _ in Q19_BRANDS)
+    q_hi = max(q for *_, q in Q19_BRANDS)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(q_lo, q_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part_pred = None
+    for b, s_lo, s_hi, *_ in Q19_BRANDS:
+        p = (F.col("p_brand") == b) & F.col("p_size").between(s_lo, s_hi)
+        part_pred = p if part_pred is None else (part_pred | p)
+    part = table(spark, sf_dir, "part").filter(part_pred).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    full = None
+    for b, s_lo, s_hi, ql, qh in Q19_BRANDS:
+        p = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(ql, qh)
+        )
+        full = p if full is None else (full | p)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(full)
+        .agg(
+            dec_sum(_revenue(), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
