@@ -119,3 +119,39 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     merge — Spark's TakeOrderedAndProject physical operator, no full sort.
     """
     return df.orderBy(*order).limit(k)
+
+
+def salted_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    on: str,
+    salt_src,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-safe equi-join by salting: the LEFT (large, skewed) side gets
+    a deterministic salt in [0, n_salts) from ``salt_src`` (any integer
+    column expression — a row-level id, NOT the join key), and the RIGHT
+    (smaller, replicable) side is exploded n_salts times, so a hot join
+    key's rows spread over n_salts shuffle partitions instead of one.
+    Result is provably identical to ``left.join(right, on, how)``.
+
+    When to reach for it at 100 TB: AQE's skew-join handling splits
+    oversized SHUFFLE partitions automatically, but it cannot act where
+    there is no exchange to re-plan — stream-static joins inside
+    foreachBatch, bucketed (exchange-free) joins, or a build side too
+    big to broadcast but small enough to replicate n_salts times. This
+    is the manual fallback for those, the join twin of q_salted_agg.
+
+    Supported ``how``: inner / left (right-side multiplicity is
+    preserved because each right row exists exactly once PER SALT).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn("__salt", (salt_src % n_salts).cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")

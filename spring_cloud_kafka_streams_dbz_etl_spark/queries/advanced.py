@@ -398,3 +398,56 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("n_missing"),
         "kind",
     )
+
+
+@query(
+    "q_salted_join",
+    oracle=f"""
+WITH hub AS (
+  SELECT o_orderkey % 100 AS hub_key,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {_DSUM.format(e='o_totalprice')} AS hub_price
+  FROM orders GROUP BY o_orderkey % 100
+)
+SELECT l_orderkey, l_linenumber, l_orderkey % 100 AS hub_key,
+       l_extendedprice, n_orders, hub_price
+FROM lineitem JOIN hub ON l_orderkey % 100 = hub_key
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join by salting (operators/relational.py::
+    salted_join) — the join twin of q_salted_agg: the fact side joins a
+    100-key hub dimension (every key hot by construction: ~1% of the
+    fact per key), the fact gets a deterministic row-level salt, the
+    dimension replicates n_salts times, and the hot keys spread over
+    n_salts shuffle partitions. Result — and therefore the oracle — is
+    the plain unsalted join.
+
+    At 100 TB this is the manual fallback where AQE skew handling can't
+    act (no exchange to re-plan): stream-static joins in foreachBatch,
+    bucketed exchange-free joins, or a build side too big to broadcast
+    but fine to replicate 8x."""
+    from ..operators.relational import salted_join
+
+    tune(spark)
+    orders = table(spark, sf_dir, "orders")
+    hub = orders.groupBy((F.col("o_orderkey") % 100).alias("hub_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "hub_price"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 100).alias("hub_key"),
+        "l_extendedprice",
+    )
+    return salted_join(
+        li,
+        hub,
+        on="hub_key",
+        salt_src=F.col("l_orderkey") / F.lit(100) + F.col("l_linenumber"),
+        n_salts=8,
+    ).select(
+        "l_orderkey", "l_linenumber", "hub_key", "l_extendedprice",
+        "n_orders", "hub_price",
+    )

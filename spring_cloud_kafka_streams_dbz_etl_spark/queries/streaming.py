@@ -1099,6 +1099,205 @@ def s_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_stream_oracle() -> str:
+    """Batch spec of the incremental near-dup stream: signature/band CTEs
+    generated from the SAME constants as operators/dedup.py (lockstep with
+    q_minhash_near_dup's scheme), slot-match pairs, per-shard connected
+    components (single recursive CTE — edges never cross shards), and the
+    cross-shard rejection set."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+    from .dedup import MINHASH_BANDS, MINHASH_K
+
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    mins = ",\n    ".join(
+        "min(({a} * h + {b}) % {p}) AS mh_{j}".format(
+            a=minhash_coeffs(j)[0], b=minhash_coeffs(j)[1], p=MINHASH_P, j=j
+        )
+        for j in range(k)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM mh".format(
+            b=b,
+            expr=" || '|' || ".join(f"CAST(mh_{b * r + i} AS VARCHAR)" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    slots = " + ".join(
+        f"(CASE WHEN ma.mh_{j} = mb.mh_{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM ex
+), mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a AS a, id_b AS b
+  FROM cand
+  JOIN mh ma ON ma.doc_id = cand.id_a
+  JOIN mh mb ON mb.doc_id = cand.id_b
+  WHERE {slots} >= 3
+), und AS (
+  SELECT a, b FROM pairs WHERE a % 2 = b % 2
+  UNION
+  SELECT b AS a, a AS b FROM pairs WHERE a % 2 = b % 2
+), reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+), clus AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+), crossrej AS (
+  SELECT DISTINCT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+  FROM pairs WHERE a % 2 <> b % 2
+)
+SELECT doc_id, CAST(doc_id % 2 AS INT) AS shard
+FROM clus
+WHERE doc_id = cluster_id
+  AND doc_id NOT IN (SELECT doc_id FROM crossrej)
+"""
+
+
+@query("s_minhash_incremental", oracle=_minhash_stream_oracle())
+def s_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup across crawl shards
+    (streaming/dedup_stream.py): shard 0 (even doc_ids) lands and is
+    near-deduped within itself (LSH band candidates -> >=3-of-6 minhash
+    slot agreement -> connected components -> keep min doc_id); shard 1
+    (odd ids) arrives later and additionally probes the SIGNATURE STORE
+    (k minhash slots + band keys of every doc seen so far — bounded
+    state, never text): any slot-match against seen content rejects the
+    newcomer. The oracle states the identical spec in batch: per-shard
+    recursive CC plus the cross-shard rejection set, signatures generated
+    from the same md5/universal-hash constants as q_minhash_near_dup.
+
+    Scale: state is ~100 bytes/doc vs kilobytes of text; the cross-batch
+    probe is a band equi-join reading only band columns; no unbounded
+    stream state or watermark coupling — sink-as-state, like
+    s_curation_incremental but for NEAR duplicates."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.dedup_stream import (
+        MinhashStreamConfig,
+        build_minhash_dedup_stream,
+        read_accepted,
+    )
+
+    tune(spark)
+    src_dir, out, state, ckpt = (
+        _tmp("mhs_src"), _tmp("mhs_out"), _tmp("mhs_state"), _tmp("mhs_ckpt")
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    even = pc.equal(pc.bit_wise_and(docs["doc_id"], 1), 0)
+    pq.write_table(docs.filter(even), f"{src_dir}/documents.parquet")
+
+    cfg = MinhashStreamConfig(src_dir=src_dir, out_path=out, state_path=state, checkpoint=ckpt)
+    reg = StreamRegistry()
+    reg.register("s_mh_inc", build_minhash_dedup_stream(spark, cfg), checkpoint=ckpt)
+    reg.process_available("s_mh_inc")
+
+    tmp2 = f"{src_dir}/.documents2.parquet.tmp"
+    pq.write_table(docs.filter(pc.invert(even)), tmp2)
+    os.rename(tmp2, f"{src_dir}/documents2.parquet")  # atomic arrival
+    reg.process_available("s_mh_inc")
+    reg.stop("s_mh_inc")
+    return read_accepted(spark, out)
+
+
+@query(
+    "s_backfill_then_tail",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID}
+""",
+)
+def s_backfill_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-then-tail bootstrap — the standard way a new pipeline
+    consumer catches up at 100 TB: the HISTORICAL events (even ids, the
+    data-lake archive) are processed as ONE batch pass through the SAME
+    parse -> enrich -> split code the stream runs (_parse_keep_original /
+    _enrich_and_split are batch functions; foreachBatch merely invokes
+    them per epoch), writing to the same sink; the streaming tail then
+    starts on a directory holding ONLY the post-cutover records (odd
+    ids) so nothing is double-processed. The oracle is the full-corpus
+    enrichment — union of backfill + tail must equal it exactly.
+
+    Scale: the backfill is one batch job at full cluster parallelism
+    (no micro-batch overhead over the archive), the tail starts from the
+    cutover point — the Kafka twin is startingOffsets at the snapshot's
+    offsets; code reuse means one tested transform, not two drifting
+    ones."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import fan_out, table
+    from ..sources.cdc import synthesize_event_envelopes
+    from ..streaming.pipeline import _enrich_and_split, _parse_keep_original
+
+    tune(spark)
+    tail_dir, out, dlq, ckpt = (
+        _tmp("bt_tail"), _tmp("bt_out"), _tmp("bt_dlq"), _tmp("bt_ckpt")
+    )
+    ev = pq.read_table(f"{sf_dir}/events.parquet")
+    # the tail directory holds only post-cutover (odd-id) records
+    pq.write_table(
+        ev.filter(pc.equal(pc.bit_wise_and(ev["event_id"], 1), 1)),
+        f"{tail_dir}/events.parquet",
+    )
+    cust_path = f"{sf_dir}/customer.parquet"
+    dim = spark.read.parquet(cust_path)
+
+    # -- backfill: ONE batch pass over the archive through the stream's
+    # own transform functions
+    hist = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    raw = synthesize_event_envelopes(fan_out(hist, spark))
+    _enrich_and_split(_parse_keep_original(raw), dim, out, dlq)
+
+    # -- tail: the streaming topology over the post-cutover directory,
+    # dimension resolved from the ORIGINAL sf_dir
+    cfg = CdcPipelineConfig(sf_dir=tail_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    os.symlink(cust_path, f"{tail_dir}/customer.parquet")
+    reg = StreamRegistry()
+    reg.register("s_bt", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
+    reg.process_available("s_bt")
+    reg.stop("s_bt")
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
+        "id", "user_id", "name", "segment", "event_type", "value"
+    )
+
+
 @query(
     "s_dim_delete",
     oracle=f"""
