@@ -790,3 +790,164 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             alpha, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
         ).alias("alpha_chars"),
     )
+
+
+@query(
+    "q_gopher_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           / len(toks) AS alpha_ratio,
+         CAST(len(list_filter(toks, w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE)
+           / len(toks) AS symbol_ratio,
+         CAST(len(list_filter(toks, w -> list_contains(
+           ['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio, n_stop,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       alpha_ratio >= 0.8 AS ok_alpha,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       n_stop >= 2 AS ok_stopwords,
+       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2
+         AS pass_gopher
+FROM m
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1, the public
+    heuristic set most pre-training pipelines start from), each rule as
+    its own column so a curation run can report WHICH gate rejected a
+    document, plus the combined pass flag: word count in [50, 1e5], mean
+    word length in [3, 10], >=80% of words containing an alphabetic
+    character, <=10% symbol words (# or ellipsis), >=2 distinct-position
+    stop words. (Line-shape rules — bullet/ellipsis line starts — need
+    line structure the single-line fixture lacks; the word-level battery
+    is the transferable part.)
+
+    Scale: map-only higher-order array expressions over one scan, zero
+    shuffles, all ratios exact int/int divisions — same plan class as
+    q_quality_score; at 100 TB this runs at parquet-scan speed."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(toks)
+    stop_lit = F.array(
+        *[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / n
+        ).alias("alpha_ratio"),
+        (
+            F.size(
+                F.filter(
+                    toks,
+                    lambda w: w.contains("#") | w.contains("..."),
+                )
+            ).cast("double")
+            / n
+        ).alias("symbol_ratio"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_ml = F.col("mean_word_len").between(3.0, 10.0)
+    ok_al = F.col("alpha_ratio") >= 0.8
+    ok_sy = F.col("symbol_ratio") <= 0.1
+    ok_st = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_ratio", "symbol_ratio", "n_stop",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_al.alias("ok_alpha"),
+        ok_sy.alias("ok_symbols"),
+        ok_st.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_al & ok_sy & ok_st).alias("pass_gopher"),
+    )
+
+
+@query(
+    "q_bigram_nll",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, term, idx FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM documents)
+  WHERE term <> ''
+), bg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), uc AS (
+  SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY w1
+), per AS (
+  SELECT g.doc_id,
+         CAST(round(-ln(CAST(c.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM bg g JOIN bc c USING (w1, w2) JOIN uc u USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+FROM per GROUP BY doc_id
+""",
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score — the next-order companion to
+    q_unigram_nll: corpus MLE p(w2|w1) = c(w1,w2)/c(w1·), each document's
+    mean conditional surprisal. Catches locally-scrambled text unigram
+    stats can't (every word common, transitions absurd) — the KenLM-ish
+    signal CCNet thresholds on, at n=2.
+
+    Determinism: the unigram policy — per-bigram -ln p rounded to 6 and
+    summed as DECIMAL(18,6), order-independent across engines and
+    partitionings. The conditional denominator c(w1·) aggregates FROM
+    the bigram counts (not raw unigram counts), so first/last-token
+    boundary effects are identical in both engines by construction.
+
+    Scale: explode with position -> self-join on (doc, idx+1) shares the
+    doc_id shuffle; bigram vocab groupBy is map-side combinable; vocab
+    relations broadcast back; one final doc groupBy. Nothing carries
+    text bodies."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = cache_scoped(
+        d.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("idx", "term")
+        ).filter(F.col("term") != "")
+    )
+    a = tok.select("doc_id", F.col("idx").alias("i"), F.col("term").alias("w1"))
+    b = tok.select("doc_id", (F.col("idx") - 1).alias("i"), F.col("term").alias("w2"))
+    bg = cache_scoped(a.join(b, ["doc_id", "i"]).select("doc_id", "w1", "w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nll = F.round(
+        -F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(18,6)")
+    per = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .select("doc_id", nll.alias("nll"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
+    )

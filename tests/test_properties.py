@@ -524,3 +524,40 @@ def test_prefix_filter_candidates_complete_vs_bruteforce(spark, sets):
                 jac = len(set(a) & set(b)) / len(set(a) | set(b))
                 if jac >= t_num / t_den:
                     assert (i, j) in cand, (a, b, jac)
+
+
+@settings(deadline=None, max_examples=6, suppress_health_check=[HealthCheck.function_scoped_fixture], derandomize=True)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=30),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), min_size=0, max_size=8),
+)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    """salted_join's contract: identical multiset of rows to the plain
+    join, for inner and left, including keys present on only one side
+    and duplicate right-side keys (each right row exists once per salt,
+    so multiplicity is preserved)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, v) for k, v in left_rows] or [(None, None)], "k int, lv int"
+    ).filter(F.col("k").isNotNull())
+    right = spark.createDataFrame(
+        [(k, v) for k, v in right_rows] or [(None, None)], "k int, rv int"
+    ).filter(F.col("k").isNotNull())
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, "k", how).select("k", "lv", "rv").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(
+                    left, right, on="k", salt_src=F.col("lv"), n_salts=4, how=how
+                )
+                .select("k", "lv", "rv")
+                .collect(),
+            )
+        )
+        assert salted == plain, how
