@@ -388,6 +388,7 @@ FROM (
     AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00')
 GROUP BY o_year
 """,
+    bench=True,
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): the supplier nation's share of

@@ -1177,7 +1177,7 @@ WHERE doc_id = cluster_id
 """
 
 
-@query("s_minhash_incremental", oracle=_minhash_stream_oracle())
+@query("s_minhash_incremental", oracle=_minhash_stream_oracle(), bench=True)
 def s_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup across crawl shards
     (streaming/dedup_stream.py): shard 0 (even doc_ids) lands and is

@@ -909,6 +909,7 @@ SELECT doc_id,
        CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
 FROM per GROUP BY doc_id
 """,
+    bench=True,
 )
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model fluency score — the next-order companion to
