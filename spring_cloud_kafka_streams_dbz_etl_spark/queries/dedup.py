@@ -605,3 +605,118 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@query(
+    "q_substring_runs",
+    oracle=f"""
+WITH {_WINNOW_FP_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+cp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           n_shared / CAST(sa.nf AS DOUBLE) AS cont_a,
+           n_shared / CAST(sb.nf AS DOUBLE) AS cont_b
+    FROM ov JOIN sz sa ON ov.doc_a = sa.doc_id
+            JOIN sz sb ON ov.doc_b = sb.doc_id)
+  WHERE cont_a >= {CONTAINMENT_MIN} OR cont_b >= {CONTAINMENT_MIN}
+), m AS (
+  SELECT cp.doc_a, cp.doc_b, ga.idx AS ia, gb.idx AS ib
+  FROM cp
+  JOIN sh ga ON ga.doc_id = cp.doc_a
+  JOIN sh gb ON gb.doc_id = cp.doc_b AND gb.h = ga.h
+), r AS (
+  SELECT doc_a, doc_b, ia, ib,
+         ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                 ORDER BY ia) AS grp
+  FROM m
+), runs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS run_grams
+  FROM r GROUP BY doc_a, doc_b, ia - ib, grp
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(run_grams) AS BIGINT) AS max_run_grams,
+       CAST(MAX(run_grams) + 2 AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY doc_a, doc_b
+""",
+)
+def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap measurement (the Lee et al. 2022
+    'Deduplicating Training Data' signal, without the suffix array):
+    for each containment-candidate pair, the LONGEST verbatim shared
+    token run, computed as the max diagonal run of matching 3-gram
+    hashes — matches at positions (ia, ib) lie on diagonal ia-ib, and a
+    gap-islands window (ia − row_number per diagonal) groups consecutive
+    matches; a run of R grams certifies a shared substring of R+2
+    tokens. This is how 'same boilerplate paragraph inside different
+    pages' is quantified, where document-level Jaccard dilutes.
+
+    Scale: the quadratic part (position-level matching) runs ONLY for
+    pairs the winnow-fingerprint candidate join already flagged
+    (Σ|fp bucket|², never all-pairs); per-pair work is |matches| log
+    via one window over (pair, diagonal) — the sessionize shape. Gram
+    hashes are 32 bytes; text never shuffles."""
+    from ..operators.dedup import winnow_fingerprints
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        fan_out(d, spark)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", toks.alias("toks"))
+        .transform(cache_scoped)
+    )
+    # containment candidates (same spec as q_containment)
+    wf = winnow_fingerprints(docs, "doc_id", "toks", n=3, window=4)
+    sz = wf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    fa = wf.select(F.col("doc_id").alias("doc_a"), "wmin")
+    fb = wf.select(F.col("doc_id").alias("doc_b"), "wmin")
+    ov = (
+        fa.join(fb, "wmin")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b"))
+    cp = (
+        ov.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("n_shared") / F.col("nf_a").cast("double") >= CONTAINMENT_MIN)
+            | (F.col("n_shared") / F.col("nf_b").cast("double") >= CONTAINMENT_MIN)
+        )
+        .select("doc_a", "doc_b")
+    )
+    # gram hashes WITH positions (1-based, mirroring the oracle's sh CTE)
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(3)]
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("toks") - 3), lambda i: gram(i))
+        ).alias("idx0", "h"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "h")
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("idx").alias("ia"), "h")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("idx").alias("ib"), "h")
+    m = cp.join(ga, "doc_a").join(gb, ["doc_b", "h"]).select("doc_a", "doc_b", "ia", "ib")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("ib")).orderBy("ia")
+    r = m.select(
+        "doc_a", "doc_b", "ia", (F.col("ia") - F.col("ib")).alias("diag"),
+        (F.col("ia") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = r.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_grams")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_grams").cast("bigint").alias("max_run_grams"),
+        (F.max("run_grams") + 2).cast("bigint").alias("max_run_tokens"),
+    )
