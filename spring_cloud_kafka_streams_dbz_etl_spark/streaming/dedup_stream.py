@@ -176,10 +176,15 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
         ).join(batch_keep, "doc_id", "left_semi").unionByName(
             docs.select("doc_id", "shard").join(sig.select("doc_id"), "doc_id", "left_anti")
         )
-        survivors.write.mode("append").parquet(cfg.out_path)
-        # state append: EVERY seen signature, survivors and dups alike
-        sig.write.mode("append").parquet(sig_path)
-        bands.write.mode("append").parquet(band_path)
+        # batch-id-keyed dynamic overwrite (sources/sinks.py): a replayed
+        # epoch REPLACES its own partitions in sink and state instead of
+        # appending duplicates — checkpoint recovery stays exactly-once.
+        from ..sources.sinks import idempotent_batch_write
+
+        idempotent_batch_write(survivors, epoch_id, cfg.out_path)
+        # state: EVERY seen signature, survivors and dups alike
+        idempotent_batch_write(sig, epoch_id, sig_path)
+        idempotent_batch_write(bands, epoch_id, band_path)
         for df in (bands, sig, docs):
             df.unpersist()
 
@@ -195,4 +200,5 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
 
 
 def read_accepted(spark: SparkSession, out_path: str) -> DataFrame:
-    return spark.read.schema(ACCEPTED_SCHEMA).parquet(out_path)
+    # project past the idempotent sink's _batch_id partition column
+    return spark.read.parquet(out_path).select("doc_id", "shard")
