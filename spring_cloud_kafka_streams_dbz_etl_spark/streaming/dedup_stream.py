@@ -79,6 +79,12 @@ class MinhashStreamConfig:
     bands: int = 3
     min_slots: int = 3  # >= this many agreeing slots => near-dup
     max_files_per_trigger: int | None = None
+    # Crash injection (testing the recovery contract, the
+    # kafka_transcript_sink pattern): epochs whose FIRST attempt raises
+    # AFTER all sink/state writes land — the exact torn state a real
+    # failure-before-checkpoint-commit leaves, which the replayed epoch
+    # must absorb idempotently.
+    crash_after_write_epochs: frozenset = frozenset()
 
 
 def _slot_match(k: int, min_slots: int) -> F.Column:
@@ -99,6 +105,7 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
     src = reader.parquet(cfg.src_dir)
     sig_path = f"{cfg.state_path}/sig"
     band_path = f"{cfg.state_path}/bands"
+    attempts: dict[int, int] = {}
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         import os
@@ -149,10 +156,21 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
             F.col("id").alias("doc_id")
         )
 
-        # cross-batch: probe the signature store (state), reject on any hit
+        # cross-batch: probe the signature store (state), reject on any
+        # hit. Only STRICTLY EARLIER epochs participate: a replayed epoch
+        # finds its own failed attempt's signatures in the store, and
+        # without the _batch_id < epoch filter every batch doc would
+        # slot-match ITSELF (6/6) and be self-rejected — the replay would
+        # silently emit zero survivors. The filter is partition pruning
+        # on the state layout, so the probe never reads the current
+        # epoch's directories at all.
         if os.path.exists(band_path):
-            seen_bands = spark_l.read.schema(BAND_SCHEMA).parquet(band_path)
-            seen_sig = spark_l.read.schema(_sig_schema(cfg.k)).parquet(sig_path)
+            seen_bands = spark_l.read.parquet(band_path).filter(
+                F.col("_batch_id") < int(epoch_id)
+            )
+            seen_sig = spark_l.read.parquet(sig_path).filter(
+                F.col("_batch_id") < int(epoch_id)
+            )
             cross_cand = (
                 bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
                 .join(
@@ -187,6 +205,11 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
         idempotent_batch_write(bands, epoch_id, band_path)
         for df in (bands, sig, docs):
             df.unpersist()
+        attempts[epoch_id] = attempts.get(epoch_id, 0) + 1
+        if epoch_id in cfg.crash_after_write_epochs and attempts[epoch_id] == 1:
+            raise RuntimeError(
+                f"injected crash after epoch {epoch_id} writes (before commit)"
+            )
 
     def start():
         return (
