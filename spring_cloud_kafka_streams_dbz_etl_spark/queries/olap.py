@@ -537,3 +537,49 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+Q4_FROM, Q4_TO = "1997-01-01", "1997-07-01"
+Q4_LATE_DAYS = 60
+
+
+@query(
+    "q_tpch_q4",
+    oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND date_diff('day', o_orderdate, l_shipdate) > {Q4_LATE_DAYS})
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    that have AT LEAST ONE late line — an EXISTS decorrelated into a
+    LEFT SEMI join whose condition mixes the equi key with a non-equi
+    cross-table predicate (ship date more than {Q4_LATE_DAYS} days after
+    the order date; the fixture lacks commit/receipt dates, so lateness
+    is relative to order date — same plan shape as the spec's clause).
+
+    Scale: the semi join never multiplies rows (an order with 7 late
+    lines counts once, no DISTINCT pass); the quarter filter pushes to
+    the orders scan; the date comparison evaluates inside the join,
+    keyed on the equi component — at 100 TB this is one key shuffle, and
+    the priority rollup is a 5-group map-side-combinable aggregate."""
+    tune(spark)
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_FROM) & (F.col("o_orderdate") < Q4_TO)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q4_LATE_DAYS
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
