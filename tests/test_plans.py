@@ -669,3 +669,60 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
         gcell, gdist = got[vid]
         assert gcell == cell, vid
         assert abs(gdist - round(dist, 6)) < 1e-9, vid
+
+
+def test_q19_derived_predicates_push_to_both_scans(spark, sf_smoke):
+    """The disjunctive cross-join predicate can't push whole, but its
+    derived single-side bounds must: the quantity union on the lineitem
+    scan, the brand/size union on the part scan (the plan property
+    q_tpch_q19's docstring promises)."""
+    df = SPECS["q_tpch_q19"].fn(spark, sf_smoke)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+    scans = read_schema_columns(df)
+    # lineitem read: 4 of 11 columns; part read: 3 of 6
+    assert scans and all(len(cols) <= 4 for cols in scans), scans
+
+
+def test_q4_exists_is_semi_join_no_multiplier(spark, sf_smoke):
+    """EXISTS decorrelates to LeftSemi — never an inner join + distinct
+    (which would multiply an order by its late-line count before
+    deduplicating)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tpch_q4"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "LeftSemi" in text, text[:2000]
+    assert "CartesianProduct" not in text, text[:2000]
+
+
+def test_ngram_jaccard_prefix_join_no_cartesian(spark, sf_smoke):
+    """Candidates come from the rare-prefix-gram equi-join, never a
+    quadratic per-block nested loop."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_ngram_jaccard"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+
+
+def test_substring_runs_no_cartesian(spark, sf_smoke):
+    """Position-level gram matching joins on the gram hash, restricted
+    to containment candidates — never all-pairs."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_substring_runs"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+
+
+def test_gopher_rules_map_only(spark, sf_smoke):
+    """The rule battery must run at scan speed: no exchange, no Python."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_gopher_rules"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Exchange" not in text, text[:2000]
+    assert "Python" not in text and "ArrowEval" not in text, text[:2000]
