@@ -410,3 +410,68 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("event_id", "user_id", "value", "source_region")
     )
+
+
+@query("q_orc_source", oracle=_EVENTS_ORACLE)
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over ORC — the other columnar format a lake-side
+    consumer meets (Hive-era tables feeding the same CDC topics). Events
+    round-trip through ORC against the parquet ground truth: predicate
+    pushdown, column pruning, and stripe statistics work exactly like
+    parquet's, so every operator upstream is format-agnostic.
+
+    Scale: ORC stripes parallelize like parquet row groups; the engine's
+    scan-layer properties (pushdown/pruning, test_plans.py) hold
+    unchanged because they're DataSource-level, not format-level."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    path = _tmpdir("orc_src")
+    ev.write.mode("overwrite").orc(path)
+    return spark.read.schema(ev.schema).orc(path).select(*_EVENT_COLS)
+
+
+@query(
+    "q_text_log_source",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM (
+  SELECT CAST(regexp_extract(line, '^\\[([^\\]]+)\\] id=([0-9]+) user=([0-9]+) type=(\\w+)$', 1) AS VARCHAR) AS ts,
+         CAST(regexp_extract(line, '^\\[([^\\]]+)\\] id=([0-9]+) user=([0-9]+) type=(\\w+)$', 2) AS BIGINT) AS event_id,
+         CAST(regexp_extract(line, '^\\[([^\\]]+)\\] id=([0-9]+) user=([0-9]+) type=(\\w+)$', 3) AS BIGINT) AS user_id,
+         regexp_extract(line, '^\\[([^\\]]+)\\] id=([0-9]+) user=([0-9]+) type=(\\w+)$', 4) AS event_type
+  FROM (
+    SELECT '[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] id=' || event_id
+           || ' user=' || user_id || ' type=' || event_type AS line
+    FROM events))
+""",
+)
+def q_text_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-log ingestion: events rendered as classic
+    bracket-timestamp log lines, written with the text datasource, read
+    back line-at-a-time and re-structured with one anchored regex —
+    the grep-to-DataFrame path every pipeline needs for the logs that
+    never got a schema. (Seconds precision: log timestamps rarely carry
+    micros; the oracle renders and re-parses the same way.)
+
+    Scale: text splits by line; the regex is a single codegen'd
+    regexp_extract per field over one scan — no Python, no shuffle;
+    malformed lines yield empty extracts and can be DLQ-split exactly
+    like the CDC parse path."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["), F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("] id="),
+        F.col("event_id"), F.lit(" user="), F.col("user_id"),
+        F.lit(" type="), F.col("event_type"),
+    )
+    path = _tmpdir("textlog_src")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    rx = r"^\[([^\]]+)\] id=([0-9]+) user=([0-9]+) type=(\w+)$"
+    lines = spark.read.text(path)
+    return lines.select(
+        F.regexp_extract("value", rx, 2).cast("bigint").alias("event_id"),
+        F.regexp_extract("value", rx, 3).cast("bigint").alias("user_id"),
+        F.regexp_extract("value", rx, 4).alias("event_type"),
+        F.to_timestamp(F.regexp_extract("value", rx, 1)).alias("ts"),
+    )
