@@ -621,3 +621,104 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+FUZZY_SEG = 6  # 3 segments of 6 chars over the 18-char name
+FUZZY_MAX_DIST = 2
+FUZZY_N_PROBES = 40
+
+
+@query(
+    "q_fuzzy_match",
+    oracle=f"""
+WITH probe AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, (c_custkey % 18)::INT)
+           || 'X' || substr(c_name, (c_custkey % 18)::INT + 2) AS probe_name
+  FROM customer WHERE c_custkey < {FUZZY_N_PROBES}
+), pseg AS (
+  SELECT probe_key, probe_name, s AS seg_idx,
+         substr(probe_name, s * {FUZZY_SEG} + 1, {FUZZY_SEG}) AS seg
+  FROM probe CROSS JOIN range(0, 3) t(s)
+), cseg AS (
+  SELECT c_custkey, c_name, s AS seg_idx,
+         substr(c_name, s * {FUZZY_SEG} + 1, {FUZZY_SEG}) AS seg
+  FROM customer CROSS JOIN range(0, 3) t(s)
+), cand AS (
+  SELECT DISTINCT p.probe_key, p.probe_name, c.c_custkey, c.c_name
+  FROM pseg p JOIN cseg c ON p.seg_idx = c.seg_idx AND p.seg = c.seg
+), verified AS (
+  SELECT probe_key, probe_name, c_custkey, c_name,
+         CAST(levenshtein(probe_name, c_name) AS INT) AS dist
+  FROM cand
+  WHERE levenshtein(probe_name, c_name) <= {FUZZY_MAX_DIST}
+)
+SELECT probe_key, probe_name, c_custkey AS matched_key,
+       c_name AS matched_name, dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+                               ORDER BY dist ASC, c_custkey ASC) AS rn
+  FROM verified)
+WHERE rn = 1
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (PassJoin-style segment blocking): probe
+    names carry one synthetic typo (deterministic 'X' substitution at a
+    key-derived position); by pigeonhole, any equal-length pair within
+    {FUZZY_MAX_DIST} substitutions agrees EXACTLY on at least one of 3
+    segments, so candidates come from a (segment_idx, segment) equi-join
+    and only candidates pay the levenshtein — the same banded shape as
+    MinHash/SimHash, applied to edit distance. Best match per probe is
+    deterministic (distance, then key).
+
+    Scale: never all-pairs — candidate work is Σ|segment bucket|², and
+    segment width is the occupancy knob exactly like simhash blocks.
+    General insert/delete edits need PassJoin's position-shifted segment
+    variants (same plan shape, more probe rows per string); the
+    substitution case here is the exact pigeonhole."""
+    tune(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (F.col("c_custkey") % 18).cast("int")
+    probe = cust.filter(F.col("c_custkey") < FUZZY_N_PROBES).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 18).substr(F.lit(1), pos),
+            F.lit("X"),
+            F.col("c_name").substr(pos + 2, F.lit(18)),
+        ).alias("probe_name"),
+    )
+    seg = lambda name, s: F.substring(name, s * FUZZY_SEG + 1, FUZZY_SEG)  # noqa: E731
+    pseg = probe.select(
+        "probe_key",
+        "probe_name",
+        F.posexplode(
+            F.array(*[seg(F.col("probe_name"), s) for s in range(3)])
+        ).alias("seg_idx", "seg"),
+    )
+    cseg = cust.select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(
+            F.array(*[seg(F.col("c_name"), s) for s in range(3)])
+        ).alias("seg_idx", "seg"),
+    )
+    cand = (
+        pseg.join(cseg, ["seg_idx", "seg"])
+        .select("probe_key", "probe_name", "c_custkey", "c_name")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("probe_name"), F.col("c_name"))
+    verified = cand.filter(dist <= FUZZY_MAX_DIST).withColumn("dist", dist.cast("int"))
+    w = Window.partitionBy("probe_key").orderBy(F.asc("dist"), F.asc("c_custkey"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("c_custkey").alias("matched_key"),
+            F.col("c_name").alias("matched_name"),
+            "dist",
+        )
+    )
