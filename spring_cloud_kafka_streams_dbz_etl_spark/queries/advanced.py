@@ -451,3 +451,135 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "hub_key", "l_extendedprice",
         "n_orders", "hub_price",
     )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank spec (the kmeans-oracle pattern):
+    nodes = customers + suppliers, undirected trade edges, 3 rounds of
+    rank = (1-d)/N + d·Σ round(rank_src/outdeg, 9), contributions summed
+    as DECIMAL(18,9) so each round is order-independent."""
+    step = """it{k} AS (
+  SELECT n.node,
+         FLOOR(((1 - CAST({d} AS DOUBLE)) / nn.n
+               + CAST({d} AS DOUBLE) * COALESCE(s.acc, 0)) * 1e9) / 1e9 AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR(p.rank / od.outdeg * 1e9) / 1e9 AS DECIMAL(18,9))) AS DOUBLE) AS acc
+    FROM edges e
+    JOIN it{prev} p ON p.node = e.src
+    JOIN outdeg od ON od.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+    steps = ",\n".join(
+        step.format(k=k, prev=k - 1, d=PR_DAMP) for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT 'c' || c_custkey AS node FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey AS node FROM supplier
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), outdeg AS (
+  SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+), it0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{steps}
+SELECT node, rank FROM it{PR_ITERS}
+"""
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (undirected edges
+    from the orders x lineitem bridge), {PR_ITERS} power iterations with
+    damping {PR_DAMP} — the canonical iterative-graph workload beyond
+    connected components. Isolated nodes hold rank (1-d)/N; dangling
+    redistribution is unnecessary because undirected edges give every
+    connected node an out-degree.
+
+    Determinism (the embeddings policy): per-edge contributions truncate
+    to 9 decimals via floor(x*1e9)/1e9 — floor of an identical double is
+    implementation-free, unlike ROUND whose half-up differs across
+    engines at the 9th decimal (measured: 40/1600 rows) — and sum as
+    DECIMAL(18,9), so each round's aggregate is
+    exact and order-independent; the only float ops are exact-operand
+    IEEE divisions/multiplies identical across engines. The oracle
+    unrolls all {PR_ITERS} iterations as CTEs.
+
+    Scale: per round, ONE shuffle join (ranks onto edge sources — the
+    same key as the previous round's groupBy, so AQE reuses the
+    partitioning) + one map-side-combinable groupBy(dst); the rank
+    relation is 2 columns regardless of corpus; edges/outdeg are
+    computed once and cached. This is the Pregel message-passing shape
+    expressed as vanilla joins — at 1000 executors each round is one
+    bulk-synchronous step, exactly how GraphX/GraphFrames schedule it."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bridge = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    from . import cache_scoped
+
+    edges = cache_scoped(
+        bridge.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            bridge.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        ).distinct()
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    nodes = cache_scoped(cust.unionByName(supp))
+    n = nodes.count()  # graph size: driver-side scalar, the one allowed action
+    outdeg = cache_scoped(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    )
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("src", "node").withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.floor(F.col("rank") / F.col("outdeg") * 1e9) / 1e9)
+                .cast("decimal(18,9)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("acc"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.floor(
+                    (
+                        F.lit(1 - PR_DAMP) / n
+                        + PR_DAMP * F.coalesce(F.col("acc"), F.lit(0.0))
+                    )
+                    * 1e9
+                )
+                / 1e9
+            ).alias("rank"),
+        )
+    return ranks
