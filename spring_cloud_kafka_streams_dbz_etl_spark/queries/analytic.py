@@ -657,3 +657,113 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(cols)
         )
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+WITH act AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) // 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day) // 7
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users grouped by their FIRST-activity day (the cohort), activity
+    counted at weekly offsets from it. (cohort_day, week_offset) →
+    distinct active users; a row per cell of the retention triangle.
+
+    Scale: one groupBy(user) for first-activity (map-side combinable),
+    the cohort relation joins back on the user key (shares the same
+    shuffle partitioning), and the distinct-count aggregate shuffles
+    (cohort, offset) pairs — bounded by days x weeks, not by events.
+    At 100 TB the events scan dominates and everything downstream is
+    tiny; exactly how a warehouse rollup schedules it."""
+    tune(spark)
+    act = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    week = F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", week.alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON c.user_id = p.user_id
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage's
+    timestamp is the user's FIRST qualifying event strictly after the
+    previous stage — the sequenced-event analysis every event pipeline
+    grows, with out-of-order occurrences correctly NOT counted (a click
+    before any view doesn't advance the funnel).
+
+    Scale: three user-keyed aggregates sharing one shuffle partitioning
+    (each stage joins the previous stage's per-user row, same key);
+    event text/props never leave the scan. The per-stage 'first event
+    after X' is an aggregate-after-join, not a window over all events —
+    state per user is one timestamp per stage."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            stage.cast("int").alias("stage_reached"),
+        )
+    )
