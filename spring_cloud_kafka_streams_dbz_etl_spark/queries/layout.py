@@ -15,7 +15,7 @@ rank — the file assignment is a pure function of the row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -100,4 +100,69 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_val",
             z_file_id(F.col("z_val"), 2 * Z_BITS, N_FILES).alias("file_id"),
         )
+    )
+
+
+COMPACT_TARGET_BYTES = 64 * 1024  # toy-scale target; production: 512 MB
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT l_returnflag AS part_key,
+         CAST(l_orderkey % 40 AS INT) AS file_id,
+         CAST(COUNT(*) * 64 AS BIGINT) AS file_bytes
+  FROM lineitem
+  GROUP BY l_returnflag, l_orderkey % 40
+), planned AS (
+  SELECT part_key, file_id, file_bytes,
+         CAST((SUM(file_bytes) OVER (PARTITION BY part_key ORDER BY file_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - file_bytes) // {COMPACT_TARGET_BYTES} AS INT) AS target_file
+  FROM files
+)
+SELECT part_key, file_id, file_bytes, target_file,
+       CAST(COUNT(*) OVER (PARTITION BY part_key, target_file) AS BIGINT) AS n_merged
+FROM planned
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE maintenance pass
+    every streaming sink needs (micro-batches leave many small files;
+    scan cost is per-file overhead x file count). Per partition, files
+    are bin-packed into target-size output groups by a running-sum
+    window: target_file = floor((cumulative bytes BEFORE this file) /
+    target). Deterministic (ordered by file id), single-pass, and the
+    executor that rewrites group G reads exactly its files — no driver
+    loop, no all-file listing on one node. File stats are synthesized
+    from lineitem here; on a real table they come from the table
+    format's manifest (or a LIST + size pass).
+
+    Scale: planning cost is one window over the FILE-STATS relation
+    (millions of rows for billions of data rows); the rewrite itself is
+    a partition-pruned read per group. This is exactly Delta/Iceberg
+    OPTIMIZE's planning shape, as a query."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part_key"),
+        (F.col("l_orderkey") % 40).cast("int").alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 64).cast("bigint").alias("file_bytes"))
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn(
+        "target_file",
+        F.floor(
+            (F.sum("file_bytes").over(w) - F.col("file_bytes"))
+            / COMPACT_TARGET_BYTES
+        ).cast("int"),
+    )
+    wg = Window.partitionBy("part_key", "target_file")
+    return planned.select(
+        "part_key", "file_id", "file_bytes", "target_file",
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n_merged"),
     )
