@@ -68,9 +68,13 @@ def cmd_sql(args) -> int:
 
 
 def cmd_serve(args) -> int:
+    import glob
+    import os
     import tempfile
 
     from .sources.avro_codec import SchemaRegistry
+    from .sources.sinks import upsert_dimension
+    from .streaming.dimstore import DimStore
     from .streaming.export import make_exporter
     from .streaming.http_facade import StreamControlHttp
     from .streaming.pipeline import CdcPipelineConfig, build_cdc_pipeline
@@ -81,14 +85,27 @@ def cmd_serve(args) -> int:
     dlq, ckpt = tempfile.mkdtemp(prefix="scksde_dlq_"), tempfile.mkdtemp(
         prefix="scksde_ckpt_"
     )
+    # Writable working dir: events symlinked read-only from the sf dir, the
+    # customer dimension seeded as a VERSIONED CRUD store so the HTTP
+    # CRUD routes can write it (testdata itself is never written).
+    src_dir = tempfile.mkdtemp(prefix="scksde_src_")
+    for f in glob.glob(os.path.join(args.sf, "events*.parquet")):
+        os.symlink(f, os.path.join(src_dir, os.path.basename(f)))
+    dim_path = os.path.join(src_dir, "customer.parquet")
+    upsert_dimension(
+        spark.read.parquet(os.path.join(args.sf, "customer.parquet")),
+        dim_path,
+        keys=["c_custkey"],
+    )
     reg = StreamRegistry()
-    cfg = CdcPipelineConfig(sf_dir=args.sf, out_path=out, dlq_path=dlq, checkpoint=ckpt)
+    cfg = CdcPipelineConfig(sf_dir=src_dir, out_path=out, dlq_path=dlq, checkpoint=ckpt)
     reg.register("cdc", build_cdc_pipeline(spark, cfg), checkpoint=ckpt)
     srv = StreamControlHttp(
         reg,
         port=args.port,
         exporter=make_exporter(spark, {"events": out}),
         schema_registry=SchemaRegistry(),
+        dim_store=DimStore(spark, {"customer": (dim_path, "c_custkey")}),
     )
     port = srv.start()
     print(f"control plane on http://127.0.0.1:{port} (sink: {out}); Ctrl-C to stop")
