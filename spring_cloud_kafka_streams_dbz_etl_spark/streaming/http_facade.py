@@ -53,6 +53,11 @@ _ROUTES = [
     ("GET", re.compile(r"^(?:/api)?/schemas/ids/([0-9]+)$"), "schema_by_id"),
     ("POST", re.compile(r"^(?:/api)?/subjects/([^/]+)/versions$"), "schema_register"),
     ("GET", re.compile(r"^(?:/api)?/subjects/([^/]+)/versions/latest$"), "schema_latest"),
+    # Liveness probe — the compose healthchecks curl a functional route
+    # (docker-compose.yml: app polls /api/events, connect /connectors);
+    # one cheap endpoint reports process + per-stream state for the same
+    # orchestration pattern:
+    ("GET", re.compile(r"^/health$"), "health"),
     # Dimension CRUD (AnimalController.java:27-63 GET/POST/PUT/DELETE
     # /api/animals/{id}); writes land as new immutable dim versions the
     # stream's next micro-batch enriches against:
@@ -122,7 +127,7 @@ class StreamControlHttp:
                     match = rx.match(self.path)
                     if not match:
                         continue
-                    name = match.group(1)
+                    name = match.group(1) if match.re.groups >= 1 else None
                     if action == "export":
                         self._send(*_export(exporter, name, self._body()))
                         return
@@ -130,6 +135,9 @@ class StreamControlHttp:
                         self._send(
                             *_schema_route(schema_registry, action, name, self._body())
                         )
+                        return
+                    if action == "health":
+                        self._send(*_health(registry))
                         return
                     if action.startswith("dim_"):
                         key = match.group(2) if match.re.groups > 1 else None
@@ -241,6 +249,19 @@ def _schema_route(reg: Any, action: str, name: str, body: dict) -> tuple[int, di
     except SchemaNotFoundError as exc:
         return 404, {"error": str(exc)}
     raise AssertionError(action)
+
+
+def _health(registry: Any) -> tuple[int, dict]:
+    """GET /health: process liveness + per-stream run state. UP when the
+    process serves (the compose healthcheck contract); stream states
+    ride along so an orchestrator can also gate on RUNNING."""
+    streams: dict[str, str] = {}
+    try:
+        for name in registry.names():
+            streams[name] = registry.status(name).get("state", "UNKNOWN")
+    except AttributeError:
+        pass  # registry without enumeration (stub) — process liveness only
+    return 200, {"status": "UP", "streams": streams, "timestamp": time.time()}
 
 
 def _dim_route(

@@ -436,3 +436,24 @@ def test_dim_crud_routes(spark, tmp_path):
             bare.stop()
     finally:
         srv.stop()
+
+
+def test_health_route(tmp_path):
+    """GET /health: 200 UP with per-stream states from a real registry,
+    and 200 UP (streams only best-effort) on a stub without names()."""
+    reg = StreamRegistry()
+    srv = StreamControlHttp(reg)
+    port = srv.start()
+    try:
+        code, body = _call(f"http://127.0.0.1:{port}/health")
+        assert code == 200 and body["status"] == "UP"
+        assert body["streams"] == {}
+    finally:
+        srv.stop()
+    bare = StreamControlHttp(StubRegistry())
+    p2 = bare.start()
+    try:
+        code, body = _call(f"http://127.0.0.1:{p2}/health")
+        assert code == 200 and body["status"] == "UP"
+    finally:
+        bare.stop()

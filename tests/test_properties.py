@@ -561,3 +561,21 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
             )
         )
         assert salted == plain, how
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.text(alphabet="abcdefghij#0123456789", min_size=18, max_size=18),
+    st.sets(st.integers(0, 17), max_size=2),
+)
+def test_fuzzy_segment_pigeonhole(name, subs):
+    """q_fuzzy_match's blocking guarantee: <=2 substitutions in an
+    18-char string always leave >=1 of the 3 six-char segments
+    bit-identical, so the segment equi-join's candidate set is complete."""
+    other = list(name)
+    for i in subs:
+        other[i] = "X"
+    other = "".join(other)
+    segs_a = [name[s * 6 : s * 6 + 6] for s in range(3)]
+    segs_b = [other[s * 6 : s * 6 + 6] for s in range(3)]
+    assert any(a == b for a, b in zip(segs_a, segs_b))
