@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Measure how the heavy dedup/similarity operators scale with corpus size.
+
+Synthesizes K× corpora from sf0.1 documents with WORKLOAD SHAPE held
+constant: replica k's tokens are uniformly suffixed with "~k", which
+preserves every intra-replica similarity exactly (same shingle overlaps)
+while making replicas dissimilar to each other (disjoint shingle
+spaces) — so true near-dup structure grows LINEARLY with K, and a
+super-linear wall-time curve exposes a quadratic candidate stage.
+
+Usage: python tools/measure_scaleup.py [max_K]   (default 4 -> runs 1,2,4)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled_docs(spark, k_replicas: int):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.selectExpr("max(doc_id)").collect()[0][0] + 1
+    parts = []
+    for k in range(k_replicas):
+        toks = F.split(F.col("text"), " ")
+        suffixed = F.array_join(
+            F.transform(toks, lambda t: F.concat(t, F.lit(f"~{k}"))), " "
+        )
+        parts.append(
+            base.select(
+                (F.col("doc_id") + k * n).alias("doc_id"),
+                (suffixed if k else F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).persist()
+
+
+def run_op(label, df):
+    t0 = time.time()
+    n = df.count()
+    return label, time.time() - t0, n
+
+
+def ops(spark, docs):
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        candidate_pairs,
+        jaccard,
+        lsh_bands,
+        minhash_signature,
+        prefix_filter_candidates,
+        shingle,
+        simhash_bits,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    sh = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", shingle(toks, 3).alias("shingles")
+    ).persist()
+    sig = minhash_signature(sh, "doc_id", "shingles", k=6)
+    bands = lsh_bands(sig, "doc_id", k=6, bands=3).persist()
+    cand = candidate_pairs(bands, "doc_id")
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    pairs = (
+        cand.join(x, "id_a").join(y, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+    ).persist()
+    yield run_op("minhash_pairs", pairs)
+
+    comp = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        id_col="doc_id", src="id_a", dst="id_b",
+    )
+    yield run_op("dup_clusters_cc", comp)
+    pairs.unpersist()
+
+    fp = simhash_bits(
+        docs.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")),
+        "doc_id", "t", width=64,
+    ).persist()
+    blocks = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(65535)) for b in range(4)
+        ])).alias("bi", "bv"),
+    )
+    a = blocks.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "bi", "bv")
+    b = blocks.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "bi", "bv")
+    sdup = (
+        a.join(b, ["bi", "bv"]).filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("h"))
+        .filter(F.col("h") <= 3).distinct()
+    )
+    yield run_op("simhash64_join", sdup)
+    fp.unpersist()
+
+    grams = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("lb"),
+        shingle(toks, 2).alias("grams"),
+    ).persist()
+    pf = prefix_filter_candidates(
+        grams, "doc_id", "grams", 3, 10, block_cols=["lang", "source", "lb"]
+    )
+    yield run_op("prefix_jaccard_cands", pf)
+    grams.unpersist()
+    sh.unpersist()
+    bands.unpersist()
+
+
+def main() -> int:
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark, tune
+
+    spark = get_spark("scaleup")
+    tune(spark)
+    max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    k = 1
+    results = {}
+    while k <= max_k:
+        docs = scaled_docs(spark, k)
+        n_docs = docs.count()
+        print(f"-- K={k} ({n_docs:,} docs)")
+        for label, secs, n in ops(spark, docs):
+            results.setdefault(label, []).append((k, secs, n))
+            print(f"   {label:22s} {secs:6.2f}s  rows={n:,}")
+        docs.unpersist()
+        k *= 2
+    print("\nscaling factors (time_K / time_1 vs K):")
+    for label, rows in results.items():
+        base = rows[0][1]
+        curve = ", ".join(f"K={k}: {secs/base:.2f}x" for k, secs, _ in rows)
+        print(f"  {label:22s} {curve}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
