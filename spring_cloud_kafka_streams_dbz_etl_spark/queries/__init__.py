@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout,
         multimodal,
         olap,
+        olap_full,
         pii,
         relational,
         similarity,
