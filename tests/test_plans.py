@@ -726,3 +726,66 @@ def test_gopher_rules_map_only(spark, sf_smoke):
     text = explain_str(df)
     assert "Exchange" not in text, text[:2000]
     assert "Python" not in text and "ArrowEval" not in text, text[:2000]
+
+
+def test_q1_single_scan_no_join(spark, sf_smoke):
+    """Q1 is THE scan-aggregate: one pruned lineitem scan (7 columns),
+    the shipdate cutoff pushed into it, and no join anywhere."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tpch_q1"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "Join" not in text, text[:2000]
+    scans = read_schema_columns(df)
+    assert len(scans) == 1 and len(scans[0]) <= 7, scans
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q9_part_filter_pushes_and_dims_broadcast(spark, sf_smoke):
+    """The p_name predicate reaches the part scan (the fact thins on its
+    first join) and the 100-row supplier / 25-row nation broadcast."""
+    df = SPECS["q_tpch_q9"].fn(spark, sf_smoke)
+    assert any("p_name" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert has_broadcast_join(df)
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_smoke):
+    """NOT IN over a non-null key must decorrelate to a broadcast LEFT
+    ANTI hash join — no null-aware nested-loop fallback."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tpch_q16"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "LeftAnti" in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+
+
+def test_q17_correlated_avg_decorrelated_no_rescan_per_row(spark, sf_smoke):
+    """The per-part AVG is a groupBy joined back on partkey — the plan
+    has hash aggregates and equi-joins only, no nested-loop re-scan."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tpch_q17"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert any("p_brand" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q21_both_exists_ride_one_fact_scan(spark, sf_smoke):
+    """The EXISTS + NOT EXISTS pair collapses into one per-order
+    aggregate: lineitem is scanned exactly once (the spec's formulation
+    touches it three times more)."""
+    df = SPECS["q_tpch_q21"].fn(spark, sf_smoke)
+    scans = read_schema_columns(df)
+    li_scans = [cols for cols in scans if any(c.startswith("l_") for c in cols)]
+    assert len(li_scans) == 1, scans
+
+
+def test_q2_min_cost_join_no_cartesian(spark, sf_smoke):
+    """The correlated MIN decorrelates to an aggregate equi-joined on
+    (partkey, cost); candidate generation is never all-pairs."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_tpch_q2"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
