@@ -166,3 +166,95 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_key", "file_id", "file_bytes", "target_file",
         F.count(F.lit(1)).over(wg).cast("bigint").alias("n_merged"),
     )
+
+
+# probe predicate for the zone-map audit: a selective custkey band plus a
+# price floor — the multi-column filter shape z-ordering exists to serve
+ZM_CUST_LO, ZM_CUST_HI = 100.0, 300.0
+ZM_PRICE_LO = 150_000.0
+
+
+def _zone_map_oracle() -> str:
+    shift = 2 * Z_BITS - max(1, N_FILES - 1).bit_length()
+    return f"""
+WITH g AS (
+  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo_a, MAX(CAST(o_custkey AS DOUBLE)) AS hi_a,
+         MIN(CAST(o_totalprice AS DOUBLE)) AS lo_b, MAX(CAST(o_totalprice AS DOUBLE)) AS hi_b
+  FROM orders
+), b AS (
+  SELECT o_custkey, o_totalprice,
+         {_bucket_sql('o_custkey', 'lo_a', 'hi_a')} AS ba,
+         {_bucket_sql('o_totalprice', 'lo_b', 'hi_b')} AS bb
+  FROM orders CROSS JOIN g
+), f AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(({_interleave_sql('ba', 'bb')}) >> {shift} AS INT) AS file_id
+  FROM b
+), zm AS (
+  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+  FROM f GROUP BY file_id
+)
+SELECT file_id, n_rows, min_cust, max_cust, min_price, max_price,
+       NOT (max_cust >= {ZM_CUST_LO} AND min_cust <= {ZM_CUST_HI}
+            AND max_price >= {ZM_PRICE_LO}) AS can_skip
+FROM zm
+"""
+
+
+@query("q_zone_map_skip", oracle=_zone_map_oracle())
+def q_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit of the Z-order layout: per assigned file, the
+    min/max statistics a parquet footer would carry for BOTH clustered
+    columns, plus whether a fixed multi-column probe (custkey band +
+    price floor) could skip the file entirely. This is the measurement
+    half of q_zorder_layout — the layout claims "every file spans at
+    most 1/8 of both dimensions"; this query computes the actual spans
+    and turns them into the skip decision the scan layer would make
+    (file overlaps the probe iff [min,max] intersects it on EVERY
+    predicate column; otherwise the footer read is the only I/O).
+
+    Scale: one pass computes file assignment (pure codegen'd bit
+    arithmetic after a 1-row bounds broadcast) and one combinable
+    groupBy(file_id) folds min/max/count — the same cost as writing the
+    layout's footer stats at ingest. min/max carry no accumulation-order
+    sensitivity, so the audit is engine-exact without the decimal
+    detour. At 100 TB the output is |files| rows — the planner-side
+    pruning table, not data."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    g = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo_a"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi_a"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo_b"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi_b"),
+    )
+    ba = min_max_bucket(F.col("o_custkey"), F.col("lo_a"), F.col("hi_a"), Z_BITS)
+    bb = min_max_bucket(F.col("o_totalprice"), F.col("lo_b"), F.col("hi_b"), Z_BITS)
+    z = z_value([ba, bb], Z_BITS)
+    zm = (
+        o.crossJoin(F.broadcast(g))
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            z_file_id(z, 2 * Z_BITS, N_FILES).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    overlaps = (
+        (F.col("max_cust") >= ZM_CUST_LO)
+        & (F.col("min_cust") <= ZM_CUST_HI)
+        & (F.col("max_price") >= ZM_PRICE_LO)
+    )
+    return zm.select(
+        "file_id", "n_rows", "min_cust", "max_cust", "min_price", "max_price",
+        (~overlaps).alias("can_skip"),
+    )

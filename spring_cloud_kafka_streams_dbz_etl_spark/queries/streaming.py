@@ -10,6 +10,7 @@ and in-stream dedup.
 
 from __future__ import annotations
 
+import datetime as _dt
 import tempfile
 import uuid
 
@@ -1369,3 +1370,105 @@ def s_dim_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out).select(
         "id", "user_id", "name", "segment", "event_type", "value"
     )
+
+
+@query(
+    "s_stream_outer_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""",
+)
+def s_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    within-the-hour purchase when one exists and NULL purchase columns
+    when none does. The outer half is the part the inner join
+    (s_stream_stream_join) cannot give you: "clicks that did NOT
+    convert" — and it is only emittable once the WATERMARK has passed
+    the click's match window, because until then a matching purchase
+    could still arrive. This is exactly the state-eviction contract:
+    null-padded results are produced by eviction, not by lookup miss.
+
+    Mechanics proven here: batch 1 streams the real events (matches emit
+    eagerly); batch 2 appends a far-future flush pair — one click, one
+    purchase, on sentinel users — advancing BOTH sides' watermarks past
+    every real click's window; batch 3 appends a second flush pair,
+    triggering the micro-batch that runs WITH the advanced watermark and
+    evicts every unmatched real click as a null-padded row. The flush
+    rows themselves stay pending forever (their own windows never
+    close), so the sink holds exactly the oracle's LEFT JOIN over the
+    real events.
+
+    Scale: join state is bounded by the watermark delay on both sides
+    (2 h of per-user rows), same as the inner join — outer-ness changes
+    WHEN rows leave state (eviction emits them) but not how much state
+    is held. Reference analog: none (stream-stream joins are §2A
+    'explicitly absent'); this is native Structured Streaming."""
+    from ..catalog import table as load_table
+
+    tune(spark)
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    src = _tmp("soj_src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def flush_frame(days: int):
+        return spark.createDataFrame(
+            [
+                (-1, max_ts + _dt.timedelta(days=days), -1, "click", 0.0),
+                (-2, max_ts + _dt.timedelta(days=days), -2, "purchase", 0.0),
+            ],
+            schema=ev.schema,
+        )
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # batch 1: real events; inner matches emit
+        for days in (30, 31):
+            flush_frame(days).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()  # batch 2 advances watermark; 3 evicts
+        result = (
+            spark.table(name)
+            .filter(F.col("click_id") >= 0)  # drop flush sentinels if evicted
+            .cache()
+        )
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
