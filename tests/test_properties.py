@@ -579,3 +579,102 @@ def test_fuzzy_segment_pigeonhole(name, subs):
     segs_a = [name[s * 6 : s * 6 + 6] for s in range(3)]
     segs_b = [other[s * 6 : s * 6 + 6] for s in range(3)]
     assert any(a == b for a, b in zip(segs_a, segs_b))
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_enumeration_matches_bruteforce(spark, edge_list):
+    """The degree-oriented wedge join enumerates EXACTLY the triangle
+    set of the undirected graph — each triangle once, none missed, on
+    arbitrary (including hub-heavy) graphs. Mirrors q_triangle_count's
+    pipeline on a synthetic edge relation vs an itertools brute force."""
+    import itertools
+
+    edges = {(min(a, b), max(a, b)) for a, b in edge_list}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    }
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "vec_a long, vec_b long"
+    )
+    deg = (
+        pairs.select(F.col("vec_a").alias("node"))
+        .unionAll(pairs.select(F.col("vec_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("vec_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("vec_b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    oriented = (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            F.when(lower_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("src"),
+            F.when(lower_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
+    wedges = (
+        o1.join(o2, F.col("src") == F.col("src2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select("src", "d1", "d2")
+    )
+    canon = pairs.select(F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb"))
+    closed = wedges.join(
+        canon,
+        (F.least("d1", "d2") == F.col("ca")) & (F.greatest("d1", "d2") == F.col("cb")),
+        "left_semi",
+    )
+    got = {tuple(sorted((r.src, r.d1, r.d2))) for r in closed.collect()}
+    assert got == expected
+
+
+def test_zone_map_skip_is_sound(spark, sf_smoke):
+    """A file marked can_skip must contain ZERO rows matching the probe
+    — zone-map pruning may only ever skip provably-empty files (false
+    positives in 'keep' are allowed; false negatives in 'skip' are
+    data loss at the scan layer)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.layout import (
+        ZM_CUST_HI,
+        ZM_CUST_LO,
+        ZM_PRICE_LO,
+    )
+
+    specs = all_queries()
+    zm = specs["q_zone_map_skip"].fn(spark, sf_smoke)
+    skippable = {r.file_id for r in zm.filter("can_skip").collect()}
+    if not skippable:
+        return
+    layout = specs["q_zorder_layout"].fn(spark, sf_smoke).select("o_orderkey", "file_id")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    matches = (
+        orders.join(layout, "o_orderkey")
+        .filter(
+            (F.col("o_custkey") >= ZM_CUST_LO)
+            & (F.col("o_custkey") <= ZM_CUST_HI)
+            & (F.col("o_totalprice") >= ZM_PRICE_LO)
+        )
+        .filter(F.col("file_id").isin(skippable))
+        .count()
+    )
+    assert matches == 0
