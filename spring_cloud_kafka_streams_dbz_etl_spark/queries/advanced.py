@@ -583,3 +583,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks
+
+
+SKEW_PARALLELISM = 32
+
+
+@query(
+    "q_skew_diagnose",
+    oracle=f"""
+WITH t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)
+SELECT source, n,
+       CAST(n AS DOUBLE) / total AS share,
+       CAST((n * {SKEW_PARALLELISM} + total - 1) // total AS BIGINT) AS salt_factor,
+       n * {SKEW_PARALLELISM} > total AS is_hot
+FROM t CROSS JOIN g
+""",
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis — the measurement that decides BETWEEN
+    the engine's three skew strategies (AQE runtime split, q_salted_agg's
+    two-phase aggregate, q_salted_join's replicated dimension): per key,
+    its row share of the relation and the salt factor that would level it
+    across {SKEW_PARALLELISM} reducers (ceil of share x parallelism,
+    integer-exact in both engines). is_hot marks keys exceeding one
+    reducer's fair share — the keys AQE would split at runtime and a
+    salted plan would pre-split at write time.
+
+    Scale: one combinable groupBy of the key (the same pass a shuffle
+    would take anyway) plus a 1-row total broadcast — the diagnosis
+    costs one aggregate of key cardinality, so it can run as a profile
+    step before EVERY heavy join. The salt-factor rule is the one
+    q_salted_join applies statically; diagnosing first is what keeps
+    salting targeted at hot keys instead of taxing the whole relation."""
+    tune(spark)
+    t = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = t.agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.lit(SKEW_PARALLELISM)
+    return t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        F.expr(f"(n * {SKEW_PARALLELISM} + total - 1) div total").cast("bigint").alias("salt_factor"),
+        (F.col("n") * p > F.col("total")).alias("is_hot"),
+    )

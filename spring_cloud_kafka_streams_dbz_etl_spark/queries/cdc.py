@@ -249,3 +249,139 @@ def q_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.select(F.lit(1).alias("version"), "c_custkey", "c_name", "c_acctbal").unionByName(
         v2.select(F.lit(2).alias("version"), "c_custkey", "c_name", "c_acctbal")
     )
+
+
+INC_AGG_CUTOFF = "2024-01-24"
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta
+    merge): the per-user rollup is kept current by merging the STORED
+    aggregate with the aggregate of the new delta slice — a FULL OUTER
+    merge of two partial states, never a rescan of base history. The
+    base slice here (events < {cutoff}) stands in for the stored MV;
+    the oracle is the full recompute over everything, proving
+    merge(base_agg, delta_agg) == recompute — which holds because count
+    and DECIMAL-sum are commutative monoids (the same algebra that
+    makes the aggregates map-side combinable).
+
+    Scale: this is the nightly-pipeline pattern that turns an O(history)
+    recompute into O(delta): both aggregates are combinable, the merge
+    joins |users| partial rows against |active users in delta| — at
+    100 TB the base side is the stored MV relation (small), and only
+    the delta's raw rows are scanned (time filter pushed to the scan).
+    Decimal partials merge exactly, so the maintained view never drifts
+    from the recompute."""
+    tune(spark)
+    from ..functions.scalars import DEC
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    base = (
+        ev.filter(F.col("ts") < INC_AGG_CUTOFF)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(F.col("value").cast(DEC)).alias("bv"),
+        )
+    )
+    delta = (
+        ev.filter(F.col("ts") >= INC_AGG_CUTOFF)
+        .groupBy(F.col("user_id").alias("d_user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum(F.col("value").cast(DEC)).alias("dv"),
+        )
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        base.join(delta, base.user_id == delta.d_user_id, "full_outer")
+        .select(
+            F.coalesce(F.col("user_id"), F.col("d_user_id")).alias("user_id"),
+            (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_events"),
+            (F.coalesce(F.col("bv"), zero) + F.coalesce(F.col("dv"), zero))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+SCD2_STATE_TYPES = ("signup", "error")
+
+
+@query(
+    "q_scd2_enrich",
+    oracle=f"""
+WITH hist AS (
+  SELECT user_id, event_id AS state_event, value AS state_value,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS valid_to
+  FROM events WHERE event_type IN {SCD2_STATE_TYPES}
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       h.state_event, h.state_value
+FROM events p LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+""",
+)
+def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment (the SCD2 LOOKUP, completing
+    q_scd2's history BUILD): each purchase joins the dimension version
+    that was valid AT ITS EVENT TIME — equi-join on the key with the
+    half-open interval predicate riding the join condition; purchases
+    before the first state version keep NULL attributes (left join).
+    This is the warehouse-correct alternative to the reference's
+    current-state-only enrichment (EventTransformerStream.java:45-80
+    always reads the latest dimension row, silently rewriting history
+    when the dim changes).
+
+    Scale: the shuffle is carried entirely by the equi key (user_id);
+    the interval predicate evaluates inside the joined partition, and
+    fan-out is bounded by versions-per-key (each fact row matches
+    EXACTLY one version since [valid_from, valid_to) partitions the
+    timeline). Contrast with q_asof_join's union+window plan: same
+    semantics, join-shaped — the right choice when the version history
+    is a maintained dimension rather than a co-streamed event feed."""
+    tune(spark)
+    from ..operators.changelog import scd2_intervals
+
+    ev = table(spark, sf_dir, "events")
+    hist = scd2_intervals(
+        ev.filter(F.col("event_type").isin(*SCD2_STATE_TYPES)).select(
+            F.col("user_id").alias("h_user_id"),
+            F.col("event_id").alias("state_event"),
+            F.col("value").alias("state_value"),
+            "ts",
+        ),
+        key_cols=["h_user_id"],
+        time_col="ts",
+        tiebreak_cols=["state_event"],
+    ).select("h_user_id", "state_event", "state_value", "valid_from", "valid_to")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (purchases.user_id == hist.h_user_id)
+        & (hist.valid_from <= purchases.purchase_ts)
+        & (hist.valid_to.isNull() | (purchases.purchase_ts < hist.valid_to))
+    )
+    return purchases.join(hist, cond, "left").select(
+        "purchase_id", "user_id", "purchase_ts", "state_event", "state_value"
+    )
