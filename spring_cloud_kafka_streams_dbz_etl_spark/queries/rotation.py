@@ -153,7 +153,7 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # Round 5's window was budgeted at exactly 50 (45 never-checked/changed
 # + 5 re-checks); these three landed after that and front round 6:
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_incremental_agg", "q_scd2_enrich", "q_skew_diagnose"}
+    {"q_incremental_agg", "q_scd2_enrich", "q_skew_diagnose", "q_xml_source"}
 )
 
 

@@ -475,3 +475,42 @@ def q_text_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", rx, 4).alias("event_type"),
         F.to_timestamp(F.regexp_extract("value", rx, 1)).alias("ts"),
     )
+
+
+@query("q_xml_source", oracle=_EVENTS_ORACLE)
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over XML (Spark 4 native `xml` format, the former
+    spark-xml package donated into core): events written one <row>
+    element per record, read back with the explicit schema — completing
+    the lake-format family (parquet/ORC/JSON/CSV/Avro/text-log/XML).
+    XML is the interchange reality of enterprise CDC feeds (SOAP
+    exports, JMS bridges) that front many ingest pipelines.
+
+    Scale: like JSONL, an explicit schema avoids the inference pre-scan;
+    unlike JSONL, element boundaries are not line boundaries, so the
+    reader splits on the rowTag — keep individual documents modest and
+    files many for parallelism. props carries markup-significant
+    characters (quotes, braces) through XML escaping, which is the
+    round-trip hazard this query pins."""
+    tune(spark)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev = table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    path = _tmpdir("xml_src")
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .save(path)
+    )
+    return (
+        spark.read.schema(ev.schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .load(path)
+        .select(*_EVENT_COLS)
+    )
