@@ -618,7 +618,9 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_salted_join applies statically; diagnosing first is what keeps
     salting targeted at hot keys instead of taxing the whole relation."""
     tune(spark)
-    t = (
+    from . import cache_scoped
+
+    t = cache_scoped(
         table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))

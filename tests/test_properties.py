@@ -590,11 +590,16 @@ def test_fuzzy_segment_pigeonhole(name, subs):
     )
 )
 def test_triangle_enumeration_matches_bruteforce(spark, edge_list):
-    """The degree-oriented wedge join enumerates EXACTLY the triangle
-    set of the undirected graph — each triangle once, none missed, on
-    arbitrary (including hub-heavy) graphs. Mirrors q_triangle_count's
-    pipeline on a synthetic edge relation vs an itertools brute force."""
+    """graph.triangle_enumerate (the operator q_triangle_count and
+    tools/measure_triangles.py run) enumerates EXACTLY the triangle set
+    of the undirected graph — each triangle once, none missed, on
+    arbitrary (including hub-heavy) graphs, vs an itertools brute
+    force."""
     import itertools
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+        triangle_enumerate,
+    )
 
     edges = {(min(a, b), max(a, b)) for a, b in edge_list}
     adj: dict[int, set[int]] = {}
@@ -612,39 +617,10 @@ def test_triangle_enumeration_matches_bruteforce(spark, edge_list):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in sorted(edges)], "vec_a long, vec_b long"
     )
-    deg = (
-        pairs.select(F.col("vec_a").alias("node"))
-        .unionAll(pairs.select(F.col("vec_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("vec_a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("vec_b"), F.col("deg").alias("deg_b"))
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("vec_a") < F.col("vec_b"))
-    )
-    oriented = (
-        pairs.join(da, "vec_a")
-        .join(db, "vec_b")
-        .select(
-            F.when(lower_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("src"),
-            F.when(lower_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("dst"),
-        )
-    )
-    o1 = oriented.select("src", F.col("dst").alias("d1"))
-    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"))
-    wedges = (
-        o1.join(o2, F.col("src") == F.col("src2"))
-        .filter(F.col("d1") < F.col("d2"))
-        .select("src", "d1", "d2")
-    )
-    canon = pairs.select(F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb"))
-    closed = wedges.join(
-        canon,
-        (F.least("d1", "d2") == F.col("ca")) & (F.greatest("d1", "d2") == F.col("cb")),
-        "left_semi",
-    )
-    got = {tuple(sorted((r.src, r.d1, r.d2))) for r in closed.collect()}
+    got = {
+        (r.tri_a, r.tri_b, r.tri_c)
+        for r in triangle_enumerate(pairs, src="vec_a", dst="vec_b").collect()
+    }
     assert got == expected
 
 

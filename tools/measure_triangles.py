@@ -82,6 +82,10 @@ def count_triangles(pairs, oriented):
 
 
 def main() -> int:
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.graph import (
+        triangle_enumerate,
+    )
+
     n_hubs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     hub_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     spark = get_spark("measure-triangles")
@@ -90,9 +94,15 @@ def main() -> int:
     n_edges = pairs.count()
     print(f"graph: {n_hubs} hubs x deg {hub_degree} -> {n_edges} edges")
     results = {}
+    # wedge counts instrument each orientation's shuffle volume; oriented_plan
+    # replicates the operator's orientation ONLY for that instrumentation —
+    # the measured triangle count for the degree path is the production
+    # operator itself (graph.triangle_enumerate).
     for label, plan in (("degree-oriented", oriented_plan), ("id-ordered", id_plan)):
         oriented = plan(pairs)
         wedges, closed = count_triangles(pairs, oriented)
+        if label == "degree-oriented":
+            closed = triangle_enumerate(pairs, src="vec_a", dst="vec_b")
         t0 = time.time()
         nw = wedges.count()
         tw = time.time() - t0
