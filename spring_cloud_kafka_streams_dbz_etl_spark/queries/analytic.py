@@ -767,3 +767,140 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.cast("int").alias("stage_reached"),
         )
     )
+
+
+GAP_FILL_MAX_USER = 50  # bound the demo grid; the mechanics are per-key
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_value
+  FROM events WHERE user_id < {GAP_FILL_MAX_USER}
+  GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds)
+SELECT g.user_id, g.hour,
+       COALESCE(o.n_events, 0) AS n_events,
+       COALESCE(o.hour_value, 0.0) AS hour_value,
+       o.hour IS NULL AS is_filled,
+       LAST_VALUE(o.hour_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each key's hourly series over
+    its own [first, last] range (sequence + explode — generate-only, no
+    shuffle to build the grid), LEFT JOIN the observed hourly rollup,
+    zero-fill counts, and carry the last observed value forward across
+    the gaps (last_value IGNORE NULLS). The operation every
+    continuous-aggregate consumer needs before charting/joining —
+    missing hours are rows, not absences.
+
+    Scale: grid size is keys x hours (independent of event count);
+    the observed rollup is one combinable groupBy; grid and rollup
+    co-partition on user_id so the join and the forward-fill window
+    share one shuffle. The forward-fill is deterministic because the
+    grid's hour column is unique per key."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < GAP_FILL_MAX_USER)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum(F.col("value"), "hour_value"),
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    o = obs.select(
+        F.col("user_id").alias("o_user_id"),
+        F.col("hour").alias("o_hour"),
+        "n_events",
+        "hour_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            o,
+            (grid.user_id == o.o_user_id) & (grid.hour == o.o_hour),
+            "left",
+        )
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
+            F.col("o_hour").isNull().alias("is_filled"),
+            F.last(F.col("hour_value"), ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )
+
+
+ROLLING_DAYS = 90
+
+
+@query(
+    "q_rolling_window",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC
+         RANGE BETWEEN INTERVAL {ROLLING_DAYS} DAYS PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_revenue,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC
+         RANGE BETWEEN INTERVAL {ROLLING_DAYS} DAYS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_orders
+FROM orders
+""",
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-framed rolling aggregates: per customer, revenue and
+    order count over a true {ROLLING_DAYS}-day RANGE frame — peers with
+    equal order dates share one frame (RANGE, not ROWS, semantics), and
+    sparse histories window by TIME, not by row position. Spark has no
+    interval literal in rangeBetween, so the frame is declared over
+    epoch seconds with the equivalent inclusive bounds — the standard
+    portable encoding of a time-range frame.
+
+    Scale: one shuffle on the partition key; the frame is evaluated
+    with a sliding accumulator within each sorted partition (no
+    per-row rescan). Per-frame sums accumulate in DECIMAL so every
+    frame total is order-independent and engine-exact."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-ROLLING_DAYS * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_revenue"),
+        F.count(F.lit(1)).over(w).alias("rolling_orders"),
+    )

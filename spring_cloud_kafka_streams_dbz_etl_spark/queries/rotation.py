@@ -151,9 +151,16 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # q_tpch_q6/q18, q_simhash_near_dup, q_dup_hubs sort to the front as
 # zero-checked and earn their first driver rows in round 5.
 # Round 5's window was budgeted at exactly 50 (45 never-checked/changed
-# + 5 re-checks); these four landed after that and front round 6:
+# + 5 re-checks); these landed after that and front round 6:
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_incremental_agg", "q_scd2_enrich", "q_skew_diagnose", "q_xml_source"}
+    {
+        "q_incremental_agg",
+        "q_scd2_enrich",
+        "q_skew_diagnose",
+        "q_xml_source",
+        "q_gap_fill",
+        "q_rolling_window",
+    }
 )
 
 
