@@ -654,3 +654,53 @@ def test_zone_map_skip_is_sound(spark, sf_smoke):
         .count()
     )
     assert matches == 0
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                      # user
+            st.integers(0, 99),                     # time position
+            st.floats(-1e6, 1e6, allow_nan=False),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(0, 100),
+)
+def test_incremental_agg_merge_equals_recompute(spark, rows, cutoff):
+    """q_incremental_agg's invariant on arbitrary data and ANY cutoff:
+    FULL OUTER merging the base-slice aggregate with the delta-slice
+    aggregate equals aggregating everything — count and DECIMAL-sum are
+    commutative monoids, and the decimal path keeps the equality exact
+    (bit-for-bit, not approximately) regardless of how rows split."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(rows, "user long, pos long, value double")
+    base = df.filter(F.col("pos") < cutoff).groupBy("user").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("bv"),
+    )
+    delta = df.filter(F.col("pos") >= cutoff).groupBy(
+        F.col("user").alias("d_user")
+    ).agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dv"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    merged = (
+        base.join(delta, base.user == delta.d_user, "full_outer")
+        .select(
+            F.coalesce("user", "d_user").alias("user"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("bv", zero) + F.coalesce("dv", zero)).alias("v"),
+        )
+    )
+    recomputed = df.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    got = {(r.user, r.n, r.v) for r in merged.collect()}
+    exp = {(r.user, r.n, r.v) for r in recomputed.collect()}
+    assert got == exp
