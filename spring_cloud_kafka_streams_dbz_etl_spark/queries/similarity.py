@@ -618,6 +618,7 @@ TRI_COS_MIN = 0.2
 
 @query(
     "q_triangle_count",
+    bench=True,
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
