@@ -166,3 +166,31 @@ def test_upsert_survives_interrupted_commit(spark, tmp_path):
     assert info["total"] == 3  # prior rows kept, staging ignored
     assert sorted(r.k for r in load_dimension(spark, path).collect()) == [1, 2, 3]
     assert not os.path.exists(dead)  # dead staging pruned by the commit
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED on the join
+    key must be pruned at runtime by a FILTERED dimension — the filter
+    sits on the dim, never literally on the fact, yet only matching
+    partitions are scanned. This is the 100 TB star-join contract: the
+    dim filter decides which fact partitions exist in the plan, without
+    the user rewriting the predicate onto the fact side."""
+    out = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 3.0), ("view", 0.5),
+         ("signup", 2.0), ("error", 0.0)],
+        "etype string, weight double",
+    ).filter(F.col("weight") >= 2.0)  # keeps purchase + signup only
+
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim, fact.event_type == dim.etype).select(
+        "event_id", "event_type", "weight"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # and the pruning is semantically right: only the two kept types survive
+    types = {r.event_type for r in joined.select("event_type").distinct().collect()}
+    assert types == {"purchase", "signup"}
