@@ -634,3 +634,84 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(n * {SKEW_PARALLELISM} + total - 1) div total").cast("bigint").alias("salt_factor"),
         (F.col("n") * p > F.col("total")).alias("is_hot"),
     )
+
+
+RB_BINS = 16
+RB_SAMPLE_MOD, RB_SAMPLE_KEEP = 100, 5  # deterministic ~5% hash sample
+
+
+@query(
+    "q_range_bounds",
+    oracle=f"""
+WITH sample AS (
+  SELECT l_extendedprice AS v, l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE (((l_orderkey * 100000 + l_linenumber) % 2147483647)
+         * 2654435761) % 2147483647 % {RB_SAMPLE_MOD} < {RB_SAMPLE_KEEP}),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM sample)
+SELECT CAST(k AS INT) AS boundary_idx, v AS boundary_value
+FROM ranked JOIN range(1, {RB_BINS}) t(k)
+  ON rn = CAST(FLOOR((n - 1) * k / {RB_BINS}.0) AS BIGINT) + 1
+""",
+)
+def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning — the sampled-quantile step
+    behind ``repartitionByRange`` / sorted-write layouts, surfaced as a
+    query: a deterministic ~{RB_SAMPLE_KEEP}% hash sample of the sort
+    key, exact rank-based {RB_BINS}-quantile boundaries over the
+    sample. At 100 TB nobody global-sorts to find partition splits; the
+    planner samples and takes sample quantiles, accepting boundary
+    error O(1/sqrt(sample)) — this query makes that step inspectable
+    and oracle-checked (the sample is a pure row function, so both
+    engines pick the IDENTICAL sample; ranks tie-break on the unique
+    line key, so boundaries are value-exact, not approximately equal).
+
+    Plan: the sample predicate evaluates at the scan (codegen hash,
+    no shuffle to sample); one window over the sample (the only sort,
+    sized by the sample, not the table) + a broadcast join against the
+    {RB_BINS}-row target-rank relation. Output is |bins|-1 rows — the
+    planner's split table, companion to q_skew_diagnose and
+    q_zone_map_skip."""
+    tune(spark)
+    # Spark's hash() and DuckDB's hash() are different functions, so the
+    # sample predicate is pure integer arithmetic both engines evaluate
+    # identically (stated verbatim in the oracle): a multiplicative mix
+    # mod a prime. The key is reduced mod P BEFORE the multiply so
+    # (P-1) * 2654435761 < 2^63 — no overflow under ANSI mode, same
+    # exact value in DuckDB.
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    P = 2147483647
+    key = F.col("l_orderkey") * 100000 + F.col("l_linenumber")
+    mixed = ((key % P) * F.lit(2654435761)) % P
+    sample = li.filter(mixed % RB_SAMPLE_MOD < RB_SAMPLE_KEEP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ranked = sample.select(
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    targets = spark.range(1, RB_BINS).select(
+        F.col("id").cast("int").alias("boundary_idx")
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * F.col("boundary_idx") / RB_BINS).cast("bigint")
+            + 1,
+        )
+        .select("boundary_idx", F.col("v").alias("boundary_value"))
+    )

@@ -160,6 +160,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_xml_source",
         "q_gap_fill",
         "q_rolling_window",
+        "q_range_bounds",
     }
 )
 
