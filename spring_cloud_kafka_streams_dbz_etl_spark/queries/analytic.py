@@ -904,3 +904,102 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_revenue"),
         F.count(F.lit(1)).over(w).alias("rolling_orders"),
     )
+
+
+Z_THRESHOLD = 2.5
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {_DSUM.format(e='value')} AS sx,
+         {_DSUM_W.format(e='value * value')} AS sxx
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(ROUND((e.value - s.sx / s.n)
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6)) >= {Z_THRESHOLD}
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-relative outlier detection: per-group mean/stddev from
+    exact decimal sufficient statistics, broadcast back onto the stream of
+    rows, flag |z| >= {Z_THRESHOLD}. The monitoring primitive behind every
+    "metric deviated from its baseline" alert (the reference's control
+    plane exposes health, not analytics — SURVEY.md §2A; this is the
+    §2B analytic extension over the same event stream).
+
+    Scale: the stats side is a map-combinable aggregation producing one
+    row per group — broadcast to the fact scan, so the flagging pass is
+    map-only (no shuffle of the events themselves). The decision is made
+    on ROUND(z, 6): the sufficient statistics are order-independent
+    decimals, so the rounded z is engine-exact."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = F.round((F.col("value") - mean) / sd, 6)
+    return (
+        ev.join(F.broadcast(stats.withColumnRenamed("event_type", "s_type")),
+                F.col("event_type") == F.col("s_type"))
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+    )
+
+
+N_BINS = 10
+
+
+@query(
+    "q_quantile_bins",
+    oracle=f"""
+WITH binned AS (
+  SELECT o_orderkey, o_totalprice,
+         NTILE({N_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       {_DSUM.format(e='o_totalprice')} AS bin_total
+FROM binned GROUP BY bin
+""",
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (feature bucketization / histogram equalization):
+    NTILE assigns each row to one of {N_BINS} equal-population buckets of
+    the price distribution (ties broken by key, so the assignment is
+    total-order deterministic), then per-bin boundaries and mass.
+
+    Scale: NTILE over a global ORDER BY is a single-partition sort as
+    written — correct, and fine for dimension-sized inputs. The 100 TB
+    form keeps the same contract but computes boundaries from a
+    repartitionByRange-style sample (exactly how Spark plans a global
+    sort: rangepartition boundaries are estimated, then bins are local) or
+    approx_percentile cutpoints; SCALE.md "Aggregation" discusses the
+    trade. The oracle pins the exact-NTILE ground truth."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice", F.ntile(N_BINS).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dec_sum(F.col("o_totalprice"), "bin_total"),
+        )
+    )

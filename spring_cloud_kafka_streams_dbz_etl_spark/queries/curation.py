@@ -272,3 +272,81 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / actual, 6).alias("weight"),
         )
     )
+
+
+@query(
+    "q_temperature_sample",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_int
+  FROM per_src
+), rates AS (
+  SELECT source,
+         CAST(LEAST(1000000, FLOOR(
+           1000000.0
+           * (CAST(w_int AS DOUBLE) / SUM(w_int) OVER ())
+           / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()))) AS BIGINT)
+         AS keep_ppm
+  FROM w
+)
+SELECT d.doc_id, d.source, r.keep_ppm
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp-sample-11'), 1, 12)) AS BIGINT)
+      % 1000000 < r.keep_ppm
+""",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling EXECUTED (the consumer of
+    q_mixture_weights' plan): per-source keep rates proportional to
+    weight = target_share/actual_share capped at 1 (downsample-only
+    pass; upsampling is the loader's repeat-epoch job), then
+    deterministic md5-bucket membership per doc — the same doc is kept
+    or dropped identically across runs, engines and partitionings.
+
+    Determinism: the temperature weights are floored to exact integers
+    before the global sums (q_mixture_weights' trick), so keep_ppm is a
+    single identical double expression floored on both engines; sampling
+    is md5 arithmetic, not an RNG.
+
+    Scale: rates are ONE row per source, broadcast onto a map-only
+    filter — the corpus scan never shuffles; exactly how you'd thin a
+    100 TB crawl to a planned mixture in one pass."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    per_src = fan_out(d, spark).groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
+    )
+    w_int = F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast("long")
+    win = Window.partitionBy()
+    target = F.col("w_int").cast("double") / F.sum("w_int").over(win)
+    actual = F.col("tokens").cast("double") / F.sum("tokens").over(win)
+    rates = (
+        per_src.withColumn("w_int", w_int)
+        .select(
+            F.col("source").alias("r_source"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.floor(F.lit(1000000.0) * target / actual).cast("bigint"),
+            ).alias("keep_ppm"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp-sample-11"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long") % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), d.source == rates.r_source)
+        .filter(bucket < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+    )

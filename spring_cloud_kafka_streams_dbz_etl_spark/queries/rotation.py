@@ -161,6 +161,11 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_gap_fill",
         "q_rolling_window",
         "q_range_bounds",
+        "q_anomaly_zscore",
+        "q_quantile_bins",
+        "q_temperature_sample",
+        "q_knn_graph",
+        "s_chained_agg",
     }
 )
 

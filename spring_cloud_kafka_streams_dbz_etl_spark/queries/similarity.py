@@ -675,3 +675,57 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
     )
     return triangle_enumerate(pairs, src="vec_a", dst="vec_b")
+
+
+KNN_K = 3
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_COS.format(a='a.v', b='b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT src, dst, cos_sim, rank FROM (
+  SELECT src, dst, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS BIGINT) AS rank
+  FROM pairs)
+WHERE rank <= {KNN_K}
+""",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (the input to SemDeDup-style pruning,
+    graph-based ANN indexes, and semantic-coverage audits): for every
+    vector, its {KNN_K} nearest neighbours within its label cell by
+    rounded cosine, ties broken by neighbour id.
+
+    Scale: candidate generation is the blocked self-join (sum(|cell|^2)
+    pairs, never |corpus|^2 — at 100 TB the cell key is an IVF cell id
+    from q_kmeans_cells instead of a label, same plan shape); the top-k
+    cut is a rank window partitioned by source vector, which shares the
+    shuffle key of the pair join's left side. Directed edges: (a->b)
+    ranked within a's list, independently of (b->a)."""
+    tune(spark)
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .transform(cache_scoped)  # both sides of the blocked self-join
+    )
+    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )

@@ -1472,3 +1472,93 @@ def s_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         q.stop()
+
+
+@query(
+    "s_chained_agg",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT time_bucket(INTERVAL 15 MINUTES, ts)) AS BIGINT)
+         AS n_subwindows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (Spark 3.4+
+    multiple-stateful-operator support): 15-minute tumbling pre-aggregate
+    per event_type, then a second windowed aggregate rolls those
+    sub-windows up to the hour via window_time() — the continuous-
+    aggregate cascade (raw -> 15m -> 1h) every metrics pipeline builds,
+    expressed as one plan with two state stores instead of two jobs
+    wired through a topic.
+
+    Emission: append mode only emits CLOSED hourly windows, so after the
+    real data a single far-future sentinel row advances the watermark
+    past every real window (then gets filtered — its own window never
+    closes). The per-hour decimal sums stay DECIMAL across both levels
+    (double only at the end), so the two-level total equals the
+    one-level oracle exactly.
+
+    Scale: the 15-min level absorbs the raw event rate into
+    O(types x subwindows) state; the hourly level aggregates 4 rows per
+    (type, hour). Watermark bounds both stores; raw events are never
+    held. This is the cascade that keeps hourly rollups cheap when the
+    raw stream is 100 TB/day."""
+    from ..catalog import table as load_table
+
+    tune(spark)
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    src = _tmp("chain_src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    lvl1 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n15"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v15"),
+        )
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("w1h"), "event_type"
+        )
+        .agg(
+            F.sum("n15").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_subwindows"),
+            F.sum("v15").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w1h.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+            "total_value",
+        )
+    )
+    q = lvl2.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # batch 1: all real events, watermark set
+        sentinel = spark.createDataFrame(
+            [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: watermark passes every real window
+        result = (
+            spark.table(name)
+            .filter(F.col("hour_start") < F.lit("2029-01-01"))
+            .cache()
+        )
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()
