@@ -789,3 +789,32 @@ def test_q2_min_cost_join_no_cartesian(spark, sf_smoke):
     df = SPECS["q_tpch_q2"].fn(spark, sf_smoke)
     text = explain_str(df)
     assert "CartesianProduct" not in text, text[:2000]
+
+
+def test_anomaly_zscore_broadcasts_stats_no_fact_shuffle(spark, sf_smoke):
+    """The flagging pass is map-only: per-group stats broadcast back onto
+    the fact scan; the events themselves never sort-merge."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_anomaly_zscore"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in text, text[:2000]
+
+
+def test_temperature_sample_broadcast_rates_no_smj(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_temperature_sample"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in text, text[:2000]
+
+
+def test_knn_graph_blocked_equijoin_no_cartesian(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_knn_graph"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "CartesianProduct" not in text, text[:2000]
