@@ -1003,3 +1003,138 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("o_totalprice"), "bin_total"),
         )
     )
+
+
+@query(
+    "q_pareto_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey),
+xagg AS (
+  SELECT n_orders, MAX(revenue) AS max_rev FROM pts GROUP BY n_orders),
+xrun AS (
+  SELECT n_orders, max_rev,
+         MAX(max_rev) OVER (
+           ORDER BY n_orders DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+  FROM xagg)
+SELECT p.o_custkey, p.n_orders, p.revenue
+FROM pts p JOIN xrun x ON p.n_orders = x.n_orders
+WHERE p.revenue = x.max_rev
+  AND (x.best_above IS NULL OR p.revenue > x.best_above)
+""",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier: customers not dominated on
+    (order count, revenue) — a point is dominated iff another point is
+    >= on both axes and strictly > on one; exact-duplicate points all
+    survive. The classic multi-criteria shortlist (best customers, best
+    configs, best checkpoints) without weighting the axes.
+
+    Algorithm: collapse to one (x, max_y) row per distinct x (a
+    combinable aggregate), run the strictly-greater-x running max over
+    that tiny relation, and join back — a point survives iff it holds
+    its own x's max y AND beats every strictly-better x's best y. No
+    self-join, no quadratic step; the only global window runs over
+    |distinct x| rows. At 100 TB the pts aggregate is already ~6 orders
+    of magnitude below raw orders, and frontier-over-raw-rows cases
+    pre-filter with a coarse grid (each cell keeps a local frontier —
+    combinable) before this pass."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    pts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "revenue"),
+    )
+    xagg = pts.groupBy("n_orders").agg(F.max("revenue").alias("max_rev"))
+    w = Window.orderBy(F.col("n_orders").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    xrun = xagg.select(
+        F.col("n_orders").alias("x_n"),
+        "max_rev",
+        F.max("max_rev").over(w).alias("best_above"),
+    )
+    return (
+        pts.join(F.broadcast(xrun), pts.n_orders == xrun.x_n)
+        .filter(
+            (F.col("revenue") == F.col("max_rev"))
+            & (F.col("best_above").isNull() | (F.col("revenue") > F.col("best_above")))
+        )
+        .select("o_custkey", "n_orders", "revenue")
+    )
+
+
+COOC_MIN_SUPPORT = 50
+
+
+@query(
+    "q_cooccurrence",
+    oracle=f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM ut GROUP BY 1),
+total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+SELECT p.type_a, p.type_b, p.support,
+       ROUND(CAST(p.support AS DOUBLE) / sa.n_users, 6) AS confidence_a_b,
+       ROUND(CAST(p.support AS DOUBLE) * t.n / (sa.n_users * sb.n_users), 6) AS lift
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN total t
+WHERE p.support >= {COOC_MIN_SUPPORT}
+""",
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence / association mining over user baskets (the
+    market-basket primitive): distinct (user, type) pairs self-join on
+    user to count pair support, then confidence and lift against the
+    per-type user counts. Data-pipeline use: which quality signals /
+    event kinds co-fire, feature cross candidates.
+
+    Scale: the distinct projection collapses the fact table to
+    |users| x |types| FIRST (combinable distinct), so the self-join
+    fans out only k(k-1)/2 pairs per user over a tiny alphabet — with
+    k types, pair rows = O(|users| k^2), independent of raw event
+    count. Singles and the total are one-row-per-type / one-row
+    broadcasts; lift arithmetic is exact-integer inputs to one rounded
+    double expression."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= COOC_MIN_SUPPORT)
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    total = ev.select(F.countDistinct("user_id").alias("n"))
+    sa = singles.select(F.col("event_type").alias("sa_type"), F.col("n_users").alias("na"))
+    sb = singles.select(F.col("event_type").alias("sb_type"), F.col("n_users").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("type_a") == F.col("sa_type"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("sb_type"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("na"), 6).alias("confidence_a_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("n") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )

@@ -350,3 +350,44 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("keep_ppm"))
         .select("doc_id", "source", "keep_ppm")
     )
+
+
+RESERVOIR_K = 10
+
+
+@query(
+    "q_reservoir_sample",
+    oracle=f"""
+SELECT doc_id, source, pick
+FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':resv-seed-3'), doc_id
+         ) AS BIGINT) AS pick
+  FROM documents)
+WHERE pick <= {RESERVOIR_K}
+""",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sampling (the reservoir contract — exactly
+    k docs per source, vs q_stratified_sample's fixed-RATE contract):
+    rank docs by a keyed md5 within each stratum and keep the k
+    smallest. Equivalent to a uniform k-reservoir but deterministic:
+    the same k docs win on any cluster size, partitioning, or re-run,
+    and adding documents only ever displaces the largest hashes
+    (bottom-k stability — an eviction is caused only by a new doc
+    hashing below the cutoff, never by reordering).
+
+    Scale: one shuffle on the stratum key; at extreme per-stratum
+    cardinality the rank window swaps for a partial bottom-k aggregate
+    (each partition keeps its local k smallest hashes, the merge keeps
+    the global k — combinable, constant-size partials), same contract."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":resv-seed-3")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("pick"))
+        .filter(F.col("pick") <= RESERVOIR_K)
+    )

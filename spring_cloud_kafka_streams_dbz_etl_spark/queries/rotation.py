@@ -166,6 +166,9 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_temperature_sample",
         "q_knn_graph",
         "s_chained_agg",
+        "q_reservoir_sample",
+        "q_pareto_frontier",
+        "q_cooccurrence",
     }
 )
 
