@@ -1138,3 +1138,75 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+EWMA_K = 12
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+WITH recent AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS micros,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn
+  FROM events
+  QUALIFY rn <= {EWMA_K})
+SELECT user_id,
+       CAST(MAX(rn) AS BIGINT) AS n_recent,
+       ROUND(CAST(SUM(micros << ({EWMA_K} - rn)) AS DOUBLE)
+             / (((1 << MAX(rn)) - 1) * CAST(POW(2, {EWMA_K} - MAX(rn)) AS BIGINT)
+                * 1000000.0), 6) AS ewma_value
+FROM recent
+GROUP BY user_id
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted recency score per key (alpha = 1/2 over the
+    last {EWMA_K} events): newest event carries weight 2^(k-1), halving
+    backwards — the rate/recency feature behind "recent behaviour"
+    signals. Deterministic BY CONSTRUCTION: values become integer
+    micros, weights are exact powers of two applied as integer
+    multiplies (bit shifts on the oracle side — pow(2, k) is exact in
+    double and casts to an exact BIGINT), the weighted sum is an exact
+    BIGINT (max ~5e8 << 12 x 12 ~ 2.5e13, far
+    under 2^53 and bigint range), and the single closing division +
+    ROUND(6) runs on identical exact operands in both engines — no
+    accumulation-order dependence anywhere.
+
+    Scale: one shuffle on the key shared by the rank window and the
+    groupBy; the window keeps only the top-{EWMA_K} rows per key (rank
+    filter prunes before aggregation). Normalization divides by the
+    realized weight mass (users with fewer than {EWMA_K} events
+    normalize over what exists)."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micros"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= EWMA_K)
+    )
+    agg = recent.groupBy("user_id").agg(
+        F.max("rn").alias("n_recent"),
+        F.sum(
+            F.col("micros")
+            * F.pow(F.lit(2.0), (F.lit(EWMA_K) - F.col("rn")).cast("double")).cast("long")
+        ).alias("unnorm"),
+    )
+    denom = (
+        (F.pow(F.lit(2.0), F.col("n_recent").cast("double")).cast("long") - 1)
+        * F.pow(F.lit(2.0), (F.lit(EWMA_K) - F.col("n_recent")).cast("double")).cast("long")
+        * F.lit(1000000.0)
+    )
+    return agg.select(
+        "user_id",
+        "n_recent",
+        F.round(F.col("unnorm").cast("double") / denom, 6).alias("ewma_value"),
+    )

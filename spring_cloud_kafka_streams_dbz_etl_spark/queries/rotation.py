@@ -169,6 +169,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_reservoir_sample",
         "q_pareto_frontier",
         "q_cooccurrence",
+        "q_ewma",
     }
 )
 
