@@ -170,6 +170,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_pareto_frontier",
         "q_cooccurrence",
         "q_ewma",
+        "s_window_topk",
     }
 )
 

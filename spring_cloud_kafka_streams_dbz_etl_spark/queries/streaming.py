@@ -1562,3 +1562,79 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         q.stop()
+
+
+LEADERBOARD_K = 5
+
+
+@query(
+    "s_window_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS total_value_micros
+  FROM events GROUP BY 1, 2)
+SELECT window_start, user_id, total_value_micros, rank FROM (
+  SELECT window_start, user_id, total_value_micros,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start
+           ORDER BY total_value_micros DESC, user_id) AS BIGINT) AS rank
+  FROM t)
+WHERE rank <= {LEADERBOARD_K}
+""",
+)
+def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained windowed leaderboard: streaming can keep
+    the windowed aggregate as state, but a RANK over it is not a
+    streaming operator — so the top-k cut runs inside foreachBatch on
+    the complete-mode aggregate and OVERWRITES the serving snapshot
+    each epoch (rank-on-write). The returned final snapshot must equal
+    the batch top-k — the oracle's claim. Totals are exact integer
+    micros; ties rank by user_id, so the cut is deterministic.
+
+    Scale: state is the windowed aggregate (watermark-bounded keys x
+    windows), never raw events; the per-epoch rank runs over that
+    aggregate, and at 100 TB the overwrite scopes to the windows the
+    epoch touched (dynamic partition overwrite on window_start) instead
+    of the full snapshot."""
+    tune(spark)
+    out = _tmp("topk_out")
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            (F.col("total") * 1000000).cast("long").alias("total_value_micros"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value_micros").desc(), F.col("user_id").asc()
+    )
+
+    def rank_and_overwrite(batch: DataFrame, _epoch: int) -> None:
+        (
+            batch.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+            .filter(F.col("rank") <= LEADERBOARD_K)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_and_overwrite)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
