@@ -1073,6 +1073,7 @@ COOC_MIN_SUPPORT = 50
 
 @query(
     "q_cooccurrence",
+    bench=True,
     oracle=f"""
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events),

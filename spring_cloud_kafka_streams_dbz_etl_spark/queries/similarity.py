@@ -682,6 +682,7 @@ KNN_K = 3
 
 @query(
     "q_knn_graph",
+    bench=True,
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

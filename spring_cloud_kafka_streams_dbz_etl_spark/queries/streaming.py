@@ -1476,6 +1476,7 @@ def s_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_chained_agg",
+    bench=True,
     oracle="""
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
