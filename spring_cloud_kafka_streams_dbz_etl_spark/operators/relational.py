@@ -155,3 +155,31 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
+def pareto_frontier(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Skyline: rows not dominated on (x, y) — dominated means another row
+    is >= on both axes and strictly > on one; exact-duplicate points all
+    survive.
+
+    Plan: collapse to one (x, max(y)) row per distinct x (combinable
+    aggregate), run the strictly-greater-x running max over that tiny
+    relation, join back. A row survives iff it holds its own x's max y
+    AND strictly beats every greater x's best y. No self-join; the only
+    global window covers |distinct x| rows.
+    """
+    xagg = df.groupBy(x).agg(F.max(y).alias("__max_y"))
+    w = Window.orderBy(F.col(x).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    xrun = xagg.select(
+        F.col(x).alias("__x"),
+        "__max_y",
+        F.max("__max_y").over(w).alias("__best_above"),
+    )
+    return (
+        df.join(F.broadcast(xrun), df[x] == xrun["__x"])
+        .filter(
+            (F.col(y) == F.col("__max_y"))
+            & (F.col("__best_above").isNull() | (F.col(y) > F.col("__best_above")))
+        )
+        .drop("__x", "__max_y", "__best_above")
+    )

@@ -1045,26 +1045,14 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) before this pass."""
     tune(spark)
     o = table(spark, sf_dir, "orders")
+    from ..operators.relational import pareto_frontier
+
     pts = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum(F.col("o_totalprice"), "revenue"),
     )
-    xagg = pts.groupBy("n_orders").agg(F.max("revenue").alias("max_rev"))
-    w = Window.orderBy(F.col("n_orders").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    xrun = xagg.select(
-        F.col("n_orders").alias("x_n"),
-        "max_rev",
-        F.max("max_rev").over(w).alias("best_above"),
-    )
-    return (
-        pts.join(F.broadcast(xrun), pts.n_orders == xrun.x_n)
-        .filter(
-            (F.col("revenue") == F.col("max_rev"))
-            & (F.col("best_above").isNull() | (F.col("revenue") > F.col("best_above")))
-        )
-        .select("o_custkey", "n_orders", "revenue")
+    return pareto_frontier(pts, "n_orders", "revenue").select(
+        "o_custkey", "n_orders", "revenue"
     )
 
 

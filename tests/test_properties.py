@@ -704,3 +704,57 @@ def test_incremental_agg_merge_equals_recompute(spark, rows, cutoff):
     got = {(r.user, r.n, r.v) for r in merged.collect()}
     exp = {(r.user, r.n, r.v) for r in recomputed.collect()}
     assert got == exp
+
+
+pareto_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # x (small range forces ties)
+        st.integers(min_value=0, max_value=6),  # y (and exact duplicates)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(st.lists(pareto_points, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_pareto_frontier_matches_bruteforce_dominance(spark, cases):
+    """Spec pin for the skyline operator (the oracle-parity check runs the
+    SAME algorithm on both engines, so it cannot catch an algorithmic
+    bug): a row survives iff no other row in its case is >= on both axes
+    and strictly > on one — exact duplicates all survive."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.relational import (
+        pareto_frontier,
+    )
+
+    rows = [
+        (case_id, i, x, y)
+        for case_id, pts in enumerate(cases)
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "case_id int, row_id int, x int, y int")
+    # isolate cases in ONE operator call: shift x ascending and y
+    # DESCENDING by case — any two points from different cases are then
+    # incomparable (one axis strictly higher, the other strictly lower),
+    # so no cross-case domination; monotone shifts within a case preserve
+    # its dominance relation exactly.
+    n_cases = len(cases)
+    shifted = df.select(
+        "case_id",
+        "row_id",
+        (F.col("case_id") * 1000 + F.col("x")).alias("x"),
+        ((F.lit(n_cases) - F.col("case_id")) * 1000 + F.col("y")).alias("y"),
+    )
+    got = {
+        (r["case_id"], r["row_id"])
+        for r in pareto_frontier(shifted, "x", "y").collect()
+    }
+    expected = set()
+    for case_id, pts in enumerate(cases):
+        for i, (x, y) in enumerate(pts):
+            dominated = any(
+                (x2 >= x and y2 > y) or (x2 > x and y2 >= y) for (x2, y2) in pts
+            )
+            if not dominated:
+                expected.add((case_id, i))
+    assert got == expected
