@@ -715,3 +715,90 @@ def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("boundary_idx", F.col("v").alias("boundary_value"))
     )
+
+
+BFS_HOPS = 4
+BFS_SEED_NATION = 0
+
+
+def _hop_distance_oracle() -> str:
+    """Unrolled bounded-BFS spec (the pagerank-oracle pattern): frontier
+    relaxation dist_{k}(v) = min(dist_{k-1}(v), 1 + min over in-edges)."""
+    step = """d{k} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM edges e JOIN d{prev} p ON p.node = e.src)
+  GROUP BY node
+)"""
+    steps = ",\n".join(step.format(k=k, prev=k - 1) for k in range(1, BFS_HOPS + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), d0 AS (
+  SELECT 'c' || c_custkey AS node, 0 AS dist
+  FROM customer WHERE c_nationkey = {BFS_SEED_NATION}
+),
+{steps}
+SELECT node, dist FROM d{BFS_HOPS}
+"""
+
+
+@query("q_hop_distance", oracle=_hop_distance_oracle())
+def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS over the customer-supplier trade graph:
+    hop distance from every nation-{BFS_SEED_NATION} customer, out to
+    {BFS_HOPS} hops — the blast-radius / lineage-reach primitive
+    (which suppliers are within k trades of this cohort), completing
+    the graph family (components, PageRank, triangles) with shortest
+    reach. All-integer label propagation: no float anywhere, so
+    determinism is structural.
+
+    Scale: per round ONE shuffle join (frontier onto edge sources — the
+    same key as the previous round's groupBy-min, so AQE reuses the
+    partitioning) + one combinable MIN; the distance relation is 2
+    columns regardless of graph size, edges are computed once and
+    cached, and the hop bound caps the rounds (the Pregel
+    bulk-synchronous shape, like q_pagerank). Unreached nodes never
+    enter the relation — frontier size tracks the reachable set, not
+    the graph."""
+    tune(spark)
+    from . import cache_scoped
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bridge = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cache_scoped(
+        bridge.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            bridge.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        ).distinct()
+    )
+    dist = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == BFS_SEED_NATION
+    ).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(BFS_HOPS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist

@@ -171,6 +171,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_cooccurrence",
         "q_ewma",
         "s_window_topk",
+        "q_hop_distance",
     }
 )
 
