@@ -185,3 +185,78 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).alias("dim"),
         F.array_join(q6, ",").alias("feat_q6"),
     )
+
+
+FRAME_STRIDE = 17  # stub frame content = 40-char window at idx*stride
+FRAME_LEN = 40
+
+
+@query(
+    "q_media_frame_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 8 AS INT) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         substr(text, CAST(fi AS INT) * {FRAME_STRIDE} + 1, {FRAME_LEN}) AS ft
+  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS fi FROM d)
+  WHERE fi % 2 = 0
+), hashed AS (
+  SELECT doc_id, frame_idx, md5(ft) AS frame_hash
+  FROM frames WHERE length(ft) = {FRAME_LEN}
+)
+SELECT frame_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id * 1000 + frame_idx) // 1000 AS BIGINT) AS keep_doc_id,
+       CAST(MIN(doc_id * 1000 + frame_idx) % 1000 AS BIGINT) AS keep_frame_idx
+FROM hashed
+GROUP BY frame_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection — the multimodal dedup
+    capstone composing the decode stub with the exact-dedup shape:
+    decode (mapInPandas) yields per-payload frame counts, frame-sample
+    explodes every 2nd frame, each frame's content (deterministic stub:
+    a {FRAME_LEN}-byte window of the payload at frame_idx x
+    {FRAME_STRIDE} — where a real pipeline would hash decoded pixels)
+    is hashed, and frames shared by >= 2 distinct payloads group into
+    dup clusters with an integer-encoded keep-first winner. Shared
+    payload substrings = shared frames, so near-dup documents produce
+    genuine cross-doc frame collisions.
+
+    Scale: one shuffle on the 16-byte frame hash — frame bytes never
+    shuffle (hashed at the scan, the q_dedup_exact policy); the frame
+    fan-out streams from decode into the hash without materializing.
+    The keep-first winner is MIN over an integer key, combinable."""
+    from ..operators.multimodal import attach_binary_payload, decode_media, frame_sample
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    frames = frame_sample(decode_media(attach_binary_payload(d)), every_n=2)
+    joined = frames.join(d.select("doc_id", "text"), "doc_id")
+    ft = F.substring(
+        F.col("text"), F.col("frame_idx") * FRAME_STRIDE + 1, FRAME_LEN
+    )
+    hashed = (
+        joined.select(
+            "doc_id", "frame_idx", ft.alias("ft")
+        )
+        .filter(F.length("ft") == FRAME_LEN)
+        .select("doc_id", "frame_idx", F.md5("ft").alias("frame_hash"))
+    )
+    key = F.col("doc_id") * 1000 + F.col("frame_idx")
+    return (
+        hashed.groupBy("frame_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.floor(F.min(key) / 1000).cast("long").alias("keep_doc_id"),
+            (F.min(key) % 1000).cast("long").alias("keep_frame_idx"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

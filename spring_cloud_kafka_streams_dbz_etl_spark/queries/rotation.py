@@ -172,6 +172,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_ewma",
         "s_window_topk",
         "q_hop_distance",
+        "q_media_frame_dedup",
     }
 )
 
