@@ -173,6 +173,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_window_topk",
         "q_hop_distance",
         "q_media_frame_dedup",
+        "s_available_now",
+        "q_boilerplate_phrases",
     }
 )
 

@@ -1639,3 +1639,77 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+@query(
+    "s_available_now",
+    oracle=f"""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID}
+""",
+)
+def s_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow — the modern run-streaming-as-batch trigger
+    (successor to the deprecated Trigger.Once): drain EVERYTHING already
+    in the source, but honor the rate limits (maxFilesPerTrigger=1 here,
+    maxOffsetsPerTrigger on Kafka) by planning MULTIPLE micro-batches,
+    then terminate on its own. This is how a 100 TB backfill runs
+    through the streaming topology without an always-on cluster: same
+    checkpoint, same state, bounded batch sizes, self-stopping — cron
+    it and every run picks up where the last stopped.
+
+    The source is staged as three files; the query must take one batch
+    per file (throttle respected), produce exactly the batch-equivalent
+    result (the oracle), and reach its own termination (asserted — no
+    stop() call)."""
+    import os as _os
+
+    tune(spark)
+    src, out, ckpt = _tmp("anow_src"), _tmp("anow_out"), _tmp("anow_ckpt")
+    from ..catalog import table as load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    n_files = sum(1 for f in _os.listdir(src) if f.endswith(".parquet"))
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = (
+        stream.filter(F.expr(_VALID))
+        .join(F.broadcast(dim), F.col("user_id") == dim.c_custkey)
+        .select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            "event_type",
+            "value",
+        )
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    terminated = q.awaitTermination(120)
+    assert terminated, "AvailableNow query did not self-terminate"
+    batches = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= n_files, (
+        f"throttle not honored: {len(batches)} data batches for {n_files} files"
+    )
+    return spark.read.parquet(out)

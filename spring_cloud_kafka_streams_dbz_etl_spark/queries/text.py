@@ -952,3 +952,71 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
     )
+
+
+PHRASE_N = 5
+PHRASE_MIN = 2
+
+
+@query(
+    "q_boilerplate_phrases",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {PHRASE_N - 1}], ' ')
+           AS phrase
+  FROM w, UNNEST(range(1, len(t) - {PHRASE_N - 2})) AS u(i)),
+h AS (SELECT doc_id, phrase, md5(phrase) AS gh FROM g),
+c AS (
+  SELECT gh,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM h GROUP BY gh
+  HAVING COUNT(*) >= {PHRASE_MIN})
+SELECT MIN(h.phrase) AS phrase, c.n_occurrences, c.n_docs
+FROM h JOIN c USING (gh)
+GROUP BY c.gh, c.n_occurrences, c.n_docs
+""",
+)
+def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-phrase mining ({PHRASE_N}-grams occurring >= {PHRASE_MIN}
+    times corpus-wide): the boilerplate detector behind nav-bar /
+    license-header / template removal — phrases repeated across
+    documents are removal candidates the per-doc q_repetition score
+    cannot see.
+
+    Scale (two-pass hash-first, the q_decontaminate policy): pass 1
+    counts md5'd grams — only 16-byte digests shuffle, phrase text
+    stays at the scan; the qualifying set (HAVING >= {PHRASE_MIN}) is
+    rare by construction, so pass 2 re-scans and semi-joins grams onto
+    the qualifying digests to attach ONE example phrase per digest
+    (min — deterministic), a shuffle bounded by qualifying occurrences
+    only. Corpus text is scanned twice but never shuffled."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    t = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - PHRASE_N),
+                lambda i: F.array_join(F.slice(t, i + 1, PHRASE_N), " "),
+            )
+        ).alias("phrase"),
+    ).select("doc_id", "phrase", F.md5("phrase").alias("gh"))
+    grams = cache_scoped(grams)
+    counts = (
+        grams.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= PHRASE_MIN)
+    )
+    return (
+        grams.join(counts, "gh")
+        .groupBy("gh", "n_occurrences", "n_docs")
+        .agg(F.min("phrase").alias("phrase"))
+        .select("phrase", "n_occurrences", "n_docs")
+    )
