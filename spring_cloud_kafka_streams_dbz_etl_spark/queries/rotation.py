@@ -175,6 +175,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_media_frame_dedup",
         "s_available_now",
         "q_boilerplate_phrases",
+        "s_scd2_stream",
     }
 )
 

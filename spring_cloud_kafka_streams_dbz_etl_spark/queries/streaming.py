@@ -1713,3 +1713,93 @@ def s_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"throttle not honored: {len(batches)} data batches for {n_files} files"
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "s_scd2_stream",
+    oracle="""
+SELECT user_id AS id, event_id, event_type, value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension MAINTAINED ACROSS MICRO-BATCHES — the
+    streaming half of q_scd2: each batch's changes close the affected
+    keys' open intervals and append new current rows, via foreachBatch
+    merge with recompute scope = TOUCHED KEYS ONLY (untouched keys
+    pass through by anti-join; a touched key's full history re-derives
+    through the same scd2_intervals operator, which also makes late
+    changes for a touched key land in the right interval). Each batch
+    commits an immutable version dir (the dim-store pattern), so
+    readers never see a half-written table. Two event-time-ordered
+    batches; the final table must equal the batch SCD2 build — the
+    oracle's claim.
+
+    Scale: per batch, work scales with |touched keys|' history + the
+    batch, not the dimension (anti/semi joins on the key); the interval
+    window runs only over recomputed keys. This is the MERGE pattern
+    every warehouse SCD2 loader runs, expressed as checkpointed
+    micro-batches."""
+    from ..catalog import table as load_table
+    from ..operators.changelog import scd2_intervals
+
+    tune(spark)
+    src, base, ckpt = _tmp("scd2s_src"), _tmp("scd2s_state"), _tmp("scd2s_ckpt")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("id"), "event_id", "event_type", "value", "ts"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2  # event-time midpoint splits the two batches
+    state = {"path": None}
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        changes = batch.select("id", "event_id", "event_type", "value", "ts")
+        if state["path"] is None:
+            allch, untouched = changes, None
+        else:
+            cur = spark.read.parquet(state["path"])
+            touched = changes.select("id").distinct()
+            untouched = cur.join(touched, "id", "left_anti")
+            hist = cur.join(touched, "id", "left_semi").select(
+                "id",
+                "event_id",
+                "event_type",
+                "value",
+                F.col("valid_from").alias("ts"),
+            )
+            allch = hist.unionByName(changes)
+        rebuilt = scd2_intervals(
+            allch, key_cols=["id"], time_col="ts", tiebreak_cols=["event_id"]
+        ).select(
+            "id", "event_id", "event_type", "value",
+            "valid_from", "valid_to", "is_current",
+        )
+        out = rebuilt if untouched is None else untouched.unionByName(rebuilt)
+        path = f"{base}/v{epoch:05d}"
+        out.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    ev.filter(F.col("ts") < cutoff).coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: first half of the history
+        ev.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 1: the tail closes open intervals
+    finally:
+        q.stop()
+    return spark.read.parquet(state["path"])
