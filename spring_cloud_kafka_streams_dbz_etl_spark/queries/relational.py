@@ -722,3 +722,67 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+DQ_VALUE_MAX = 450.0
+DQ_STALE_TS = "2024-01-15"
+
+
+@query(
+    "q_dq_quarantine",
+    oracle=f"""
+SELECT event_id, user_id, event_type, value, reasons FROM (
+  SELECT e.event_id, e.user_id, e.event_type, e.value,
+         array_to_string(list_filter([
+           CASE WHEN e.event_type = 'error' THEN 'error_event' END,
+           CASE WHEN c.c_custkey IS NULL THEN 'fk_miss_user' END,
+           CASE WHEN e.value IS NULL OR e.value <= 0 OR e.value > {DQ_VALUE_MAX}
+                THEN 'value_out_of_bounds' END,
+           CASE WHEN e.ts < TIMESTAMP '{DQ_STALE_TS}' THEN 'stale_ts' END
+         ], x -> x IS NOT NULL), ',') AS reasons
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+WHERE reasons <> ''
+""",
+)
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality quarantine — the batch DLQ: every row is
+    evaluated against the rule battery (domain gate, FK existence,
+    bounds, staleness) and quarantined rows carry ALL their violation
+    reasons (comma-joined, deterministic rule order), so triage sees
+    the full failure picture per record instead of first-failure-wins.
+    Complements q_dq_audit (aggregate counts) the way the streaming
+    DLQ's per-record reason tags complement its metrics.
+
+    Scale: the rule battery is a single map-side expression over the
+    scan; the only join is the FK existence probe against the dim keys
+    (broadcast — one column). Quarantine output is the violation
+    subset, not a second copy of the table."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dq_custkey")
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == F.col("dq_custkey"), "left"
+    )
+    rules = F.array(
+        F.when(F.col("event_type") == "error", F.lit("error_event")),
+        F.when(F.col("dq_custkey").isNull(), F.lit("fk_miss_user")),
+        F.when(
+            F.col("value").isNull()
+            | (F.col("value") <= 0)
+            | (F.col("value") > DQ_VALUE_MAX),
+            F.lit("value_out_of_bounds"),
+        ),
+        F.when(F.col("ts") < F.lit(DQ_STALE_TS).cast("timestamp"), F.lit("stale_ts")),
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.concat_ws(",", F.filter(rules, lambda x: x.isNotNull())).alias("reasons"),
+        )
+        .filter(F.col("reasons") != "")
+    )

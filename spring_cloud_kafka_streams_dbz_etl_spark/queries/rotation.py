@@ -176,6 +176,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_available_now",
         "q_boilerplate_phrases",
         "s_scd2_stream",
+        "q_dq_quarantine",
     }
 )
 
