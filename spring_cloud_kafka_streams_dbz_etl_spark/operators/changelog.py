@@ -56,3 +56,38 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead(time_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incrementally fold a batch of changes into an SCD2 table: keys
+    untouched by the batch pass through by ANTI join; each touched key's
+    full history (existing intervals converted back to changes, plus the
+    new batch) re-derives through :func:`scd2_intervals`. Recompute scope
+    is |touched keys|' history + the batch — never the dimension — and a
+    LATE change for a touched key lands in the right interval because
+    the key rebuilds from scratch.
+
+    ``current`` is a prior output of this function / :func:`scd2_intervals`
+    (the change columns, ``time_col`` included, plus
+    valid_from/valid_to/is_current), or None for the first batch.
+    Invariant (property-tested): folding any split of a changelog
+    batch-by-batch equals one-shot ``scd2_intervals`` over the whole
+    changelog.
+    """
+    change_cols = list(changes.columns)
+    if current is None:
+        return scd2_intervals(changes, key_cols, time_col, tiebreak_cols)
+    keys = list(key_cols)
+    touched = changes.select(*keys).distinct()
+    untouched = current.join(touched, keys, "left_anti")
+    hist = current.join(touched, keys, "left_semi").select(*change_cols)
+    rebuilt = scd2_intervals(
+        hist.unionByName(changes.select(*change_cols)), keys, time_col, tiebreak_cols
+    )
+    return untouched.unionByName(rebuilt.select(*untouched.columns))

@@ -1745,7 +1745,7 @@ def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     every warehouse SCD2 loader runs, expressed as checkpointed
     micro-batches."""
     from ..catalog import table as load_table
-    from ..operators.changelog import scd2_intervals
+    from ..operators.changelog import scd2_merge
 
     tune(spark)
     src, base, ckpt = _tmp("scd2s_src"), _tmp("scd2s_state"), _tmp("scd2s_ckpt")
@@ -1762,27 +1762,10 @@ def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch: DataFrame, epoch: int) -> None:
         changes = batch.select("id", "event_id", "event_type", "value", "ts")
-        if state["path"] is None:
-            allch, untouched = changes, None
-        else:
-            cur = spark.read.parquet(state["path"])
-            touched = changes.select("id").distinct()
-            untouched = cur.join(touched, "id", "left_anti")
-            hist = cur.join(touched, "id", "left_semi").select(
-                "id",
-                "event_id",
-                "event_type",
-                "value",
-                F.col("valid_from").alias("ts"),
-            )
-            allch = hist.unionByName(changes)
-        rebuilt = scd2_intervals(
-            allch, key_cols=["id"], time_col="ts", tiebreak_cols=["event_id"]
-        ).select(
-            "id", "event_id", "event_type", "value",
-            "valid_from", "valid_to", "is_current",
+        cur = spark.read.parquet(state["path"]) if state["path"] else None
+        out = scd2_merge(
+            cur, changes, key_cols=["id"], time_col="ts", tiebreak_cols=["event_id"]
         )
-        out = rebuilt if untouched is None else untouched.unionByName(rebuilt)
         path = f"{base}/v{epoch:05d}"
         out.write.mode("overwrite").parquet(path)
         state["path"] = path
@@ -1802,4 +1785,7 @@ def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()  # batch 1: the tail closes open intervals
     finally:
         q.stop()
-    return spark.read.parquet(state["path"])
+    return spark.read.parquet(state["path"]).select(
+        "id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current",
+    )

@@ -758,3 +758,62 @@ def test_pareto_frontier_matches_bruteforce_dominance(spark, cases):
             if not dominated:
                 expected.add((case_id, i))
     assert got == expected
+
+
+scd2_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=12),  # ts (collisions likely)
+        st.integers(min_value=0, max_value=99),  # unique-ified below
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(
+    st.lists(scd2_changes, min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=17),
+    st.integers(min_value=0, max_value=17),
+)
+@settings(**SETTINGS)
+def test_scd2_merge_equals_recompute(spark, cases, cut1, cut2):
+    """Folding a changelog through scd2_merge in ANY batch split —
+    including out-of-order splits, so late changes rewrite a touched
+    key's history — must equal one-shot scd2_intervals over the whole
+    changelog (the s_scd2_stream invariant)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.changelog import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    rows = [
+        (case_id, key, ts, case_id * 1000 + i)  # change_id: unique tiebreak
+        for case_id, changes in enumerate(cases)
+        for i, (key, ts, _) in enumerate(changes)
+    ]
+    schema = "case_id int, key int, ts int, change_id int"
+    full = spark.createDataFrame(rows, schema)
+    keys = ["case_id", "key"]
+
+    lo, hi = sorted((min(cut1, cut2), max(cut1, cut2)))
+    splits = [
+        [r for r in rows if r[3] % 18 < lo],
+        [r for r in rows if lo <= r[3] % 18 < hi],  # arbitrary, ts-unordered
+        [r for r in rows if r[3] % 18 >= hi],
+    ]
+    cur = None
+    for batch_rows in splits:
+        if not batch_rows:
+            continue
+        batch = spark.createDataFrame(batch_rows, schema)
+        cur = scd2_merge(cur, batch, keys, "ts", tiebreak_cols=["change_id"])
+        # materialize between batches like the streaming sink does
+        cur = spark.createDataFrame(cur.collect(), cur.schema)
+
+    got = {tuple(r) for r in cur.collect()}
+    exp = {
+        tuple(r)
+        for r in scd2_intervals(full, keys, "ts", tiebreak_cols=["change_id"]).collect()
+    }
+    assert got == exp
