@@ -385,3 +385,86 @@ def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.join(hist, cond, "left").select(
         "purchase_id", "user_id", "purchase_ts", "state_event", "state_value"
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey AS k, c_name, c_acctbal FROM customer WHERE c_custkey % 11 <> 0),
+b AS (
+  SELECT c_custkey AS k, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000 AS k, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0)
+SELECT COALESCE(a.k, b.k) AS custkey,
+       CASE WHEN a.k IS NULL THEN 'I'
+            WHEN b.k IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       a.c_acctbal AS old_acctbal,
+       b.c_acctbal AS new_acctbal
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — CDC derived from two table versions when no
+    Debezium sits on the source (the nightly-full-export reality): FULL
+    OUTER join on the key classifies every row as INSERT (right only),
+    DELETE (left only), or UPDATE (both, payload differs); unchanged
+    rows drop out. The emitted (op, old, new) stream feeds the same
+    downstream as a real change topic (q_cdc_apply / scd2_merge). The
+    two snapshots derive deterministically from the customer fixture
+    (mod-11 deletes, mod-7 balance updates, mod-13 re-keyed inserts).
+
+    Scale: ONE sort-merge full-outer shuffle on the key — at 100 TB
+    snapshot diffing is bucketed or key-partitioned so nightly diffs
+    reuse layout (sources/sinks.py bucketed writer); the payload
+    comparison stays column-wise (codegen), no row serialization. This
+    completes the CDC family's missing direction: snapshots -> changes,
+    the inverse of q_cdc_apply's changes -> snapshot."""
+    tune(spark)
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    b_mod = c.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_name").alias("b_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+    )
+    b_new = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("bk"),
+            F.col("c_name").alias("b_name"),
+            F.col("c_acctbal").alias("b_bal"),
+        )
+    )
+    b = b_mod.unionByName(b_new)
+    return (
+        a.join(b, a.ak == b.bk, "full_outer")
+        .filter(
+            F.col("ak").isNull()
+            | F.col("bk").isNull()
+            | (F.col("a_name") != F.col("b_name"))
+            | (F.col("a_bal") != F.col("b_bal"))
+        )
+        .select(
+            F.coalesce(F.col("ak"), F.col("bk")).alias("custkey"),
+            F.when(F.col("ak").isNull(), "I")
+            .when(F.col("bk").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("a_bal").alias("old_acctbal"),
+            F.col("b_bal").alias("new_acctbal"),
+        )
+    )

@@ -177,6 +177,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_boilerplate_phrases",
         "s_scd2_stream",
         "q_dq_quarantine",
+        "q_snapshot_diff",
     }
 )
 
