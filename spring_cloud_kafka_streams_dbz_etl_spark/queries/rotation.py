@@ -178,6 +178,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_scd2_stream",
         "q_dq_quarantine",
         "q_snapshot_diff",
+        "q_binary_source",
     }
 )
 

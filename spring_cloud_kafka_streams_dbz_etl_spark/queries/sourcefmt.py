@@ -514,3 +514,71 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select(*_EVENT_COLS)
     )
+
+
+@query(
+    "q_binary_source",
+    oracle="""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — how raw media lands in the engine when
+    it arrives as FILES (an image/audio dump directory), completing the
+    source family (json/csv/orc/xml/text/avro/binary): each blob
+    becomes one row (path, modificationTime, length, content), here
+    staged deterministically from every 5th document's bytes, read back
+    whole-file, and fingerprinted. Downstream is the multimodal
+    pipeline (q_media_decode takes exactly this payload shape).
+
+    Scale: binaryFile is splittable BY FILE — parallelism = file count,
+    and `pathGlobFilter`/`recursiveFileLookup` prune at listing time;
+    content bytes stay opaque (no row-level parse cost). Keep blob
+    dirs sharded (the writer stages one dir per id-bucket here) so
+    listing itself distributes; the format caps per-file size at
+    spark.sql.sources.binaryFile.maxLength (2 GiB default) — beyond
+    that, media belongs in object storage with a manifest table, the
+    multimodal row shape unchanged."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    tune(spark)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    base = _tf.mkdtemp(prefix=f"scksde_bin_{_uuid.uuid4().hex[:6]}_")
+    # stage blobs sharded by id-bucket (executor-side write via the same
+    # Arrow batch path a media exporter uses)
+    def write_blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            names = []
+            for r in pdf.itertuples(index=False):
+                shard = _os.path.join(base, f"shard={int(r.doc_id) % 4}")
+                _os.makedirs(shard, exist_ok=True)
+                name = f"doc_{int(r.doc_id):06d}.bin"
+                with open(_os.path.join(shard, name), "wb") as f:
+                    f.write(str(r.text).encode("utf-8"))
+                names.append(name)
+            yield pd.DataFrame({"file_name": names})
+
+    d.mapInPandas(write_blobs, schema="file_name string").count()
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+    )
+    return blobs.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
