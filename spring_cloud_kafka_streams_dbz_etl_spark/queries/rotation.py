@@ -179,6 +179,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_dq_quarantine",
         "q_snapshot_diff",
         "q_binary_source",
+        "q_curation_near_dup",
     }
 )
 

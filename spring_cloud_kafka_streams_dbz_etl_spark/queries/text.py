@@ -1020,3 +1020,90 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("phrase").alias("phrase"))
         .select("phrase", "n_occurrences", "n_docs")
     )
+
+
+def _curation_near_dup_oracle() -> str:
+    from .dedup import _minhash_cte
+
+    return f"""
+WITH {_minhash_cte()},
+scored AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+             / len(string_split(text, ' ')) AS en_ratio,
+         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, quality FROM scored
+  WHERE en_ratio >= 0.05 AND quality >= 0.5),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality) AS quality
+  FROM kept GROUP BY md5(text)),
+survivors AS (
+  SELECT doc_id, quality FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_b FROM verified))
+SELECT doc_id, quality,
+       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, quality,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      FROM survivors)
+"""
+
+
+@query("q_curation_near_dup", oracle=_curation_near_dup_oracle())
+def q_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pipeline with a NEAR-dup removal stage:
+    after the exact-dedup groupBy, any doc that is the LARGER side of a
+    verified MinHash near-dup pair is dropped (greedy local-minimum
+    keep — every surviving doc has no near-dup with a smaller id; the
+    transitive-closure cluster variant is q_dup_clusters, this is the
+    single-pass rule production thinning uses when CC rounds aren't
+    worth it). Pairs reuse the exact q_minhash_near_dup machinery.
+
+    Scale: adds exactly the near-dup stages' shuffles (band equi-join +
+    verify) on top of the pipeline's one digest shuffle; the loser set
+    is |near-dup pairs|-bounded, applied as an anti-join keyed on
+    doc_id."""
+    from ..operators.curation import quality_score
+    from .dedup import _build_minhash_pairs
+
+    tune(spark)
+    losers = _build_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    en_ratio = en_stopword_count(toks) / F.size(toks)
+    kept = (
+        d.select(
+            "doc_id",
+            "text",
+            en_ratio.alias("en_ratio"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+    )
+    deduped = (
+        kept.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("quality").alias("quality"))
+        .drop("__h")
+    )
+    survivors = deduped.join(losers, "doc_id", "left_anti")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    ).cast("int")
+    return survivors.select(
+        "doc_id",
+        "quality",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
