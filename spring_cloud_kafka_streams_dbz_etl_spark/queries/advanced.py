@@ -559,7 +559,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("src", "node").withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.floor(F.col("rank") / F.col("outdeg") * 1e9) / 1e9)

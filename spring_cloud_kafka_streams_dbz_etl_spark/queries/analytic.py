@@ -917,13 +917,16 @@ WITH stats AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          {_DSUM.format(e='value')} AS sx,
          {_DSUM_W.format(e='value * value')} AS sxx
-  FROM events GROUP BY event_type)
+  FROM events GROUP BY event_type),
+sd AS (
+  SELECT event_type, n, sx,
+         sqrt(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd
+  FROM stats WHERE n > 1)
 SELECT e.event_id, e.event_type, e.value,
-       ROUND((e.value - s.sx / s.n)
-             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
-FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE abs(ROUND((e.value - s.sx / s.n)
-          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6)) >= {Z_THRESHOLD}
+       ROUND((e.value - s.sx / s.n) / s.sd, 6) AS z
+FROM events e JOIN sd s ON e.event_type = s.event_type
+WHERE s.sd > 0
+  AND abs(ROUND((e.value - s.sx / s.n) / s.sd, 6)) >= {Z_THRESHOLD}
 """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,10 +952,19 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     mean = sx / n
-    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
-    z = F.round((F.col("value") - mean) / sd, 6)
+    # clamp the fp variance residual: a (near-)constant group can round to
+    # a tiny NEGATIVE residual — Spark sqrt(neg) yields NaN (and NaN >= t
+    # is TRUE under Spark's NaN-is-largest), DuckDB sqrt(neg) raises.
+    # GREATEST(...,0) + the sd>0 gate give both engines the same answer:
+    # constant groups produce no anomalies.
+    sd_stats = (
+        stats.filter(n > 1)
+        .withColumn("sd", F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))))
+        .filter(F.col("sd") > 0)
+    )
+    z = F.round((F.col("value") - mean) / F.col("sd"), 6)
     return (
-        ev.join(F.broadcast(stats.withColumnRenamed("event_type", "s_type")),
+        ev.join(F.broadcast(sd_stats.withColumnRenamed("event_type", "s_type")),
                 F.col("event_type") == F.col("s_type"))
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
@@ -1097,9 +1109,13 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Singles and the total are one-row-per-type / one-row
     broadcasts; lift arithmetic is exact-integer inputs to one rounded
     double expression."""
+    from . import cache_scoped
+
     tune(spark)
     ev = table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds four consumers (both join sides, singles, the total);
+    # cache so the fact-table distinct shuffle runs once
+    ut = cache_scoped(ev.select("user_id", "event_type").distinct())
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
     pairs = (
@@ -1110,7 +1126,7 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= COOC_MIN_SUPPORT)
     )
     singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
-    total = ev.select(F.countDistinct("user_id").alias("n"))
+    total = ut.select(F.countDistinct("user_id").alias("n"))
     sa = singles.select(F.col("event_type").alias("sa_type"), F.col("n_users").alias("na"))
     sb = singles.select(F.col("event_type").alias("sb_type"), F.col("n_users").alias("nb"))
     return (

@@ -251,8 +251,6 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable groupBy(source); the global window
     runs over ONE row per source (mixtures have dozens of sources, not
     millions) — the only all-to-one step is bounded by design."""
-    from pyspark.sql import Window
-
     tune(spark)
     d = table(spark, sf_dir, "documents")
     per_src = fan_out(d, spark).groupBy("source").agg(
@@ -315,8 +313,6 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rates are ONE row per source, broadcast onto a map-only
     filter — the corpus scan never shuffles; exactly how you'd thin a
     100 TB crawl to a planned mixture in one pass."""
-    from pyspark.sql import Window
-
     tune(spark)
     d = table(spark, sf_dir, "documents")
     per_src = fan_out(d, spark).groupBy("source").agg(

@@ -519,7 +519,7 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_binary_source",
     oracle="""
-SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS file_name,
+SELECT printf('doc_%06d.bin', doc_id) AS file_name,
        CAST(octet_length(encode(text)) AS BIGINT) AS length,
        md5(text) AS content_md5
 FROM documents WHERE doc_id % 5 = 0

@@ -604,10 +604,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_curation_pipeline",
-    oracle=f"""
-WITH scored AS (
+
+# Shared oracle SQL for the flagship curation pipeline stages (used by
+# q_curation_pipeline and q_curation_near_dup — one copy, so the quality
+# weights / thresholds / split seed can never drift between the two).
+_CURATION_STAGES_SQL = f"""scored AS (
   SELECT doc_id, text,
          len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
              / len(string_split(text, ' ')) AS en_ratio,
@@ -621,13 +622,18 @@ kept AS (
   WHERE en_ratio >= 0.05 AND quality >= 0.5),
 deduped AS (
   SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality) AS quality
-  FROM kept GROUP BY md5(text))
-SELECT doc_id, quality,
+  FROM kept GROUP BY md5(text))"""
+
+_CURATION_SPLIT_TAIL_SQL = """SELECT doc_id, quality,
        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
 FROM (SELECT doc_id, quality,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
-      FROM deduped)
-""",
+      FROM {src})"""
+
+@query(
+    "q_curation_pipeline",
+    oracle="WITH " + _CURATION_STAGES_SQL + "\n"
+    + _CURATION_SPLIT_TAIL_SQL.format(src="deduped"),
     bench=True,
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1002,10 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.split(F.col("text"), " ")
+    # guard short docs: size-PHRASE_N < 0 would make F.sequence descend and
+    # slice(_, 0, _) throw; the oracle's range() is empty for them, so the
+    # filter is exactly the oracle's behavior
+    d = d.filter(F.size(t) >= PHRASE_N)
     grams = d.select(
         "doc_id",
         F.explode(
@@ -1025,32 +1035,16 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_near_dup_oracle() -> str:
     from .dedup import _minhash_cte
 
-    return f"""
-WITH {_minhash_cte()},
-scored AS (
-  SELECT doc_id, text,
-         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
-             / len(string_split(text, ' ')) AS en_ratio,
-         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
-             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
-                            / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
-  FROM documents),
-kept AS (
-  SELECT doc_id, text, quality FROM scored
-  WHERE en_ratio >= 0.05 AND quality >= 0.5),
-deduped AS (
-  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality) AS quality
-  FROM kept GROUP BY md5(text)),
+    return (
+        f"WITH {_minhash_cte()},\n"
+        + _CURATION_STAGES_SQL
+        + """,
 survivors AS (
   SELECT doc_id, quality FROM deduped
   WHERE doc_id NOT IN (SELECT doc_b FROM verified))
-SELECT doc_id, quality,
-       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id, quality,
-             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
-      FROM survivors)
 """
+        + _CURATION_SPLIT_TAIL_SQL.format(src="survivors")
+    )
 
 
 @query("q_curation_near_dup", oracle=_curation_near_dup_oracle())

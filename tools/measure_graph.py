@@ -98,12 +98,7 @@ def main() -> None:
         t0 = time.time()
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(
-                outdeg.withColumnRenamed("src", "node").withColumnRenamed(
-                    "node", "src"
-                ),
-                "src",
-            )
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.floor(F.col("rank") / F.col("outdeg") * 1e9) / 1e9)
