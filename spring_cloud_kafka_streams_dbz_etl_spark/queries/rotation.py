@@ -180,6 +180,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_snapshot_diff",
         "q_binary_source",
         "q_curation_near_dup",
+        "q_semantic_decontaminate",
+        "q_perplexity_filter",
     }
 )
 

@@ -730,3 +730,62 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+SEM_DECON_MIN = 0.35
+
+
+@query(
+    "q_semantic_decontaminate",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), probes AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+corpus AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+scored AS (
+  SELECT c.vec_id, p.vec_id AS probe_id,
+         {_COS.format(a='c.v', b='p.v')} AS cos_sim
+  FROM corpus c JOIN probes p ON true)
+SELECT vec_id, probe_id, cos_sim FROM (
+  SELECT vec_id, probe_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, probe_id ASC) AS rn
+  FROM scored WHERE cos_sim >= {SEM_DECON_MIN})
+WHERE rn = 1
+""",
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of q_decontaminate's n-gram overlap (paraphrased eval
+    items share no grams but sit close in embedding space): flag every
+    corpus vector within cosine {SEM_DECON_MIN} of ANY probe
+    (benchmark) vector, reporting its single best-matching probe. The
+    flagged set is what a curation pass anti-joins away.
+
+    Scale: the probe set is benchmark-sized (always broadcastable), so
+    scoring is map-only over the corpus scan — same plan as
+    q_cosine_topk; the per-vector best-probe rank partitions by corpus
+    id. At extreme probe counts, pre-bucket both sides with the
+    hyperplane LSH (q_lsh_cosine) and score only shared buckets."""
+    tune(spark)
+    e = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    corpus = e.filter(F.col("vec_id") % 20 != 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("probe_id").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(probes))
+        .select("vec_id", "probe_id", cosine(F.col("v"), F.col("pv")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEM_DECON_MIN)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1101,3 +1101,89 @@ def q_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+PPL_LO, PPL_HI = 0.25, 0.90
+
+
+@query(
+    "q_perplexity_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), uni AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS n FROM uni
+), per AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(CAST(u.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tok t JOIN uni u USING (term) CROSS JOIN tot
+), scores AS (
+  SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+  FROM per GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, avg_nll,
+         ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS rn,
+         COUNT(*) OVER () AS n_docs
+  FROM scores)
+SELECT doc_id, avg_nll
+FROM ranked
+WHERE rn > CAST(ceil({PPL_LO} * n_docs) AS BIGINT)
+  AND rn <= CAST(ceil({PPL_HI} * n_docs) AS BIGINT)
+""",
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band filtering (the CCNet middle-bucket rule): score
+    every document by unigram-LM mean surprisal (q_unigram_nll's exact
+    decimal machinery), then keep the ({PPL_LO:.0%}, {PPL_HI:.0%}]
+    rank band — dropping the lowest-surprisal docs (degenerate /
+    boilerplate repetition the LM finds too easy) AND the highest
+    (noise the LM can't model). The standard quality gate a real
+    curation stack runs with a KenLM; the plumbing is identical, only
+    the scorer swaps.
+
+    Scale: scoring is the unigram pipeline (two shuffles, no text
+    moves); the band cut is an exact global rank — the oracle-checkable
+    ground truth — which at corpus scale becomes approx_percentile
+    cutoffs broadcast as two doubles (the q_quantile_bins trade,
+    contract unchanged)."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = cache_scoped(
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
+            F.col("term") != ""
+        )
+    )
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    nll = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    scores = (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_nll"
+            )
+        )
+    )
+    w = Window.orderBy("avg_nll", "doc_id")
+    wn = Window.partitionBy()
+    ranked = scores.select(
+        "doc_id",
+        "avg_nll",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_docs"),
+    )
+    lo = F.ceil(F.lit(PPL_LO) * F.col("n_docs")).cast("long")
+    hi = F.ceil(F.lit(PPL_HI) * F.col("n_docs")).cast("long")
+    return ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).select(
+        "doc_id", "avg_nll"
+    )
