@@ -387,3 +387,58 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("pick"))
         .filter(F.col("pick") <= RESERVOIR_K)
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS h
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM per_doc
+GROUP BY source
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the datasheet table every corpus release
+    ships (per source: volume, token mass, exact-dup rate, language
+    spread, length extremes). This is the reporting face of the curation
+    family: one query, one artifact a consumer reads before training.
+
+    Scale: ONE map-side-combinable aggregation keyed on source — tokens
+    and hash computed in the scan projection, text never shuffles (the
+    16-byte hash rides the exchange for the distinct count). The
+    distinct-hash count is the only Expand; at extreme cardinality swap
+    it for approx_count_distinct (q_approx_stats' documented trade)."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("h").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

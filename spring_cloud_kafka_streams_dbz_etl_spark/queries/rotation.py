@@ -182,6 +182,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_curation_near_dup",
         "q_semantic_decontaminate",
         "q_perplexity_filter",
+        "q_dataset_card",
+        "q_rerank",
     }
 )
 

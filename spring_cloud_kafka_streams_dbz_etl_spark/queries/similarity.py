@@ -789,3 +789,97 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+RERANK_K = 3
+RERANK_W_COS = 0.7
+
+
+@query(
+    "q_rerank",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cand AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS.format(a='q.v', b='c.v')} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC) AS rank
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {N_PROBE_QUERIES} AND q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), rescored AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROUND({RERANK_W_COS} * cos_sim
+               + {1 - RERANK_W_COS}
+                 * (CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':'
+                                         || CAST(neighbor_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) / 16777215.0), 6) AS rerank_score
+  FROM cand)
+SELECT query_id, neighbor_id, cos_sim, rerank_score, rerank FROM (
+  SELECT query_id, neighbor_id, cos_sim, rerank_score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY rerank_score DESC, neighbor_id ASC) AS BIGINT) AS rerank
+  FROM rescored)
+WHERE rerank <= {RERANK_K}
+""",
+)
+def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (recall -> precision, the RAG-serving shape):
+    stage 1 recalls top-{TOPK} candidates per probe by cosine (the ANN
+    surface); stage 2 re-scores ONLY those candidates through an
+    Arrow-batched mapInPandas scorer and keeps the top-{RERANK_K}.
+    The scorer is the deterministic md5 stub standing exactly where a
+    cross-encoder ONNX/torch call batches (same operator, batch shape,
+    and schema — the q_media_decode policy); its score blends
+    {RERANK_W_COS:.0%} cosine with the stubbed relevance, and the
+    oracle recomputes the md5 math so the Python stage is value-checked.
+
+    Scale: the expensive model runs on |probes| x {TOPK} rows, never
+    the corpus — that asymmetry IS the two-stage pattern; stage-2
+    ranking partitions per query over {TOPK} rows."""
+    import pandas as pd
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    cand = brute_force_topk(
+        queries=e.filter(F.col("vec_id") < N_PROBE_QUERIES),
+        corpus=fan_out(e, spark),
+        k=TOPK,
+    ).drop("rank")
+
+    def cross_encoder_stub(batches):
+        import hashlib
+
+        for pdf in batches:
+            rel = [
+                int(
+                    hashlib.md5(f"{int(q)}:{int(n)}".encode()).hexdigest()[:6], 16
+                )
+                / 16777215.0
+                for q, n in zip(pdf["query_id"], pdf["neighbor_id"])
+            ]
+            pdf = pdf.copy()
+            pdf["rerank_score"] = [
+                round(RERANK_W_COS * c + (1 - RERANK_W_COS) * r, 6)
+                for c, r in zip(pdf["cos_sim"], rel)
+            ]
+            yield pdf
+
+    rescored = cand.mapInPandas(
+        cross_encoder_stub,
+        schema="query_id long, neighbor_id long, cos_sim double, rerank_score double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank") <= RERANK_K)
+    )
