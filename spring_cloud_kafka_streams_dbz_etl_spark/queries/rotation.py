@@ -184,6 +184,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_perplexity_filter",
         "q_dataset_card",
         "q_rerank",
+        "s_cdc_multiplex",
     }
 )
 

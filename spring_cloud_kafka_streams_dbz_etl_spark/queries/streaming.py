@@ -1789,3 +1789,149 @@ def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "event_id", "event_type", "value",
         "valid_from", "valid_to", "is_current",
     )
+
+
+@query(
+    "s_cdc_multiplex",
+    oracle=f"""
+SELECT 'events' AS src_table, e.event_id AS id, e.user_id AS key_id,
+       c.c_name AS name, e.value AS metric
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE {_VALID}
+UNION ALL
+SELECT 'orders' AS src_table, o.o_orderkey AS id, o.o_custkey AS key_id,
+       c.c_name AS name, o.o_totalprice AS metric
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 97 <> 0 AND o.o_orderstatus <> 'F' AND o.o_orderkey <> 0
+""",
+)
+def s_cdc_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE connector stream carrying BOTH tables — the reference's actual
+    Debezium config (`table.include.list: public.event,public.animal`,
+    docker/connect/register-connector.json:9-11) puts every table's
+    envelopes on per-table topics behind one connector; here the single
+    multiplexed stream routes per record on `source.table` (the envelope
+    field Debezium stamps) and each branch parses with ITS OWN after
+    schema, enriches, and lands in the shared sink with a table tag.
+    One topology, N tables — no restart to onboard a new table, just a
+    new branch.
+
+    Scale: routing is one cheap get_json_object on the scan; each
+    branch's from_json/enrich is the standard pipeline (broadcast dim,
+    map-only); branches share the micro-batch so a table's schema
+    change affects only its branch."""
+    import json as _json
+
+    tune(spark)
+    src, out, ckpt = _tmp("mux_src"), _tmp("mux_out"), _tmp("mux_ckpt")
+    from ..catalog import table as load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_after = F.when(
+        F.col("event_type") != "error",
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ),
+    )
+    ev_op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+    ev_env = F.to_json(
+        F.struct(
+            F.struct(F.lit("events").alias("table")).alias("source"),
+            ev_after.alias("after"),
+            ev_op.alias("op"),
+        )
+    )
+    ev_raw = ev.select(
+        F.col("event_id").alias("kafka_key"),
+        F.when((F.col("event_id") % 97) == 0, F.lit(None).cast("string"))
+        .otherwise(ev_env)
+        .alias("value"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o_after = F.when(
+        F.col("o_orderstatus") != "F",
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        ),
+    )
+    o_env = F.to_json(
+        F.struct(
+            F.struct(F.lit("orders").alias("table")).alias("source"),
+            o_after.alias("after"),
+            F.when(F.col("o_orderstatus") == "F", "d").otherwise("u").alias("op"),
+        )
+    )
+    o_raw = o.select(
+        F.col("o_orderkey").alias("kafka_key"),
+        F.when((F.col("o_orderkey") % 97) == 0, F.lit(None).cast("string"))
+        .otherwise(o_env)
+        .alias("value"),
+    )
+    ev_raw.unionByName(o_raw).write.mode("overwrite").parquet(src)
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ev_schema = (
+        "source struct<table:string>, "
+        "after struct<id:bigint,user_id:bigint,event_type:string,value:double>, "
+        "op string"
+    )
+    o_schema = (
+        "source struct<table:string>, "
+        "after struct<id:bigint,custkey:bigint,totalprice:double>, "
+        "op string"
+    )
+
+    def route(batch: DataFrame, _epoch: int) -> None:
+        live = batch.filter(F.col("value").isNotNull()).withColumn(
+            "tbl", F.get_json_object("value", "$.source.table")
+        )
+        ev_b = (
+            live.filter(F.col("tbl") == "events")
+            .withColumn("env", F.from_json("value", ev_schema))
+            .filter(F.col("env.after").isNotNull() & (F.col("env.after.id") != 0))
+            .join(F.broadcast(dim), F.col("env.after.user_id") == dim.c_custkey)
+            .select(
+                F.lit("events").alias("src_table"),
+                F.col("env.after.id").alias("id"),
+                F.col("env.after.user_id").alias("key_id"),
+                F.col("c_name").alias("name"),
+                F.col("env.after.value").alias("metric"),
+            )
+        )
+        o_b = (
+            live.filter(F.col("tbl") == "orders")
+            .withColumn("env", F.from_json("value", o_schema))
+            .filter(F.col("env.after").isNotNull() & (F.col("env.after.id") != 0))
+            .join(F.broadcast(dim), F.col("env.after.custkey") == dim.c_custkey)
+            .select(
+                F.lit("orders").alias("src_table"),
+                F.col("env.after.id").alias("id"),
+                F.col("env.after.custkey").alias("key_id"),
+                F.col("c_name").alias("name"),
+                F.col("env.after.totalprice").alias("metric"),
+            )
+        )
+        ev_b.unionByName(o_b).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("kafka_key bigint, value string")
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(route)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
