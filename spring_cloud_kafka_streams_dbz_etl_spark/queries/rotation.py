@@ -185,6 +185,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_dataset_card",
         "q_rerank",
         "s_cdc_multiplex",
+        "q_term_drift",
     }
 )
 

@@ -1187,3 +1187,70 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).select(
         "doc_id", "avg_nll"
     )
+
+
+DRIFT_MIN_COUNT = 30
+
+
+@query(
+    "q_term_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id % 2 AS half, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), counts AS (
+  SELECT term,
+         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c_a,
+         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c_b
+  FROM tok GROUP BY term),
+tot AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS t_a, CAST(SUM(c_b) AS BIGINT) AS t_b
+  FROM counts)
+SELECT term, c_a, c_b,
+       ROUND(((CAST(c_a AS DOUBLE) + 1) / (t_a + 2))
+             / ((CAST(c_b AS DOUBLE) + 1) / (t_b + 2)), 6) AS drift_ratio
+FROM counts CROSS JOIN tot
+WHERE c_a + c_b >= {DRIFT_MIN_COUNT}
+""",
+)
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus slices (here the doc_id parity
+    halves; in production, yesterday's crawl vs today's): per qualifying
+    term, its add-one-smoothed relative-frequency ratio — the monitoring
+    signal that catches topic shift, scraper breakage, or a source
+    flipping language before a model trains on it. Deliberately
+    libm-free: the score is one division chain over exact integer
+    counts, so determinism needs no log/rounding caveat at all.
+
+    Scale: one explode -> one combinable (term, half-conditional)
+    count — the same single-shuffle shape as the vocab build; totals
+    are a 1-row broadcast. Slices needn't be balanced: smoothed shares
+    normalize by each half's own mass."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("c_a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("long").alias("t_a"), F.sum("c_b").cast("long").alias("t_b")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("c_a") + F.col("c_b")) >= DRIFT_MIN_COUNT)
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            F.round(
+                ((F.col("c_a").cast("double") + 1) / (F.col("t_a") + 2))
+                / ((F.col("c_b").cast("double") + 1) / (F.col("t_b") + 2)),
+                6,
+            ).alias("drift_ratio"),
+        )
+    )
