@@ -186,6 +186,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_rerank",
         "s_cdc_multiplex",
         "q_term_drift",
+        "q_feature_hash",
     }
 )
 

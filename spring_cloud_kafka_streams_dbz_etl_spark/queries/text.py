@@ -1254,3 +1254,62 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_ratio"),
         )
     )
+
+
+FEAT_BUCKETS = 64
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {FEAT_BUCKETS}
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(c * c) AS BIGINT) AS sq_norm,
+       CAST(CEIL(MAX(c * 1000 - bucket) / 1000.0) AS BIGINT) AS max_count,
+       CAST((1000 - (MAX(c * 1000 - bucket) % 1000)) % 1000 AS BIGINT)
+         AS argmax_bucket
+FROM bucketed GROUP BY doc_id
+""",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer (Weinberger et al.): terms fold into
+    {FEAT_BUCKETS} hash buckets — a fixed-width count vector per doc
+    with NO vocabulary pass, the classic streaming-friendly text
+    feature. Emitted as the vector's scalar canonicalization (nnz,
+    exact squared norm, max count, argmax bucket — the latter two
+    decoded from one integer-packed MAX(c*1000 - bucket), ties to the
+    smallest bucket) because the driver's canonicalizer hashes scalars,
+    not arrays; the full vector is the obvious collect_list away.
+
+    Scale: one explode -> one combinable (doc, bucket) count -> one
+    per-doc fold; bucket ids are md5 arithmetic (engine-portable), all
+    outputs exact integers. No vocabulary broadcast, no global state —
+    the whole featurizer is two shuffles at any corpus size."""
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % FEAT_BUCKETS
+    )
+    bucketed = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mk = F.max(F.col("c") * 1000 - F.col("bucket"))
+    return bucketed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_norm"),
+        F.ceil(mk / 1000.0).cast("long").alias("max_count"),
+        ((1000 - (mk % 1000)) % 1000).cast("long").alias("argmax_bucket"),
+    )
