@@ -394,7 +394,10 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NTZ -> LTZ for withWatermark (UTC session tz, value-preserving)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
     agg = (
@@ -1496,10 +1499,14 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as one plan with two state stores instead of two jobs
     wired through a topic.
 
-    Emission: append mode only emits CLOSED hourly windows, so after the
-    real data a single far-future sentinel row advances the watermark
-    past every real window (then gets filtered — its own window never
-    closes). The per-hour decimal sums stay DECIMAL across both levels
+    Emission: append mode only emits CLOSED hourly windows, so a single
+    far-future sentinel row rides in WITH the data (batch 0 processes
+    everything regardless — the watermark is unset during the first
+    batch) and advances the watermark past every real window at batch
+    end; the automatic no-data batch then flushes them all, and the
+    sentinel is filtered (its own window never closes). One data batch
+    + one flush batch — the minimal trigger count for an append-mode
+    drain. The per-hour decimal sums stay DECIMAL across both levels
     (double only at the end), so the two-level total equals the
     one-level oracle exactly.
 
@@ -1518,7 +1525,10 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "event_type", "value")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
     lvl1 = (
@@ -1548,12 +1558,9 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = lvl2.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
-        q.processAllAvailable()  # batch 1: all real events, watermark set
-        sentinel = spark.createDataFrame(
-            [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
-        )
-        sentinel.coalesce(1).write.mode("append").parquet(src)
-        q.processAllAvailable()  # batch 2: watermark passes every real window
+        # batch 0 (data + sentinel) sets the watermark past every real
+        # window; the automatic no-data batch flushes them
+        q.processAllAvailable()
         result = (
             spark.table(name)
             .filter(F.col("hour_start") < F.lit("2029-01-01"))
