@@ -139,6 +139,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # r5: exact companion columns added so the driver hash-checks
         # the exact half (VERDICT r04 next-round #8)
         "q_approx_stats",
+        # r5: append-mode flush rewritten (sentinel rides in with the
+        # data, one no-data batch drains state) after its r4 green row
+        "s_session_window",
         # r5: PQ encode collapsed from the unrolled argmin tree to
         # higher-order functions — output verified bit-identical, but the
         # PLAN is new, so the family re-verifies per the staleness policy

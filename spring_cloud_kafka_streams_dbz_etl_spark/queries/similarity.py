@@ -842,8 +842,6 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the expensive model runs on |probes| x {TOPK} rows, never
     the corpus — that asymmetry IS the two-stage pattern; stage-2
     ranking partitions per query over {TOPK} rows."""
-    import pandas as pd
-
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     cand = brute_force_topk(

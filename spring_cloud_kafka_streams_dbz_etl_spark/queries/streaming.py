@@ -394,8 +394,13 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NTZ -> LTZ for withWatermark (UTC session tz, value-preserving)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    # Sentinel far past every session end rides in WITH the data (batch 0
+    # processes everything — watermark unset on the first batch — and its
+    # end advances the watermark past every real session; the automatic
+    # no-data batch then flushes all of them). Its own open session is
+    # dropped by the user_id >= 0 filter.
     sentinel = spark.createDataFrame(
-        [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
+        [(-1, _dt.datetime(2030, 1, 1))], schema=ev.schema
     )
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
@@ -413,11 +418,6 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
-        q.processAllAvailable()
-        # Sentinel far past every session end -> watermark flushes all state.
-        spark.createDataFrame([(-1, "2030-01-01 00:00:00")], "user_id long, ts string") \
-            .select("user_id", F.col("ts").cast("timestamp").alias("ts")) \
-            .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
         result = spark.table(name).filter(F.col("user_id") >= 0).cache()
         result.count()  # materialize before the query stops
@@ -1827,61 +1827,20 @@ def s_cdc_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch's from_json/enrich is the standard pipeline (broadcast dim,
     map-only); branches share the micro-batch so a table's schema
     change affects only its branch."""
-    import json as _json
-
     tune(spark)
     src, out, ckpt = _tmp("mux_src"), _tmp("mux_out"), _tmp("mux_ckpt")
     from ..catalog import table as load_table
+    from ..streaming.entity import (
+        EVENTS_ENTITY,
+        ORDERS_ENTITY,
+        synthesize_entity_envelopes,
+    )
 
-    ev = load_table(spark, sf_dir, "events")
-    ev_after = F.when(
-        F.col("event_type") != "error",
-        F.struct(
-            F.col("event_id").alias("id"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-        ),
+    ev_raw = synthesize_entity_envelopes(
+        load_table(spark, sf_dir, "events"), EVENTS_ENTITY, source_table_tag=True
     )
-    ev_op = (
-        F.when(F.col("event_type") == "error", "d")
-        .when(F.col("event_type") == "signup", "c")
-        .otherwise("u")
-    )
-    ev_env = F.to_json(
-        F.struct(
-            F.struct(F.lit("events").alias("table")).alias("source"),
-            ev_after.alias("after"),
-            ev_op.alias("op"),
-        )
-    )
-    ev_raw = ev.select(
-        F.col("event_id").alias("kafka_key"),
-        F.when((F.col("event_id") % 97) == 0, F.lit(None).cast("string"))
-        .otherwise(ev_env)
-        .alias("value"),
-    )
-    o = load_table(spark, sf_dir, "orders")
-    o_after = F.when(
-        F.col("o_orderstatus") != "F",
-        F.struct(
-            F.col("o_orderkey").alias("id"),
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_totalprice").alias("totalprice"),
-        ),
-    )
-    o_env = F.to_json(
-        F.struct(
-            F.struct(F.lit("orders").alias("table")).alias("source"),
-            o_after.alias("after"),
-            F.when(F.col("o_orderstatus") == "F", "d").otherwise("u").alias("op"),
-        )
-    )
-    o_raw = o.select(
-        F.col("o_orderkey").alias("kafka_key"),
-        F.when((F.col("o_orderkey") % 97) == 0, F.lit(None).cast("string"))
-        .otherwise(o_env)
-        .alias("value"),
+    o_raw = synthesize_entity_envelopes(
+        load_table(spark, sf_dir, "orders"), ORDERS_ENTITY, source_table_tag=True
     )
     ev_raw.unionByName(o_raw).write.mode("overwrite").parquet(src)
 

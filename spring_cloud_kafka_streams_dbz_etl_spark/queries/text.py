@@ -685,6 +685,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _unigram_nll_scores(spark, sf_dir):
+    """Per-doc (doc_id, n_tokens agg-ready tok relation, avg surprisal
+    inputs) for the unigram-LM scorers: corpus MLE p(w), per-token
+    -ln p rounded to 6 decimals and cast DECIMAL(18,6) so per-doc sums
+    are exact and order-independent (the cross-engine float policy —
+    see q_unigram_nll's docstring for the accepted libm-ulp residual).
+    Shared by q_unigram_nll and q_perplexity_filter so the determinism
+    machinery exists in exactly one place."""
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    tok = cache_scoped(
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
+            F.col("term") != ""
+        )
+    )
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    nll = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+
+
 @query(
     "q_unigram_nll",
     bench=True,
@@ -730,22 +758,7 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total, none carrying document text.
     """
     tune(spark)
-    d = fan_out(table(spark, sf_dir, "documents"), spark)
-    tok = cache_scoped(
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
-            F.col("term") != ""
-        )
-    )
-    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.sum("c").alias("n"))
-    nll = F.round(
-        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
-    ).cast("decimal(18,6)")
-    per = (
-        tok.join(F.broadcast(uni), "term")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", nll.alias("nll"))
-    )
+    per = _unigram_nll_scores(spark, sf_dir)
     return per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
@@ -1152,26 +1165,9 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs broadcast as two doubles (the q_quantile_bins trade,
     contract unchanged)."""
     tune(spark)
-    d = fan_out(table(spark, sf_dir, "documents"), spark)
-    tok = cache_scoped(
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
-            F.col("term") != ""
-        )
-    )
-    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.sum("c").alias("n"))
-    nll = F.round(
-        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
-    ).cast("decimal(18,6)")
-    scores = (
-        tok.join(F.broadcast(uni), "term")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", nll.alias("nll"))
-        .groupBy("doc_id")
-        .agg(
-            (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_nll"
-            )
+    scores = _unigram_nll_scores(spark, sf_dir).groupBy("doc_id").agg(
+        (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_nll"
         )
     )
     w = Window.orderBy("avg_nll", "doc_id")

@@ -67,10 +67,16 @@ def entity_envelope_schema(source: DataFrame, spec: EntitySpec) -> T.StructType:
     )
 
 
-def synthesize_entity_envelopes(source: DataFrame, spec: EntitySpec) -> DataFrame:
+def synthesize_entity_envelopes(
+    source: DataFrame, spec: EntitySpec, source_table_tag: bool = False
+) -> DataFrame:
     """source rows -> (kafka_key, value) JSON change envelopes, following
     the same fixture rules as the events synthesizer (FIXTURES.md §A3):
-    deletes ship after=null, tombstones ship a null value."""
+    deletes ship after=null, tombstones ship a null value.
+
+    ``source_table_tag``: also stamp the Debezium ``source.table`` field
+    (what a multi-table connector puts on every record — the routing key
+    for multiplexed consumption, s_cdc_multiplex)."""
     after_fields = [F.col(spec.key_col).alias("id")] + [
         F.col(src).alias(name) for name, src in spec.after_cols
     ]
@@ -80,7 +86,12 @@ def synthesize_entity_envelopes(source: DataFrame, spec: EntitySpec) -> DataFram
         .when(F.expr(spec.insert_when), "c")
         .otherwise("u")
     )
-    envelope = F.to_json(F.struct(after.alias("after"), op.alias("op")))
+    env_fields = [after.alias("after"), op.alias("op")]
+    if source_table_tag:
+        env_fields.insert(
+            0, F.struct(F.lit(spec.source_table).alias("table")).alias("source")
+        )
+    envelope = F.to_json(F.struct(*env_fields))
     value = F.when(F.expr(spec.tombstone_when), F.lit(None).cast("string")).otherwise(
         envelope
     )
