@@ -190,6 +190,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_cdc_multiplex",
         "q_term_drift",
         "q_feature_hash",
+        "s_python_source",
     }
 )
 

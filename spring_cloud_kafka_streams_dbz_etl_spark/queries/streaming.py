@@ -1901,3 +1901,108 @@ def s_cdc_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+@query(
+    "s_python_source",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's own CONNECTOR: a Spark 4 Python DataSource
+    (`format("kafka_transcript")`, sources/pysource.py) consuming the
+    recorded topic with the REAL Kafka offset contract — initialOffset
+    earliest per partition, latestOffset polled from the transcript's
+    committed ends, one executor task per topic-partition slice, and
+    deterministic [start, end) range replay (checkpoint recovery's
+    requirement). Where s_kafka_replay streams the transcript through
+    the FILE source (offsets = batch ids), this is a first-class
+    pluggable source whose offsets ARE per-partition record positions;
+    the downstream decode/enrich topology is identical, so swapping in
+    spark-sql-kafka is a format-string change.
+
+    Scale: offset planning is footer-metadata work on the driver;
+    record bytes are read executor-side per topic-partition (the JVM
+    Kafka source's parallelism model). The Python row boundary is this
+    connector's demo cost; its CONTRACT is what the test pins."""
+    import ast as _ast
+
+    import pandas as pd
+
+    from ..sources.avro_codec import EVENTS_ENVELOPE_AVSC, AvroCodec, confluent_unframe
+    from ..sources.kafka_replay import record_kafka_transcript, transcript_end_offsets
+    from ..sources.pysource import register_kafka_transcript_source
+
+    tune(spark)
+    topic_dir, out, ckpt = _tmp("pysrc_topic"), _tmp("pysrc_out"), _tmp("pysrc_ckpt")
+    from ..catalog import table as load_table
+
+    events = load_table(spark, sf_dir, "events")
+    record_kafka_transcript(events, topic_dir, n_partitions=4)
+    ends = transcript_end_offsets(spark, topic_dir)
+
+    register_kafka_transcript_source(spark)
+    src = (
+        spark.readStream.format("kafka_transcript")
+        .option("path", topic_dir)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+    schema_id = 7
+
+    def decode(batches):
+        codec = AvroCodec(EVENTS_ENVELOPE_AVSC)
+        for pdf in batches:
+            cols: dict[str, list] = {"id": [], "user_id": [], "event_type": [], "value": []}
+            for buf in pdf["value"]:
+                sid, body = confluent_unframe(bytes(buf))
+                if sid != schema_id:
+                    raise ValueError(f"unexpected schema id {sid}")
+                after = codec.decode(body)["after"]
+                for k in cols:
+                    cols[k].append(after["id" if k == "id" else k])
+            yield pd.DataFrame(cols)
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        decoded = batch.select("value").mapInPandas(
+            decode, "id long, user_id long, event_type string, value double"
+        )
+        dim = batch.sparkSession.read.parquet(f"{sf_dir}/customer.parquet")
+        enriched = decoded.join(
+            F.broadcast(dim), decoded.user_id == dim.c_custkey, "left"
+        ).select(
+            "id",
+            "user_id",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+            F.col("value"),
+        )
+        enriched.write.mode("append").parquet(out)
+
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    # the source's committed end offsets must be the PER-PARTITION record
+    # positions the producer wrote — the Kafka offset contract, not batch
+    # ids (the progress line serializes the Python offset dict repr)
+    committed = {
+        int(p): int(o)
+        for p, o in _ast.literal_eval(progress["sources"][0]["endOffset"]).items()
+    }
+    assert committed == ends, (committed, ends)
+    return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
