@@ -191,6 +191,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_term_drift",
         "q_feature_hash",
         "s_python_source",
+        "s_python_sink",
     }
 )
 

@@ -2006,3 +2006,97 @@ def s_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     assert committed == ends, (committed, ends)
     return spark.read.schema(ENRICHED_SCHEMA).parquet(out)
+
+
+@query(
+    "s_python_sink",
+    oracle="""
+SELECT e.event_id AS id, e.user_id,
+       COALESCE(c.c_name, '') AS name,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, e.value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE half (sources/pysource.py): the enriched
+    stream lands through `writeStream.format("kafka_transcript")` — a
+    pluggable Spark 4 Python DataSource sink with per-epoch broker
+    semantics: executors stage the epoch's encoded records, `commit`
+    plays the sequencer (dense per-partition offsets continuing from
+    the transcript's ends, one committed file per epoch), `abort`
+    discards staging. No foreachBatch — the engine's own sink format,
+    driven by the normal streaming writer. The transcript is consumed
+    back and value-checked against the oracle; offsets are asserted
+    dense (sum of ends == row count).
+
+    Scale: encode and staging are executor-side; commit is the
+    per-epoch metadata/sequencing step every transactional sink pays.
+    Division of labor mirrors Kafka: the TOPOLOGY encodes
+    (codec mapInPandas), the CONNECTOR owns partitioning bytes ->
+    offsets -> durability."""
+    import pandas as pd
+
+    from ..sources.avro_codec import AvroCodec, confluent_frame
+    from ..sources.kafka_replay import (
+        ENRICHED_RECORD_AVSC,
+        decode_enriched_transcript,
+        default_partition,
+        transcript_end_offsets,
+    )
+    from ..sources.pysource import register_kafka_transcript_source
+
+    tune(spark)
+    topic_dir, ckpt = _tmp("pysink_topic"), _tmp("pysink_ckpt")
+    register_kafka_transcript_source(spark)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ev = stream_events(spark, sf_dir)
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left").select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+        "value",
+    )
+
+    schema_id = 9
+
+    def produce(batches):
+        codec = AvroCodec(ENRICHED_RECORD_AVSC)
+        for pdf in batches:
+            keys, values, parts = [], [], []
+            for r in pdf.itertuples(index=False):
+                key = int(r.id).to_bytes(8, "big")
+                rec = {
+                    "id": int(r.id),
+                    "user_id": int(r.user_id),
+                    "name": str(r.name),
+                    "segment": str(r.segment),
+                    "event_type": None if r.event_type is None else str(r.event_type),
+                    "value": None if pd.isna(r.value) else float(r.value),
+                }
+                keys.append(key)
+                values.append(confluent_frame(schema_id, codec.encode(rec)))
+                parts.append(default_partition(key, 4))
+            yield pd.DataFrame(
+                {"key": keys, "value": values, "partition": pd.array(parts, dtype="int32")}
+            )
+
+    encoded = enriched.mapInPandas(produce, "key binary, value binary, partition int")
+    q = (
+        encoded.writeStream.format("kafka_transcript")
+        .option("path", topic_dir)
+        .option("topic", "entity.events.enriched")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ends = transcript_end_offsets(spark, topic_dir)
+    decoded = decode_enriched_transcript(spark, topic_dir)
+    assert sum(ends.values()) == decoded.count(), ends  # dense broker offsets
+    return decoded

@@ -31,7 +31,9 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -43,6 +45,27 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("offset", T.LongType(), False),
     ]
 )
+
+
+def _transcript_ends(path: str) -> dict:
+    """Per-partition end offsets (max+1) from transcript footers —
+    metadata-only; {} for a missing or empty transcript."""
+    import pyarrow.dataset as ds
+
+    try:
+        data = ds.dataset(path, format="parquet")
+    except (FileNotFoundError, OSError):
+        return {}
+    if not data.files:  # dir exists but holds no committed file yet
+        return {}
+    tbl = data.to_table(columns=["partition", "offset"])
+    if tbl.num_rows == 0:
+        return {}
+    grouped = tbl.group_by("partition").aggregate([("offset", "max")])
+    return {
+        int(p.as_py()): int(o.as_py()) + 1
+        for p, o in zip(grouped["partition"], grouped["offset_max"])
+    }
 
 
 class _SliceP(InputPartition):
@@ -60,23 +83,8 @@ class KafkaTranscriptStreamReader(DataSourceStreamReader):
 
     # -- offset bookkeeping (driver, metadata-only) -----------------------
     def _end_offsets(self) -> dict:
-        import pyarrow.dataset as ds
-        import pyarrow.compute as pc
-
-        try:
-            data = ds.dataset(self._path, format="parquet")
-            tbl = data.to_table(columns=["partition", "offset"])
-        except (FileNotFoundError, OSError):
-            return {}
-        if tbl.num_rows == 0:
-            return {}
-        import pyarrow as pa
-
-        grouped = tbl.group_by("partition").aggregate([("offset", "max")])
-        return {
-            str(p.as_py()): o.as_py() + 1
-            for p, o in zip(grouped["partition"], grouped["offset_max"])
-        }
+        ends = _transcript_ends(self._path)
+        return {str(p): e for p, e in ends.items()}
 
     def initialOffset(self) -> dict:
         if self._starting == "earliest":
@@ -134,7 +142,123 @@ class KafkaTranscriptDataSource(DataSource):
     def streamReader(self, schema):
         return KafkaTranscriptStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        return KafkaTranscriptStreamWriter(self.options)
+
 
 def register_kafka_transcript_source(spark) -> None:
     """Idempotently register the connector on this session."""
     spark.dataSource.register(KafkaTranscriptDataSource)
+
+
+# -- the write half: the connector as a pluggable streaming SINK ----------
+
+
+class _StagedCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str):
+        self.staged_path = staged_path
+
+
+class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
+    """Per-epoch broker-append semantics as a pluggable sink: executors
+    stage this epoch's (key, value, partition) rows; ``commit`` — the
+    sequencer role a broker plays — assigns dense per-partition offsets
+    continuing from the transcript's current ends and appends ONE
+    committed file per epoch; ``abort`` discards the staging. Offset
+    assignment sorts each partition's rows by (key, value) bytes, so a
+    replayed epoch assigns identically (deterministic recovery).
+    Delivery is at-least-once on a crash between commit and checkpoint
+    (Kafka producer default); the exactly_once_v2 upgrade is the txn
+    sidecar (`kafka_replay.read_committed`)."""
+
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        self._topic = options.get("topic", "entity.events.enriched")
+        self._staging = options.get("staging", self._path.rstrip("/") + "__staging")
+
+    def write(self, rows) -> _StagedCommit:  # executor-side
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys, values, parts = [], [], []
+        for row in rows:
+            keys.append(bytes(row.key))
+            values.append(bytes(row.value))
+            parts.append(int(row.partition))
+        os.makedirs(self._staging, exist_ok=True)
+        p = os.path.join(self._staging, f"stage_{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(keys, pa.binary()),
+                    "value": pa.array(values, pa.binary()),
+                    "partition": pa.array(parts, pa.int32()),
+                }
+            ),
+            p,
+        )
+        return _StagedCommit(p)
+
+    def _end_offsets(self) -> dict:
+        return _transcript_ends(self._path)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side sequencer
+        import datetime
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staged = [
+            pq.read_table(m.staged_path) for m in messages if m is not None
+        ]
+        staged = [t for t in staged if t.num_rows]
+        if staged:
+            all_rows = pa.concat_tables(staged)
+            base = self._end_offsets()
+            by_part: dict[int, list] = {}
+            for k, v, p in zip(
+                all_rows["key"].to_pylist(),
+                all_rows["value"].to_pylist(),
+                all_rows["partition"].to_pylist(),
+            ):
+                by_part.setdefault(int(p), []).append((k, v))
+            keys, values, parts, offsets = [], [], [], []
+            now = datetime.datetime.now(datetime.timezone.utc)
+            for p in sorted(by_part):
+                rows = sorted(by_part[p])  # deterministic offsets on replay
+                start = int(base.get(p, 0))
+                for i, (k, v) in enumerate(rows):
+                    keys.append(k)
+                    values.append(v)
+                    parts.append(p)
+                    offsets.append(start + i)
+            n = len(keys)
+            committed = pa.table(
+                {
+                    "key": pa.array(keys, pa.binary()),
+                    "value": pa.array(values, pa.binary()),
+                    "topic": pa.array([self._topic] * n),
+                    "partition": pa.array(parts, pa.int32()),
+                    "offset": pa.array(offsets, pa.int64()),
+                    "timestamp": pa.array([now] * n, pa.timestamp("us", "UTC")),
+                    "timestampType": pa.array([1] * n, pa.int32()),
+                }
+            )
+            os.makedirs(self._path, exist_ok=True)
+            pq.write_table(
+                committed, os.path.join(self._path, f"epoch_{batchId:06d}.parquet")
+            )
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
