@@ -84,12 +84,18 @@ def record_kafka_transcript(
     topic: str = "dbserver1.public.events",
     n_partitions: int = 4,
     schema_id: int = 7,
+    append: bool = False,
 ) -> None:
     """Produce the transcript: each event becomes a Debezium-style change
     envelope, Avro-encoded and Confluent-framed by the engine codec on
     EXECUTORS (Arrow-batched — the producer side is distributed), keyed by
     the record id's 8-byte big-endian bytes, partitioned by murmur2 like a
     real producer, with dense per-partition offsets in event_id order.
+
+    ``append=True``: broker-append a second production session — offsets
+    continue from the transcript's current per-partition ends (what a
+    broker does implicitly; required for a consumer to see the new
+    records as NEW offsets).
 
     Scale: encode is map-only; the only shuffle is the per-partition
     offset window — which a real broker performs implicitly by appending.
@@ -138,16 +144,26 @@ def record_kafka_transcript(
         "key binary, value binary, partition int, event_id long, timestamp timestamp",
     )
     w = Window.partitionBy("partition").orderBy("event_id")
+    offset = (F.row_number().over(w) - 1).cast("long")
+    if append and _os.path.exists(path):
+        base = transcript_end_offsets(events.sparkSession, path)
+        if base:
+            base_map = F.create_map(
+                *[x for p, e in base.items() for x in (F.lit(p), F.lit(e))]
+            )
+            offset = offset + F.coalesce(
+                F.element_at(base_map, F.col("partition")), F.lit(0).cast("long")
+            )
     transcript = produced.select(
         "key",
         "value",
         F.lit(topic).alias("topic"),
         "partition",
-        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        offset.alias("offset"),
         "timestamp",
         F.lit(0).alias("timestampType"),  # CreateTime
     )
-    transcript.write.mode("overwrite").parquet(path)
+    transcript.write.mode("append" if append else "overwrite").parquet(path)
 
 
 def replay_kafka_transcript(
