@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs every query marked bench=True in the registry (enrichment join,
-star join, TPC-H-Q1 agg, latest-wins window, text stats, MinHash+LSH
-near-dup, cosine top-k, and the end-to-end streaming CDC pipeline) on
+Runs every query marked bench=True in the registry — 33 headliners
+spanning relational/TPC-H, text, dedup (MinHash/SimHash/containment/
+clusters), ANN (cosine/PQ/IVF-PQ), graph (triangles), layout (Z-order),
+and the streaming CDC/transactional/chained-agg pipelines — on
 local[$SPARK_GRAFT_CPUS], forcing full materialization through the noop
 sink (so column computation isn't skipped the way .count() allows).
 
