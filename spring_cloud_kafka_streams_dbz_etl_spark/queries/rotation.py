@@ -192,6 +192,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_feature_hash",
         "s_python_source",
         "s_python_sink",
+        "q_ann_recall",
     }
 )
 

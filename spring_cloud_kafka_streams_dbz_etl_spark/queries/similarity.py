@@ -881,3 +881,76 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rerank", F.row_number().over(w).cast("long"))
         .filter(F.col("rerank") <= RERANK_K)
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC) AS rank
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {N_PROBE_QUERIES} AND q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC) AS rank
+    FROM e q JOIN e c ON q.label = c.label
+    WHERE q.vec_id < {N_PROBE_QUERIES} AND q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+)
+SELECT x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOPK}, 6) AS recall_at_k
+FROM exact x
+LEFT JOIN approx a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+GROUP BY x.query_id
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@{TOPK} of the cell-restricted index
+    (q_ann_ivf's plan) against exact search, per probe — the
+    is-my-index-good-enough report every ANN deployment runs before
+    trusting approximate results, as an oracled query instead of an
+    offline script (tools/measure_ann.py is the sweep variant).
+
+    Scale: both rankings are the established probe-broadcast plans;
+    the comparison is a per-probe semi-match over 2x{TOPK} rows per
+    probe — negligible next to the searches. At 100 TB you audit on a
+    probe SAMPLE (deterministic hash pick), same plan."""
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+    exact = brute_force_topk(
+        queries=probes, corpus=fan_out(e, spark), k=TOPK
+    ).select("query_id", "neighbor_id")
+    approx = brute_force_topk(
+        queries=probes, corpus=e, k=TOPK, cell_col="label"
+    ).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("a_query"))
+            & (exact.neighbor_id == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor").cast("double") / TOPK, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
