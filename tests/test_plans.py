@@ -818,3 +818,31 @@ def test_knn_graph_blocked_equijoin_no_cartesian(spark, sf_smoke):
     text = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in text, text[:2000]
     assert "CartesianProduct" not in text, text[:2000]
+
+
+def test_snapshot_diff_full_outer_no_cartesian(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_snapshot_diff"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+
+
+def test_dq_quarantine_rule_battery_broadcasts_fk(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_dq_quarantine"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in text, text[:2000]
+
+
+def test_term_drift_single_vocab_shuffle_broadcast_totals(spark, sf_smoke):
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_term_drift"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    # the totals cross-join must be a 1-row broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text[:2000]
+    assert "SortMergeJoin" not in text, text[:2000]
