@@ -80,6 +80,12 @@ class KafkaTranscriptStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = options["path"]
         self._starting = options.get("startingOffsets", "earliest")
+        # maxOffsetsPerTrigger parity (application.yml:36 max.poll.records
+        # analogue): cap TOTAL records per micro-batch, spread across
+        # partitions proportionally to their backlog like the JVM source.
+        mot = options.get("maxOffsetsPerTrigger")
+        self._max_offsets = int(mot) if mot else None
+        self._committed: dict | None = None
 
     # -- offset bookkeeping (driver, metadata-only) -----------------------
     def _end_offsets(self) -> dict:
@@ -93,8 +99,33 @@ class KafkaTranscriptStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         ends = self._end_offsets()
-        # partitions can appear mid-stream; unseen ones start at 0
-        return ends or {}
+        if not ends:
+            return {}
+        if self._max_offsets is None:
+            return ends
+        if self._committed is None:
+            # First planning call of THIS run is uncapped: the reader
+            # cannot see the checkpointed start (the no-arg latestOffset
+            # API), and capping relative to earliest could plan an end
+            # BELOW a restarted query's committed start — going backward.
+            # Returning the full ends is always monotone-safe; Spark reads
+            # only the actual backlog. Steady-state batches throttle.
+            self._committed = ends
+            return ends
+        start = self._committed
+        backlog = {p: int(e) - int(start.get(p, 0)) for p, e in ends.items()}
+        total = sum(b for b in backlog.values() if b > 0)
+        if total <= self._max_offsets:
+            self._committed = ends
+            return ends
+        # proportional cap per partition (ceil so progress is guaranteed)
+        capped = {}
+        for p, e in ends.items():
+            b = max(backlog[p], 0)
+            take = -(-b * self._max_offsets // total) if b else 0  # ceil
+            capped[p] = int(start.get(p, 0)) + min(b, take)
+        self._committed = capped
+        return capped
 
     def partitions(self, start: dict, end: dict):
         out = []

@@ -128,3 +128,50 @@ def test_stream_writer_appends_dense_offsets_across_epochs(spark, sf_smoke):
     # staging fully cleaned after commits
     staging = topic.rstrip("/") + "__staging"
     assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+def test_stream_reader_honors_max_offsets_per_trigger(spark, sf_smoke):
+    """The max.poll.records analogue: with maxOffsetsPerTrigger=N the
+    reader rate-limits steady-state micro-batches (the first planning
+    call of a run is deliberately uncapped — the no-arg latestOffset API
+    cannot see a restarted query's committed start, and capping from
+    earliest could plan an end BELOW it; full ends are always
+    monotone-safe) and still delivers every record exactly once."""
+    topic, out, ckpt = _tmp("thr_topic"), _tmp("thr_out"), _tmp("thr_ckpt")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    record_kafka_transcript(half_a, topic, n_partitions=4)
+
+    register_kafka_transcript_source(spark)
+    q = (
+        spark.readStream.format("kafka_transcript")
+        .option("path", topic)
+        .option("maxOffsetsPerTrigger", 100)
+        .load()
+        .selectExpr("partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: uncapped drain of half_a
+        # steady state: new backlog arrives -> rate-limited batches
+        record_kafka_transcript(half_b, topic, n_partitions=4, append=True)
+        q.processAllAvailable()
+        steady = [
+            p["numInputRows"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0 and p["batchId"] > 0
+        ]
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    n = ev.count()
+    assert got.count() == n
+    assert got.distinct().count() == n  # exactly once
+    n_b = half_b.count()
+    assert len(steady) >= -(-n_b // 100), steady  # multiple throttled batches
+    assert all(r <= 100 + 4 for r in steady), steady  # ceil slack per partition
