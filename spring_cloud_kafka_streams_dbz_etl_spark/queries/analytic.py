@@ -1215,3 +1215,106 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_recent",
         F.round(F.col("unnorm").cast("double") / denom, 6).alias("ewma_value"),
     )
+
+
+@query(
+    "q_pop_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS month,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, month, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER w IS NOT NULL AND LAG(revenue) OVER w <> 0
+            THEN ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6)
+       END AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY nation ORDER BY month ASC)
+""",
+)
+def q_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the month-over-month revenue delta per
+    nation every BI layer renders: monthly decimal-exact rollup, LAG to
+    the prior period, guarded percent change (NULL for the first month
+    and zero-revenue predecessors). The rounded ratio divides two
+    identical exact-decimal-derived doubles, so the growth figures are
+    engine-exact.
+
+    Scale: the star join thins to |nations| x |months| rows BEFORE the
+    window (the q_time_rollup invariant — the lag runs over the rollup,
+    never the fact table); dims broadcast, one fact shuffle for the
+    rollup, one tiny nation-keyed window."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(dec_sum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("month").asc())
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "nation",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round((F.col("revenue") - prev) / prev, 6),
+        ).alias("pct_change"),
+    )
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (
+         ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cumulative_users
+FROM per_day
+""",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the classic "total uniques"
+    growth chart, WITHOUT a per-day distinct-over-history rescan: a
+    user contributes to the running distinct exactly on their FIRST
+    active day, so cumulative uniques = running sum of first-activity
+    counts. Turns an O(days x history) distinct into two combinable
+    aggregates plus a window over |days| rows.
+
+    Scale: first-day per user is one key shuffle; the day rollup and
+    the running sum operate on |days| rows — at 100 TB the window input
+    is ~3 orders of magnitude below even one day of events. All-integer
+    arithmetic, determinism structural."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -193,6 +193,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_python_source",
         "s_python_sink",
         "q_ann_recall",
+        "q_pop_growth",
+        "q_running_distinct",
     }
 )
 
