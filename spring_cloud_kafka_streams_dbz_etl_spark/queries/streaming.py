@@ -2035,13 +2035,9 @@ def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Division of labor mirrors Kafka: the TOPOLOGY encodes
     (codec mapInPandas), the CONNECTOR owns partitioning bytes ->
     offsets -> durability."""
-    import pandas as pd
-
-    from ..sources.avro_codec import AvroCodec, confluent_frame
     from ..sources.kafka_replay import (
-        ENRICHED_RECORD_AVSC,
         decode_enriched_transcript,
-        default_partition,
+        enriched_record_producer,
         transcript_end_offsets,
     )
     from ..sources.pysource import register_kafka_transcript_source
@@ -2060,29 +2056,7 @@ def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
 
-    schema_id = 9
-
-    def produce(batches):
-        codec = AvroCodec(ENRICHED_RECORD_AVSC)
-        for pdf in batches:
-            keys, values, parts = [], [], []
-            for r in pdf.itertuples(index=False):
-                key = int(r.id).to_bytes(8, "big")
-                rec = {
-                    "id": int(r.id),
-                    "user_id": int(r.user_id),
-                    "name": str(r.name),
-                    "segment": str(r.segment),
-                    "event_type": None if r.event_type is None else str(r.event_type),
-                    "value": None if pd.isna(r.value) else float(r.value),
-                }
-                keys.append(key)
-                values.append(confluent_frame(schema_id, codec.encode(rec)))
-                parts.append(default_partition(key, 4))
-            yield pd.DataFrame(
-                {"key": keys, "value": values, "partition": pd.array(parts, dtype="int32")}
-            )
-
+    produce = enriched_record_producer(schema_id=9, n_partitions=4)
     encoded = enriched.mapInPandas(produce, "key binary, value binary, partition int")
     q = (
         encoded.writeStream.format("kafka_transcript")

@@ -211,6 +211,49 @@ ENRICHED_RECORD_AVSC = _json.dumps(
 )
 
 
+def enriched_record_producer(
+    schema_id: int, n_partitions: int, with_rec_id: bool = False
+):
+    """mapInPandas closure encoding enriched output rows as Kafka records:
+    8-byte big-endian id key, Confluent-framed Avro value (engine codec),
+    murmur2 default partition. ONE copy of the encoder shared by the
+    foreachBatch sink (kafka_transcript_sink) and the pluggable-sink
+    topology (s_python_sink); ``with_rec_id`` carries the record id for
+    the sink's per-partition offset window."""
+
+    def produce(batches):
+        import pandas as pd
+
+        from .avro_codec import AvroCodec, confluent_frame
+
+        codec = AvroCodec(ENRICHED_RECORD_AVSC)
+        for pdf in batches:
+            keys, values, parts = [], [], []
+            for r in pdf.itertuples(index=False):
+                key = int(r.id).to_bytes(8, "big")
+                rec = {
+                    "id": int(r.id),
+                    "user_id": int(r.user_id),
+                    "name": str(r.name),
+                    "segment": str(r.segment),
+                    "event_type": None if r.event_type is None else str(r.event_type),
+                    "value": None if pd.isna(r.value) else float(r.value),
+                }
+                keys.append(key)
+                values.append(confluent_frame(schema_id, codec.encode(rec)))
+                parts.append(default_partition(key, n_partitions))
+            out = {
+                "key": keys,
+                "value": values,
+                "partition": pd.array(parts, dtype="int32"),
+            }
+            if with_rec_id:
+                out["rec_id"] = pdf["id"]
+            yield pd.DataFrame(out)
+
+    return produce
+
+
 def kafka_transcript_sink(
     path: str,
     topic: str = "entity.events.enriched",
@@ -245,10 +288,6 @@ def kafka_transcript_sink(
     attempts: dict[int, int] = {}
 
     def write(batch_df: DataFrame, _epoch: int) -> None:
-        import pandas as pd
-
-        from .avro_codec import AvroCodec, confluent_frame
-
         spark = batch_df.sparkSession
         # Only a genuinely absent transcript means "first batch, offsets
         # start at 0". Any OTHER read failure (corrupt footer, transient
@@ -260,32 +299,7 @@ def kafka_transcript_sink(
         else:
             base = {}
 
-        def produce(batches):
-            codec = AvroCodec(ENRICHED_RECORD_AVSC)
-            for pdf in batches:
-                keys, values, parts = [], [], []
-                for r in pdf.itertuples(index=False):
-                    key = int(r.id).to_bytes(8, "big")
-                    rec = {
-                        "id": int(r.id),
-                        "user_id": int(r.user_id),
-                        "name": str(r.name),
-                        "segment": str(r.segment),
-                        "event_type": None if r.event_type is None else str(r.event_type),
-                        "value": None if pd.isna(r.value) else float(r.value),
-                    }
-                    keys.append(key)
-                    values.append(confluent_frame(schema_id, codec.encode(rec)))
-                    parts.append(default_partition(key, n_partitions))
-                yield pd.DataFrame(
-                    {
-                        "key": keys,
-                        "value": values,
-                        "partition": pd.array(parts, dtype="int32"),
-                        "rec_id": pdf["id"],
-                    }
-                )
-
+        produce = enriched_record_producer(schema_id, n_partitions, with_rec_id=True)
         produced = batch_df.select(
             "id", "user_id", "name", "segment", "event_type", "value"
         ).mapInPandas(produce, "key binary, value binary, partition int, rec_id long")

@@ -16,8 +16,8 @@ Registered per session via :func:`register_kafka_transcript_source`;
 options: ``path`` (transcript dir), ``startingOffsets``
 ('earliest' | JSON {"partition": offset}).
 
-Scale: offset planning is metadata-only on the driver (a per-partition
-max over the transcript footer columns); record reads happen on
+Scale: offset planning reads only the two integer bookkeeping columns
+(partition, offset) — never key/value data pages; record reads happen on
 executors, one task per topic-partition — the same parallelism model as
 the JVM Kafka source. The Python row boundary is the demo cost; the
 production reader is spark-sql-kafka, which this source's consumers
@@ -47,18 +47,32 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def _transcript_ends(path: str) -> dict:
-    """Per-partition end offsets (max+1) from transcript footers —
-    metadata-only; {} for a missing or empty transcript."""
+def _transcript_ends(path: str, exclude_file: str | None = None) -> dict:
+    """Per-partition end offsets (max+1) over the committed transcript —
+    a two-integer-column scan (partition, offset), never key/value data
+    pages; {} for a missing or empty transcript. ``exclude_file``: skip
+    one committed file — a replaying sink epoch must compute its base
+    WITHOUT its own previous attempt, or re-commits would shift offsets.
+    """
+    import os as _o
+
     import pyarrow.dataset as ds
 
     try:
         data = ds.dataset(path, format="parquet")
     except (FileNotFoundError, OSError):
         return {}
-    if not data.files:  # dir exists but holds no committed file yet
+    files = [
+        f
+        for f in data.files
+        if exclude_file is None
+        or _o.path.basename(f) != _o.path.basename(exclude_file)
+    ]
+    if not files:  # dir exists but holds no (other) committed file yet
         return {}
-    tbl = data.to_table(columns=["partition", "offset"])
+    tbl = ds.dataset(files, format="parquet").to_table(
+        columns=["partition", "offset"]
+    )
     if tbl.num_rows == 0:
         return {}
     grouped = tbl.group_by("partition").aggregate([("offset", "max")])
@@ -196,8 +210,15 @@ class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
     sequencer role a broker plays — assigns dense per-partition offsets
     continuing from the transcript's current ends and appends ONE
     committed file per epoch; ``abort`` discards the staging. Offset
-    assignment sorts each partition's rows by (key, value) bytes, so a
-    replayed epoch assigns identically (deterministic recovery).
+    assignment sorts each partition's rows by (key, value) bytes and
+    computes its base EXCLUDING the epoch's own previous attempt, so a
+    replayed epoch assigns identically and overwrites its own file
+    (deterministic recovery). Demo-connector honesty: this commit
+    MATERIALIZES the epoch's bytes on the driver to stamp offsets —
+    fine at micro-batch sizes; the production shape keeps data
+    executor-side and publishes per-file base offsets as a manifest
+    (offsets derived at read), or uses the distributed foreachBatch
+    sink (kafka_transcript_sink).
     Delivery is at-least-once on a crash between commit and checkpoint
     (Kafka producer default); the exactly_once_v2 upgrade is the txn
     sidecar (`kafka_replay.read_committed`)."""
@@ -243,13 +264,18 @@ class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        own_file = f"epoch_{batchId:06d}.parquet"
         staged = [
             pq.read_table(m.staged_path) for m in messages if m is not None
         ]
         staged = [t for t in staged if t.num_rows]
         if staged:
             all_rows = pa.concat_tables(staged)
-            base = self._end_offsets()
+            # base EXCLUDES this epoch's own file: a replayed commit after
+            # a crash-before-checkpoint must re-assign the SAME offsets
+            # (the file overwrites under the same name), not shift past
+            # its previous attempt and tear a hole in the offset sequence
+            base = _transcript_ends(self._path, exclude_file=own_file)
             by_part: dict[int, list] = {}
             for k, v, p in zip(
                 all_rows["key"].to_pylist(),
@@ -280,12 +306,18 @@ class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
                 }
             )
             os.makedirs(self._path, exist_ok=True)
-            pq.write_table(
-                committed, os.path.join(self._path, f"epoch_{batchId:06d}.parquet")
-            )
+            pq.write_table(committed, os.path.join(self._path, own_file))
         for m in messages:
             if m is not None and os.path.exists(m.staged_path):
                 os.remove(m.staged_path)
+        # epochs are serial per query, so anything left in staging is an
+        # orphan from a failed/speculative task attempt — sweep it
+        if os.path.isdir(self._staging):
+            for f in os.listdir(self._staging):
+                try:
+                    os.remove(os.path.join(self._staging, f))
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         import os
