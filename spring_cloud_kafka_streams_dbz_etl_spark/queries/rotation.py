@@ -114,89 +114,55 @@ _ROUND_4 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r05.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the full TPC-H completion (q1/q2/q4/q6-q9/q11-q22), the rebuilt
+# q_simhash_near_dup / q_ngram_jaccard, q_approx_stats with exact companion
+# columns, the layout family, the PQ family re-verification, and the five
+# round-5 streaming rows (s_dim_delete, s_minhash_incremental,
+# s_backfill_then_tail, s_stream_outer_join, s_session_window re-check).
+_ROUND_5 = frozenset(
+    {
+        "q_ann_ivfpq", "q_approx_stats", "q_bigram_nll", "q_bucketed_join",
+        "q_compaction_plan", "q_dim_time_travel", "q_dup_hubs", "q_funnel",
+        "q_fuzzy_match", "q_gopher_rules", "q_kmeans_cells",
+        "q_mixture_weights", "q_ngram_jaccard", "q_orc_source", "q_pagerank",
+        "q_pq_adc_topk", "q_pq_encode", "q_retention_cohorts",
+        "q_salted_join", "q_simhash_near_dup", "q_substring_runs",
+        "q_text_log_source", "q_tpch_q1", "q_tpch_q11", "q_tpch_q12",
+        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+        "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
+        "q_tpch_q22", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_triangle_count", "q_udaf_grouped", "q_zone_map_skip",
+        "q_zorder_layout", "s_backfill_then_tail", "s_dim_delete",
+        "s_minhash_incremental", "s_session_window", "s_stream_outer_join",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
     3: _ROUND_3,
     4: _ROUND_4,
+    5: _ROUND_5,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
 # driver row. A green row for the old plan says nothing about the new one,
 # so these re-front exactly like never-checked queries until re-verified.
-# Round 4's NTZ-migration entries all re-verified green in r04 and are
-# cleared. Round 5 entries: plans rewritten this round per VERDICT r04
-# ("What's wrong" / ADVICE findings) after their last green row.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        # r5: blocked self-join gained an occupancy-bounded sub-split
-        "q_ngram_jaccard",
-        # r5: oracle cell numbering rewritten (ROW_NUMBER over seeds,
-        # ADVICE r04 low) — re-verify the pair stays in lockstep
-        "q_kmeans_cells",
-        # r5: per-run unique table names + temp-dir cleanup (ADVICE r04)
-        "q_bucketed_join",
-        # r5: exact companion columns added so the driver hash-checks
-        # the exact half (VERDICT r04 next-round #8)
-        "q_approx_stats",
-        # r5: append-mode flush rewritten (sentinel rides in with the
-        # data, one no-data batch drains state) after its r4 green row
-        "s_session_window",
-        # r5: PQ encode collapsed from the unrolled argmin tree to
-        # higher-order functions — output verified bit-identical, but the
-        # PLAN is new, so the family re-verifies per the staleness policy
-        "q_pq_encode", "q_pq_adc_topk", "q_ann_ivfpq",
-    }
-)
+# Round 5's 8 entries (q_ngram_jaccard, q_kmeans_cells, q_bucketed_join,
+# q_approx_stats, s_session_window, PQ family) all re-verified green in
+# r05 and are cleared. Round 6 entries: plans rewritten this round per
+# VERDICT r05 after their last green row (none yet — q_quantile_bins and
+# q_rerank never had a green row, so they re-front as never-checked via
+# the cleared DEFERRED_NEW, not here).
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 4's deferrals are cleared — CHECKED_BY_ROUND[4] is recorded, so
-# q_tpch_q6/q18, q_simhash_near_dup, q_dup_hubs sort to the front as
-# zero-checked and earn their first driver rows in round 5.
-# Round 5's window was budgeted at exactly 50 (45 never-checked/changed
-# + 5 re-checks); these landed after that and front round 6:
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        "q_incremental_agg",
-        "q_scd2_enrich",
-        "q_skew_diagnose",
-        "q_xml_source",
-        "q_gap_fill",
-        "q_rolling_window",
-        "q_range_bounds",
-        "q_anomaly_zscore",
-        "q_quantile_bins",
-        "q_temperature_sample",
-        "q_knn_graph",
-        "s_chained_agg",
-        "q_reservoir_sample",
-        "q_pareto_frontier",
-        "q_cooccurrence",
-        "q_ewma",
-        "s_window_topk",
-        "q_hop_distance",
-        "q_media_frame_dedup",
-        "s_available_now",
-        "q_boilerplate_phrases",
-        "s_scd2_stream",
-        "q_dq_quarantine",
-        "q_snapshot_diff",
-        "q_binary_source",
-        "q_curation_near_dup",
-        "q_semantic_decontaminate",
-        "q_perplexity_filter",
-        "q_dataset_card",
-        "q_rerank",
-        "s_cdc_multiplex",
-        "q_term_drift",
-        "q_feature_hash",
-        "s_python_source",
-        "s_python_sink",
-        "q_ann_recall",
-        "q_pop_growth",
-        "q_running_distinct",
-    }
-)
+# Round 5's 38 deferrals are cleared — CHECKED_BY_ROUND[5] is recorded,
+# so they sort to the front as zero-checked and earn their first driver
+# rows in round 6 (38 never-checked + 12 fewest-checked re-checks fill
+# the 50-row window exactly — 193/193 checked after r06).
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
