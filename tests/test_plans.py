@@ -846,3 +846,20 @@ def test_term_drift_single_vocab_shuffle_broadcast_totals(spark, sf_smoke):
     # the totals cross-join must be a 1-row broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text[:2000]
     assert "SortMergeJoin" not in text, text[:2000]
+
+
+def test_quantile_bins_rank_sort_is_partitioned(spark, sf_smoke):
+    """VERDICT r05 #2: the exact-NTILE rank must NOT be a single-partition
+    global sort. The big-table row_number windows on hashpartitioning
+    (rank_bucket); no ntile-over-everything remains, and the offsets side
+    reaches the fact via broadcast."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_quantile_bins"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "ntile" not in text, text[:2000]
+    assert "hashpartitioning(rank_bucket" in text, text[:2000]
+    assert "BroadcastExchange" in text, text[:2000]
+    # both scans prune to the two needed columns
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 2 for cols in scans), scans
