@@ -851,7 +851,18 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("rank")
 
     def cross_encoder_stub(batches):
+        import decimal
         import hashlib
+
+        def round_half_up6(x: float) -> float:
+            # repo-wide float policy: round half AWAY FROM ZERO like Spark
+            # F.round / DuckDB ROUND — never Python round()'s half-to-even
+            # (ADVICE r05 low)
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
 
         for pdf in batches:
             rel = [
@@ -863,7 +874,7 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             pdf = pdf.copy()
             pdf["rerank_score"] = [
-                round(RERANK_W_COS * c + (1 - RERANK_W_COS) * r, 6)
+                round_half_up6(RERANK_W_COS * c + (1 - RERANK_W_COS) * r)
                 for c, r in zip(pdf["cos_sim"], rel)
             ]
             yield pdf

@@ -1601,11 +1601,17 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch top-k — the oracle's claim. Totals are exact integer
     micros; ties rank by user_id, so the cut is deterministic.
 
-    Scale: state is the windowed aggregate (watermark-bounded keys x
-    windows), never raw events; the per-epoch rank runs over that
-    aggregate, and at 100 TB the overwrite scopes to the windows the
-    epoch touched (dynamic partition overwrite on window_start) instead
-    of the full snapshot."""
+    Scale: state is the windowed aggregate, never raw events — but in
+    COMPLETE output mode that state is never evicted, so it grows with
+    |user_id x windows| over the stream's whole lifetime (ADVICE r05: a
+    watermark would not change this; complete mode retains everything by
+    definition). Fine for a bounded leaderboard horizon; the unbounded
+    100 TB form switches to UPDATE mode + withWatermark so old windows
+    age out of the state store, and foreachBatch then MERGES each
+    epoch's updated (window, user) rows into the serving store and
+    re-cuts top-k only for the windows the epoch touched (dynamic
+    partition overwrite on window_start) instead of rewriting the full
+    snapshot."""
     tune(spark)
     out = _tmp("topk_out")
     ev = stream_events(spark, sf_dir)

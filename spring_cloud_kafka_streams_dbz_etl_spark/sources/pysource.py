@@ -224,9 +224,28 @@ class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
     sidecar (`kafka_replay.read_committed`)."""
 
     def __init__(self, options: dict):
+        import hashlib
+        import os
+
         self._path = options["path"]
         self._topic = options.get("topic", "entity.events.enriched")
-        self._staging = options.get("staging", self._path.rstrip("/") + "__staging")
+        # staging is scoped PER QUERY via its checkpointLocation (unique
+        # per streaming query by construction, and visible to every writer
+        # instance Spark creates — one per epoch, plus the executor-side
+        # pickles), so two queries writing the same transcript path never
+        # sweep each other's not-yet-committed epochs (ADVICE r05). A
+        # query with no checkpoint set falls back to a shared scope, which
+        # re-assumes single-writer-per-path. Scopes abandoned by a crashed
+        # query are inert garbage under <path>__staging/ — safe to delete
+        # out-of-band, never read by a live query.
+        root = options.get("staging", self._path.rstrip("/") + "__staging")
+        ckpt = options.get("checkpointlocation") or options.get("checkpointLocation")
+        scope = (
+            "query_" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+            if ckpt
+            else "shared"
+        )
+        self._staging = os.path.join(root, scope)
 
     def write(self, rows) -> _StagedCommit:  # executor-side
         import os
@@ -310,14 +329,23 @@ class KafkaTranscriptStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged_path):
                 os.remove(m.staged_path)
-        # epochs are serial per query, so anything left in staging is an
-        # orphan from a failed/speculative task attempt — sweep it
+        # epochs are serial per query and staging is scoped to THIS
+        # writer instance, so anything left here is an orphan from a
+        # failed/speculative task attempt of this query — sweep it
+        # without touching other queries' scopes
         if os.path.isdir(self._staging):
             for f in os.listdir(self._staging):
                 try:
                     os.remove(os.path.join(self._staging, f))
                 except OSError:
                     pass
+            # drop this writer's (now empty) scope, then the shared root
+            # iff no other query holds a live scope there
+            for d in (self._staging, os.path.dirname(self._staging)):
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
 
     def abort(self, messages, batchId: int) -> None:
         import os

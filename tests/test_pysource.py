@@ -224,3 +224,38 @@ def test_sink_commit_replay_assigns_identical_offsets(tmp_path):
     tbl = pq.read_table(topic + "/epoch_000001.parquet")
     offs = sorted(zip(tbl["partition"].to_pylist(), tbl["offset"].to_pylist()))
     assert offs == [(0, 2), (1, 1)], offs
+
+
+def test_writer_staging_scoped_per_query_checkpoint():
+    """ADVICE r05: commit's orphan sweep must be scoped per query — a
+    second query committing against the same transcript path must NOT
+    delete the first query's staged (not-yet-committed) epoch files."""
+    from collections import namedtuple
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.pysource import (
+        KafkaTranscriptStreamWriter,
+    )
+
+    Row = namedtuple("Row", ["key", "value", "partition"])
+    path = _tmp("scope_topic")
+    w_a = KafkaTranscriptStreamWriter(
+        {"path": path, "checkpointLocation": _tmp("ck_a")}
+    )
+    w_b = KafkaTranscriptStreamWriter(
+        {"path": path, "checkpointLocation": _tmp("ck_b")}
+    )
+    assert w_a._staging != w_b._staging
+
+    # A stages an epoch (executor side) but has not committed yet
+    staged_a = w_a.write(iter([Row(b"k1", b"v1", 0)]))
+    assert os.path.exists(staged_a.staged_path)
+
+    # B stages and commits its own epoch — must sweep only B's scope
+    staged_b = w_b.write(iter([Row(b"k2", b"v2", 0)]))
+    w_b.commit([staged_b], 0)
+    assert os.path.exists(staged_a.staged_path), "B's sweep deleted A's stage"
+
+    # A commits afterwards; both scopes and the root end clean
+    w_a.commit([staged_a], 0)
+    root = path.rstrip("/") + "__staging"
+    assert not os.path.exists(root) or not os.listdir(root)
