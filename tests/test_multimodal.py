@@ -44,19 +44,55 @@ def test_decode_media_strict_raises(spark, sf_smoke):
 
 def test_decode_media_ignores_incidental_pillow(spark, sf_smoke, monkeypatch):
     """ADVICE r02: an incidentally-importable Pillow must NOT flip the
-    pipeline onto the unimplemented real-decoder branch — that path is
-    opt-in via use_real_decoder."""
+    pipeline's output values — the real-decoder branch is opt-in via
+    use_real_decoder. The DEFAULT path must emit the deterministic stub
+    values whether or not Pillow imports."""
     from spring_cloud_kafka_streams_dbz_etl_spark.operators import multimodal as mm
 
-    monkeypatch.setattr(mm, "_try_import_pillow", lambda: object())
     d = table(spark, sf_smoke, "documents").limit(5)
-    rows = mm.decode_media(mm.attach_binary_payload(d)).collect()  # stub path
-    assert len(rows) == 5
-    with pytest.raises(Exception) as exc_info:
-        mm.decode_media(mm.attach_binary_payload(d), use_real_decoder=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    baseline = sorted(
+        map(tuple, mm.decode_media(mm.attach_binary_payload(d)).collect())
     )
+    monkeypatch.setattr(mm, "_try_import_pillow", lambda: object())
+    rows = sorted(
+        map(tuple, mm.decode_media(mm.attach_binary_payload(d)).collect())
+    )
+    assert rows == baseline  # stub path, value-identical
+
+
+def test_decode_media_real_jpeg_with_pillow(spark):
+    """VERDICT r05 #5: when Pillow IS installed, the opt-in real-decoder
+    branch must decode an actual JPEG/PNG and report its true dimensions.
+    Skipped in containers without Pillow (same gating pattern as the real
+    broker / protobuf tests)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    payloads = []
+    for doc_id, (w, h, fmt) in enumerate(
+        [(37, 21, "JPEG"), (64, 48, "PNG"), (5, 9, "JPEG")]
+    ):
+        img = PIL_Image.new("RGB", (w, h), color=(doc_id * 40 % 256, 80, 10))
+        buf = io.BytesIO()
+        img.save(buf, format=fmt)
+        raw = buf.getvalue()
+        payloads.append((doc_id, raw, {"mime": f"image/{fmt.lower()}", "n_bytes": len(raw)}))
+    df = spark.createDataFrame(
+        payloads,
+        "doc_id long, payload binary, meta struct<mime:string, n_bytes:bigint>",
+    )
+    got = {
+        r["doc_id"]: r for r in decode_media(df, use_real_decoder=True).collect()
+    }
+    assert (got[0]["width"], got[0]["height"]) == (37, 21)
+    assert (got[1]["width"], got[1]["height"]) == (64, 48)
+    assert (got[2]["width"], got[2]["height"]) == (5, 9)
+    assert got[0]["mime"] == "image/jpeg" and got[1]["mime"] == "image/png"
+    assert all(r["n_frames"] == 1 for r in got.values())
 
 
 def test_frame_sample(spark, sf_smoke):
