@@ -109,6 +109,10 @@ class KafkaTranscriptStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self._starting == "earliest":
             return {p: 0 for p in self._end_offsets()}
+        if self._starting == "latest":
+            # new-records-only, like the Kafka source's startingOffsets
+            # default for a fresh consumer group
+            return self._end_offsets()
         return {str(k): int(v) for k, v in json.loads(self._starting).items()}
 
     def latestOffset(self) -> dict:

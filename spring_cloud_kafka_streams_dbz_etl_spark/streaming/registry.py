@@ -46,6 +46,9 @@ class _Stream:
     auto_start: bool = True
     query: Any = None
     history: list[str] = field(default_factory=list)
+    # startingOffsets JSON to hand the builder on the next (re)start —
+    # set by reset_offsets(to=<partition map>), consumed by start()
+    starting_offsets: str | None = None
 
 
 class StreamRegistry:
@@ -86,7 +89,17 @@ class StreamRegistry:
         s = self._get(name)
         if s.query is not None and s.query.isActive:
             return self.status(name)
-        s.query = s.builder()
+        if s.starting_offsets is not None:
+            import inspect
+
+            if "starting_offsets" not in inspect.signature(s.builder).parameters:
+                raise ValueError(
+                    f"stream {name!r}: a specific-offset reset is pending but "
+                    "the builder does not accept a starting_offsets kwarg"
+                )
+            s.query = s.builder(starting_offsets=s.starting_offsets)
+        else:
+            s.query = s.builder()
         s.history.append("started")
         return self.status(name)
 
@@ -268,28 +281,48 @@ class StreamRegistry:
             return None
 
     # -- offset reset (§2A #19-#20) --------------------------------------
-    def reset_offsets(self, name: str, to: str | int = "earliest") -> dict[str, Any]:
+    def reset_offsets(
+        self, name: str, to: str | int | dict = "earliest"
+    ) -> dict[str, Any]:
         """Stop -> snapshot old offsets -> reposition -> restart if it was
         running (StreamControlService.resetOffsets:100-141 semantics).
 
         to='earliest': wipe the checkpoint (full reprocess).
         to='latest'  : keep the checkpoint (resume at committed position).
-        to=<int N>   : SPECIFIC position (resetOffsetsToSpecific,
-                       StreamControlService.java:143-178): truncate the
-                       offset/commit logs past batch N, so the restarted
-                       query reprocesses everything after batch N. (For a
-                       Kafka source the same reposition is a fresh
-                       checkpoint + a ``startingOffsets`` partition-map
-                       JSON on the rebuilt reader — sources/streams.py.)
+        to=<int N>   : SPECIFIC position by batch id (file-shaped sources):
+                       truncate the offset/commit logs past batch N, so
+                       the restarted query reprocesses everything after
+                       batch N.
+        to=<dict>    : SPECIFIC position by partition-offset map
+                       (resetOffsetsToSpecific,
+                       StreamControlService.java:143-178) for Kafka-shaped
+                       sources, incl. the Python kafka_transcript
+                       connector: fresh checkpoint + the map as a
+                       ``startingOffsets`` JSON handed to the rebuilt
+                       reader — the builder must accept a
+                       ``starting_offsets`` kwarg. The map shape is
+                       whatever the source's startingOffsets option
+                       expects ({"0": 5} for kafka_transcript,
+                       {"topic": {"0": 5}} for the JVM Kafka source).
         """
-        if not isinstance(to, int) and to not in ("earliest", "latest"):
-            raise ValueError("to must be 'earliest', 'latest', or a batch id")
+        if (
+            not isinstance(to, (int, dict))
+            and to not in ("earliest", "latest")
+        ):
+            raise ValueError(
+                "to must be 'earliest', 'latest', a batch id, or a "
+                "partition-offset map"
+            )
         s = self._get(name)
         was_running = bool(s.query is not None and s.query.isActive)
         previous = self.offsets(name)
         self.stop(name)
         if to == "earliest":
             shutil.rmtree(s.checkpoint, ignore_errors=True)
+            s.starting_offsets = None
+        elif isinstance(to, dict):
+            shutil.rmtree(s.checkpoint, ignore_errors=True)
+            s.starting_offsets = json.dumps(to)
         elif isinstance(to, int):
             self._truncate_logs(s.checkpoint, keep_through=to)
         try:
