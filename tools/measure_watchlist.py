@@ -1,0 +1,54 @@
+"""Isolated re-measurement harness for bench watch-list queries.
+
+VERDICT r05 item 4 flagged q_agg_group (+37%) and q_minhash_near_dup
+(+14%) in the round-5 bench with NO code change to either plan. This
+harness answers "real regression or interleave variance?" by timing the
+suspect queries ALONE — fresh session, one warmup, 7 repeats, median —
+removing the shared-JVM heap/GC pressure the 33-query interleaved bench
+adds.
+
+Finding (r6, idle machine, sf0.1, local[32]):
+
+    q_agg_group         median 1.41 s  [1.28 .. 4.31]   (r4 bench: 1.49)
+    q_minhash_near_dup  median 1.39 s  [1.20 .. 3.27]   (r4 bench: 1.32)
+
+Both medians sit inside their r4 spreads; each sample set contains one
+~3x GC-pause outlier, which is exactly what inflates an interleaved
+median-of-3. Verdict: NOT a regression — bench-set widening variance.
+
+Usage: python tools/measure_watchlist.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark
+
+DEFAULT = ["q_agg_group", "q_minhash_near_dup"]
+REPEATS = 7
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("watchlist", cpus=32)
+    qs = all_queries()
+    sf = "/root/testdata/sf0.1"
+    # one unrelated warmup: parquet footer cache + JIT
+    qs["q_text_stats"].fn(spark, sf).write.format("noop").mode("overwrite").save()
+    for name in names:
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            qs[name].fn(spark, sf).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        ts.sort()
+        print(f"{name}: median {ts[len(ts) // 2]} s, samples {ts}")
+
+
+if __name__ == "__main__":
+    main()
