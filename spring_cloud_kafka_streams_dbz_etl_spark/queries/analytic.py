@@ -998,64 +998,33 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-NTILE ground truth.
 
     Scale (VERDICT r05 "What's wrong" #1 — the naive form is a
-    single-partition global sort): exact global ranks are computed
-    DISTRIBUTED instead, the same way Spark plans a global sort:
-
-      1. deterministic range-bucket boundaries from one
-         ``approx_percentile`` aggregate (sketch accuracy only affects
-         bucket BALANCE, never correctness — any monotone bucketing
-         yields the same ranks);
-      2. per-bucket local ``row_number`` — the sort is partitioned by
-         bucket (``hashpartitioning(rank_bucket)`` in the plan, each
-         partition ~N/{RANK_BUCKETS});
-      3. global rank = broadcast cumulative bucket offset + local rank;
-      4. the exact NTILE formula on (rank, total): the first N mod k bins
-         take ceil(N/k) rows, the rest floor(N/k).
-
-    The only single-partition work is the {RANK_BUCKETS}-row offset
-    window. Degenerate-skew caveat: a single price value holding >1/
-    {RANK_BUCKETS} of the mass concentrates one bucket (boundaries are
-    price-only so equal keys never split); the 100 TB form raises
-    RANK_BUCKETS or sub-salts ties by key range."""
+    single-partition global sort): exact global ranks come from
+    ``operators/rank.py::global_rank`` — deterministic approx_percentile
+    range buckets, per-bucket row_number on
+    ``hashpartitioning(__rank_bucket)``, broadcast cumulative offsets —
+    then the exact NTILE formula on (rank, total): the first N mod k
+    bins take ceil(N/k) rows, the rest floor(N/k). The only
+    single-partition work is the {RANK_BUCKETS}-row offset window; see
+    the operator docstring for the skew caveat."""
     tune(spark)
+    from ..operators.rank import global_rank
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-
-    # 1. deterministic cutpoints (KLL sketch — no sampling randomness, so
-    # both scans below see the identical bucket assignment).
-    probs = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
-    cuts = o.agg(
-        F.approx_percentile("o_totalprice", F.lit(probs), F.lit(10_000)).alias("c")
-    ).head()["c"]
-    bucket = F.lit(0)
-    for i, c in enumerate(sorted(cuts)):
-        bucket = F.when(F.col("o_totalprice") <= F.lit(c), bucket).otherwise(
-            F.lit(i + 1)
-        )
-    bucketed = o.withColumn("rank_bucket", bucket)
-
-    # 2. local rank within each range bucket (partitioned sort).
-    local_w = Window.partitionBy("rank_bucket").orderBy("o_totalprice", "o_orderkey")
-    ranked_local = bucketed.withColumn("rn", F.row_number().over(local_w))
-
-    # 3. cumulative offsets over the tiny per-bucket counts frame.
-    counts = bucketed.groupBy("rank_bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    w_prev = Window.orderBy("rank_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("rank_bucket").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked = global_rank(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        n_buckets=RANK_BUCKETS,
+        rank_col="__r",
+        total_col="__total",
     )
-    offsets = counts.select(
-        "rank_bucket",
-        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("off"),
-        F.sum("cnt").over(w_all).alias("total"),
-    )
-    r = F.col("off") + F.col("rn")
+    r = F.col("__r")
 
-    # 4. exact NTILE(k) on (rank r, total N): qsz = N div k rows per small
+    # exact NTILE(k) on (rank r, total N): qsz = N div k rows per small
     # bin, the first rem = N mod k bins take qsz+1. CASE is lazy, and the
     # greatest() guard keeps the untaken branch total even when qsz = 0.
     k = F.lit(N_BINS)
-    qsz = F.floor(F.col("total") / k)
-    rem = F.col("total") % k
+    qsz = F.floor(F.col("__total") / k)
+    rem = F.col("__total") % k
     big = rem * (qsz + F.lit(1))
     bin_col = (
         F.when(r <= big, F.floor((r - F.lit(1)) / (qsz + F.lit(1))) + F.lit(1))
@@ -1063,8 +1032,7 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     return (
-        ranked_local.join(F.broadcast(offsets), "rank_bucket")
-        .select("o_totalprice", bin_col.alias("bin"))
+        ranked.select("o_totalprice", bin_col.alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1160,23 +1160,20 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scorer swaps.
 
     Scale: scoring is the unigram pipeline (two shuffles, no text
-    moves); the band cut is an exact global rank — the oracle-checkable
-    ground truth — which at corpus scale becomes approx_percentile
-    cutoffs broadcast as two doubles (the q_quantile_bins trade,
-    contract unchanged)."""
+    moves); the band cut is an EXACT global rank computed distributed —
+    ``operators/rank.py::global_rank`` (approx_percentile range buckets,
+    per-bucket row_number, broadcast offsets; no single-partition sort
+    over |docs| rows), same machinery as q_quantile_bins."""
     tune(spark)
+    from ..operators.rank import global_rank
+
     scores = _unigram_nll_scores(spark, sf_dir).groupBy("doc_id").agg(
         (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_nll"
         )
     )
-    w = Window.orderBy("avg_nll", "doc_id")
-    wn = Window.partitionBy()
-    ranked = scores.select(
-        "doc_id",
-        "avg_nll",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n_docs"),
+    ranked = global_rank(
+        scores, ["avg_nll", "doc_id"], rank_col="rn", total_col="n_docs"
     )
     lo = F.ceil(F.lit(PPL_LO) * F.col("n_docs")).cast("long")
     hi = F.ceil(F.lit(PPL_HI) * F.col("n_docs")).cast("long")

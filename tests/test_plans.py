@@ -851,15 +851,27 @@ def test_term_drift_single_vocab_shuffle_broadcast_totals(spark, sf_smoke):
 def test_quantile_bins_rank_sort_is_partitioned(spark, sf_smoke):
     """VERDICT r05 #2: the exact-NTILE rank must NOT be a single-partition
     global sort. The big-table row_number windows on hashpartitioning
-    (rank_bucket); no ntile-over-everything remains, and the offsets side
-    reaches the fact via broadcast."""
+    (__rank_bucket); no ntile-over-everything remains, and the offsets
+    side reaches the fact via broadcast."""
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
     df = SPECS["q_quantile_bins"].fn(spark, sf_smoke)
     text = explain_str(df)
     assert "ntile" not in text, text[:2000]
-    assert "hashpartitioning(rank_bucket" in text, text[:2000]
+    assert "hashpartitioning(__rank_bucket" in text, text[:2000]
     assert "BroadcastExchange" in text, text[:2000]
     # both scans prune to the two needed columns
     scans = read_schema_columns(df)
     assert scans and all(len(cols) <= 2 for cols in scans), scans
+
+
+def test_perplexity_band_rank_is_partitioned(spark, sf_smoke):
+    """The CCNet band cut uses the same distributed exact rank: the
+    per-doc scores window on hashpartitioning(__rank_bucket), never a
+    global no-partition window over |docs| rows."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_perplexity_filter"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "hashpartitioning(__rank_bucket" in text, text[:2000]
+    assert "BroadcastExchange" in text, text[:2000]
