@@ -155,7 +155,16 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # VERDICT r05 after their last green row (none yet — q_quantile_bins and
 # q_rerank never had a green row, so they re-front as never-checked via
 # the cleared DEFERRED_NEW, not here).
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {
+        # r6: StreamRegistry.start()/reset_offsets() gained the
+        # specific-offset (partition-map) branch for the Python source
+        # (VERDICT r05 #6) — additive, locally re-verified green, but the
+        # control-plane code this query drives changed after its r4 green
+        # row, so it re-fronts per the staleness policy
+        "s_offset_reset",
+    }
+)
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 5's 38 deferrals are cleared — CHECKED_BY_ROUND[5] is recorded,
