@@ -875,3 +875,41 @@ def test_perplexity_band_rank_is_partitioned(spark, sf_smoke):
     text = explain_str(df)
     assert "hashpartitioning(__rank_bucket" in text, text[:2000]
     assert "BroadcastExchange" in text, text[:2000]
+
+
+def test_rolling_window_single_exchange_no_global_sort(spark, sf_smoke):
+    """The RANGE-frame rolling aggregate shuffles ONCE on the partition
+    key and never sorts globally — frame evaluation is partition-local."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_rolling_window"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text[:2000]
+    assert "SinglePartition" not in text, text[:2000]
+
+
+def test_ewma_rank_filter_pushes_as_window_group_limit(spark, sf_smoke):
+    """The top-K-per-key rank filter must reach the shuffle as
+    WindowGroupLimit (map-side top-k), so each task ships at most K rows
+    per key instead of every event."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_ewma"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "WindowGroupLimit" in text, text[:2000]
+    assert "SinglePartition" not in text, text[:2000]
+
+
+def test_pop_growth_dims_broadcast_lag_over_rollup(spark, sf_smoke):
+    """Customer and nation broadcast onto the fact scan (no shuffle
+    join), and the LAG window runs over the |nations x months| rollup —
+    never the fact table."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_pop_growth"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert text.count("BroadcastExchange") >= 2, text[:2000]
+    assert "SortMergeJoin" not in text, text[:2000]
+    assert "SinglePartition" not in text, text[:2000]
