@@ -670,10 +670,11 @@ def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     line key, so boundaries are value-exact, not approximately equal).
 
     Plan: the sample predicate evaluates at the scan (codegen hash,
-    no shuffle to sample); one window over the sample (the only sort,
-    sized by the sample, not the table) + a broadcast join against the
-    {RB_BINS}-row target-rank relation. Output is |bins|-1 rows — the
-    planner's split table, companion to q_skew_diagnose and
+    no shuffle to sample); sample ranks come from
+    ``operators/rank.py::global_rank`` (partitioned per-bucket sort —
+    even the sample never passes through one task) + a broadcast join
+    against the {RB_BINS}-row target-rank relation. Output is |bins|-1
+    rows — the planner's split table, companion to q_skew_diagnose and
     q_zone_map_skip."""
     tune(spark)
     # Spark's hash() and DuckDB's hash() are different functions, so the
@@ -689,20 +690,20 @@ def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.col("l_orderkey") * 100000 + F.col("l_linenumber")
     mixed = ((key % P) * F.lit(2654435761)) % P
     sample = li.filter(mixed % RB_SAMPLE_MOD < RB_SAMPLE_KEEP)
-    from pyspark.sql import Window
+    # exact sample ranks computed DISTRIBUTED (operators/rank.py) — the
+    # sample is small relative to the table but still ~5% of it, which
+    # at 100 TB must never pass through one task (r6, same machinery as
+    # q_quantile_bins; identical ranks, oracle unchanged)
+    from ..operators.rank import global_rank
 
-    w = Window.orderBy(
-        F.col("l_extendedprice").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
-    ranked = sample.select(
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
-    )
+    ranked = global_rank(
+        sample.select(
+            F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+        ),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rank_col="rn",
+        total_col="n",
+    ).select(F.col("l_extendedprice").alias("v"), "rn", "n")
     targets = spark.range(1, RB_BINS).select(
         F.col("id").cast("int").alias("boundary_idx")
     )

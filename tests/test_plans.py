@@ -913,3 +913,13 @@ def test_pop_growth_dims_broadcast_lag_over_rollup(spark, sf_smoke):
     assert text.count("BroadcastExchange") >= 2, text[:2000]
     assert "SortMergeJoin" not in text, text[:2000]
     assert "SinglePartition" not in text, text[:2000]
+
+
+def test_range_bounds_sample_rank_is_partitioned(spark, sf_smoke):
+    """Even the ~5% boundary sample must never sort through one task:
+    its ranks come from the distributed global_rank operator."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_range_bounds"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "hashpartitioning(__rank_bucket" in text, text[:2000]
