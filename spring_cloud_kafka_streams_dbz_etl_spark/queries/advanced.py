@@ -803,3 +803,99 @@ def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist
+
+
+IJ_LO, IJ_HI = "1995-01-01", "1995-03-31"  # one quarter of shipments
+IJ_CELL_DAYS = 7  # grid-cell width; transit spans <= 22 days -> <= 4 cells
+
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+WITH iv AS (
+  SELECT l_suppkey AS sk,
+         l_orderkey * 100 + l_linenumber AS id,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 7 + l_linenumber) % 21 + 1 AS INTEGER) AS e
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '{IJ_LO}' AND DATE '{IJ_HI}')
+SELECT a.sk AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+         AS overlap_days
+FROM iv a JOIN iv b
+  ON a.sk = b.sk AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.sk
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval OVERLAP join via grid-cell bucketing — the range
+    join neither broadcast (q_range_join's small-dim shape) nor ASOF
+    (q_asof_join's latest-before shape) covers: BOTH sides large, the
+    predicate a.start <= b.end AND b.start <= a.end. Here: pairs of
+    same-supplier shipments whose transit windows overlap (the
+    concurrent-shipments / concurrent-sessions / conflicting-bookings
+    shape), aggregated per supplier. Transit end derives
+    deterministically from keys (this fixture carries no receipt date):
+    ship + 1 + (orderkey*7+linenumber) % 21 days.
+
+    The scale technique (the GeoSpark/interval-tree-in-SQL standard):
+    a naive same-key self-join is quadratic in per-key rows and dies on
+    hot keys; instead each interval EXPLODES to the {IJ_CELL_DAYS}-day
+    grid cells it spans (fan-out <= 4 here: span <= 22 days), the join
+    runs as a pure EQUI-join on (supplier, cell) — shuffle partitions
+    bounded by per-(key, week) co-occurrence, never per-key totals —
+    and each qualifying pair is counted EXACTLY ONCE at its ownership
+    cell (the cell containing the overlap's start, i.e. max of the two
+    starts), which needs no post-hoc distinct. The overlap predicate
+    applies as a post-filter inside the equi-join. The oracle is the
+    direct quadratic join — identical pairs, no grid.
+
+    Scale: filters push to both scans (same quarter predicate);
+    fan-out x4 on a 4-column relation; one (sk, cell) shuffle + one
+    combinable groupBy(sk). Hot (supplier, week) cells salt like any
+    skewed equi-join (q_salted_join); cell width tunes fan-out vs
+    per-cell occupancy exactly like LSH band width."""
+    tune(spark)
+    ship = F.col("l_shipdate").cast("date")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (ship >= F.lit(IJ_LO).cast("date")) & (ship <= F.lit(IJ_HI).cast("date"))
+    )
+    epoch = F.lit("1992-01-01").cast("date")
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        ship.alias("s"),
+        F.date_add(
+            ship,
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 21 + 1).cast("int"),
+        ).alias("e"),
+    )
+    week = lambda c: F.floor(F.datediff(c, epoch) / IJ_CELL_DAYS)  # noqa: E731
+    cells = iv.withColumn("cell", F.explode(F.sequence(week(F.col("s")), week(F.col("e")))))
+    a = cells.select(
+        "sk", "cell",
+        F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = cells.select(
+        "sk", "cell",
+        F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    pairs = a.join(b, ["sk", "cell"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # ownership: count the pair only in the cell where its overlap starts
+        & (F.col("cell") == week(F.greatest(F.col("a_s"), F.col("b_s"))))
+    )
+    return pairs.groupBy(F.col("sk").alias("l_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.datediff(
+                F.least(F.col("a_e"), F.col("b_e")),
+                F.greatest(F.col("a_s"), F.col("b_s")),
+            )
+            + 1
+        ).alias("overlap_days"),
+    )

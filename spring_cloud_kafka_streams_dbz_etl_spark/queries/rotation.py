@@ -169,9 +169,15 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 5's 38 deferrals are cleared — CHECKED_BY_ROUND[5] is recorded,
 # so they sort to the front as zero-checked and earn their first driver
-# rows in round 6 (38 never-checked + 12 fewest-checked re-checks fill
-# the 50-row window exactly — 193/193 checked after r06).
-DEFERRED_NEW: frozenset[str] = frozenset()
+# rows in round 6 (38 never-checked + s_offset_reset re-check + 11
+# fewest-checked re-checks fill the 50-row window exactly — 193/193
+# cumulative after r06). Round-6 additions land here and front round 7:
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {
+        # r6: big-big interval overlap join via grid-cell bucketing
+        "q_interval_join",
+    }
+)
 
 
 def times_checked(name: str) -> int:

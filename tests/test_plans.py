@@ -923,3 +923,17 @@ def test_range_bounds_sample_rank_is_partitioned(spark, sf_smoke):
     df = SPECS["q_range_bounds"].fn(spark, sf_smoke)
     text = explain_str(df)
     assert "hashpartitioning(__rank_bucket" in text, text[:2000]
+
+
+def test_interval_join_is_equi_join_with_pushed_dates(spark, sf_smoke):
+    """The big-big overlap join must run as an EQUI join on
+    (supplier, grid cell) — never a nested-loop/cartesian over the
+    interval predicate — with the quarter filter pushed to both scans."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_interval_join"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "HashJoin" in text or "SortMergeJoin" in text, text[:2000]
+    assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
