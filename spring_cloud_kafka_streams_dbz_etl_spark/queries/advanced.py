@@ -811,6 +811,7 @@ IJ_CELL_DAYS = 7  # grid-cell width; transit spans <= 22 days -> <= 4 cells
 
 @query(
     "q_interval_join",
+    bench=True,
     oracle=f"""
 WITH iv AS (
   SELECT l_suppkey AS sk,

@@ -977,6 +977,7 @@ RANK_BUCKETS = 32  # range buckets for the distributed exact rank
 
 @query(
     "q_quantile_bins",
+    bench=True,
     oracle=f"""
 WITH binned AS (
   SELECT o_orderkey, o_totalprice,

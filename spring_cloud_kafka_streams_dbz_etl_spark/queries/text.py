@@ -1121,6 +1121,7 @@ PPL_LO, PPL_HI = 0.25, 0.90
 
 @query(
     "q_perplexity_filter",
+    bench=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, term FROM (
