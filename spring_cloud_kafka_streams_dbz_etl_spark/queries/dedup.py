@@ -720,3 +720,87 @@ def q_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_grams").cast("bigint").alias("max_run_grams"),
         (F.max("run_grams") + 2).cast("bigint").alias("max_run_tokens"),
     )
+
+
+@query(
+    "q_leakage_split",
+    oracle=f"""
+WITH RECURSIVE {_minhash_cte()},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id, split, naive_split,
+       split <> naive_split AS leak_prevented
+FROM (
+  SELECT doc_id, cluster_id,
+         CASE WHEN cb < 90 THEN 'train' WHEN cb < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN nb < 90 THEN 'train' WHEN nb < 95 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM (
+    SELECT doc_id, cluster_id,
+           CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS cb,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 8)) AS BIGINT) % 100 AS INT) AS nb
+    FROM comp))
+""",
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the whole near-dup CLUSTER is the
+    split unit, not the document. q_hash_split alone lets two near-identical
+    documents land in train AND test (evaluation contamination — the failure
+    Lee et al. 2022's dedup work measures); here every cluster member
+    inherits the split of its cluster id, so near-dups can never straddle a
+    split boundary. Because cluster_id = min(doc_id) and singletons are
+    their own cluster, the assignment AGREES with q_hash_split (same
+    md5/seed rule) everywhere except non-canonical dup members —
+    `leak_prevented` marks exactly the documents the naive per-doc split
+    would have placed differently, i.e. the contamination this query
+    removes.
+
+    Scale: MinHash pair generation + connected components are the
+    already-bounded q_dup_clusters path (banded equi-join candidates, label
+    propagation over |pairs|); the split assignment itself is one map-only
+    md5-bucket expression per row, no extra shuffle. At 100 TB the split
+    column costs nothing beyond the dedup pass the corpus build runs
+    anyway — the two outputs come from the same lineage.
+    """
+    from ..operators.graph import connected_components
+
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    vertices = table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(
+        vertices, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+
+    def bucket(c: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(c.cast("string"), F.lit(":split-seed-42"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).cast("int")
+
+    def split_of(b: F.Column) -> F.Column:
+        return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        split_of(bucket(F.col("component"))).alias("split"),
+        split_of(bucket(F.col("id"))).alias("naive_split"),
+    ).withColumn("leak_prevented", F.col("split") != F.col("naive_split"))

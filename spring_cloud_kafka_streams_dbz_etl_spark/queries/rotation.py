@@ -176,6 +176,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
     {
         # r6: big-big interval overlap join via grid-cell bucketing
         "q_interval_join",
+        # r6: cluster-level leakage-safe train/val/test split
+        "q_leakage_split",
     }
 )
 
