@@ -804,3 +804,83 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of(bucket(F.col("component"))).alias("split"),
         split_of(bucket(F.col("id"))).alias("naive_split"),
     ).withColumn("leak_prevented", F.col("split") != F.col("naive_split"))
+
+
+def _est_audit_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_K)
+    )
+    return f"""WITH {_minhash_cte()}
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM (
+  SELECT c.id_a, c.id_b,
+         ({agree}) / {MINHASH_K}.0 AS est_jaccard,
+         len(list_intersect(x.shingles, y.shingles))
+           / len(list_distinct(list_concat(x.shingles, y.shingles))) AS exact_jaccard
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.id_a
+  JOIN mh b ON b.doc_id = c.id_b
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b)
+"""
+
+
+@query("q_minhash_est_audit", oracle=_est_audit_oracle())
+def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-quality audit — the dedup-side twin of
+    q_ann_recall's trust-the-index check: for every LSH candidate pair,
+    the sketch's Jaccard ESTIMATE (fraction of the K minhash slots that
+    agree — an unbiased estimator with sd ~ 1/sqrt(K)) next to the EXACT
+    shingle Jaccard, plus the absolute error. This is the measurement
+    that justifies (or revokes) a chosen K and band layout before a
+    100 TB dedup run commits to it: large abs_err rows at a given K are
+    the direct evidence the signature is too short for the corpus's
+    similarity profile.
+
+    Scale: candidates come from the banded equi-join (never all-pairs);
+    signatures join back by doc id (K ints/doc), shingle arrays only for
+    the candidate rows. Estimates are quotients of small integers —
+    per-row double exprs, IEEE-identical across engines per the repo
+    float policy (no rounding anywhere)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        fan_out(d.select("doc_id", toks.alias("toks")), spark)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", shingle(F.col("toks"), 3).alias("shingles"))
+        .transform(cache_scoped)
+    )
+    sig = cache_scoped(minhash_signature(docs, "doc_id", "shingles", k=MINHASH_K))
+    bands = lsh_bands(sig, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
+    cand = candidate_pairs(bands, "doc_id")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_K)],
+    )
+    x = docs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    est = agree.cast("double") / F.lit(float(MINHASH_K))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("exact_jaccard"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )

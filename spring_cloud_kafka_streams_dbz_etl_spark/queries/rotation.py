@@ -178,6 +178,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_interval_join",
         # r6: cluster-level leakage-safe train/val/test split
         "q_leakage_split",
+        # r6: minhash estimate-vs-exact-Jaccard audit
+        "q_minhash_est_audit",
     }
 )
 
