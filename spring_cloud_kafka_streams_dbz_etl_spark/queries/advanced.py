@@ -858,12 +858,13 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable groupBy(sk). Hot (supplier, week) cells salt like any
     skewed equi-join (q_salted_join); cell width tunes fan-out vs
     per-cell occupancy exactly like LSH band width."""
+    from ..operators.temporal import interval_overlap_pairs
+
     tune(spark)
     ship = F.col("l_shipdate").cast("date")
     li = table(spark, sf_dir, "lineitem").filter(
         (ship >= F.lit(IJ_LO).cast("date")) & (ship <= F.lit(IJ_HI).cast("date"))
     )
-    epoch = F.lit("1992-01-01").cast("date")
     iv = li.select(
         F.col("l_suppkey").alias("sk"),
         (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
@@ -873,22 +874,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 21 + 1).cast("int"),
         ).alias("e"),
     )
-    week = lambda c: F.floor(F.datediff(c, epoch) / IJ_CELL_DAYS)  # noqa: E731
-    cells = iv.withColumn("cell", F.explode(F.sequence(week(F.col("s")), week(F.col("e")))))
-    a = cells.select(
-        "sk", "cell",
-        F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"),
-    )
-    b = cells.select(
-        "sk", "cell",
-        F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"),
-    )
-    pairs = a.join(b, ["sk", "cell"]).filter(
-        (F.col("a_id") < F.col("b_id"))
-        & (F.col("a_s") <= F.col("b_e"))
-        & (F.col("b_s") <= F.col("a_e"))
-        # ownership: count the pair only in the cell where its overlap starts
-        & (F.col("cell") == week(F.greatest(F.col("a_s"), F.col("b_s"))))
+    pairs = interval_overlap_pairs(
+        iv, key="sk", id_col="id", start="s", end="e", cell_days=IJ_CELL_DAYS
     )
     return pairs.groupBy(F.col("sk").alias("l_suppkey")).agg(
         F.count(F.lit(1)).alias("n_pairs"),

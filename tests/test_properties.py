@@ -817,3 +817,63 @@ def test_scd2_merge_equals_recompute(spark, cases, cut1, cut2):
         for r in scd2_intervals(full, keys, "ts", tiebreak_cols=["change_id"]).collect()
     }
     assert got == exp
+
+
+# -- grid-cell interval overlap join ----------------------------------------
+
+interval_case = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # key
+        st.integers(min_value=0, max_value=45),  # start day offset
+        st.integers(min_value=0, max_value=25),  # span (end = start + span)
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+@given(st.lists(interval_case, min_size=1, max_size=6),
+       st.sampled_from([1, 7, 30]))
+@settings(**SETTINGS)
+def test_interval_overlap_grid_equals_bruteforce(spark, cases, cell_days):
+    """Grid-cell bucketed overlap join == quadratic brute force, for every
+    cell width: completeness (no overlapping pair escapes its ownership
+    cell) and uniqueness (no pair double-counted across the cells it
+    co-occupies — the property the ownership filter exists for).
+    Adversarial shapes hypothesis reaches: spans crossing many cells,
+    boundary-aligned ends, duplicate intervals, zero-length intervals,
+    singleton keys."""
+    from datetime import date, timedelta
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    epoch = date(1992, 1, 1)
+    rows = []
+    for case_id, intervals in enumerate(cases):
+        for i, (k, s, span) in enumerate(intervals):
+            rows.append(
+                (
+                    case_id * 1000 + k,  # isolate cases by key namespace
+                    case_id * 1000000 + i,
+                    epoch + timedelta(days=s),
+                    epoch + timedelta(days=s + span),
+                )
+            )
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k bigint, id bigint, s date, e date")
+    got = sorted(
+        (r.k, r.a_id, r.b_id)
+        for r in interval_overlap_pairs(
+            df, key="k", id_col="id", start="s", end="e", cell_days=cell_days
+        ).collect()
+    )
+    expected = sorted(
+        (ka, ia, ib)
+        for (ka, ia, sa, ea) in rows
+        for (kb, ib, sb, eb) in rows
+        if ka == kb and ia < ib and sa <= eb and sb <= ea
+    )
+    assert got == expected
