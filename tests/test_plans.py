@@ -937,3 +937,34 @@ def test_interval_join_is_equi_join_with_pushed_dates(spark, sf_smoke):
     assert "CartesianProduct" not in text, text[:2000]
     assert "HashJoin" in text or "SortMergeJoin" in text, text[:2000]
     assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_leakage_split_assignment_is_map_only_over_cc(spark, sf_smoke):
+    """The split assignment must add NO exchange beyond the dedup/CC
+    lineage it rides on: the md5-bucket CASE projection sits in a
+    map-only Project on top, and nothing in the plan degenerates to a
+    cartesian/nested-loop pairing."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df_clusters = SPECS["q_dup_clusters"].fn(spark, sf_smoke)
+    df_split = SPECS["q_leakage_split"].fn(spark, sf_smoke)
+    for text in (explain_str(df_split),):
+        assert "CartesianProduct" not in text, text[:2000]
+        assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    # same number of exchanges as the cluster build it derives from:
+    # the split columns are free
+    n_ex = explain_str(df_clusters).count("Exchange")
+    n_ex_split = explain_str(df_split).count("Exchange")
+    assert n_ex_split <= n_ex, (n_ex_split, n_ex)
+
+
+def test_minhash_est_audit_joins_are_keyed(spark, sf_smoke):
+    """The audit must get candidates from the banded equi-join and join
+    signatures/shingles back by doc id — never an all-pairs scan."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_minhash_est_audit"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "band_hash" in text or "bh" in text, text[:2000]
