@@ -442,3 +442,50 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+N_SHUFFLE_SHARDS = 32
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':shuffle-seed-7') AS h,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-seed-7'), 1, 8)) AS BIGINT) % {N_SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents)
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the "randomize the training
+    order" primitive: every document gets a stable pseudo-random
+    (shard, position) from md5(doc_id + seed), so the written order is
+    reproducible across runs, engines and partitionings (the property
+    sample()/rand(), whose RNG is engine- and partitioning-specific,
+    cannot give). Training readers consume shards round-robin; a new
+    seed is a new epoch's permutation at the cost of one map pass.
+
+    Scale: shard assignment is map-only; the position is a row_number
+    PARTITIONED BY SHARD — each window partition holds ~|docs|/shards
+    rows, so there is no global sort anywhere (at 100 TB this is
+    repartition(shard) + sortWithinPartitions(h), the exact physical
+    shape of a shuffled-shard corpus write). The md5 sort key is
+    engine-exact, ties broken by doc_id."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-seed-7")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHUFFLE_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )

@@ -884,3 +884,58 @@ def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
     )
+
+
+@query(
+    "q_dup_source_matrix",
+    oracle=f"""
+WITH {_minhash_cte()}
+SELECT src_a, src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(jaccard * 1000000) AS BIGINT)) AS BIGINT) AS jaccard_micro_sum
+FROM (
+  SELECT LEAST(da.source, db.source) AS src_a,
+         GREATEST(da.source, db.source) AS src_b,
+         v.jaccard
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b)
+GROUP BY src_a, src_b
+""",
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which corpus sources duplicate
+    each other, and how strongly — near-dup pairs from the MinHash path
+    rolled up by unordered (source, source) combination with pair count
+    and an order-independent Jaccard mass (floor-micros BIGINT sum, the
+    float-free aggregation rule for double inputs). This is the crawl
+    triage view: a hot (crawlA, crawlB) cell means one feed is
+    re-serving the other's content and can be down-weighted wholesale
+    in the mixture (q_mixture_weights) instead of paying per-doc dedup.
+
+    Scale: the pair relation is the banded join's output (never
+    all-pairs); the source lookup joins a 2-column projection of
+    documents by doc id twice; the matrix is |sources|^2 rows. The
+    LEAST/GREATEST fold makes the matrix triangular without a second
+    shuffle."""
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.floor(F.col("jaccard") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("jaccard_micro_sum"),
+        )
+    )

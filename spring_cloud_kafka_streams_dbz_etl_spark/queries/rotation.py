@@ -180,6 +180,10 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_leakage_split",
         # r6: minhash estimate-vs-exact-Jaccard audit
         "q_minhash_est_audit",
+        # r6: deterministic global corpus shuffle
+        "q_corpus_shuffle",
+        # r6: cross-source duplication matrix
+        "q_dup_source_matrix",
     }
 )
 
