@@ -887,3 +887,120 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("overlap_days"),
     )
+
+
+# deterministic md5-derived probe pattern (weekly shipment counts to match)
+TS_PATTERN = [4, 1, 1, 1, 7, 3, 5, 6]  # int(md5(f"ts:{d}")[:2],16) % 8
+TS_L = len(TS_PATTERN)
+TS_TOPK = 20
+
+
+def _ts_oracle() -> str:
+    patt = ", ".join(f"({d}, {p})" for d, p in enumerate(TS_PATTERN))
+    return f"""
+WITH wk AS (
+  SELECT l_suppkey AS sk,
+         CAST(FLOOR(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) / 7) AS INT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+b AS (SELECT MAX(w) + 1 AS n_weeks FROM wk),
+patt(d, p) AS (VALUES {patt}),
+offs AS (
+  SELECT sk, o
+  FROM (SELECT DISTINCT sk FROM wk), b, UNNEST(range(0, n_weeks - {TS_L} + 1)) AS t(o)),
+dist AS (
+  SELECT offs.sk, offs.o,
+         CAST(SUM((COALESCE(wk.c, 0) - patt.p) * (COALESCE(wk.c, 0) - patt.p)) AS BIGINT) AS d2
+  FROM offs CROSS JOIN patt
+  LEFT JOIN wk ON wk.sk = offs.sk AND wk.w = offs.o + patt.d
+  GROUP BY 1, 2),
+best AS (
+  SELECT sk, o, d2,
+         ROW_NUMBER() OVER (PARTITION BY sk ORDER BY d2 ASC, o ASC) AS rn
+  FROM dist)
+SELECT sk AS l_suppkey, CAST(o AS INT) AS best_offset, d2 AS best_dist
+FROM best WHERE rn = 1
+ORDER BY best_dist ASC, l_suppkey ASC
+LIMIT {TS_TOPK}
+"""
+
+
+@query("q_ts_similarity", oracle=_ts_oracle())
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (subsequence matching): which
+    suppliers' weekly shipment-count series contain a window most
+    similar to a probe pattern, and where — the whole-corpus "find this
+    shape" scan behind motif mining and anomaly triage. Distance is the
+    exact integer squared-L2 between the probe and every length-L
+    sliding window of each supplier's zero-filled weekly series; output
+    is the global top-{TS_TOPK} (supplier, best offset, best distance),
+    ties broken (distance, supplier) / (distance, offset).
+
+    Spark shape: ONE shuffle builds (supplier, week)->count; per
+    supplier the dense series materializes via map_from_entries +
+    sequence lookup, and all W-L+1 window distances evaluate in a
+    map-only HOF pass (cheap integer lambdas — the SCALE.md HOF
+    anti-pattern is about md5-class exprs, not arithmetic). The global
+    cut is TakeOrderedAndProject. At 100 TB: series length is bounded
+    by the time horizon (~10^2-10^3 cells), so per-row work is
+    L x W integer ops on data already clustered by the one groupBy —
+    no self-join, no explosion; z-normalized / correlation distance
+    swaps into the same lambda. The oracle states the same distances
+    relationally (offsets x pattern grid join).
+    """
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01").cast("date")
+    wk = li.groupBy(
+        F.col("l_suppkey").alias("sk"),
+        F.floor(F.datediff(F.col("l_shipdate").cast("date"), epoch) / 7)
+        .cast("int")
+        .alias("w"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nw = wk.agg((F.max("w") + 1).alias("n_weeks"))
+    patt = F.array(*[F.lit(p) for p in TS_PATTERN])
+    series = (
+        wk.groupBy("sk")
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "c"))).alias("m"))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "sk",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_weeks") - 1),
+                # element_at on a MAP is a KEY lookup: key = week w, so the
+                # 1-based array position w+1 holds week w's count
+                lambda w: F.coalesce(F.element_at("m", w), F.lit(0)),
+            ).alias("s"),
+            "n_weeks",
+        )
+    )
+    dists = series.select(
+        "sk",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_weeks") - TS_L),
+            lambda o: F.aggregate(
+                F.sequence(F.lit(1), F.lit(TS_L)),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc
+                + (
+                    F.element_at(F.col("s"), o + d)
+                    - F.element_at(patt, d)
+                ).cast("bigint")
+                * (
+                    F.element_at(F.col("s"), o + d)
+                    - F.element_at(patt, d)
+                ).cast("bigint"),
+            ),
+        ).alias("d2"),
+    )
+    return (
+        dists.select(
+            F.col("sk").alias("l_suppkey"),
+            (F.array_position(F.col("d2"), F.array_min("d2")) - 1)
+            .cast("int")
+            .alias("best_offset"),
+            F.array_min("d2").cast("bigint").alias("best_dist"),
+        )
+        .orderBy(F.col("best_dist").asc(), F.col("l_suppkey").asc())
+        .limit(TS_TOPK)
+    )

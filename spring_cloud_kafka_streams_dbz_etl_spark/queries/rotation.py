@@ -184,6 +184,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_corpus_shuffle",
         # r6: cross-source duplication matrix
         "q_dup_source_matrix",
+        # r6: time-series subsequence similarity search
+        "q_ts_similarity",
     }
 )
 
