@@ -186,6 +186,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_dup_source_matrix",
         # r6: time-series subsequence similarity search
         "q_ts_similarity",
+        # r6: Spark 4 VARIANT semi-structured shredding
+        "q_variant_json",
     }
 )
 

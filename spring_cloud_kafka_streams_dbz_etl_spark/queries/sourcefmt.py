@@ -582,3 +582,61 @@ def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT usr) AS BIGINT) AS n_users
+FROM (
+  SELECT event_type AS etype,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         user_id AS usr
+  FROM events)
+GROUP BY etype
+""",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's native VARIANT type:
+    the raw JSON props column is wrapped into a nested envelope
+    ('{"meta": {...}, "payload": <props>}'), parsed ONCE with
+    parse_json into the binary variant encoding, and every field the
+    rollup needs comes out of typed variant_get path extractions —
+    schema-on-read without a fixed from_json schema, tolerant of
+    ragged/evolving payloads. The oracle extracts the same values with
+    DuckDB's JSON paths, proving the variant path is semantics-neutral.
+
+    Scale: parse_json and variant_get are codegen'd JVM expressions —
+    the parse + three typed gets run map-only at scan speed, then ONE
+    rollup shuffle. At 100 TB the variant column is the shred-at-ingest
+    form: parse once at landing, store binary variant, and every
+    downstream query pays typed path gets instead of re-parsing JSON
+    text (the Parquet VARIANT logical type ships this layout); the
+    all-integer aggregates keep the rollup engine-exact."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "user": '),
+        F.col("user_id").cast("string"),
+        F.lit('}, "payload": '),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    shredded = ev.select(
+        F.variant_get(v, "$.meta.type", "string").alias("etype"),
+        F.variant_get(v, "$.meta.user", "bigint").alias("usr"),
+        F.variant_get(v, "$.payload.k", "bigint").alias("k"),
+    )
+    return shredded.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.countDistinct("usr").alias("n_users"),
+    )
