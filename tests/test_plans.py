@@ -968,3 +968,31 @@ def test_minhash_est_audit_joins_are_keyed(spark, sf_smoke):
     assert "CartesianProduct" not in text, text[:2000]
     assert "BroadcastNestedLoopJoin" not in text, text[:2000]
     assert "band_hash" in text or "bh" in text, text[:2000]
+
+
+def test_corpus_shuffle_has_no_global_sort(spark, sf_smoke):
+    """The shuffle permutation must never plan a global sort: position
+    is a row_number partitioned BY SHARD, so the only exchange is
+    hashpartitioning(shard) and the only sort is within partitions."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_corpus_shuffle"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "rangepartitioning" not in text.lower(), text[:2000]
+    assert "hashpartitioning(shard" in text, text[:2000]
+
+
+def test_ts_similarity_single_rollup_then_topk(spark, sf_smoke):
+    """Subsequence search must be the one-shuffle + map-only-HOF shape:
+    no self-join (a second lineitem scan would betray a join-based
+    rewrite) and the global cut planned as TakeOrderedAndProject."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_ts_similarity"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text, text[:2000]
+    # formatted explain names each scan twice (tree + details):
+    # 2 logical scans (lineitem for the series, lineitem for the 1-row
+    # bounds aggregate) = 4 mentions; a self-join would add more
+    assert text.count("Scan parquet") <= 4, text[:2000]
+    assert "CartesianProduct" not in text and "SortMergeJoin" not in text, text[:2000]
