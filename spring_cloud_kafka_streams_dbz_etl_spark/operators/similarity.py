@@ -290,7 +290,7 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
+def pq_adc_topk_expr(
     queries_pd,
     codes: DataFrame,
     k: int = 10,
@@ -301,14 +301,21 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     cell_col: str | None = None,
 ) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: per query, precompute the
+    """JVM-expression ADC variant: per query, precompute the
     (subspace × code) -> partial-squared-distance lookup table
     driver-side (subspaces·n_codes doubles — trivially small), inline it
     as literal arrays, and score every coded vector with
-    Σ_m lut[m][code_m] — a pure map over the CODES table. This is the
-    standard billion-scale ANN serving path: the corpus lives as
-    ``subspaces``-byte codes (32x smaller), scans never touch raw
-    vectors, and distance evaluation is ``subspaces`` array lookups.
+    Σ_m lut[m][code_m] — a pure map over the CODES table. The corpus
+    lives as ``subspaces``-byte codes (32x smaller), scans never touch
+    raw vectors, and distance evaluation is ``subspaces`` array lookups.
+
+    NOT the registered scorer since r6: the per-probe literal-array tree
+    grows with probes × n_codes and is interpreted per code row, and
+    the struct explode multiplies rows n_probes× BEFORE the filter —
+    measured 2.5-3.2× slower than the Arrow gather in
+    :func:`pq_adc_topk` (tools/measure_adc.py), with the gap widening
+    in probe count. Kept as the zero-Python reference implementation
+    and the measurement baseline; results are bit-identical.
 
     ``queries_pd``: pandas DataFrame with (id_col, vec_col) probe rows.
     ``codes``: output of :func:`pq_encode` (same ``id_col``). All queries
@@ -388,6 +395,125 @@ def pq_adc_topk(
         # code files it collapses to partition pruning.
         scored = scored.filter(F.col("__q.query_cell") == F.col(cell_col))
     scored = scored.select("__q.query_id", "neighbor_id", "__q.adc_dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_adc_topk(
+    queries_pd,
+    codes: DataFrame,
+    k: int = 10,
+    subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_K,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the billion-scale ANN
+    serving path: the corpus lives as ``subspaces``-byte codes (32x
+    smaller), scans never touch raw vectors, and every probe scores in
+    ONE pass over the codes relation.
+
+    Scoring runs as an Arrow ``mapInPandas`` gather: the
+    (probes × subspaces × n_codes) LUT tensor — a few KiB of doubles,
+    built driver-side exactly as before — broadcasts to executors, and
+    each Arrow batch evaluates Σ_m lut[m][code_m] as ``subspaces``
+    vectorized numpy gathers. Chosen over the inlined-literal JVM
+    expression tree (:func:`pq_adc_topk_expr`) on measurement, not
+    aesthetics: the literal tree is interpreted per code row and its
+    struct explode multiplies rows n_probes× before filtering — the
+    Arrow path is 2.5× faster at 16 probes and 3.2× at 48
+    (tools/measure_adc.py), the gap widening with probe count.
+
+    Bit-identical to the expression form: the LUT doubles come from the
+    SAME Python builder, the Σ_m fold is the same ascending-m left
+    fold (explicit sequential adds — numpy pairwise summation would
+    reorder it), and the final ROUND(9) + rank window stay in the JVM,
+    so the oracle contract is untouched.
+
+    ``cell_col`` (optional) fuses IVF pruning: the codes scan
+    pre-filters to the probes' cell set JVM-side (partition pruning on
+    cell-partitioned code files), and each probe scores only rows of
+    ITS cell via a numpy mask inside the batch.
+    """
+    import numpy as np
+
+    sub = dim // subspaces
+    if not len(queries_pd):
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
+    luts = np.zeros((len(queries_pd), subspaces, n_codes))
+    qids: list[int] = []
+    qcells: list = []
+    for qi, (_, q) in enumerate(queries_pd.iterrows()):
+        qv = [float(x) for x in q[vec_col]]
+        qids.append(int(q[id_col]))
+        if cell_col is not None:
+            cell = q[cell_col]
+            qcells.append(cell.item() if hasattr(cell, "item") else cell)
+        for m in range(subspaces):
+            seg = qv[m * sub : (m + 1) * sub]
+            for kk in range(n_codes):
+                c = pq_codebook(m, kk, sub)
+                # explicit multiply (not **2): bit-identical to the SQL
+                # oracle's (a-b)*(a-b) on every libm
+                luts[qi, m, kk] = sum(
+                    (seg[d] - c[d]) * (seg[d] - c[d]) for d in range(sub)
+                )
+    spark = codes.sparkSession
+    if cell_col is not None:
+        # partition-pruning half of IVF-PQ: only the probed cells scan
+        codes = codes.filter(F.col(cell_col).isin(*set(qcells)))
+    b_lut = spark.sparkContext.broadcast(luts)
+    b_qid = spark.sparkContext.broadcast(np.array(qids))
+    b_cell = spark.sparkContext.broadcast(np.array(qcells) if cell_col is not None else None)
+
+    def score(batches):
+        import pandas as pd
+
+        lut, qid, qcell = b_lut.value, b_qid.value, b_cell.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.array(
+                [[int(c) for c in s.split(",")] for s in pdf["pq_codes"]],
+                dtype=np.int64,
+            )
+            nid = pdf[id_col].to_numpy()
+            ncell = pdf[cell_col].to_numpy() if qcell is not None else None
+            for qi in range(lut.shape[0]):
+                if qcell is not None:
+                    mask = ncell == qcell[qi]
+                    if not mask.any():
+                        continue
+                    cm, ni = codes_m[mask], nid[mask]
+                else:
+                    cm, ni = codes_m, nid
+                # ascending-m LEFT fold, matching the expression form
+                acc = lut[qi][0][cm[:, 0]]
+                for m in range(1, lut.shape[1]):
+                    acc = acc + lut[qi][m][cm[:, m]]
+                yield pd.DataFrame(
+                    {"query_id": qid[qi], "neighbor_id": ni, "adc_dist": acc}
+                )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        # rounding stays in the JVM: same F.round HALF_UP as the
+        # expression form and the DuckDB oracle's ROUND
+        F.round(F.col("adc_dist"), 9).alias("adc_dist"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

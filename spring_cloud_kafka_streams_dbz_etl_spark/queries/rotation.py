@@ -163,6 +163,14 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # control-plane code this query drives changed after its r4 green
         # row, so it re-fronts per the staleness policy
         "s_offset_reset",
+        # r6: ADC scoring swapped from the inlined-literal expression
+        # tree to the Arrow mapInPandas LUT gather (measured 2.4-3.2x,
+        # tools/measure_adc.py) — bit-identical output and locally
+        # parity-green at both SFs, but both plans changed after their
+        # r5 green rows, so they re-front (displacing 2 of the 11
+        # oldest re-checks, not any never-checked query)
+        "q_pq_adc_topk",
+        "q_ann_ivfpq",
     }
 )
 

@@ -387,12 +387,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the billion-scale ANN
     serving path: the corpus is scanned as 8-byte codes only, each probe's
     (subspace x code) LUT is built driver-side (8x16 doubles — the probe
-    side of a serving request, not a data-path collect) and inlined as
-    literals, and every probe scores in ONE pass over the codes relation
-    (see operators/similarity.py::pq_adc_topk).
+    side of a serving request, not a data-path collect), and every probe
+    scores in ONE pass over the codes relation. Scoring is an Arrow
+    mapInPandas LUT gather — measured 2.4-3.2x faster than the inlined
+    literal-expression tree it replaced (tools/measure_adc.py), with
+    bit-identical results since the rounding and rank window stay JVM-side
+    (see operators/similarity.py::pq_adc_topk vs pq_adc_topk_expr).
 
     Scale: raw vectors are never touched after encode; distance is 8
-    array lookups per (probe, code) pair, map-only until the tiny
+    vectorized array gathers per (probe, batch), map-only until the tiny
     per-probe top-k window."""
     from ..operators.similarity import pq_adc_topk, pq_encode
 
