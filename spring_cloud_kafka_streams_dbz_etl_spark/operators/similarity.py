@@ -219,7 +219,90 @@ def pq_encode(
     dim: int = PQ_DIM,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Product-quantize vectors: split into ``subspaces`` sub-vectors,
+    """Product-quantize vectors as an Arrow mapInPandas pass: split into
+    ``subspaces`` sub-vectors, assign each to its nearest of ``k`` fixed
+    centroids (squared L2 accumulated in an ascending-dimension LEFT
+    fold — explicit sequential adds, bit-identical to the HOF form and
+    the SQL oracle; ties break to the smaller code via argmin-first).
+    Returns (id, *keep_cols, pq_codes 'c0,c1,...', recon_err) exactly
+    like :func:`pq_encode_expr`, whose JVM HOF plan it replaced on
+    measurement: the vectorized (batch × k) fold runs the same 40k-row
+    encode in 0.44 s warm vs 1.22 s (tools/measure_adc.py session,
+    value-identical on every row). The codebook tensor broadcasts once;
+    rounding stays JVM-side (F.round HALF_UP, matching the oracle).
+
+    Scale: still a pure map over the scan — the Python boundary is one
+    Arrow batch stream, the standard 10-30x memory cut unchanged.
+    """
+    import numpy as np
+
+    sub = dim // subspaces
+    cb = np.zeros((subspaces, k, sub))
+    for m in range(subspaces):
+        for kk in range(k):
+            cb[m, kk] = pq_codebook(m, kk, sub)
+    spark = df.sparkSession
+    b_cb = spark.sparkContext.broadcast(cb)
+    in_cols = [id_col, *keep_cols, vec_col]
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        C = b_cb.value
+        n_sub, n_codes, sd = C.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            codes = np.zeros((len(v), n_sub), dtype=np.int64)
+            err = np.zeros(len(v))
+            for m in range(n_sub):
+                seg = v[:, m * sd : (m + 1) * sd]
+                # ascending-d LEFT fold, vectorized over (batch, k)
+                acc = np.zeros((len(v), n_codes))
+                for d in range(sd):
+                    diff = seg[:, d : d + 1] - C[m][None, :, d]
+                    acc = acc + diff * diff
+                codes[:, m] = np.argmin(acc, axis=1)  # first min = smallest code
+                err = err + acc[np.arange(len(v)), codes[:, m]]
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            out["pq_codes"] = [",".join(map(str, r)) for r in codes]
+            out["__err"] = err
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(*in_cols)
+        .mapInPandas(
+            enc,
+            f"{id_col} long{keep_schema}, pq_codes string, __err double",
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            "pq_codes",
+            F.round(F.col("__err"), 6).alias("recon_err"),
+        )
+    )
+
+
+def pq_encode_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    dim: int = PQ_DIM,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """JVM-expression PQ encode (the pre-r6 registered form): split into
+    ``subspaces`` sub-vectors,
     assign each to its nearest of ``k`` fixed centroids (squared L2,
     summed in ascending-dimension order so the doubles are bit-identical
     across engines; ties break on the smaller code). Returns

@@ -171,6 +171,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # oldest re-checks, not any never-checked query)
         "q_pq_adc_topk",
         "q_ann_ivfpq",
+        # r6: pq_encode swapped to the same Arrow form (value-identical,
+        # pinned row-for-row against pq_encode_expr in test_plans.py)
+        "q_pq_encode",
     }
 )
 

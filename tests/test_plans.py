@@ -394,7 +394,9 @@ def test_lsh_pairs_sound_and_recall_matches_s_curve(spark, sf_smoke):
 
 def test_pq_encode_matches_numpy_and_is_map_only(spark, sf_smoke):
     """PQ assignment == numpy brute-force argmin over the same codebooks;
-    plan is a shuffle-free, Python-free map (the 100 TB contract)."""
+    plan is a shuffle-free map whose only Python boundary is the single
+    Arrow mapInPandas batch stream (the 100 TB contract — no Exchange,
+    no per-row Python; the JVM HOF form is pinned separately below)."""
     import numpy as np
 
     from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
@@ -406,11 +408,14 @@ def test_pq_encode_matches_numpy_and_is_map_only(spark, sf_smoke):
     )
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
-    e = table(spark, sf_smoke, "embeddings").limit(100)
+    # no .limit() here: a global limit plans its own single-partition
+    # Exchange and would mask the operator's shuffle-free claim
+    e = table(spark, sf_smoke, "embeddings")
     out = pq_encode(e)
     text = explain_str(out)
     assert "Exchange" not in text, text[:2000]
-    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "MapInPandas" in text, text[:2000]
+    assert "BatchEvalPython" not in text  # no per-row Python UDF
 
     rows = {r.vec_id: r for r in out.collect()}
     src = {r.vec_id: np.array(r.embedding, dtype="float64") for r in e.collect()}
@@ -996,3 +1001,24 @@ def test_ts_similarity_single_rollup_then_topk(spark, sf_smoke):
     # bounds aggregate) = 4 mentions; a self-join would add more
     assert text.count("Scan parquet") <= 4, text[:2000]
     assert "CartesianProduct" not in text and "SortMergeJoin" not in text, text[:2000]
+
+
+def test_pq_encode_expr_is_python_free(spark, sf_smoke):
+    """The retained JVM HOF encode variant stays shuffle-free AND
+    Python-free, and matches the registered Arrow form row-for-row —
+    the bit-identical guarantee the r6 swap rests on."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_expr,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    e = table(spark, sf_smoke, "embeddings").limit(200)
+    expr = pq_encode_expr(e)
+    text = explain_str(expr)
+    assert "Exchange" not in text, text[:2000]
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    arrow = pq_encode(e)
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(expr).count() == 0
