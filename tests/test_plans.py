@@ -1022,3 +1022,27 @@ def test_pq_encode_expr_is_python_free(spark, sf_smoke):
     arrow = pq_encode(e)
     assert expr.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(expr).count() == 0
+
+
+def test_pq_adc_arrow_equals_expr_form(spark, sf_smoke):
+    """The registered Arrow ADC scorer must agree with the retained
+    JVM expression form row-for-row (ids, rounded distances, ranks) —
+    the bit-identical guarantee the r6 swap rests on, with and without
+    IVF cell restriction."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_expr,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_smoke, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).toPandas()
+    codes = pq_encode(e, keep_cols=("label",)).select(
+        "vec_id", "label", "pq_codes"
+    )
+    for cell in (None, "label"):
+        a = pq_adc_topk(probes, codes, k=10, cell_col=cell)
+        b = pq_adc_topk_expr(probes, codes, k=10, cell_col=cell)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, cell
