@@ -180,9 +180,13 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 5's 38 deferrals are cleared — CHECKED_BY_ROUND[5] is recorded,
 # so they sort to the front as zero-checked and earn their first driver
-# rows in round 6 (38 never-checked + s_offset_reset re-check + 11
-# fewest-checked re-checks fill the 50-row window exactly — 193/193
-# cumulative after r06). Round-6 additions land here and front round 7:
+# rows in round 6 (38 never-checked + s_offset_reset + the 3 re-fronted
+# PQ plans + 8 fewest-checked re-checks fill the 50-row window —
+# 193/193 cumulative after r06). Round-6 additions land here and front
+# round 7. R7 window math: record CHECKED_BY_ROUND[6] from
+# CORRECTNESS_r06.json, clear BOTH lists (the 3 PQ re-fronts should be
+# green in r06), and the 8 r6-built queries below front as zero-checked
+# alongside 42 fewest-checked re-checks — no deferral debt carries:
 DEFERRED_NEW: frozenset[str] = frozenset(
     {
         # r6: big-big interval overlap join via grid-cell bucketing
