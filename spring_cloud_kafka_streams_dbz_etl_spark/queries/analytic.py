@@ -1345,3 +1345,77 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+PATTERN_WINDOW_US = 30 * 60 * 1_000_000  # view -> purchase within 30 min
+
+
+@query(
+    "q_event_pattern",
+    oracle=f"""
+SELECT user_id, event_id, purchase_us, view_us
+FROM (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS purchase_us,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS view_us,
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS err_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+WHERE event_type = 'purchase'
+  AND view_us IS NOT NULL
+  AND purchase_us - view_us <= {PATTERN_WINDOW_US}
+  AND (err_us IS NULL OR err_us < view_us)
+""",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection WITH NEGATION — the CEP /
+    MATCH_RECOGNIZE primitive q_funnel's ordered-stages shape can't
+    express: every purchase preceded by a view within 30 minutes with NO
+    error event in between. The negation ("no intervening C") is what
+    separates this from a funnel: it needs the position of the last C
+    relative to the last B, not just existence.
+
+    Technique: one event-ordered window per user computes the running
+    "last view time" and "last error time" via conditional
+    last(..., ignorenulls) over rows-unbounded-preceding-to-1-preceding;
+    a purchase matches iff the view is recent enough and the last error
+    (if any) predates that view — i.e. no error landed inside the
+    matched span. All exact integer microseconds.
+
+    Scale: ONE shuffle on user_id, two conditional running-last columns
+    in the same window pass, map-only predicate after — per-key state is
+    two timestamps regardless of history length, so the pattern scan
+    costs the same as any per-user window. Longer patterns chain more
+    conditional lasts in the SAME pass; the streaming twin keeps the two
+    timestamps in a state store."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    # unix_micros needs TIMESTAMP_LTZ; the session is pinned UTC so the
+    # NTZ cast is the same instant DuckDB's epoch_us(ts) computes
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("purchase_us"),
+        F.last(
+            F.when(F.col("event_type") == "view", us), ignorenulls=True
+        ).over(w).alias("view_us"),
+        F.last(
+            F.when(F.col("event_type") == "error", us), ignorenulls=True
+        ).over(w).alias("err_us"),
+    )
+    return marked.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("view_us").isNotNull()
+        & (F.col("purchase_us") - F.col("view_us") <= PATTERN_WINDOW_US)
+        & (F.col("err_us").isNull() | (F.col("err_us") < F.col("view_us")))
+    ).select("user_id", "event_id", "purchase_us", "view_us")

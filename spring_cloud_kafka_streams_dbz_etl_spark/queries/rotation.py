@@ -203,6 +203,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_ts_similarity",
         # r6: Spark 4 VARIANT semi-structured shredding
         "q_variant_json",
+        # r6: CEP pattern-with-negation detection
+        "q_event_pattern",
     }
 )
 
