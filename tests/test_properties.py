@@ -877,3 +877,109 @@ def test_interval_overlap_grid_equals_bruteforce(spark, cases, cell_days):
         if ka == kb and ia < ib and sa <= eb and sb <= ea
     )
     assert got == expected
+
+
+# -- CEP pattern-with-negation ----------------------------------------------
+
+event_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=100),  # minute offset
+        st.sampled_from(["view", "purchase", "error", "click"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(st.lists(event_seq, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_event_pattern_matches_bruteforce(spark, cases):
+    """The windowed pattern-with-negation (view -> purchase within T, no
+    error between) must equal the brute-force scan of each user's
+    ordered history — duplicate timestamps, back-to-back purchases,
+    errors ON the view minute, and users with no views are the shapes
+    hypothesis shrinks to."""
+    from pyspark.sql import Window
+
+    T = 30  # minutes
+    rows = []
+    for case_id, events in enumerate(cases):
+        for i, (u, minute, typ) in enumerate(events):
+            rows.append((case_id * 10 + u, case_id * 1000 + i, minute, typ))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, event_id long, m long, event_type string")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("m").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in df.select(
+            "user_id", "event_id", "event_type", "m",
+            F.last(F.when(F.col("event_type") == "view", F.col("m")), ignorenulls=True)
+            .over(w).alias("view_m"),
+            F.last(F.when(F.col("event_type") == "error", F.col("m")), ignorenulls=True)
+            .over(w).alias("err_m"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("view_m").isNotNull()
+            & (F.col("m") - F.col("view_m") <= T)
+            & (F.col("err_m").isNull() | (F.col("err_m") < F.col("view_m")))
+        )
+        .collect()
+    )
+    expected = []
+    by_user: dict = {}
+    for uid, eid, m, typ in rows:
+        by_user.setdefault(uid, []).append((m, eid, typ))
+    for uid, evs in by_user.items():
+        evs.sort()
+        last_view = last_err = None
+        for m, eid, typ in evs:
+            if (
+                typ == "purchase"
+                and last_view is not None
+                and m - last_view <= T
+                and (last_err is None or last_err < last_view)
+            ):
+                expected.append((uid, eid))
+            if typ == "view":
+                last_view = m
+            elif typ == "error":
+                last_err = m
+    assert got == sorted(expected)
+
+
+def test_corpus_shuffle_invariant_to_partitioning(spark, sf_smoke):
+    """q_corpus_shuffle's claim: the permutation is stable across
+    physical partitionings — repartitioned inputs produce the identical
+    (doc_id, shard, pos) assignment."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    fn = all_queries()["q_corpus_shuffle"].fn
+    base = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+    import spring_cloud_kafka_streams_dbz_etl_spark.catalog as cat
+
+    orig = cat.table
+
+    def skewed(spark_, sf, name):
+        df = orig(spark_, sf, name)
+        return df.repartition(7) if name == "documents" else df
+
+    cat.table = skewed
+    try:
+        import spring_cloud_kafka_streams_dbz_etl_spark.queries.curation as cur
+
+        orig_cur = cur.table
+        cur.table = skewed
+        try:
+            again = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+        finally:
+            cur.table = orig_cur
+    finally:
+        cat.table = orig
+    assert base == again
