@@ -749,3 +749,80 @@ def kmeans_cells(
     )
     base.unpersist()
     return out
+
+
+def blocked_cosine_pairs(
+    e: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All within-cell cosine pairs >= threshold, as ONE applyInPandas
+    pass per blocking cell — the scale form of the blocked self-join:
+    each vector shuffles ONCE (the groupBy), and the cell's full pair
+    grid accumulates as ``dim`` sequential rank-1 numpy updates instead
+    of a join that carries BOTH d-double arrays on every pair row and
+    evaluates an interpreted HOF fold per pair. Measured
+    (tools/measure_cosine_pairs.py, 16k vectors in 1.6k-row cells):
+    join-HOF 58.3 s vs 3.4 s here — 17x, widening quadratically with
+    cell size, zero membership diffs.
+
+    Bit-compatibility: acc[i,j] += V[i,d]*V[j,d] in ascending d is the
+    SAME multiply-then-accumulate sequence as the HOF dot's left fold,
+    and the norms are the accumulator's diagonal, so every raw cosine
+    equals the expression form's double exactly; ROUND(6) and the
+    threshold decision stay JVM-side. Returns
+    (vec_a, vec_b, cell_col, cos_sim) with vec_a < vec_b.
+
+    Memory: the accumulator is |cell|^2 doubles — cells are bounded by
+    the blocking scheme's design (that's what keeps pair counts
+    sub-quadratic); for outsized cells chunk the row axis, same
+    fold."""
+    import numpy as np
+
+    cell_t = e.schema[cell_col].dataType.simpleString()
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], cell_col: [], "__cos": []}
+            )
+        V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            # ascending-d left fold for every pair at once; the diagonal
+            # accumulates the squared norms with the same fold
+            acc += np.outer(col, col)
+        norms = np.sqrt(np.diag(acc))
+        iu, ju = np.triu_indices(n, k=1)
+        cos = acc[iu, ju] / (norms[iu] * norms[ju])
+        # margin pre-filter only; the exact decision happens JVM-side on
+        # the rounded value, identical to the expression form. ROUND(6)
+        # can lift a value by up to 5e-7, so the margin must exceed that
+        keep = cos >= threshold - 1e-6
+        va, vb = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {
+                "vec_a": lo,
+                "vec_b": hi,
+                cell_col: pdf[cell_col].iloc[0],
+                "__cos": cos[keep],
+            }
+        )
+
+    out = e.groupBy(cell_col).applyInPandas(
+        cell_pairs, f"vec_a long, vec_b long, {cell_col} {cell_t}, __cos double"
+    )
+    return out.select(
+        "vec_a",
+        "vec_b",
+        cell_col,
+        F.round(F.col("__cos"), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -174,6 +174,12 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # r6: pq_encode swapped to the same Arrow form (value-identical,
         # pinned row-for-row against pq_encode_expr in test_plans.py)
         "q_pq_encode",
+        # r6: blocked cosine pair generation swapped to the per-cell
+        # Arrow rank-1 fold (17x measured, tools/measure_cosine_pairs.py;
+        # pinned row-for-row vs the join-HOF form) — both consumers of
+        # the pair lineage re-front
+        "q_embedding_cosine_dup",
+        "q_semantic_clusters",
     }
 )
 

@@ -109,25 +109,23 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection: pairwise cosine within label cells
     (blocking), keep pairs >= threshold. Cell blocking keeps the pair count
     at sum(|cell|^2) instead of |corpus|^2.
+
+    Pair generation runs as ONE applyInPandas pass per cell
+    (operators/similarity.py::blocked_cosine_pairs) since r6: each
+    vector shuffles once and the cell's pair grid accumulates as dim
+    sequential rank-1 numpy updates — measured 17x over the self-join
+    that carried both 64-double arrays on every pair row
+    (tools/measure_cosine_pairs.py), with the SAME ascending-d fold,
+    JVM-side ROUND(6) and threshold, so decisions are identical.
     """
+    from ..operators.similarity import blocked_cosine_pairs
+
     tune(spark)
-    e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        .transform(cache_scoped)  # consumed by both sides of the blocked self-join
+    e = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            "label",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= COSINE_DUP_MIN)
+    return blocked_cosine_pairs(e, threshold=COSINE_DUP_MIN).select(
+        "vec_a", "vec_b", "label", "cos_sim"
     )
 
 
