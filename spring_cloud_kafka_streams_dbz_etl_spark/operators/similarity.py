@@ -670,6 +670,7 @@ def kmeans_cells(
     vec_col: str = "embedding",
     dim: int = 64,
     int_scale: int = 1_000_000,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means over the corpus — the TRAINING half of the IVF
     path (q_ann_ivf/q_ann_ivfpq consume a cell assignment; this is where
@@ -678,10 +679,13 @@ def kmeans_cells(
 
     Spark-first iteration shape (the MLlib pattern): the MODEL (k×dim
     centroids) is driver-side metadata, the DATA never leaves executors.
-    Each round is (a) a map-only argmin assignment with centroids inlined
-    as literals, (b) one groupBy(cell, dim) over exploded integer
-    components to get per-dim sums/counts (map-side combinable,
-    k×dim-row result), (c) a k×dim collect to rebuild the literals.
+    Each round is (a) a map-only argmin assignment — an Arrow batch
+    pass with the centroid matrix broadcast (since r6; the k×dim
+    literal expression tree it replaced paid a multi-second codegen
+    warmup per round and is retained as ``assign_expr``, pinned
+    row-for-row equal) — (b) one groupBy(cell, dim) over exploded
+    integer components to get per-dim sums/counts (map-side combinable,
+    k×dim-row result), (c) a k×dim collect to rebuild the model.
     Nothing data-sized ever reaches the driver.
 
     Cross-engine determinism (same policy as LSH/PQ): vectors enter as
@@ -707,7 +711,11 @@ def kmeans_cells(
     # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
     cents = [[float(r.iv[d]) / float(int_scale) for d in range(dim)] for r in seeds]
 
-    def assign(cents_now: list[list[float]]) -> DataFrame:
+    def assign_expr(cents_now: list[list[float]]) -> DataFrame:
+        """JVM-expression assignment (the pre-r6 registered form): k×dim
+        inlined literal terms + struct array_min. Kept as the
+        zero-Python reference — pinned row-for-row equal to ``assign``
+        in test_kmeans_assign_arrow_equals_expr."""
         cands = []
         for cell, c in enumerate(cents_now):
             dist = None
@@ -721,8 +729,56 @@ def kmeans_cells(
             "__id", "iv", best["cell"].alias("cell"), best["dist"].alias("dist")
         )
 
+    def assign(cents_now: list[list[float]]) -> DataFrame:
+        """Arrow assignment (registered since r6, same lesson as the
+        ADC/encode/cosine-pair swaps): the k×dim literal tree is
+        interpreted per row and pays a multi-second codegen warmup;
+        the numpy form broadcasts the centroid matrix and evaluates the
+        same ascending-d LEFT fold vectorized per batch. Bit-identical:
+        X = iv/int_scale is the same long/double division, t*t adds
+        accumulate in the same order, and np.argmin's first-index is
+        exactly array_min's smaller-cell tie-break; ROUND(6) stays in
+        the JVM caller."""
+        import numpy as np
+
+        C = [list(map(float, c)) for c in cents_now]
+
+        def go(batches):
+            import pandas as pd
+
+            Cl = C
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                IV = np.array(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["iv"]]
+                )
+                X = IV / float(int_scale)
+                n = len(X)
+                dists = np.empty((n, len(Cl)))
+                for cell in range(len(Cl)):
+                    acc = np.zeros(n)
+                    for d in range(dim):
+                        t = X[:, d] - Cl[cell][d]
+                        acc = acc + t * t
+                    dists[:, cell] = acc
+                cellv = np.argmin(dists, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"].to_numpy(),
+                        "iv": pdf["iv"],
+                        "cell": cellv.astype("int32"),
+                        "dist": dists[np.arange(n), cellv],
+                    }
+                )
+
+        return base.mapInPandas(
+            go, "__id long, iv array<long>, cell int, dist double"
+        )
+
+    assign_impl = assign if use_arrow else assign_expr
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = assign_impl(cents)
         stats = (
             assigned.select("cell", F.posexplode("iv").alias("d", "x"))
             .groupBy("cell", "d")
@@ -742,7 +798,7 @@ def kmeans_cells(
             for cell in range(k)
         ]
 
-    out = assign(cents).select(
+    out = assign_impl(cents).select(
         F.col("__id").alias(id_col),
         F.col("cell").cast("int").alias("cell"),
         F.round(F.col("dist"), 6).alias("dist"),

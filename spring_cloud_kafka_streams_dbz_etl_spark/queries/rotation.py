@@ -180,6 +180,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # the pair lineage re-front
         "q_embedding_cosine_dup",
         "q_semantic_clusters",
+        # r6: k-means assignment swapped to the Arrow fold (same lesson;
+        # pinned end-to-end vs the JVM form, both Lloyd iterations)
+        "q_kmeans_cells",
     }
 )
 

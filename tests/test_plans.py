@@ -1084,3 +1084,20 @@ def test_blocked_cosine_pairs_equals_join_form(spark, sf_smoke):
     )
     assert arrow.exceptAll(join_form).count() == 0
     assert join_form.exceptAll(arrow).count() == 0
+
+
+def test_kmeans_assign_arrow_equals_expr(spark, sf_smoke):
+    """The Arrow k-means assignment must reproduce the JVM literal-tree
+    form end-to-end — both Lloyd iterations AND the final assignment —
+    row-for-row (ids, cells, rounded distances): same ascending-d fold,
+    same argmin-first smaller-cell tie-break."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        kmeans_cells,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    arrow = kmeans_cells(e, use_arrow=True)
+    expr = kmeans_cells(e, use_arrow=False)
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
