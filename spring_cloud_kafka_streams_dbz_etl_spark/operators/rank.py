@@ -55,6 +55,12 @@ def global_rank(
     bucket = F.lit(0)
     for i, c in enumerate(sorted(cuts or [])):
         bucket = F.when(F.col(lead) <= F.lit(c), bucket).otherwise(F.lit(i + 1))
+    # NULL lead values: the <= chain is NULL (falsy) at every level and
+    # would fall through to the LAST bucket, but the per-bucket
+    # row_number (and the single-sort semantics this operator replaces)
+    # order NULLs FIRST under ascending sort — route them to bucket 0 so
+    # global ranks match a true global ascending sort.
+    bucket = F.when(F.col(lead).isNull(), F.lit(0)).otherwise(bucket)
     bucketed = df.withColumn(_BUCKET, bucket)
 
     local_w = Window.partitionBy(_BUCKET).orderBy(*order_cols)

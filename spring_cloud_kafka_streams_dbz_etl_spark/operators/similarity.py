@@ -860,8 +860,13 @@ def blocked_cosine_pairs(
         cos = acc[iu, ju] / (norms[iu] * norms[ju])
         # margin pre-filter only; the exact decision happens JVM-side on
         # the rounded value, identical to the expression form. ROUND(6)
-        # can lift a value by up to 5e-7, so the margin must exceed that
-        keep = cos >= threshold - 1e-6
+        # can lift a value by up to 5e-7, so the margin must exceed that.
+        # NaN-preserving (negated complement): a zero-norm vector yields
+        # cos = NaN, and Spark/DuckDB order NaN above every double, so
+        # the JVM-side >= threshold keeps such pairs — numpy's
+        # NaN >= x is False and would silently diverge from the
+        # expression form and the oracle.
+        keep = ~(cos < threshold - 1e-6)
         va, vb = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(va, vb), np.maximum(va, vb)
         return pd.DataFrame(

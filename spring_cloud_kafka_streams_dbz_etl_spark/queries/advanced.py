@@ -974,7 +974,12 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_weeks",
         )
     )
-    dists = series.select(
+    # Degenerate-horizon guard (ADVICE r6): when the whole corpus spans
+    # fewer than TS_L weeks there are NO length-L windows — the oracle's
+    # range(0, n_weeks - TS_L + 1) is empty and yields no rows. Without
+    # this filter F.sequence(0, negative) would DESCEND (Spark defaults
+    # step to -1 when start > stop) and error on element_at index <= 0.
+    dists = series.filter(F.col("n_weeks") >= F.lit(TS_L)).select(
         "sk",
         F.transform(
             F.sequence(F.lit(0), F.col("n_weeks") - TS_L),

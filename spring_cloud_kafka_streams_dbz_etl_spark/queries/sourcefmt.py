@@ -619,16 +619,27 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer aggregates keep the rollup engine-exact."""
     tune(spark)
     ev = table(spark, sf_dir, "events")
+    # Envelope hygiene (ADVICE r6): the meta half goes through
+    # to_json(struct(...)) so a quote/backslash in event_type is escaped
+    # and a NULL field is omitted (variant_get then yields NULL, exactly
+    # the oracle's json_extract-of-missing behavior) instead of nulling
+    # the whole concat; the payload half is coalesced to the JSON
+    # literal null so a NULL props keeps the envelope parseable; and
+    # try_parse_json degrades a malformed props row to a NULL variant
+    # (NULL extractions, NULL group) instead of failing the query.
     doc = F.concat(
-        F.lit('{"meta": {"type": "'),
-        F.col("event_type"),
-        F.lit('", "user": '),
-        F.col("user_id").cast("string"),
-        F.lit('}, "payload": '),
-        F.col("props"),
+        F.lit('{"meta": '),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("user_id").alias("user"),
+            )
+        ),
+        F.lit(', "payload": '),
+        F.coalesce(F.col("props"), F.lit("null")),
         F.lit("}"),
     )
-    v = F.parse_json(doc)
+    v = F.try_parse_json(doc)
     shredded = ev.select(
         F.variant_get(v, "$.meta.type", "string").alias("etype"),
         F.variant_get(v, "$.meta.user", "bigint").alias("usr"),

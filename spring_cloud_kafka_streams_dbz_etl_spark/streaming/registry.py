@@ -98,6 +98,13 @@ class StreamRegistry:
                     "the builder does not accept a starting_offsets kwarg"
                 )
             s.query = s.builder(starting_offsets=s.starting_offsets)
+            # One-shot: the map seeds exactly the fresh checkpoint created
+            # by the reset that set it. Once the restarted query commits,
+            # the checkpoint owns the position — re-passing the stale map
+            # on later plain start() calls would both impose the
+            # starting_offsets-kwarg requirement forever and contradict
+            # the committed offsets.
+            s.starting_offsets = None
         else:
             s.query = s.builder()
         s.history.append("started")
@@ -325,6 +332,11 @@ class StreamRegistry:
             s.starting_offsets = json.dumps(to)
         elif isinstance(to, int):
             self._truncate_logs(s.checkpoint, keep_through=to)
+            # a previously pending (never-consumed) partition map must not
+            # override the truncated checkpoint position
+            s.starting_offsets = None
+        else:  # 'latest': keep checkpoint; drop any pending map likewise
+            s.starting_offsets = None
         try:
             if was_running:
                 self.start(name)
