@@ -495,3 +495,117 @@ def test_stream_metrics_cumulative(spark, sf_smoke):
     reg.stop("main")
     m2 = reg.metrics("main")
     assert m2["running"] is False
+
+
+def test_window_topk_two_epoch_merge(spark, tmp_path):
+    """The bounded-state leaderboard's UPSERT path (VERDICT r06 #2):
+    two file-source micro-batches where some (window, user) groups get
+    events in BOTH epochs. Epoch 1's update-mode rows carry the NEW
+    cumulative totals, so the merge must replace epoch 0's stored rows
+    for those groups (left_anti + union), re-cut ONLY the touched
+    windows, and leave epoch-0-only windows' snapshots intact under the
+    dynamic partition overwrite. Final snapshot == batch top-k over all
+    events — the same claim the oracle makes on the single-batch
+    fixture, now proven across the merge."""
+    from pyspark.sql import Window
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.streaming import (
+        LEADERBOARD_K,
+        _topk_agg,
+        _topk_merge_and_cut,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.streams import (
+        EVENTS_FILE_SCHEMA,
+        stream_events,
+    )
+
+    def row(eid, h, m, uid, val):
+        import datetime
+
+        return (
+            eid,
+            datetime.datetime(2024, 3, 1, h, m),
+            uid,
+            "click",
+            val,
+            None,
+        )
+
+    # epoch 0: windows 10:00 and 11:00; 11:00 has K+1 users so the cut bites
+    file1 = [
+        row(1, 10, 5, 1, 10.0),
+        row(2, 10, 15, 2, 20.0),
+        row(3, 11, 5, 1, 1.0),
+        row(4, 11, 10, 2, 2.0),
+        row(5, 11, 20, 3, 3.0),
+        row(6, 11, 30, 4, 4.0),
+        row(7, 11, 40, 5, 5.0),
+        row(8, 11, 50, 6, 6.0),
+    ]
+    # epoch 1: window 11:00 again — users 1 and 6 accumulate (group
+    # straddles epochs: the upsert must REPLACE their epoch-0 totals),
+    # user 7 is new; window 12:00 is epoch-1-only; window 10:00 untouched
+    # (its epoch-0 snapshot must survive the dynamic overwrite).
+    file2 = [
+        row(9, 11, 55, 1, 100.0),
+        row(10, 11, 58, 6, 0.5),
+        row(11, 11, 59, 7, 7.0),
+        row(12, 12, 5, 1, 50.0),
+    ]
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for i, rows in ((1, file1), (2, file2)):
+        spark.createDataFrame(rows, EVENTS_FILE_SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            p
+            for p in os.listdir(str(tmp_path / f"stage{i}"))
+            if p.endswith(".parquet")
+        )
+        os.rename(
+            str(tmp_path / f"stage{i}" / part),
+            os.path.join(src, f"events{i}.parquet"),
+        )
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    ev = stream_events(spark, src, max_files_per_trigger=1).withWatermark(
+        "ts", "24 hours"
+    )
+    q = (
+        _topk_agg(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch(_topk_merge_and_cut(spark, store, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 1  # really two epochs
+    finally:
+        q.stop()
+    got = sorted(
+        (r["window_start"], r["user_id"], r["total_value_micros"], r["rank"])
+        for r in spark.read.parquet(out)
+        .select("window_start", "user_id", "total_value_micros", "rank")
+        .collect()
+    )
+    all_ev = spark.createDataFrame(file1 + file2, EVENTS_FILE_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value_micros").desc(), F.col("user_id").asc()
+    )
+    want = sorted(
+        (r["window_start"], r["user_id"], r["total_value_micros"], r["rank"])
+        for r in _topk_agg(all_ev)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= LEADERBOARD_K)
+        .collect()
+    )
+    assert got == want
+    # the straddling users' totals are the CUMULATIVE sums, not epoch-1's
+    by_user = {
+        (w.hour, u): t for (w, u, t, _r) in got
+    }
+    assert by_user[(11, 1)] == 101_000_000  # 1.0 + 100.0
+    assert by_user[(11, 6)] == 6_500_000  # 6.0 + 0.5
