@@ -138,12 +138,40 @@ _ROUND_5 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r06.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the 38 round-5 deferrals' first rows, the s_offset_reset
+# control-plane re-front, and the six Arrow-swap re-fronts (PQ trio,
+# blocked-cosine pair consumers, k-means), plus 5 fewest-checked
+# re-checks. 193/193 cumulative after this round.
+_ROUND_6 = frozenset(
+    {
+        'q_ann_ivfpq', 'q_ann_recall', 'q_anomaly_zscore',
+        'q_binary_source', 'q_boilerplate_phrases', 'q_cooccurrence',
+        'q_curation_near_dup', 'q_dataset_card', 'q_dq_quarantine',
+        'q_dup_hubs', 'q_embedding_cosine_dup', 'q_ewma',
+        'q_feature_hash', 'q_funnel', 'q_gap_fill', 'q_hop_distance',
+        'q_incremental_agg', 'q_kmeans_cells', 'q_knn_graph',
+        'q_media_frame_dedup', 'q_pagerank', 'q_pareto_frontier',
+        'q_perplexity_filter', 'q_pop_growth', 'q_pq_adc_topk',
+        'q_pq_encode', 'q_quantile_bins', 'q_range_bounds', 'q_rerank',
+        'q_reservoir_sample', 'q_retention_cohorts', 'q_rolling_window',
+        'q_running_distinct', 'q_salted_join', 'q_scd2_enrich',
+        'q_semantic_clusters', 'q_semantic_decontaminate',
+        'q_skew_diagnose', 'q_snapshot_diff', 'q_temperature_sample',
+        'q_term_drift', 'q_xml_source', 's_available_now',
+        's_cdc_multiplex', 's_chained_agg', 's_offset_reset',
+        's_python_sink', 's_python_source', 's_scd2_stream',
+        's_window_topk',
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
     3: _ROUND_3,
     4: _ROUND_4,
     5: _ROUND_5,
+    6: _ROUND_6,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -155,67 +183,37 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # VERDICT r05 after their last green row (none yet — q_quantile_bins and
 # q_rerank never had a green row, so they re-front as never-checked via
 # the cleared DEFERRED_NEW, not here).
+# Round 6's 7 entries (s_offset_reset + the six Arrow-swap consumers)
+# all re-verified green in r06 and are cleared. Round-7 entries: the
+# ADVICE-r6 / VERDICT-r6 fixes that touched plans with green r06 rows.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
-        # r6: StreamRegistry.start()/reset_offsets() gained the
-        # specific-offset (partition-map) branch for the Python source
-        # (VERDICT r05 #6) — additive, locally re-verified green, but the
-        # control-plane code this query drives changed after its r4 green
-        # row, so it re-fronts per the staleness policy
-        "s_offset_reset",
-        # r6: ADC scoring swapped from the inlined-literal expression
-        # tree to the Arrow mapInPandas LUT gather (measured 2.4-3.2x,
-        # tools/measure_adc.py) — bit-identical output and locally
-        # parity-green at both SFs, but both plans changed after their
-        # r5 green rows, so they re-front (displacing 2 of the 11
-        # oldest re-checks, not any never-checked query)
-        "q_pq_adc_topk",
-        "q_ann_ivfpq",
-        # r6: pq_encode swapped to the same Arrow form (value-identical,
-        # pinned row-for-row against pq_encode_expr in test_plans.py)
-        "q_pq_encode",
-        # r6: blocked cosine pair generation swapped to the per-cell
-        # Arrow rank-1 fold (17x measured, tools/measure_cosine_pairs.py;
-        # pinned row-for-row vs the join-HOF form) — both consumers of
-        # the pair lineage re-front
+        # r7: s_window_topk rebuilt in the bounded-state form (update
+        # mode + watermark + incremental merge-and-recut, VERDICT r06 #2)
+        "s_window_topk",
+        # r7: blocked_cosine_pairs' Arrow pre-filter made NaN-preserving
+        # (ADVICE r6 #1) — both consumers of the pair lineage
         "q_embedding_cosine_dup",
         "q_semantic_clusters",
-        # r6: k-means assignment swapped to the Arrow fold (same lesson;
-        # pinned end-to-end vs the JVM form, both Lloyd iterations)
-        "q_kmeans_cells",
+        # r7: global_rank now routes NULL lead values to bucket 0
+        # (ADVICE r6 #2) — both consumers of the rank operator
+        "q_quantile_bins",
+        "q_perplexity_filter",
+        # r7: StreamRegistry start()/reset_offsets() now clear a consumed
+        # or superseded partition-map reset (ADVICE r6 #3) — the query
+        # that drives that control plane
+        "s_offset_reset",
     }
 )
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 5's 38 deferrals are cleared — CHECKED_BY_ROUND[5] is recorded,
+# Round 6's 8 deferrals are cleared — CHECKED_BY_ROUND[6] is recorded,
 # so they sort to the front as zero-checked and earn their first driver
-# rows in round 6 (38 never-checked + s_offset_reset + the 3 re-fronted
-# PQ plans + 8 fewest-checked re-checks fill the 50-row window —
-# 193/193 cumulative after r06). Round-6 additions land here and front
-# round 7. R7 window math: record CHECKED_BY_ROUND[6] from
-# CORRECTNESS_r06.json, clear BOTH lists (the 3 PQ re-fronts should be
-# green in r06), and the 8 r6-built queries below front as zero-checked
-# alongside 42 fewest-checked re-checks — no deferral debt carries:
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        # r6: big-big interval overlap join via grid-cell bucketing
-        "q_interval_join",
-        # r6: cluster-level leakage-safe train/val/test split
-        "q_leakage_split",
-        # r6: minhash estimate-vs-exact-Jaccard audit
-        "q_minhash_est_audit",
-        # r6: deterministic global corpus shuffle
-        "q_corpus_shuffle",
-        # r6: cross-source duplication matrix
-        "q_dup_source_matrix",
-        # r6: time-series subsequence similarity search
-        "q_ts_similarity",
-        # r6: Spark 4 VARIANT semi-structured shredding
-        "q_variant_json",
-        # r6: CEP pattern-with-negation detection
-        "q_event_pattern",
-    }
-)
+# rows in round 7 (8 never-checked + the round-7 CHANGED_SINCE_CHECK
+# re-fronts + fewest-checked re-checks fill the 50-row window —
+# 201/201 cumulative after r07). Round-7 additions land here and front
+# round 8.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
