@@ -95,20 +95,24 @@ def main() -> None:
         timings[name] = sorted(ts)[len(ts) // 2]  # median
         spread[name] = [min(ts), max(ts)]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (batch relational + dedup + "
-                "similarity + streaming CDC pipeline), noop-sink materialization; "
-                f"median of {passes} interleaved passes per query",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    compact = {
+        "metric": "headline query wall time, noop-sink materialization; "
+        f"median of {passes} interleaved passes per query",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # The driver captures only a stdout TAIL: keep the printed line COMPACT
+    # (BENCH_r06.json came back parsed:null because the one huge line with
+    # per-pass spreads overflowed the capture and lost its head). The full
+    # payload — spread, raw per-pass timings — goes to bench_full.json.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump({**compact, "spread": spread, "raw": raw}, f, indent=1)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
