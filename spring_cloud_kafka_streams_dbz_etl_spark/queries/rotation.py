@@ -165,6 +165,33 @@ _ROUND_6 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r07.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the 8 round-6-built queries' first rows, all 6
+# CHANGED_SINCE_CHECK re-fronts (the five advisory-fix consumers plus
+# the rebuilt s_window_topk), and 36 fewest-checked re-checks.
+# 201/201 cumulative after this round — every registered query has a
+# green driver row.
+_ROUND_7 = frozenset(
+    {
+        'q_anomaly_zscore', 'q_compaction_plan', 'q_cooccurrence',
+        'q_corpus_shuffle', 'q_dataset_card', 'q_dup_source_matrix',
+        'q_embedding_cosine_dup', 'q_event_pattern', 'q_ewma',
+        'q_gap_fill', 'q_hop_distance', 'q_incremental_agg',
+        'q_interval_join', 'q_leakage_split', 'q_media_features',
+        'q_media_frame_dedup', 'q_media_resize', 'q_minhash_est_audit',
+        'q_pareto_frontier', 'q_perplexity_filter', 'q_pop_growth',
+        'q_quantile_bins', 'q_range_bounds', 'q_reservoir_sample',
+        'q_rolling_window', 'q_running_distinct', 'q_scd2_enrich',
+        'q_semantic_clusters', 'q_simhash_near_dup', 'q_skew_diagnose',
+        'q_snapshot_diff', 'q_substring_runs', 'q_temperature_sample',
+        'q_tpch_q1', 'q_tpch_q10', 'q_tpch_q14', 'q_tpch_q18',
+        'q_tpch_q19', 'q_tpch_q2', 'q_tpch_q3', 'q_tpch_q4', 'q_tpch_q5',
+        'q_tpch_q6', 'q_tpch_q7', 'q_tpch_q8', 'q_ts_similarity',
+        'q_variant_json', 'q_zone_map_skip', 's_offset_reset',
+        's_window_topk',
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -172,6 +199,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     4: _ROUND_4,
     5: _ROUND_5,
     6: _ROUND_6,
+    7: _ROUND_7,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -186,33 +214,30 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # Round 6's 7 entries (s_offset_reset + the six Arrow-swap consumers)
 # all re-verified green in r06 and are cleared. Round-7 entries: the
 # ADVICE-r6 / VERDICT-r6 fixes that touched plans with green r06 rows.
+# Round 7's 6 entries (s_window_topk + the five advisory-fix consumers)
+# all re-verified green in r07 and are cleared. Round-8 entries: plans
+# materially changed this round after their last green row.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
-        # r7: s_window_topk rebuilt in the bounded-state form (update
-        # mode + watermark + incremental merge-and-recut, VERDICT r06 #2)
+        # r8: _topk_merge_and_cut existing-store probe switched from a
+        # driver-local os.scandir to spark.read + AnalysisException
+        # (ADVICE r7 #1), and the touched-key isin literal replaced by a
+        # broadcast semi-join (VERDICT r7 ask #5)
         "s_window_topk",
-        # r7: blocked_cosine_pairs' Arrow pre-filter made NaN-preserving
-        # (ADVICE r6 #1) — both consumers of the pair lineage
-        "q_embedding_cosine_dup",
-        "q_semantic_clusters",
-        # r7: global_rank now routes NULL lead values to bucket 0
-        # (ADVICE r6 #2) — both consumers of the rank operator
-        "q_quantile_bins",
-        "q_perplexity_filter",
-        # r7: StreamRegistry start()/reset_offsets() now clear a consumed
-        # or superseded partition-map reset (ADVICE r6 #3) — the query
-        # that drives that control plane
-        "s_offset_reset",
+        # r8: envelope shreds etype/usr from the raw columns so a
+        # malformed props payload degrades k to NULL without regrouping
+        # the row (ADVICE r7 #2)
+        "q_variant_json",
     }
 )
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 6's 8 deferrals are cleared — CHECKED_BY_ROUND[6] is recorded,
-# so they sort to the front as zero-checked and earn their first driver
-# rows in round 7 (8 never-checked + the round-7 CHANGED_SINCE_CHECK
-# re-fronts + fewest-checked re-checks fill the 50-row window —
-# 201/201 cumulative after r07). Round-7 additions land here and front
-# round 8.
+# Round 7 added no queries, so this stayed empty into round 8. Round 8's
+# window is budgeted at round start as: the round's new queries
+# (zero-checked, front automatically), the 2 CHANGED_SINCE_CHECK
+# re-fronts, and fewest-checked re-checks (the r1/r2-era single-green
+# tail) to fill 50. Any query added after that budgeting lands here and
+# fronts round 9 instead.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 
