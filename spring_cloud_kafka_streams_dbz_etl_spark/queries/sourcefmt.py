@@ -602,13 +602,14 @@ GROUP BY etype
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics through Spark 4's native VARIANT type:
-    the raw JSON props column is wrapped into a nested envelope
-    ('{"meta": {...}, "payload": <props>}'), parsed ONCE with
-    parse_json into the binary variant encoding, and every field the
-    rollup needs comes out of typed variant_get path extractions —
-    schema-on-read without a fixed from_json schema, tolerant of
-    ragged/evolving payloads. The oracle extracts the same values with
-    DuckDB's JSON paths, proving the variant path is semantics-neutral.
+    the raw JSON props column is parsed ONCE with try_parse_json into
+    the binary variant encoding and the payload fields the rollup needs
+    come out of typed variant_get path extractions — schema-on-read
+    without a fixed from_json schema, tolerant of ragged/evolving
+    payloads. The typed envelope columns (event_type, user_id) shred
+    straight from the raw columns, so payload validity can never
+    regroup a row. The oracle extracts the same values with DuckDB's
+    JSON paths, proving the variant path is semantics-neutral.
 
     Scale: parse_json and variant_get are codegen'd JVM expressions —
     the parse + three typed gets run map-only at scan speed, then ONE
@@ -619,31 +620,18 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer aggregates keep the rollup engine-exact."""
     tune(spark)
     ev = table(spark, sf_dir, "events")
-    # Envelope hygiene (ADVICE r6): the meta half goes through
-    # to_json(struct(...)) so a quote/backslash in event_type is escaped
-    # and a NULL field is omitted (variant_get then yields NULL, exactly
-    # the oracle's json_extract-of-missing behavior) instead of nulling
-    # the whole concat; the payload half is coalesced to the JSON
-    # literal null so a NULL props keeps the envelope parseable; and
-    # try_parse_json degrades a malformed props row to a NULL variant
-    # (NULL extractions, NULL group) instead of failing the query.
-    doc = F.concat(
-        F.lit('{"meta": '),
-        F.to_json(
-            F.struct(
-                F.col("event_type").alias("type"),
-                F.col("user_id").alias("user"),
-            )
-        ),
-        F.lit(', "payload": '),
-        F.coalesce(F.col("props"), F.lit("null")),
-        F.lit("}"),
-    )
-    v = F.try_parse_json(doc)
+    # Grouping hygiene (ADVICE r7): etype/usr shred straight from the
+    # raw typed columns — only the props payload goes through
+    # try_parse_json, so a malformed payload degrades k to NULL on that
+    # row WITHOUT migrating the row into the NULL group (the oracle
+    # groups by the raw event_type regardless of props validity). The
+    # coalesce to the JSON literal null keeps a NULL props parseable as
+    # a NULL extraction rather than a parse failure.
+    v = F.try_parse_json(F.coalesce(F.col("props"), F.lit("null")))
     shredded = ev.select(
-        F.variant_get(v, "$.meta.type", "string").alias("etype"),
-        F.variant_get(v, "$.meta.user", "bigint").alias("usr"),
-        F.variant_get(v, "$.payload.k", "bigint").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("user_id").cast("bigint").alias("usr"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
     )
     return shredded.groupBy("etype").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1604,7 +1604,7 @@ def _topk_merge_and_cut(spark: SparkSession, store: str, out: str):
     )
 
     def merge_and_cut(batch: DataFrame, _epoch: int) -> None:
-        import os
+        from pyspark.errors import AnalysisException
 
         if batch.isEmpty():
             return
@@ -1614,15 +1614,23 @@ def _topk_merge_and_cut(spark: SparkSession, store: str, out: str):
         batch = batch.withColumn(
             "wkey", F.unix_micros(F.col("window_start").cast("timestamp"))
         )
-        touched = [
-            r["wkey"] for r in batch.select("wkey").distinct().collect()
-        ]  # |windows touched this epoch| — time-bounded, control-plane-sized
-        merged = batch
-        if os.path.isdir(store) and any(
-            e.name.startswith("wkey=") for e in os.scandir(store)
-        ):
-            existing = spark.read.parquet(store).filter(
-                F.col("wkey").isin(touched)
+        # |windows touched this epoch| — time-bounded; stays a DataFrame
+        # so the plan carries a broadcast semi-join, never an isin literal
+        # list that grows with |windows/epoch|
+        touched = batch.select("wkey").distinct()
+        # probe the store THROUGH Spark, not the driver's local
+        # filesystem: on an object store or HDFS the driver has no
+        # os.scandir view of the path, and a silent miss here would drop
+        # previously stored users from touched windows (ADVICE r7 #1)
+        try:
+            existing_all = spark.read.parquet(store)
+        except AnalysisException:
+            existing_all = None  # first epoch — store not created yet
+        if existing_all is not None:
+            # broadcast semi-join on the partition key: dynamic partition
+            # pruning restricts the scan to the touched wkey= directories
+            existing = existing_all.join(
+                F.broadcast(touched), "wkey", "left_semi"
             )
             # upsert: update-mode rows carry the NEW cumulative total for
             # their (window, user); keep only store rows the epoch did
@@ -1634,6 +1642,8 @@ def _topk_merge_and_cut(spark: SparkSession, store: str, out: str):
                 "left_anti",
             )
             merged = keep.select(*batch.columns).unionByName(batch)
+        else:
+            merged = batch
         # materialize (touched-partitions-sized) so the store write below
         # does not overwrite a path its own plan is reading, and the two
         # writes share one computation of the merge
@@ -1691,8 +1701,10 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon| — bounded by the lateness SLA (the delay), not the stream
     lifetime. Serving-store epoch work is |windows touched this epoch|
     partitions (time-bounded), each a partition-pruned read + rank over
-    that window's users; the driver-side `touched` collect is
-    |windows/epoch| rows, control-plane-sized. The delay is the
+    that window's users; the touched-window set stays distributed (a
+    broadcast semi-join on the partition key — no collect, no isin
+    literal), and the store probe goes through spark.read so any
+    Hadoop-compatible store path works. The delay is the
     lateness SLA: the fixture replays events in one file-source batch,
     so no event arrives later than the SLA and the snapshot is exact;
     a production feed that violates its SLA trades those drops for the
