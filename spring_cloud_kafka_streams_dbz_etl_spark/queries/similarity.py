@@ -966,3 +966,145 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _pq_recall_oracle() -> str:
+    from ..operators.similarity import PQ_DIM
+
+    m_count, _, sub, _ = _pq_consts()
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_pq_cb_sql()} AS CB
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    CROSS JOIN v c
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), dd AS (
+  SELECT vec_id, label, v, CB, {_pq_dd_sql()} AS dd FROM v
+), coded AS (
+  SELECT vec_id, label, CB,
+         list_transform(dd, d -> list_position(d, list_min(d)) - 1) AS codes
+  FROM dd
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, label, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    JOIN coded c ON q.label = c.label
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+)
+SELECT x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOPK}, 6) AS recall_at_k
+FROM exact x
+LEFT JOIN approx a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@query("q_ann_pq_recall", oracle=_pq_recall_oracle())
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ quality audit (VERDICT r07 #4): recall@{TOPK}
+    of the FUSED index — ADC distance over PQ codes restricted to each
+    probe's IVF cell, exactly q_ann_ivfpq's serving plan — against
+    exact squared-L2 search over the raw vectors, per probe. This
+    measures the two approximation losses JOINTLY (cell pruning can
+    drop a true neighbor that lives in another cell; quantization can
+    re-rank within the cell), which is the audit a real index build
+    runs before committing: q_ann_recall isolates the cell loss,
+    q_minhash_est_audit's analogue for vectors, and this closes the
+    last untrusted link in the ANN chain. Ground truth is squared L2 —
+    the metric ADC actually approximates — not cosine, so quantization
+    error is never masked by a metric mismatch.
+
+    Scale: the exact side is the established broadcast-probes map-only
+    scan (audits run on a probe SAMPLE, so the cross product is
+    |probes| x corpus, one pass); the approx side is q_ann_ivfpq's
+    partition-pruned Arrow ADC scan; the comparison is a per-probe
+    semi-match over 2x{TOPK} rows per probe — negligible. At 100 TB
+    this is the pre-commit index acceptance test: the corpus scans
+    once for truth, once (pruned, 32x compressed) for the index."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+
+    # exact ground truth in the served metric: squared L2, sequential
+    # ascending-d fold (matches DuckDB's list_sum order), rounded before
+    # ranking, ties by neighbor id — the repo's cross-engine rank recipe
+    q = probes.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
+    )
+    c = fan_out(e, spark).select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__cv"),
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    # the index under audit: q_ann_ivfpq's exact serving plan
+    probes_pd = probes.toPandas()
+    codes = pq_encode(fan_out(e, spark), keep_cols=("label",)).select(
+        "vec_id", "label", "pq_codes"
+    )
+    approx = pq_adc_topk(probes_pd, codes, k=TOPK, cell_col="label").select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor").cast("double") / TOPK, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

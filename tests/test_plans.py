@@ -1101,3 +1101,18 @@ def test_kmeans_assign_arrow_equals_expr(spark, sf_smoke):
     expr = kmeans_cells(e, use_arrow=False)
     assert arrow.exceptAll(expr).count() == 0
     assert expr.exceptAll(arrow).count() == 0
+
+
+def test_ann_pq_recall_exact_side_is_broadcast_map_only(spark, sf_smoke):
+    """The recall audit's ground-truth side must stay the broadcast-probes
+    map-only scan (BroadcastNestedLoopJoin, never a CartesianProduct or a
+    corpus shuffle) and its index side must stay the Arrow ADC scorer —
+    the audit may never get more expensive than one exact pass plus one
+    index pass."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_ann_pq_recall"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in text, text[:2000]
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "MapInPandas" in text, text[:2000]
