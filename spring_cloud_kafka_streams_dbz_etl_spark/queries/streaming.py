@@ -1627,11 +1627,18 @@ def _topk_merge_and_cut(spark: SparkSession, store: str, out: str):
         except AnalysisException:
             existing_all = None  # first epoch — store not created yet
         if existing_all is not None:
-            # broadcast semi-join on the partition key: dynamic partition
-            # pruning restricts the scan to the touched wkey= directories
-            existing = existing_all.join(
-                F.broadcast(touched), "wkey", "left_semi"
-            )
+            # static partition pruning needs literals (DPP does not fire
+            # for a semi-join against a filterless in-memory build side —
+            # measured, not assumed), but TWO suffice: windows touched in
+            # an epoch are time-clustered, so the [min, max] wkey band
+            # prunes the store scan to the recent time band regardless of
+            # how many windows the epoch touched, and the broadcast
+            # semi-join exactifies within it. The bounds collect is 2
+            # longs — constant-size, unlike the old |windows/epoch| isin.
+            lo, hi = batch.agg(F.min("wkey"), F.max("wkey")).first()
+            existing = existing_all.filter(
+                (F.col("wkey") >= lo) & (F.col("wkey") <= hi)
+            ).join(F.broadcast(touched), "wkey", "left_semi")
             # upsert: update-mode rows carry the NEW cumulative total for
             # their (window, user); keep only store rows the epoch did
             # not update. Replayed epochs re-apply the same totals —
@@ -1702,8 +1709,9 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime. Serving-store epoch work is |windows touched this epoch|
     partitions (time-bounded), each a partition-pruned read + rank over
     that window's users; the touched-window set stays distributed (a
-    broadcast semi-join on the partition key — no collect, no isin
-    literal), and the store probe goes through spark.read so any
+    two-literal time-band partition filter for static pruning plus a
+    broadcast semi-join for exactness — never an isin literal list),
+    and the store probe goes through spark.read so any
     Hadoop-compatible store path works. The delay is the
     lateness SLA: the fixture replays events in one file-source batch,
     so no event arrives later than the SLA and the snapshot is exact;
