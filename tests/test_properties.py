@@ -983,3 +983,47 @@ def test_corpus_shuffle_invariant_to_partitioning(spark, sf_smoke):
     finally:
         cat.table = orig
     assert base == again
+
+
+# -- distributed exact global rank ------------------------------------------
+
+rank_values = st.lists(
+    st.one_of(
+        st.none(),  # NULL leads must rank FIRST (the r7 bucket-0 fix)
+        st.integers(min_value=-5, max_value=5),  # heavy duplicate mass
+        st.integers(min_value=-(10**6), max_value=10**6),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(values=rank_values, n_buckets=st.sampled_from([1, 2, 4, 32]))
+@settings(**SETTINGS)
+def test_global_rank_equals_single_sort(spark, values, n_buckets):
+    """global_rank's invariant on arbitrary data and ANY bucket count:
+    (rank, total) per row must equal the single-partition
+    Window.orderBy row_number it replaces — including NULL leads
+    (NULLS FIRST under ascending sort), duplicate-heavy distributions
+    (equal keys may never straddle a bucket boundary), and the
+    degenerate 1-bucket case. The sketch accuracy knob may only affect
+    bucket BALANCE, never ranks."""
+    from pyspark.sql import Window as W
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    got = {
+        r["id"]: (r["rank"], r["total"])
+        for r in global_rank(df, ["v", "id"], n_buckets=n_buckets).collect()
+    }
+    w = W.orderBy(F.col("v").asc(), F.col("id").asc())  # asc = NULLS FIRST
+    exp = {
+        r["id"]: (r["rank"], len(values))
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == exp
