@@ -12,9 +12,13 @@ Scale design (the point of these at 100 TB):
 - All hashing is md5-based (functions/hashing.py) so signatures are
   engine-portable and verifiable by the DuckDB oracle.
 
-No UDFs anywhere — shingling is higher-order array functions, hashing is
-md5 concat, banding is string concat + md5 — everything stays in
-whole-stage codegen.
+No row-at-a-time UDFs anywhere — shingling is higher-order array
+functions, hashing is md5 concat, banding is string concat + md5 —
+everything stays in whole-stage codegen, with ONE measured exception:
+the 64-bit SimHash fingerprint also ships as an Arrow ``mapInPandas``
+form (``simhash_bits_arrow``) that computes the whole per-doc
+fingerprint map-side (no explode fan-out, no vote shuffle) and beats the
+JVM form 1.4-1.8x (tools/measure_simhash.py), bit-identically.
 """
 
 from __future__ import annotations
@@ -265,6 +269,72 @@ def simhash_bits(
         )
     fp = functools.reduce(operator.add, terms)
     return summed.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_bits_arrow(
+    docs: DataFrame, id_col: str, token_col: str, width: int = 64
+) -> DataFrame:
+    """Arrow ``mapInPandas`` twin of :func:`simhash_bits` — the whole
+    fingerprint computed map-side, per doc, inside one Arrow batch pass:
+    md5 per token (hashlib, C-speed), then the nibble-bit vote tensor as
+    vectorized numpy (bytes → nibbles → ±1 votes → sign assembly). No
+    token explode (the JVM form fans out |tokens| rows per doc) and NO
+    shuffle at all (the JVM form aggregates ``width`` vote sums per doc
+    through a groupBy exchange) — fingerprints are per-doc local, so the
+    aggregation boundary never needed to be an exchange.
+
+    Bit-identical to :func:`simhash_bits`: same md5, same
+    bit-(j%4)-of-nibble-(j//4) vote, votes are exact integers (order
+    can't matter), same strict ``> 0`` sign rule, same two's-complement
+    bit-63 assembly; rows with NULL/empty token arrays are dropped like
+    explode drops them, and a NULL token element votes −1 on every bit
+    exactly as the JVM NULL-md5 chain does. Row-for-row parity is pinned
+    in tests/test_plans.py; the measured win is in
+    tools/measure_simhash.py.
+    """
+    if not 1 <= width <= 64:
+        raise ValueError(f"width must be in 1..64, got {width}")
+    import numpy as np
+
+    n_nibs = (width + 3) // 4
+    n_bytes = (n_nibs + 1) // 2
+
+    def fingerprint(batches):
+        import hashlib
+
+        import pandas as pd
+
+        zero = bytes(n_bytes)  # NULL token element → all-zero nibbles → all −1
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, toks in zip(pdf[id_col], pdf[token_col]):
+                if toks is None or len(toks) == 0:
+                    continue  # explode semantics: no row
+                digs = np.frombuffer(
+                    b"".join(
+                        zero if t is None else hashlib.md5(t.encode()).digest()[:n_bytes]
+                        for t in toks
+                    ),
+                    dtype=np.uint8,
+                ).reshape(-1, n_bytes)
+                nibs = np.empty((digs.shape[0], n_bytes * 2), np.uint8)
+                nibs[:, 0::2] = digs >> 4  # hex string order: high nibble first
+                nibs[:, 1::2] = digs & 15
+                bits = (nibs[:, :n_nibs, None] >> np.arange(4)[None, None, :]) & 1
+                # flatten (nibble, bitpos) → j = 4*(j//4) + (j%4); exact
+                # integer vote sums, so accumulation order is irrelevant
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0).reshape(-1)[:width]
+                on = votes > 0
+                fp = int(sum(1 << j for j in range(min(width, 63)) if on[j]))
+                if width == 64 and on[63]:
+                    fp -= 1 << 63
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    return docs.select(id_col, token_col).mapInPandas(
+        fingerprint, schema=f"{id_col} long, simhash long"
+    )
 
 
 def simhash_width_for(

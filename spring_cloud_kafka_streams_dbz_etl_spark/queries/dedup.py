@@ -565,15 +565,25 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width from corpus size exactly like ``lsh_bits_for`` (1e6 docs → 40
     bits, 1e9 → 64). The r04 4-bit-block variant (64 buckets total,
     degenerating toward all-pairs/64) is retired — VERDICT r04 "What's
-    wrong" #1."""
-    from ..operators.dedup import simhash_bits
+    wrong" #1.
+
+    The fingerprint runs as the Arrow map-side form
+    (``simhash_bits_arrow``): measured 1.4-1.8x over the JVM
+    explode+64-vote-agg twin with the gap widening in corpus size
+    (tools/measure_simhash.py), bit-identical fingerprints — the vote
+    sums are exact integers, so Arrow batch order can't matter, and the
+    sign/assembly rules are shared. The JVM form stays as
+    ``simhash_bits``, parity-pinned in tests/test_plans.py."""
+    from ..operators.dedup import simhash_bits_arrow
 
     tune(spark)
     d = table(spark, sf_dir, "documents")
     docs = fan_out(d, spark).select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    fp = cache_scoped(simhash_bits(docs, "doc_id", "toks", width=SIMHASH64_WIDTH))
+    fp = cache_scoped(
+        simhash_bits_arrow(docs, "doc_id", "toks", width=SIMHASH64_WIDTH)
+    )
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = fp.select(
         "doc_id",

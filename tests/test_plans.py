@@ -1116,3 +1116,42 @@ def test_ann_pq_recall_exact_side_is_broadcast_map_only(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in text, text[:2000]
     assert "CartesianProduct" not in text, text[:2000]
     assert "MapInPandas" in text, text[:2000]
+
+
+def test_simhash_arrow_equals_jvm_form(spark, sf_smoke):
+    """The registered Arrow SimHash fingerprint must agree with the
+    retained JVM explode+vote-agg form row-for-row — the bit-identical
+    guarantee the r8 swap rests on — including empty/NULL token arrays
+    (dropped, explode semantics) and NULL token elements (all-bits −1
+    vote, the JVM NULL-md5 chain) — and must plan with ZERO exchanges
+    (the fingerprint is per-doc local; the JVM form's groupBy never
+    needed to be a shuffle)."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        simhash_bits,
+        simhash_bits_arrow,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    d = table(spark, sf_smoke, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, []),
+            (100002, None),
+            (100003, ["alpha", None, "beta"]),
+            (100004, [None]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    d = d.unionByName(edge)
+    for width in (64, 40):
+        a = simhash_bits_arrow(d, "doc_id", "toks", width=width)
+        j = simhash_bits(d, "doc_id", "toks", width=width)
+        assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0, width
+    assert "Exchange" not in explain_str(
+        simhash_bits_arrow(d, "doc_id", "toks")
+    )
