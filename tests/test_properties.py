@@ -487,10 +487,15 @@ def test_simhash_bits_matches_python_model(spark):
             fp += -(1 << 63)
         return fp
 
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        simhash_bits_arrow,
+    )
+
     df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
-    got = {r.doc_id: r.simhash for r in simhash_bits(df, "doc_id", "toks").collect()}
-    for doc_id, toks in docs:
-        assert got[doc_id] == model(toks), doc_id
+    for op in (simhash_bits, simhash_bits_arrow):
+        got = {r.doc_id: r.simhash for r in op(df, "doc_id", "toks").collect()}
+        for doc_id, toks in docs:
+            assert got[doc_id] == model(toks), (op.__name__, doc_id)
 
 
 @settings(deadline=None, max_examples=8, suppress_health_check=[HealthCheck.function_scoped_fixture], derandomize=True)
