@@ -531,7 +531,8 @@ def test_window_topk_two_epoch_merge(spark, tmp_path):
             None,
         )
 
-    # epoch 0: windows 10:00 and 11:00; 11:00 has K+1 users so the cut bites
+    # epoch 0: windows 10:00, 11:00, 12:00; 11:00 has K+1 users so the
+    # cut bites
     file1 = [
         row(1, 10, 5, 1, 10.0),
         row(2, 10, 15, 2, 20.0),
@@ -541,16 +542,20 @@ def test_window_topk_two_epoch_merge(spark, tmp_path):
         row(6, 11, 30, 4, 4.0),
         row(7, 11, 40, 5, 5.0),
         row(8, 11, 50, 6, 6.0),
+        row(20, 12, 10, 8, 8.0),
     ]
     # epoch 1: window 11:00 again — users 1 and 6 accumulate (group
     # straddles epochs: the upsert must REPLACE their epoch-0 totals),
-    # user 7 is new; window 12:00 is epoch-1-only; window 10:00 untouched
-    # (its epoch-0 snapshot must survive the dynamic overwrite).
+    # user 7 is new; window 13:00 is epoch-1-only. Epoch 1's touched set
+    # is {11:00, 13:00}, so its [min, max] wkey band covers 12:00:
+    # window 10:00 (outside the band) AND window 12:00 (INSIDE the band
+    # but untouched — the r8 band-filter edge) must both survive the
+    # dynamic overwrite with their epoch-0 snapshots intact.
     file2 = [
         row(9, 11, 55, 1, 100.0),
         row(10, 11, 58, 6, 0.5),
         row(11, 11, 59, 7, 7.0),
-        row(12, 12, 5, 1, 50.0),
+        row(12, 13, 5, 1, 50.0),
     ]
     src = str(tmp_path / "ev")
     os.makedirs(src)
@@ -609,3 +614,6 @@ def test_window_topk_two_epoch_merge(spark, tmp_path):
     }
     assert by_user[(11, 1)] == 101_000_000  # 1.0 + 100.0
     assert by_user[(11, 6)] == 6_500_000  # 6.0 + 0.5
+    # in-band-but-untouched window 12:00 preserved (r8 band-filter edge)
+    assert by_user[(12, 8)] == 8_000_000
+    assert by_user[(10, 2)] == 20_000_000  # outside-band window preserved
