@@ -46,7 +46,13 @@ def global_rank(
     total order given by ``order_cols`` (which must be unique per row —
     include a key as the final tiebreak), without a single-partition
     sort. ``order_cols[0]`` must be numeric (it feeds the
-    approx_percentile boundary sketch)."""
+    approx_percentile boundary sketch).
+
+    The input is consumed THREE times (boundary sketch, local rank,
+    bucket counts): callers whose ``df`` sits on an expensive lineage
+    should persist it first — it is one row per ranked entity, so the
+    cache is small (q_perplexity_filter measured 3.35 s → 2.7 s from
+    exactly this)."""
     lead = order_cols[0]
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
