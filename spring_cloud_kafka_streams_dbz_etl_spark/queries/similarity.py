@@ -1039,6 +1039,14 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric ADC actually approximates — not cosine, so quantization
     error is never masked by a metric mismatch.
 
+    On the driver fixture the audit reports recall ≈ 0.0-0.1 — that is
+    the audit WORKING, not failing: the fixture's `label` column is an
+    arbitrary class label, not a learned partition, so true L2
+    neighbors rarely share a cell and cell routing loses them. A real
+    build uses q_kmeans_cells' trained cells, re-runs this audit, and
+    only commits the index when recall clears its SLA — exactly the
+    accept/reject decision this query exists to make.
+
     Scale: the exact side is the established broadcast-probes map-only
     scan (audits run on a probe SAMPLE, so the cross product is
     |probes| x corpus, one pass); the approx side is q_ann_ivfpq's
