@@ -617,3 +617,87 @@ def test_window_topk_two_epoch_merge(spark, tmp_path):
     # in-band-but-untouched window 12:00 preserved (r8 band-filter edge)
     assert by_user[(12, 8)] == 8_000_000
     assert by_user[(10, 2)] == 20_000_000  # outside-band window preserved
+
+
+def test_window_topk_checkpoint_restart(spark, tmp_path):
+    """The serving store's exactly-once claim across a STOP/RESTART:
+    epoch 0 runs in one query, the query stops, file 2 lands, and a NEW
+    query resumes from the same checkpoint. The restarted query's first
+    batch must upsert against the store the first run wrote (the
+    spark.read probe path), replace the straddling user's total with
+    the cumulative sum, and leave the pre-restart-only window intact —
+    the snapshot must be indistinguishable from an unbroken run."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.streaming import (
+        LEADERBOARD_K,
+        _topk_agg,
+        _topk_merge_and_cut,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.streams import (
+        EVENTS_FILE_SCHEMA,
+        stream_events,
+    )
+
+    def row(eid, h, m, uid, val):
+        return (eid, datetime.datetime(2024, 3, 1, h, m), uid, "click", val, None)
+
+    file1 = [row(1, 9, 5, 1, 10.0), row(2, 9, 15, 2, 20.0), row(3, 10, 5, 1, 1.0)]
+    file2 = [row(4, 10, 30, 1, 5.0), row(5, 10, 40, 3, 3.0)]
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(i, rows):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, EVENTS_FILE_SCHEMA).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = next(p for p in os.listdir(str(stage)) if p.endswith(".parquet"))
+        os.rename(str(stage / part), os.path.join(src, f"events{i}.parquet"))
+
+    def run_until_quiet():
+        ev = stream_events(spark, src).withWatermark("ts", "24 hours")
+        q = (
+            _topk_agg(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(_topk_merge_and_cut(spark, store, out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land(1, file1)
+    run_until_quiet()  # first lifecycle: store/out seeded from epoch 0
+    land(2, file2)
+    run_until_quiet()  # restart from the SAME checkpoint
+
+    got = sorted(
+        (r["window_start"], r["user_id"], r["total_value_micros"], r["rank"])
+        for r in spark.read.parquet(out)
+        .select("window_start", "user_id", "total_value_micros", "rank")
+        .collect()
+    )
+    all_ev = spark.createDataFrame(file1 + file2, EVENTS_FILE_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value_micros").desc(), F.col("user_id").asc()
+    )
+    want = sorted(
+        (r["window_start"], r["user_id"], r["total_value_micros"], r["rank"])
+        for r in _topk_agg(all_ev)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= LEADERBOARD_K)
+        .collect()
+    )
+    assert got == want
+    by_user = {(w.hour, u): t for (w, u, t, _r) in got}
+    assert by_user[(10, 1)] == 6_000_000  # 1.0 pre-restart + 5.0 post
+    assert by_user[(9, 1)] == 10_000_000  # pre-restart-only window intact
