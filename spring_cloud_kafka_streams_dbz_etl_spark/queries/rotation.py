@@ -245,7 +245,13 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # re-fronts, and fewest-checked re-checks (the r1/r2-era single-green
 # tail) to fill 50. Any query added after that budgeting lands here and
 # fronts round 9 instead.
-DEFERRED_NEW: frozenset[str] = frozenset()
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {
+        # r8, added after the window was budgeted: hard-negative mining
+        # for contrastive training — defers to the round-9 window
+        "q_hard_negatives",
+    }
+)
 
 
 def times_checked(name: str) -> int:

@@ -1116,3 +1116,81 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+NEG_K = 5  # hard negatives mined per probe
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cos_sim, neg_rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='c.v')} AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {_COS.format(a='q.v', b='c.v')} DESC, c.vec_id ASC)
+           AS BIGINT) AS neg_rank
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < {N_PROBE_QUERIES}
+    AND q.vec_id <> c.vec_id
+    AND q.label <> c.label
+    AND {_COS.format(a='q.v', b='c.v')} < {COSINE_DUP_MIN})
+WHERE neg_rank <= {NEG_K}
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    probe, the {NEG_K} highest-cosine documents that are (a) a
+    DIFFERENT label (same-class neighbors are presumed positives) and
+    (b) below the near-dup threshold {COSINE_DUP_MIN} (an undetected
+    near-duplicate labeled "negative" poisons the loss — the
+    false-negative failure every retrieval-training pipeline guards
+    against). What survives is exactly the "closest confusable
+    other-class doc" band that makes triplet/InfoNCE losses learn.
+
+    Scale: scoring is the established broadcast-probes map-only scan
+    (probes are the training batch — small by construction), the two
+    exclusions ride the same scan as codegen'd predicates before the
+    tiny per-probe top-k window, so mining costs ONE corpus pass per
+    batch with nothing shuffled but the k survivors. At 100 TB the
+    corpus pass swaps for the IVF-PQ shortlist (q_ann_ivfpq) probed
+    deeper than k and the same exclusion+rank applies to the shortlist
+    — the plan shape here IS that reranker."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_PROBE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__ql"),
+        to_double(F.col("embedding")).alias("__qv"),
+    )
+    c = fan_out(e, spark).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("__cl"),
+        to_double(F.col("embedding")).alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("__ql") != F.col("__cl"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < COSINE_DUP_MIN)
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+    )
