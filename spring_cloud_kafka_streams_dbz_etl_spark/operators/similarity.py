@@ -862,10 +862,15 @@ def blocked_cosine_pairs(
         # the rounded value, identical to the expression form. ROUND(6)
         # can lift a value by up to 5e-7, so the margin must exceed that.
         # NaN-preserving (negated complement): a zero-norm vector yields
-        # cos = NaN, and Spark/DuckDB order NaN above every double, so
-        # the JVM-side >= threshold keeps such pairs — numpy's
-        # NaN >= x is False and would silently diverge from the
-        # expression form and the oracle.
+        # cos = NaN here, which the Arrow handoff converts to NULL
+        # (pandas float NaN is the missing-value sentinel), so the
+        # JVM-side >= threshold DROPS such pairs — exactly what the
+        # DuckDB oracle does (x / 0.0 is NULL there, and NULL fails the
+        # WHERE). Deep-fuzzed in tools/deep_fuzz.py::fuzz_blocked_cosine
+        # and pinned in tests/test_zero_norm_cosine.py. Dropping is also
+        # the sane scale semantics: a NaN that compared high (Spark
+        # orders NaN above every double) would pair one zero embedding
+        # with the entire cell.
         keep = ~(cos < threshold - 1e-6)
         va, vb = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(va, vb), np.maximum(va, vb)

@@ -12,6 +12,12 @@ Covered (operator → invariant):
                         duplicates, any bucket count)
 - simhash_bits_arrow == simhash_bits row-for-row on random token corpora
 - interval_overlap   grid-cell join == quadratic bruteforce
+- pq_encode/adc      Arrow forms == retained JVM expression twins across
+                        random (subspaces, k, dim) with forced ties
+- blocked_cosine     per-cell Arrow fold == join-HOF form, incl. the
+                        zero-norm NULL-drop path
+- kmeans_cells       use_arrow=True == False end-to-end (ties via
+                        duplicate/grid vectors)
 
 Run: python tools/deep_fuzz.py [EXAMPLES]   (default 60 per invariant)
 """
@@ -137,6 +143,141 @@ def fuzz_interval_overlap(spark) -> None:
     print(f"interval_overlap: {N // 3} cases OK")
 
 
+def _random_vec(dim: int) -> list[float]:
+    """Corpus-shaped components in [-0.5, 0.5); occasionally degenerate
+    (all-zero → zero norm, or tiny integer grid → exact distance ties)."""
+    roll = rng.random()
+    if roll < 0.08:
+        return [0.0] * dim
+    if roll < 0.30:
+        return [rng.randint(-2, 2) / 4.0 for _ in range(dim)]
+    return [rng.random() - 0.5 for _ in range(dim)]
+
+
+def fuzz_pq_twins(spark) -> None:
+    """pq_encode / pq_adc_topk (Arrow, registered) == their retained JVM
+    expression forms on random corpora and random (subspaces, k, dim) —
+    the fixture tests pin one shape; this walks the parameter space and
+    forces duplicate/zero vectors so the argmin-first tie-break and the
+    ascending-m fold actually get exercised."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_expr,
+        pq_encode,
+        pq_encode_expr,
+    )
+
+    for i in range(max(1, N // 6)):
+        subspaces = rng.choice([2, 4])
+        dim = subspaces * rng.choice([2, 4])
+        k_codes = rng.choice([4, 8])
+        n = rng.randint(k_codes, 120)
+        vecs = [_random_vec(dim) for _ in range(n)]
+        for _ in range(rng.randint(0, n // 4)):  # exact duplicates → ties
+            vecs[rng.randrange(n)] = list(rng.choice(vecs))
+        rows = [(j, j % 3, v) for j, v in enumerate(vecs)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>"
+        )
+        kw = dict(subspaces=subspaces, k=k_codes, dim=dim, keep_cols=("label",))
+        a = pq_encode(df, **kw)
+        j = pq_encode_expr(df, **kw)
+        assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0, (
+            SEED, i, "pq_encode", subspaces, k_codes, dim, n,
+        )
+        probes = df.filter(F.col("vec_id") < 3).toPandas()
+        codes = a.select("vec_id", "label", "pq_codes")
+        adc_kw = dict(k=5, subspaces=subspaces, n_codes=k_codes, dim=dim)
+        for cell in (None, "label"):
+            x = pq_adc_topk(probes, codes, cell_col=cell, **adc_kw)
+            y = pq_adc_topk_expr(probes, codes, cell_col=cell, **adc_kw)
+            assert (
+                x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+            ), (SEED, i, "pq_adc", cell, subspaces, k_codes, dim, n)
+    print(f"pq twins: {max(1, N // 6)} cases OK")
+
+
+def fuzz_blocked_cosine(spark) -> None:
+    """blocked_cosine_pairs (per-cell Arrow rank-1 fold) == the join-HOF
+    form it replaced, on random cells with forced zero-norm vectors.
+    Zero-norm pairs must be DROPPED on both sides: the Arrow handoff
+    turns numpy NaN into NULL (this fuzzer is what first caught that —
+    the docstring used to claim the pairs were kept as NaN), and the
+    DuckDB oracle's x/0.0 is NULL, so NULL-drop is the pinned
+    contract (tests/test_zero_norm_cosine.py)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.functions.vector import (
+        dot,
+        l2_norm,
+        to_double,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    def null_cosine(a, b):
+        # The bare cosine() twin throws DIVIDE_BY_ZERO under ANSI for a
+        # zero-norm vector; the operator's actual semantics (pinned in
+        # tests/test_zero_norm_cosine.py) yield NULL there — numpy NaN
+        # becomes NULL across the Arrow handoff — and the JVM-side >=
+        # then DROPS the pair, same as the DuckDB oracle's x/0.0→NULL.
+        # Model that: a lazy CASE whose zero-denominator branch is NULL.
+        denom = l2_norm(a) * l2_norm(b)
+        return F.when(denom != 0, F.round(dot(a, b) / denom, 6))
+
+    for i in range(max(1, N // 6)):
+        dim = rng.choice([3, 8])
+        n = rng.randint(2, 80)
+        rows = [(j, rng.randint(0, 2), _random_vec(dim)) for j in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>"
+        ).select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        thr = rng.choice([-0.5, 0.0, 0.35, 0.9])
+        arrow = blocked_cosine_pairs(df, threshold=thr).select(
+            "vec_a", "vec_b", "label", "cos_sim"
+        )
+        a = df.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+        b = df.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+        join_form = (
+            a.join(b, "label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b", "label",
+                null_cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= thr)
+        )
+        assert (
+            arrow.exceptAll(join_form).count() == 0
+            and join_form.exceptAll(arrow).count() == 0
+        ), (SEED, i, thr, dim, n)
+    print(f"blocked cosine twins: {max(1, N // 6)} cases OK")
+
+
+def fuzz_kmeans_twins(spark) -> None:
+    """kmeans_cells(use_arrow=True) == use_arrow=False end-to-end (both
+    Lloyd iterations and the final assignment) on random corpora —
+    duplicates and grid-valued vectors force equidistant-centroid ties
+    through the smaller-cell argmin rule."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        kmeans_cells,
+    )
+
+    for i in range(max(1, N // 12)):
+        dim = rng.choice([4, 8])
+        k = rng.choice([2, 4])
+        n = rng.randint(k, 60)
+        vecs = [_random_vec(dim) for _ in range(n)]
+        rows = [(j, v) for j, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kw = dict(k=k, iters=2, dim=dim)
+        a = kmeans_cells(df, use_arrow=True, **kw)
+        j = kmeans_cells(df, use_arrow=False, **kw)
+        assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0, (
+            SEED, i, k, dim, n,
+        )
+    print(f"kmeans twins: {max(1, N // 12)} cases OK")
+
+
 def main() -> None:
     spark = get_spark("deep-fuzz", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,6 +285,9 @@ def main() -> None:
     fuzz_global_rank(spark)
     fuzz_simhash_twins(spark)
     fuzz_interval_overlap(spark)
+    fuzz_pq_twins(spark)
+    fuzz_blocked_cosine(spark)
+    fuzz_kmeans_twins(spark)
     print("deep fuzz: ALL OK")
 
 
