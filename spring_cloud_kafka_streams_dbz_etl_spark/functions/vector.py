@@ -38,6 +38,28 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """Division that yields NULL (not a job abort) on a zero denominator.
+
+    Spark 4 runs ANSI mode by default, where ``x / 0`` THROWS
+    ``DIVIDE_BY_ZERO`` and kills the whole job — one zero-norm embedding
+    or one empty document in a 100 TB corpus would abort the run. DuckDB
+    (the oracle) returns NULL for ``x / 0.0`` instead, and NULL then
+    fails every ``>=``/rank predicate, silently dropping the degenerate
+    row. ``try_divide`` reproduces exactly that: NULL on zero denominator,
+    bit-identical IEEE division otherwise, still whole-stage-codegen.
+    Use it for every DATA-DEPENDENT denominator (norms, token counts,
+    stddevs); keep plain ``/`` for structurally nonzero ones (literals,
+    ``COUNT(*)`` of a grouped row set). Pinned in
+    tests/test_dirty_data.py; see SCALE.md anti-pattern #4.
+    """
+    return F.try_divide(num, den)
+
+
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
-    """Rounded cosine similarity (decision-stable across engines)."""
-    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), decimals)
+    """Rounded cosine similarity (decision-stable across engines).
+
+    NULL on a zero-norm input — the DuckDB oracle's x/0.0 behavior —
+    rather than the ANSI DIVIDE_BY_ZERO job abort (see :func:`safe_div`).
+    """
+    return F.round(safe_div(dot(a, b), l2_norm(a) * l2_norm(b)), decimals)

@@ -134,6 +134,13 @@ def jaccard(sa: F.Column, sb: F.Column) -> F.Column:
 
     DuckDB twin: ``len(list_intersect(a,b)) /
     len(list_distinct(list_concat(a,b)))``.
+
+    Zero-denominator audit (ANSI `/` aborts a job on x/0 — see
+    functions/vector.py::safe_div): structurally unreachable here. A
+    union can only be empty if BOTH arrays are empty, and every call
+    site pairs docs via a shared band/shingle key — a doc with zero
+    shingles has a NULL minhash signature and never joins. Plain `/`
+    keeps the candidate-verify plans byte-stable.
     """
     return F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
 

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, to_double
+from ..functions.vector import cosine, safe_div, to_double
 
 
 def brute_force_topk(
@@ -174,9 +174,13 @@ def hyperplane_lsh_pairs(
             lambda acc, x: acc + x,
         )
 
+    # safe_div: a zero-norm vector must NULL the cosine (DuckDB's x/0.0)
+    # instead of aborting the job under ANSI — see functions/vector.py
     cos = F.round(
-        pair_dot("iv_a", "iv_b")
-        / (F.sqrt(pair_dot("iv_a", "iv_a")) * F.sqrt(pair_dot("iv_b", "iv_b"))),
+        safe_div(
+            pair_dot("iv_a", "iv_b").cast("double"),
+            F.sqrt(pair_dot("iv_a", "iv_a")) * F.sqrt(pair_dot("iv_b", "iv_b")),
+        ),
         6,
     )
     return (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.scalars import dec_sum
+from ..functions.vector import safe_div
 from ..session import tune
 from . import query
 
@@ -124,7 +125,12 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     sx, sy, sxx, syy, sxy = (F.col(c) for c in ["sx", "sy", "sxx", "syy", "sxy"])
-    var_y = (syy - sy * sy / n) / (n - 1)
+    # safe_div where dirty data can zero the denominator: a single-row
+    # group makes n-1 = 0 (sample variance undefined) and a constant
+    # series makes sdx*sdy = 0 (corr undefined). ANSI `/` would abort
+    # the whole job; DuckDB's x/0 is NULL, and safe_div matches it —
+    # bit-identical division wherever the denominator is nonzero.
+    var_y = safe_div(syy - sy * sy / n, n - 1)
     cov = (sxy - sx * sy / n) / n
     sdx = F.sqrt((sxx - sx * sx / n) / n)
     sdy = F.sqrt((syy - sy * sy / n) / n)
@@ -133,7 +139,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         (sy / n).alias("mean_price"),
         F.round(F.sqrt(var_y), 6).alias("stddev_price"),
-        F.round(cov / (sdx * sdy), 9).alias("corr_qty_price"),
+        F.round(safe_div(cov, sdx * sdy), 9).alias("corr_qty_price"),
     )
 
 

@@ -235,6 +235,25 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # r8: scores frame persisted ahead of global_rank's three
         # consumers (3.35 s → 2.7 s isolated median); values unchanged
         "q_perplexity_filter",
+        # r8 safe_div sweep (SCALE.md anti-pattern #4): every
+        # data-dependent denominator swapped to try_divide so dirty data
+        # NULLs like the DuckDB oracle instead of aborting under ANSI —
+        # bit-identical division wherever the denominator is nonzero,
+        # dirty-fixture parity pinned in tests/test_dirty_data.py.
+        # cosine() consumers:
+        "q_cosine_topk",
+        "q_ann_ivf",
+        "q_rerank",
+        "q_ann_recall",
+        "q_triangle_count",
+        "q_knn_graph",
+        "q_semantic_decontaminate",
+        # hyperplane LSH within-bucket cosine:
+        "q_lsh_cosine",
+        # sample-variance n-1 and corr sdx*sdy denominators:
+        "q_stats_moments",
+        # 127/max_abs scale + NULL-q8 gate for zero vectors:
+        "q_vector_quantize",
     }
 )
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
-from ..functions.vector import cosine, to_double
+from ..functions.vector import cosine, safe_div, to_double
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
 from . import cache_scoped, query
@@ -160,14 +160,25 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     v = to_double(F.col("embedding"))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / max_abs
+    # safe_div: an all-zero embedding makes max_abs = 0 — ANSI `/` would
+    # abort the job; DuckDB's 127.0/0.0 is NULL, and NULL propagates to
+    # a NULL q8 string, so safe_div keeps both engines identical
+    scale = safe_div(F.lit(127.0), max_abs)
     return emb.select(
         "vec_id",
         F.size("embedding").cast("int").alias("n_dims"),
         max_abs.alias("max_abs"),
-        F.array_join(
-            F.transform(v, lambda x: F.round(x * scale, 0).cast("int").cast("string")),
-            ",",
+        # the whole q8 string goes NULL for a zero vector: Spark's
+        # array_join would SKIP the NULL elements (yielding ''), DuckDB's
+        # array_to_string yields NULL — gate on max_abs to match
+        F.when(
+            max_abs != 0,
+            F.array_join(
+                F.transform(
+                    v, lambda x: F.round(x * scale, 0).cast("int").cast("string")
+                ),
+                ",",
+            ),
         ).alias("q8"),
     )
 

@@ -1,0 +1,115 @@
+"""Dirty-data parity: degenerate inputs must degrade, not abort.
+
+Spark 4 runs ANSI mode by default, where ``x / 0`` throws and kills the
+job — so one zero-norm embedding, one single-row group, or one constant
+series in a 100 TB corpus would abort an entire run. The DuckDB oracle
+returns NULL for those divisions instead. functions/vector.py::safe_div
+aligns the engine with the oracle at every data-dependent denominator;
+this suite feeds deliberately dirty tables through the REAL registered
+queries AND their REAL registered oracles and requires full parity —
+the same contract the driver checks, on data the driver's clean
+fixtures can't reach.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+from .oracle import canonical
+
+SPECS = all_queries()
+
+# dim-64 embeddings (the contract dim — q_lsh_cosine's fixed hyperplane
+# matrix and its static oracle SQL are both pinned to 64), two label
+# cells; vec_id < 8 are probes. Degenerates:
+#  - 2 and 8: all-zero (zero norm -> NULL cosine; 2 is also a probe)
+#  - 5: exact duplicate of 1 (forces cosine == 1.0 ties)
+# Deterministic integer-grid components (k/8) so both engines read
+# identical doubles from the parquet.
+_DIM = 64
+
+
+def _vec(i: int) -> list[float]:
+    if i in (2, 8):
+        return [0.0] * _DIM
+    j = 1 if i == 5 else i
+    return [((j * 7 + d * 3) % 11 - 5) / 8.0 for d in range(_DIM)]
+
+
+DIRTY_EMBEDDINGS = [(i, _vec(i), (0, 0, 0, 1, 1, 0, 1, 1, 1, 0, 1, 0)[i]) for i in range(12)]
+
+# l_returnflag groups: 'S' single row (n-1 = 0: sample variance
+# undefined), 'C' constant on BOTH axes (sdx*sdy = 0: corr undefined),
+# 'M' constant on one axis only, 'N' normal
+DIRTY_LINEITEM = [
+    ("S", 5.0, 100.0),
+    ("C", 3.0, 50.0),
+    ("C", 3.0, 50.0),
+    ("C", 3.0, 50.0),
+    ("M", 7.0, 10.0),
+    ("M", 7.0, 20.0),
+    ("M", 7.0, 30.0),
+    ("N", 1.0, 10.0),
+    ("N", 2.0, 25.0),
+    ("N", 4.0, 60.0),
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("dirty") / "sf")
+    spark.createDataFrame(
+        DIRTY_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    spark.createDataFrame(
+        DIRTY_LINEITEM, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    return sf
+
+
+def dirty_compare(spark, sf: str, name: str, tables: tuple[str, ...]) -> None:
+    spec = SPECS[name]
+    got_df = spec.fn(spark, sf)
+    got = [tuple(r) for r in got_df.collect()]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            # Spark writes a part-file directory, unlike the driver's
+            # single-file testdata — glob into it for DuckDB
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    expected = con.execute(spec.oracle).fetchall()
+    exp_cols = [d[0] for d in con.description]
+    assert sorted(got_df.columns) == sorted(exp_cols), name
+    assert len(got) == len(expected), (
+        f"{name}: spark={len(got)} oracle={len(expected)}"
+    )
+    c_got, c_exp = canonical(got, got_df.columns), canonical(expected, exp_cols)
+    assert c_got == c_exp, (
+        f"{name}: first diffs "
+        + str([(g, e) for g, e in zip(c_got, c_exp) if g != e][:3])
+    )
+
+
+EMBEDDING_QUERIES = [
+    "q_cosine_topk",  # NULL cosines rank after every real score, both engines
+    "q_vector_quantize",  # zero vector -> NULL scale -> NULL q8 parts
+    "q_lsh_cosine",  # zero-norm pair inside a colliding bucket -> NULL, dropped
+    "q_embedding_cosine_dup",  # Arrow NaN -> NULL handoff == oracle x/0.0
+    "q_knn_graph",
+    "q_triangle_count",
+]
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_dirty_embeddings_parity(spark, dirty_sf, name):
+    dirty_compare(spark, dirty_sf, name, ("embeddings",))
+
+
+def test_dirty_lineitem_stats_parity(spark, dirty_sf):
+    # single-row group: NULL stddev+corr; constant group: NULL corr —
+    # never a DIVIDE_BY_ZERO abort
+    dirty_compare(spark, dirty_sf, "q_stats_moments", ("lineitem",))
