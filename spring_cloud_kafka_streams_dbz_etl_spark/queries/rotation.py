@@ -254,6 +254,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         "q_stats_moments",
         # 127/max_abs scale + NULL-q8 gate for zero vectors:
         "q_vector_quantize",
+        # r8 dirty-data parity: empty doc -> NULL entropy (both sides),
+        # uniform doc's IEEE -0.0 normalized via +0.0 (both sides)
+        "q_char_entropy",
     }
 )
 

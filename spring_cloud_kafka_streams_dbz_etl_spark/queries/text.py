@@ -345,9 +345,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_char_entropy",
     oracle="""
 SELECT doc_id, n_chars_actual, n_distinct_chars,
+       -- + 0.0 normalizes IEEE -0.0 (a uniform doc's -1*ln(1) sum) to
+       -- +0.0 on both engines; an EMPTY doc stays NULL (list_sum([]) is
+       -- NULL here, matched by the n>0 gate Spark-side) — entropy of
+       -- nothing is undefined, not zero
        ROUND(-list_sum(list_transform(counts,
               c -> (c / CAST(n_chars_actual AS DOUBLE))
-                   * LN(c / CAST(n_chars_actual AS DOUBLE)))), 6) AS entropy_nats
+                   * LN(c / CAST(n_chars_actual AS DOUBLE)))), 6) + 0.0 AS entropy_nats
 FROM (
   SELECT doc_id,
          CAST(len(chars) AS BIGINT) AS n_chars_actual,
@@ -394,7 +398,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars_actual",
         "n_distinct_chars",
-        F.round(ent, 6).alias("entropy_nats"),
+        # n > 0 gate: empty doc -> NULL (DuckDB's list_sum([])); + 0.0
+        # normalizes the uniform doc's -0.0 — dirty-data parity in
+        # tests/test_dirty_data.py
+        F.when(F.col("n_chars_actual") > 0, F.round(ent, 6) + F.lit(0.0)).alias(
+            "entropy_nats"
+        ),
     )
 
 

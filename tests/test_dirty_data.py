@@ -113,3 +113,43 @@ def test_dirty_lineitem_stats_parity(spark, dirty_sf):
     # single-row group: NULL stddev+corr; constant group: NULL corr —
     # never a DIVIDE_BY_ZERO abort
     dirty_compare(spark, dirty_sf, "q_stats_moments", ("lineitem",))
+
+
+# empty string, whitespace-only, NULL text, single char, unicode,
+# repeated single token, normal — the shapes a raw web crawl actually
+# contains. split(' ') never yields an empty array (empty string ->
+# ['']) so the token-ratio family NULL-propagates on NULL text and
+# stays finite otherwise, in both engines.
+DIRTY_DOCUMENTS = [
+    (0, "", "en", "webA", 0),
+    (1, "   ", "en", "webA", 3),
+    (2, None, "en", "webB", None),
+    (3, "x", "und", "webB", 1),
+    (4, "héllo wörld héllo wörld", "de", "webB", 23),
+    (5, "a a a a a a a a", "en", "webC", 15),
+    (6, "the quick brown fox jumps over the lazy dog", "en", "webC", 43),
+]
+
+TEXT_QUERIES = [
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_char_entropy",
+    "q_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_docs_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("dirtydocs") / "sf")
+    spark.createDataFrame(
+        DIRTY_DOCUMENTS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_dirty_documents_parity(spark, dirty_docs_sf, name):
+    dirty_compare(spark, dirty_docs_sf, name, ("documents",))
