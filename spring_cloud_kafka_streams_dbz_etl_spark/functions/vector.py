@@ -56,6 +56,22 @@ def safe_div(num: Column, den: Column) -> Column:
     return F.try_divide(num, den)
 
 
+def has_nan(vec: Column) -> Column:
+    """True when any component of the vector is NaN (corrupt embedding).
+
+    Candidate-GENERATION operators (LSH bucketing, blocked cosine pairs)
+    must exclude such vectors: a NaN cosine compares largest in both
+    engines, so one corrupt embedding would near-dup-match its entire
+    cell, and integer sign-bit quantization aborts outright under ANSI.
+    Brute-force SCORING paths (q_cosine_topk / q_knn_graph /
+    q_triangle_count) don't filter — their NaN propagation matches the
+    oracle exactly (measured in tests/test_dirty_data.py).
+
+    DuckDB twin: ``len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) > 0``.
+    """
+    return F.exists(vec, F.isnan)
+
+
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     """Rounded cosine similarity (decision-stable across engines).
 

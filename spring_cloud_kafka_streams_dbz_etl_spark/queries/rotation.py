@@ -257,6 +257,12 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         # r8 dirty-data parity: empty doc -> NULL entropy (both sides),
         # uniform doc's IEEE -0.0 normalized via +0.0 (both sides)
         "q_char_entropy",
+        # r8 finite-vector guard (has_nan, both sides): corrupt
+        # NaN-component embeddings are excluded from candidate
+        # generation — without the guard LSH quantization aborts both
+        # engines and the Arrow pair pass drops pairs the oracle keeps
+        "q_embedding_cosine_dup",
+        "q_semantic_clusters",
     }
 )
 

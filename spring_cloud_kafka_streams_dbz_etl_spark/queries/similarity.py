@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
-from ..functions.vector import cosine, safe_div, to_double
+from ..functions.vector import cosine, has_nan, safe_div, to_double
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
 from . import cache_scoped, query
@@ -97,6 +97,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  -- finite vectors only: a NaN cosine compares largest on both engines,
+  -- so one corrupt embedding would pair with its whole cell
+  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
 )
 SELECT * FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -121,8 +124,13 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import blocked_cosine_pairs
 
     tune(spark)
-    e = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    # finite vectors only (functions/vector.py::has_nan): candidate
+    # generation must exclude corrupt embeddings — NaN compares largest,
+    # so one NaN vector would near-dup-match its entire cell
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .filter(~has_nan(F.col("embedding")))
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
     )
     return blocked_cosine_pairs(e, threshold=COSINE_DUP_MIN).select(
         "vec_a", "vec_b", "label", "cos_sim"
@@ -136,7 +144,7 @@ SELECT vec_id,
        CAST(len(embedding) AS INT) AS n_dims,
        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
        array_to_string(list_transform(embedding,
-         x -> CAST(CAST(round(CAST(x AS DOUBLE)
+         x -> CAST(TRY_CAST(round(CAST(x AS DOUBLE)
                    * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
                  , 0) AS INT) AS VARCHAR)), ',') AS q8
 FROM embeddings
@@ -171,11 +179,19 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the whole q8 string goes NULL for a zero vector: Spark's
         # array_join would SKIP the NULL elements (yielding ''), DuckDB's
         # array_to_string yields NULL — gate on max_abs to match
+        # try_cast, not cast: a NaN component makes every scaled element
+        # NaN, and ANSI CAST(NaN AS INT) aborts the job — DuckDB's CAST
+        # errors identically, so BOTH sides use the try form and degrade
+        # the corrupt element to NULL. The gate also covers isnan(max_abs)
+        # (any NaN component poisons the scale, so every element nulls):
+        # DuckDB's array_to_string returns NULL for an all-NULL list where
+        # Spark's array_join would return '' — NULL q8 on both engines.
         F.when(
-            max_abs != 0,
+            (max_abs != 0) & ~F.isnan(max_abs),
             F.array_join(
                 F.transform(
-                    v, lambda x: F.round(x * scale, 0).cast("int").cast("string")
+                    v,
+                    lambda x: F.round(x * scale, 0).try_cast("int").cast("string"),
                 ),
                 ",",
             ),
@@ -238,6 +254,9 @@ WITH iv AS (
          list_transform(embedding,
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
   FROM embeddings
+  -- finite vectors only: FLOOR(NaN)::BIGINT errors here and ANSI CAST
+  -- aborts Spark-side — corrupt embeddings don't enter the LSH index
+  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
 ), bk AS (
   SELECT vec_id, iv, {bands_sql} FROM iv
 )
@@ -264,7 +283,10 @@ def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     work per band — the embedding-space dual of the MinHash band join.
     Determinism notes in the operator docstring."""
     tune(spark)
-    e = table(spark, sf_dir, "embeddings")
+    # finite vectors only: the integer sign-bit quantization would abort
+    # under ANSI on a NaN component (and DuckDB's CAST errors the same
+    # way) — corrupt embeddings don't enter the LSH index on either side
+    e = table(spark, sf_dir, "embeddings").filter(~has_nan(F.col("embedding")))
     return hyperplane_lsh_pairs(
         fan_out(e, spark),
         signs=_SIGNS,
@@ -480,6 +502,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  -- pairs exclude corrupt (NaN-component) vectors, matching the Spark
+  -- side's has_nan guard; every vec_id still seeds reach below, so a
+  -- corrupt vector is a singleton cluster on both engines
+  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
 ),
 pairs AS (
   SELECT vec_a, vec_b FROM (

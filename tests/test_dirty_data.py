@@ -27,6 +27,12 @@ SPECS = all_queries()
 # cells; vec_id < 8 are probes. Degenerates:
 #  - 2 and 8: all-zero (zero norm -> NULL cosine; 2 is also a probe)
 #  - 5: exact duplicate of 1 (forces cosine == 1.0 ties)
+#  - 12: one NaN component (corrupt embedding). Scoring paths propagate
+#    the NaN identically in both engines (NaN ranks largest); candidate
+#    GENERATION paths (LSH index, blocked cosine pairs) exclude it via
+#    the has_nan guard on both sides — without the guard the LSH integer
+#    quantization ABORTS both engines and the Arrow pair pass drops
+#    pairs the oracle keeps.
 # Deterministic integer-grid components (k/8) so both engines read
 # identical doubles from the parquet.
 _DIM = 64
@@ -36,10 +42,14 @@ def _vec(i: int) -> list[float]:
     if i in (2, 8):
         return [0.0] * _DIM
     j = 1 if i == 5 else i
-    return [((j * 7 + d * 3) % 11 - 5) / 8.0 for d in range(_DIM)]
+    v = [((j * 7 + d * 3) % 11 - 5) / 8.0 for d in range(_DIM)]
+    if i == 12:
+        v[3] = float("nan")
+    return v
 
 
-DIRTY_EMBEDDINGS = [(i, _vec(i), (0, 0, 0, 1, 1, 0, 1, 1, 1, 0, 1, 0)[i]) for i in range(12)]
+_LABELS = (0, 0, 0, 1, 1, 0, 1, 1, 1, 0, 1, 0, 1)
+DIRTY_EMBEDDINGS = [(i, _vec(i), _LABELS[i]) for i in range(13)]
 
 # l_returnflag groups: 'S' single row (n-1 = 0: sample variance
 # undefined), 'C' constant on BOTH axes (sdx*sdy = 0: corr undefined),
@@ -101,6 +111,7 @@ EMBEDDING_QUERIES = [
     "q_embedding_cosine_dup",  # Arrow NaN -> NULL handoff == oracle x/0.0
     "q_knn_graph",
     "q_triangle_count",
+    "q_semantic_clusters",  # corrupt vector = singleton cluster, both sides
 ]
 
 
