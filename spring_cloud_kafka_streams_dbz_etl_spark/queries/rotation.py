@@ -192,6 +192,34 @@ _ROUND_7 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r08.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): all 17 round-8 CHANGED_SINCE_CHECK re-fronts (safe_div sweep,
+# Arrow SimHash swap, variant-envelope shred, NaN-embedding guard,
+# rebuilt s_window_topk), the round's new q_ann_pq_recall, the Kafka
+# transcript trio, and fewest-checked re-checks. Artifact mtime
+# (06:18) postdates the last round-8 code commit (02:08), so every
+# re-front was verified AT HEAD. 202/203 cumulative after this round
+# (q_hard_negatives deferred to r9).
+_ROUND_8 = frozenset(
+    {
+        "q_ann_ivf", "q_ann_pq_recall", "q_ann_recall", "q_binary_source",
+        "q_char_entropy", "q_corpus_shuffle", "q_cosine_topk", "q_dq_audit",
+        "q_dq_quarantine", "q_dup_source_matrix", "q_embedding_cosine_dup",
+        "q_event_pattern", "q_fuzzy_match", "q_interval_join", "q_knn_graph",
+        "q_leakage_split", "q_lsh_cosine", "q_minhash_est_audit",
+        "q_orc_source", "q_perplexity_filter", "q_pii_redact", "q_rerank",
+        "q_schema_evolution", "q_semantic_clusters",
+        "q_semantic_decontaminate", "q_simhash_near_dup", "q_stats_moments",
+        "q_text_log_source", "q_text_stats", "q_token_count", "q_tpch_q11",
+        "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+        "q_tpch_q20", "q_tpch_q21", "q_tpch_q22", "q_tpch_q9",
+        "q_triangle_count", "q_ts_similarity", "q_variant_json",
+        "q_vector_quantize", "q_xml_source", "s_kafka_replay",
+        "s_kafka_sink_replay", "s_kafka_txn_sink", "s_schema_drift",
+        "s_window_topk",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -200,6 +228,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     5: _ROUND_5,
     6: _ROUND_6,
     7: _ROUND_7,
+    8: _ROUND_8,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -215,71 +244,26 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # all re-verified green in r06 and are cleared. Round-7 entries: the
 # ADVICE-r6 / VERDICT-r6 fixes that touched plans with green r06 rows.
 # Round 7's 6 entries (s_window_topk + the five advisory-fix consumers)
-# all re-verified green in r07 and are cleared. Round-8 entries: plans
+# all re-verified green in r07 and are cleared. Round 8's 17 entries
+# (s_window_topk rebuild, variant-envelope shred, Arrow SimHash swap,
+# perplexity persist, the 12 safe_div/NaN-guard consumers) all
+# re-verified green AT HEAD in r08 (artifact mtime 06:18 vs last code
+# commit 02:08) and are cleared per ADVICE r8 — in the same change that
+# records CHECKED_BY_ROUND[8], not deferred. Round-9 entries: plans
 # materially changed this round after their last green row.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        # r8: _topk_merge_and_cut existing-store probe switched from a
-        # driver-local os.scandir to spark.read + AnalysisException
-        # (ADVICE r7 #1), and the touched-key isin literal replaced by a
-        # broadcast semi-join (VERDICT r7 ask #5)
-        "s_window_topk",
-        # r8: envelope shreds etype/usr from the raw columns so a
-        # malformed props payload degrades k to NULL without regrouping
-        # the row (ADVICE r7 #2)
-        "q_variant_json",
-        # r8: fingerprint swapped to the Arrow map-side form
-        # (simhash_bits_arrow, measured 1.4-1.8x, bit-identical —
-        # tools/measure_simhash.py); the banded join is unchanged
-        "q_simhash_near_dup",
-        # r8: scores frame persisted ahead of global_rank's three
-        # consumers (3.35 s → 2.7 s isolated median); values unchanged
-        "q_perplexity_filter",
-        # r8 safe_div sweep (SCALE.md anti-pattern #4): every
-        # data-dependent denominator swapped to try_divide so dirty data
-        # NULLs like the DuckDB oracle instead of aborting under ANSI —
-        # bit-identical division wherever the denominator is nonzero,
-        # dirty-fixture parity pinned in tests/test_dirty_data.py.
-        # cosine() consumers:
-        "q_cosine_topk",
-        "q_ann_ivf",
-        "q_rerank",
-        "q_ann_recall",
-        "q_triangle_count",
-        "q_knn_graph",
-        "q_semantic_decontaminate",
-        # hyperplane LSH within-bucket cosine:
-        "q_lsh_cosine",
-        # sample-variance n-1 and corr sdx*sdy denominators:
-        "q_stats_moments",
-        # 127/max_abs scale + NULL-q8 gate for zero vectors:
-        "q_vector_quantize",
-        # r8 dirty-data parity: empty doc -> NULL entropy (both sides),
-        # uniform doc's IEEE -0.0 normalized via +0.0 (both sides)
-        "q_char_entropy",
-        # r8 finite-vector guard (has_nan, both sides): corrupt
-        # NaN-component embeddings are excluded from candidate
-        # generation — without the guard LSH quantization aborts both
-        # engines and the Arrow pair pass drops pairs the oracle keeps
-        "q_embedding_cosine_dup",
-        "q_semantic_clusters",
-    }
-)
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 7 added no queries, so this stayed empty into round 8. Round 8's
-# window is budgeted at round start as: the round's new queries
-# (zero-checked, front automatically), the 2 CHANGED_SINCE_CHECK
+# Round 8's sole entry (q_hard_negatives) is promoted out for round 9:
+# with zero CHECKED_BY_ROUND rows it fronts the r9 window automatically
+# as a never-checked query (VERDICT r8 ask #1). The round-9 window is
+# budgeted at round start as: q_hard_negatives plus this round's new
+# queries (zero-checked, front automatically), any CHANGED_SINCE_CHECK
 # re-fronts, and fewest-checked re-checks (the r1/r2-era single-green
-# tail) to fill 50. Any query added after that budgeting lands here and
-# fronts round 9 instead.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        # r8, added after the window was budgeted: hard-negative mining
-        # for contrastive training — defers to the round-9 window
-        "q_hard_negatives",
-    }
-)
+# tail: q_asof_join, q_pivot, q_cube, q_percentiles, q_fingerprint,
+# q_top_terms, q_tfidf, q_bm25, q_agg_distinct, ...) to fill 50. Any
+# query added after that budgeting lands here and fronts round 10.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
