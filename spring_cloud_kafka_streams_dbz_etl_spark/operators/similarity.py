@@ -666,6 +666,31 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
+    """Shared numpy argmin-assignment kernel over an integer-vector batch:
+    X = iv/int_scale (one exact long->double division per component),
+    squared L2 accumulated as an ascending-d LEFT fold (acc = acc + t*t,
+    never numpy pairwise summation), np.argmin's first-index = the
+    smaller-cell tie-break. Every Arrow assignment path (kmeans_cells
+    rounds AND ivf_assign serving-time routing) calls THIS kernel, so
+    training and serving arithmetic can never drift — the property the
+    trained-index recall audit (q_ann_pq_recall_trained) depends on.
+    Returns (cells int array, dist-to-chosen double array)."""
+    import numpy as np
+
+    X = IV / float(int_scale)
+    n = len(X)
+    dists = np.empty((n, len(C)))
+    for cell in range(len(C)):
+        acc = np.zeros(n)
+        for d in range(dim):
+            t = X[:, d] - C[cell][d]
+            acc = acc + t * t
+        dists[:, cell] = acc
+    cells = np.argmin(dists, axis=1)
+    return cells, dists[np.arange(n), cells]
+
+
 def kmeans_cells(
     df: DataFrame,
     k: int = KMEANS_K,
@@ -679,7 +704,9 @@ def kmeans_cells(
     """Lloyd's k-means over the corpus — the TRAINING half of the IVF
     path (q_ann_ivf/q_ann_ivfpq consume a cell assignment; this is where
     the cells come from). Returns (id, cell, dist) for the final
-    assignment.
+    assignment. :func:`kmeans_fit` exposes the same training loop when
+    only the centroid MODEL is wanted (serving-path routing via
+    :func:`ivf_assign`).
 
     Spark-first iteration shape (the MLlib pattern): the MODEL (k×dim
     centroids) is driver-side metadata, the DATA never leaves executors.
