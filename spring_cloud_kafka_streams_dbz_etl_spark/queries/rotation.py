@@ -220,6 +220,33 @@ _ROUND_8 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r09.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the fronted q_hard_negatives (the last never-checked query —
+# 203/203 cumulative after this round), the round-9 new s_python_source /
+# s_python_sink driver rows, and the r1/r2-era fewest-checked tail
+# re-checks (q_asof_join, q_pivot, q_cube, q_percentiles, the text
+# family, the streaming tail).
+_ROUND_9 = frozenset(
+    {
+        "q_ann_pq_recall", "q_asof_join", "q_bigram_nll",
+        "q_bitmap_distinct", "q_bm25", "q_boilerplate_phrases",
+        "q_bpe_tokens", "q_conditional_agg", "q_cube",
+        "q_curation_near_dup", "q_curation_pipeline", "q_explode_array",
+        "q_feature_hash", "q_fingerprint", "q_gopher_rules",
+        "q_hard_negatives", "q_histogram", "q_hop_distance",
+        "q_interval_join", "q_lang_id", "q_pagerank", "q_percentiles",
+        "q_pivot", "q_pmi_bigrams", "q_quality_score", "q_range_bounds",
+        "q_range_join", "q_salted_agg", "q_salted_join",
+        "q_sequence_gaps", "q_skew_diagnose", "q_term_drift", "q_tfidf",
+        "q_top_terms", "q_ts_similarity", "q_unigram_nll", "q_unpivot",
+        "q_winnow_fingerprint", "s_available_now", "s_backfill_then_tail",
+        "s_cdc_multiplex", "s_chained_agg", "s_curation_incremental",
+        "s_dim_delete", "s_dim_upsert", "s_minhash_incremental",
+        "s_python_sink", "s_python_source", "s_scd2_stream",
+        "s_stream_outer_join",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -229,6 +256,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     6: _ROUND_6,
     7: _ROUND_7,
     8: _ROUND_8,
+    9: _ROUND_9,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -254,15 +282,17 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
-# Round 8's sole entry (q_hard_negatives) is promoted out for round 9:
-# with zero CHECKED_BY_ROUND rows it fronts the r9 window automatically
-# as a never-checked query (VERDICT r8 ask #1). The round-9 window is
-# budgeted at round start as: q_hard_negatives plus this round's new
-# queries (zero-checked, front automatically), any CHANGED_SINCE_CHECK
-# re-fronts, and fewest-checked re-checks (the r1/r2-era single-green
-# tail: q_asof_join, q_pivot, q_cube, q_percentiles, q_fingerprint,
-# q_top_terms, q_tfidf, q_bm25, q_agg_distinct, ...) to fill 50. Any
-# query added after that budgeting lands here and fronts round 10.
+# Round 9's window verified as budgeted (50/50 green, zero deferrals).
+# The round-10 window, budgeted here in the same change that records
+# CHECKED_BY_ROUND[9] (ADVICE r8's process note): this round's new
+# queries (q_ann_pq_recall_trained, q_hard_negatives_served — zero
+# CHECKED_BY_ROUND rows, front automatically), any CHANGED_SINCE_CHECK
+# re-fronts from round-10 plan edits, then fewest-checked re-checks
+# (the remaining two-green tail: r1/r2-era queries with exactly two
+# green rounds — q_agg_distinct, q_sessionize, q_salted_agg,
+# q_approx_stats, q_stats_moments, the sourcefmt family, ...) to fill
+# 50. Queries registered after this budgeting land here and front
+# round 11.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 
