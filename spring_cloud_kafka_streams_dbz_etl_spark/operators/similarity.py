@@ -671,11 +671,13 @@ def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
     X = iv/int_scale (one exact long->double division per component),
     squared L2 accumulated as an ascending-d LEFT fold (acc = acc + t*t,
     never numpy pairwise summation), np.argmin's first-index = the
-    smaller-cell tie-break. Every Arrow assignment path (kmeans_cells
-    rounds AND ivf_assign serving-time routing) calls THIS kernel, so
-    training and serving arithmetic can never drift — the property the
-    trained-index recall audit (q_ann_pq_recall_trained) depends on.
-    Returns (cells int array, dist-to-chosen double array)."""
+    smaller-cell tie-break. Every Arrow assignment path —
+    :func:`kmeans_cells` / :func:`kmeans_fit` training rounds AND
+    :func:`ivf_assign` serving-time routing, all via
+    :func:`_assign_arrow` — calls THIS kernel, so training and serving
+    arithmetic can never drift: the property the trained-index recall
+    audit (q_ann_pq_recall_trained) depends on. Returns
+    (cells int array, dist-to-chosen double array)."""
     import numpy as np
 
     X = IV / float(int_scale)
@@ -689,6 +691,155 @@ def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
         dists[:, cell] = acc
     cells = np.argmin(dists, axis=1)
     return cells, dists[np.arange(n), cells]
+
+
+def _int_vectors(
+    df: DataFrame, id_col: str, vec_col: str, int_scale: int
+) -> DataFrame:
+    """(__id, iv) projection shared by every k-means/IVF entry point:
+    vectors enter the determinism boundary as floor(x*int_scale) BIGINTs
+    (the LSH/PQ integerization policy), so all downstream arithmetic has
+    exact integer operands."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(int_scale)).cast("long"),
+    )
+    return df.select(F.col(id_col).alias("__id"), iv.alias("iv"))
+
+
+def _assign_arrow(
+    base: DataFrame, cents: list[list[float]], dim: int, int_scale: int
+) -> DataFrame:
+    """THE Arrow assignment path — the single mapInPandas wrapper around
+    :func:`_argmin_cells` that kmeans training rounds, the final
+    kmeans_cells assignment, and ivf_assign serving-time routing all
+    share. Broadcasting happens via closure capture of the k×dim
+    centroid list (a few KiB — task-serialized once per stage, same as
+    an explicit sc.broadcast for this size). Bit-identical to
+    ``assign_expr``'s JVM literal tree: X = iv/int_scale is the same
+    long/double division, t*t adds accumulate in the same ascending-d
+    order, np.argmin's first-index is array_min's smaller-cell
+    tie-break; rounding stays with the JVM caller."""
+    C = [list(map(float, c)) for c in cents]
+
+    def go(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            IV = np.array([np.asarray(x, dtype=np.int64) for x in pdf["iv"]])
+            cellv, distv = _argmin_cells(IV, C, dim, int_scale)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "iv": pdf["iv"],
+                    "cell": cellv.astype("int32"),
+                    "dist": distv,
+                }
+            )
+
+    return base.mapInPandas(go, "__id long, iv array<long>, cell int, dist double")
+
+
+def _lloyd_train(
+    base: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    int_scale: int,
+    assign_impl,
+) -> list[list[float]]:
+    """The shared Lloyd loop (MLlib shape): seeds are the k smallest
+    __id rows (deterministic, no RNG); each round is one assignment pass
+    (``assign_impl``) plus ONE groupBy(cell, d) shuffle of k×dim partial
+    sums — bytes independent of corpus size — and a k×dim collect to
+    rebuild the driver-side model. Empty cells keep their previous
+    centroid. Returns the trained k×dim centroid list."""
+    seeds = base.orderBy("__id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
+    cents = [[float(r.iv[d]) / float(int_scale) for d in range(dim)] for r in seeds]
+    for _ in range(iters):
+        assigned = assign_impl(cents)
+        stats = (
+            assigned.select("cell", F.posexplode("iv").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
+        cents = [
+            [
+                float(by_cell[cell][d][0])
+                / (float(by_cell[cell][d][1]) * float(int_scale))
+                if cell in by_cell
+                else cents[cell][d]  # empty cell keeps its centroid
+                for d in range(dim)
+            ]
+            for cell in range(k)
+        ]
+    return cents
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer and return only the centroid MODEL
+    (k×dim doubles) — the artifact a real index build persists and ships
+    to the serving tier. Same training loop as :func:`kmeans_cells`
+    (identical seeds, assignment kernel, update rule), split out so the
+    trained-index audit can route NEW vectors through
+    :func:`ivf_assign` with the exact arithmetic training used
+    (reference parity: the ETL's enrichment lookups separate the
+    lookup-table BUILD from its APPLY the same way,
+    spring-cloud-kafka-streams-dbz-etl processor topology; here the
+    split is train-vs-serve for the ANN index)."""
+    base = _int_vectors(df, id_col, vec_col, int_scale).persist()
+    try:
+        return _lloyd_train(
+            base,
+            k,
+            iters,
+            dim,
+            int_scale,
+            lambda c: _assign_arrow(base, c, dim, int_scale),
+        )
+    finally:
+        base.unpersist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+) -> DataFrame:
+    """Serving-time IVF routing: assign each vector to its nearest
+    trained centroid via the SAME :func:`_argmin_cells` kernel the
+    training rounds used — one map-only Arrow pass, no shuffle, no
+    driver round-trip. Returns (id_col, cell int, dist double ROUND(6)).
+    This is the routing step a 100 TB index build runs when writing
+    cell-partitioned code files, and what q_ann_pq_recall_trained uses
+    to route both corpus and probes through trained cells."""
+    base = _int_vectors(df, id_col, vec_col, int_scale)
+    return _assign_arrow(base, cents, dim, int_scale).select(
+        F.col("__id").alias(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(F.col("dist"), 6).alias("dist"),
+    )
 
 
 def kmeans_cells(
@@ -731,16 +882,7 @@ def kmeans_cells(
     of corpus size). iters is fixed (production IVF trains on a sample
     anyway); convergence quality is the standard Lloyd guarantee.
     """
-    iv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * float(int_scale)).cast("long")
-    )
-    base = df.select(F.col(id_col).alias("__id"), iv.alias("iv")).persist()
-
-    seeds = base.orderBy("__id").limit(k).collect()
-    if len(seeds) < k:
-        raise ValueError(f"corpus has fewer than k={k} vectors")
-    # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
-    cents = [[float(r.iv[d]) / float(int_scale) for d in range(dim)] for r in seeds]
+    base = _int_vectors(df, id_col, vec_col, int_scale).persist()
 
     def assign_expr(cents_now: list[list[float]]) -> DataFrame:
         """JVM-expression assignment (the pre-r6 registered form): k×dim
@@ -763,71 +905,15 @@ def kmeans_cells(
     def assign(cents_now: list[list[float]]) -> DataFrame:
         """Arrow assignment (registered since r6, same lesson as the
         ADC/encode/cosine-pair swaps): the k×dim literal tree is
-        interpreted per row and pays a multi-second codegen warmup;
-        the numpy form broadcasts the centroid matrix and evaluates the
-        same ascending-d LEFT fold vectorized per batch. Bit-identical:
-        X = iv/int_scale is the same long/double division, t*t adds
-        accumulate in the same order, and np.argmin's first-index is
-        exactly array_min's smaller-cell tie-break; ROUND(6) stays in
-        the JVM caller."""
-        import numpy as np
-
-        C = [list(map(float, c)) for c in cents_now]
-
-        def go(batches):
-            import pandas as pd
-
-            Cl = C
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                IV = np.array(
-                    [np.asarray(x, dtype=np.int64) for x in pdf["iv"]]
-                )
-                X = IV / float(int_scale)
-                n = len(X)
-                dists = np.empty((n, len(Cl)))
-                for cell in range(len(Cl)):
-                    acc = np.zeros(n)
-                    for d in range(dim):
-                        t = X[:, d] - Cl[cell][d]
-                        acc = acc + t * t
-                    dists[:, cell] = acc
-                cellv = np.argmin(dists, axis=1)
-                yield pd.DataFrame(
-                    {
-                        "__id": pdf["__id"].to_numpy(),
-                        "iv": pdf["iv"],
-                        "cell": cellv.astype("int32"),
-                        "dist": dists[np.arange(n), cellv],
-                    }
-                )
-
-        return base.mapInPandas(
-            go, "__id long, iv array<long>, cell int, dist double"
-        )
+        interpreted per row and pays a multi-second codegen warmup; the
+        numpy form routes through the shared :func:`_assign_arrow` /
+        :func:`_argmin_cells` kernel — the same batches
+        :func:`ivf_assign` serves with, so training and serving cannot
+        drift. ROUND(6) stays in the JVM caller."""
+        return _assign_arrow(base, cents_now, dim, int_scale)
 
     assign_impl = assign if use_arrow else assign_expr
-    for _ in range(iters):
-        assigned = assign_impl(cents)
-        stats = (
-            assigned.select("cell", F.posexplode("iv").alias("d", "x"))
-            .groupBy("cell", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cell.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
-        cents = [
-            [
-                float(by_cell[cell][d][0]) / (float(by_cell[cell][d][1]) * float(int_scale))
-                if cell in by_cell
-                else cents[cell][d]  # empty cell keeps its centroid
-                for d in range(dim)
-            ]
-            for cell in range(k)
-        ]
+    cents = _lloyd_train(base, k, iters, dim, int_scale, assign_impl)
 
     out = assign_impl(cents).select(
         F.col("__id").alias(id_col),

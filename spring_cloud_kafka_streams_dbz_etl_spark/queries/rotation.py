@@ -277,9 +277,13 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # perplexity persist, the 12 safe_div/NaN-guard consumers) all
 # re-verified green AT HEAD in r08 (artifact mtime 06:18 vs last code
 # commit 02:08) and are cleared per ADVICE r8 — in the same change that
-# records CHECKED_BY_ROUND[8], not deferred. Round-9 entries: plans
-# materially changed this round after their last green row.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+# records CHECKED_BY_ROUND[8], not deferred. Round-10 entries: the
+# kmeans train/serve refactor — kmeans_cells' Arrow assignment now
+# routes through the shared _argmin_cells kernel via _assign_arrow
+# (pinned bit-identical in test_kmeans_fit_plus_ivf_assign_equals_
+# kmeans_cells, but q_kmeans_cells' green r4 row predates the rewrite,
+# so it re-fronts for a fresh driver row at HEAD).
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_kmeans_cells"})
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).

@@ -1103,6 +1103,27 @@ def test_kmeans_assign_arrow_equals_expr(spark, sf_smoke):
     assert expr.exceptAll(arrow).count() == 0
 
 
+def test_kmeans_fit_plus_ivf_assign_equals_kmeans_cells(spark, sf_smoke):
+    """Parity pin on the r10 train/serve split: kmeans_fit (model out)
+    followed by ivf_assign (serving-time routing through the SAME
+    _argmin_cells kernel) must reproduce kmeans_cells' fused output
+    row-for-row — ids, cells, rounded distances. This is the no-drift
+    guarantee q_ann_pq_recall_trained's cell routing stands on."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_cells,
+        kmeans_fit,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    cents = kmeans_fit(e)
+    split = ivf_assign(e, cents)
+    fused = kmeans_cells(e)
+    assert split.exceptAll(fused).count() == 0
+    assert fused.exceptAll(split).count() == 0
+
+
 def test_ann_pq_recall_exact_side_is_broadcast_map_only(spark, sf_smoke):
     """The recall audit's ground-truth side must stay the broadcast-probes
     map-only scan (BroadcastNestedLoopJoin, never a CartesianProduct or a
