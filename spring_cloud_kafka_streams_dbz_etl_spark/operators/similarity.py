@@ -680,6 +680,20 @@ def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
     (cells int array, dist-to-chosen double array)."""
     import numpy as np
 
+    dists = _cell_dists(IV, C, dim, int_scale)
+    n = len(dists)
+    cells = np.argmin(dists, axis=1)
+    return cells, dists[np.arange(n), cells]
+
+
+def _cell_dists(IV, C: list[list[float]], dim: int, int_scale: int):
+    """The (n_vectors × n_cells) squared-L2 matrix behind BOTH cell
+    decisions — :func:`_argmin_cells`' argmin assignment and
+    :func:`ivf_probe`'s top-nprobe routing — so single-probe and
+    multi-probe serving rank cells with bit-identical distances.
+    X = iv/int_scale exact divisions, ascending-d LEFT fold per cell."""
+    import numpy as np
+
     X = IV / float(int_scale)
     n = len(X)
     dists = np.empty((n, len(C)))
@@ -689,8 +703,7 @@ def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
             t = X[:, d] - C[cell][d]
             acc = acc + t * t
         dists[:, cell] = acc
-    cells = np.argmin(dists, axis=1)
-    return cells, dists[np.arange(n), cells]
+    return dists
 
 
 def _int_vectors(
@@ -839,6 +852,56 @@ def ivf_assign(
         F.col("__id").alias(id_col),
         F.col("cell").cast("int").alias("cell"),
         F.round(F.col("dist"), 6).alias("dist"),
+    )
+
+
+def ivf_probe(
+    df: DataFrame,
+    cents: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+) -> DataFrame:
+    """Multi-probe serving-time routing — the standard IVF recall knob:
+    per vector, the ``nprobe`` nearest trained cells by the SAME
+    :func:`_cell_dists` fold the assignment kernel uses, ranked
+    (dist ASC, cell ASC) via a stable argsort (ties keep ascending cell
+    index — exactly the SQL window's tie-break). Returns
+    (id_col, cell, probe_rank 1..nprobe); probe_rank 1 is
+    :func:`ivf_assign`'s cell by construction. One map-only Arrow pass,
+    no shuffle — at 100 TB a probe batch routes in milliseconds and the
+    downstream ADC scan reads nprobe/n_cells of the code files."""
+    C = [list(map(float, c)) for c in cents]
+    npb = int(nprobe)
+    if not 1 <= npb <= len(C):
+        raise ValueError(f"nprobe must be in [1, {len(C)}], got {nprobe}")
+    base = _int_vectors(df, id_col, vec_col, int_scale)
+
+    def go(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            IV = np.array([np.asarray(x, dtype=np.int64) for x in pdf["iv"]])
+            dists = _cell_dists(IV, C, dim, int_scale)
+            order = np.argsort(dists, axis=1, kind="stable")[:, :npb]
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(ids, npb),
+                    "cell": order.reshape(-1).astype("int32"),
+                    "probe_rank": np.tile(
+                        np.arange(1, npb + 1), len(ids)
+                    ).astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(go, "__id long, cell int, probe_rank int").select(
+        F.col("__id").alias(id_col), "cell", "probe_rank"
     )
 
 
