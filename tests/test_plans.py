@@ -1215,3 +1215,22 @@ def test_simhash_arrow_equals_jvm_form(spark, sf_smoke):
     assert "Exchange" not in explain_str(
         simhash_bits_arrow(d, "doc_id", "toks")
     )
+
+
+def test_hard_negatives_served_plan_is_cell_pruned_no_cross(spark, sf_smoke):
+    """The served miner must never full-cross probes with the corpus:
+    the candidate scan is the cell-pruned ADC pass (codes filtered to
+    the probed trained cells before the Arrow scorer), and the refine
+    stage joins the BROADCAST shortlist — BroadcastHashJoin, never a
+    CartesianProduct or BroadcastNestedLoopJoin over raw vectors."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_hard_negatives_served"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text, text[:2000]
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    # the cell-pruned candidate scan: codes filtered on the probed cell
+    # set ahead of the Arrow ADC scorer
+    assert "cell" in text and "IN (" in text.replace("cell#", "cell"), text[:3000]
+    assert "MapInPandas" in text, text[:2000]
