@@ -44,6 +44,10 @@ def materialize(df) -> int:
 
 LOAD_OK = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_OK", "2.0"))
 LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+# interleave-flakiness auto-adjudication knobs (see main())
+SUSPECT_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_SUSPECT_RATIO", "1.5"))
+ISOLATED_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_REPEATS", "5"))
+ISOLATED_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MAX", "6"))
 
 
 def _wait_for_idle() -> float:
@@ -123,6 +127,35 @@ def main() -> None:
     for name, ts in raw.items():
         timings[name] = sorted(ts)[len(ts) // 2]  # median
         spread[name] = [min(ts), max(ts)]
+
+    # Interleave-flakiness auto-adjudication (VERDICT r8/r9 ask): a
+    # query whose interleaved median exceeds SUSPECT_RATIO x its own
+    # best pass is a suspected interleave victim (GC pause / shuffle
+    # service contention from a neighboring query), not a plan
+    # regression. Re-measure it ISOLATED — back-to-back repeats with
+    # nothing else running — and stamp both numbers into the artifact
+    # so the round-over-round comparison reads the adjudicated value,
+    # not the contaminated one. interleave_flagged lists the queries
+    # whose interleaved median exceeded 1.5x their isolated median —
+    # the formal trigger the verdict audits.
+    isolated: dict[str, float] = {}
+    flagged: list[str] = []
+    if passes > 1:
+        suspects = sorted(
+            (n for n, ts in raw.items() if timings[n] > SUSPECT_RATIO * min(ts)),
+            key=lambda n: timings[n] / min(raw[n]),
+            reverse=True,
+        )[:ISOLATED_MAX]
+        for name in suspects:
+            ts = []
+            for _ in range(ISOLATED_REPEATS):
+                t0 = time.perf_counter()
+                materialize(specs[name].fn(spark, SF_DIR))
+                ts.append(round(time.perf_counter() - t0, 3))
+            isolated[name] = sorted(ts)[len(ts) // 2]
+            if timings[name] > 1.5 * isolated[name]:
+                flagged.append(name)
+
     total = round(sum(timings.values()), 3)
     compact = {
         "metric": "headline query wall time, noop-sink materialization; "
@@ -133,6 +166,8 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "loadavg_start": round(load_at_start, 2),
         "load_warn": load_at_start > LOAD_OK,
+        "isolated": isolated,
+        "interleave_flagged": flagged,
     }
     # The driver captures only a stdout TAIL: keep the printed line COMPACT
     # (BENCH_r06.json came back parsed:null because the one huge line with

@@ -38,6 +38,20 @@ r7 shift was a loaded benchmark machine, no plan regression anywhere;
 bench.py now carries a loadavg guard so this artifact can't recur
 silently.
 
+Finding (r10, idle machine, sf0.1, local[32]) — adjudicating the two
+r9 1.4x movers (VERDICT r9 #3), code unchanged in both:
+
+    q_cooccurrence  median 1.084 s  [0.991 .. 3.344]  (r8 bench 1.19 / r9 1.72)
+    q_ann_ivfpq     median 1.061 s  [1.023 .. 4.160]  (r8 bench 1.22 / r9 1.72)
+
+Both isolated medians sit AT OR BELOW their r8 interleaved medians, and
+each 7-sample set carries exactly one ~3-4x GC-pause outlier — the
+signature that inflates an interleaved median-of-3. Verdict: noise, no
+plan defect. This class of flag is now automated: bench.py re-measures
+any query whose interleaved median exceeds 1.5x its best pass in
+isolation and stamps the result into the artifact (isolated /
+interleave_flagged keys).
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
