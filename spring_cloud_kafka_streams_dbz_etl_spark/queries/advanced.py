@@ -957,8 +957,20 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("w"),
     ).agg(F.count(F.lit(1)).alias("c"))
+    return ts_best_window(wk, TS_PATTERN).limit(TS_TOPK)
+
+
+def ts_best_window(wk: DataFrame, pattern: list[int]) -> DataFrame:
+    """The sliding-window subsequence matcher q_ts_similarity serves
+    with, as a reusable (sk, w, c) -> (l_suppkey, best_offset,
+    best_dist) operator so the SAME plan the query registers is what
+    the property fuzz drives (test_ts_similarity_matches_bruteforce /
+    tools/deep_fuzz.py::fuzz_ts_windows) — not an inline replica that
+    can drift. Output is ordered (best_dist, l_suppkey); callers apply
+    their own top-k cut."""
+    L = len(pattern)
     nw = wk.agg((F.max("w") + 1).alias("n_weeks"))
-    patt = F.array(*[F.lit(p) for p in TS_PATTERN])
+    patt = F.array(*[F.lit(p) for p in pattern])
     series = (
         wk.groupBy("sk")
         .agg(F.map_from_entries(F.collect_list(F.struct("w", "c"))).alias("m"))
@@ -975,16 +987,16 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Degenerate-horizon guard (ADVICE r6): when the whole corpus spans
-    # fewer than TS_L weeks there are NO length-L windows — the oracle's
-    # range(0, n_weeks - TS_L + 1) is empty and yields no rows. Without
+    # fewer than L weeks there are NO length-L windows — the oracle's
+    # range(0, n_weeks - L + 1) is empty and yields no rows. Without
     # this filter F.sequence(0, negative) would DESCEND (Spark defaults
     # step to -1 when start > stop) and error on element_at index <= 0.
-    dists = series.filter(F.col("n_weeks") >= F.lit(TS_L)).select(
+    dists = series.filter(F.col("n_weeks") >= F.lit(L)).select(
         "sk",
         F.transform(
-            F.sequence(F.lit(0), F.col("n_weeks") - TS_L),
+            F.sequence(F.lit(0), F.col("n_weeks") - L),
             lambda o: F.aggregate(
-                F.sequence(F.lit(1), F.lit(TS_L)),
+                F.sequence(F.lit(1), F.lit(L)),
                 F.lit(0).cast("bigint"),
                 lambda acc, d: acc
                 + (
@@ -1007,5 +1019,4 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("d2").cast("bigint").alias("best_dist"),
         )
         .orderBy(F.col("best_dist").asc(), F.col("l_suppkey").asc())
-        .limit(TS_TOPK)
     )

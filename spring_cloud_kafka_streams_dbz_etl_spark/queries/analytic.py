@@ -1398,7 +1398,19 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional lasts in the SAME pass; the streaming twin keeps the two
     timestamps in a state store."""
     tune(spark)
-    ev = table(spark, sf_dir, "events")
+    return event_pattern_matches(table(spark, sf_dir, "events"))
+
+
+def event_pattern_matches(
+    ev: DataFrame, window_us: int = PATTERN_WINDOW_US
+) -> DataFrame:
+    """The pattern-with-negation plan q_event_pattern serves, as a
+    reusable operator over any (user_id, event_id, event_type, ts)
+    relation — so the property fuzz
+    (test_event_pattern_matches_bruteforce /
+    tools/deep_fuzz.py::fuzz_event_pattern) drives the REGISTERED
+    conditional-last state columns, not an inline replica that can
+    drift from the production plan."""
     # unix_micros needs TIMESTAMP_LTZ; the session is pinned UTC so the
     # NTZ cast is the same instant DuckDB's epoch_us(ts) computes
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1422,6 +1434,6 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.filter(
         (F.col("event_type") == "purchase")
         & F.col("view_us").isNotNull()
-        & (F.col("purchase_us") - F.col("view_us") <= PATTERN_WINDOW_US)
+        & (F.col("purchase_us") - F.col("view_us") <= window_us)
         & (F.col("err_us").isNull() | (F.col("err_us") < F.col("view_us")))
     ).select("user_id", "event_id", "purchase_us", "view_us")

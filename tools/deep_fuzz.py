@@ -18,6 +18,10 @@ Covered (operator → invariant):
                         zero-norm NULL-drop path
 - kmeans_cells       use_arrow=True == False end-to-end (ties via
                         duplicate/grid vectors)
+- event_pattern      registered conditional-last plan == per-user
+                        ordered-history scan (random windows)
+- ts_best_window     registered integer-HOF sliding-window plan ==
+                        plain-python zero-filled horizon scan
 
 Run: python tools/deep_fuzz.py [EXAMPLES]   (default 60 per invariant)
 """
@@ -278,6 +282,104 @@ def fuzz_kmeans_twins(spark) -> None:
     print(f"kmeans twins: {max(1, N // 12)} cases OK")
 
 
+def fuzz_event_pattern(spark) -> None:
+    """event_pattern_matches (q_event_pattern's registered plan) ==
+    per-user ordered-history scan, random event soups with duplicate
+    timestamps and random window sizes (VERDICT r9 #4)."""
+    from datetime import datetime, timedelta
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.analytic import (
+        event_pattern_matches,
+    )
+
+    epoch = datetime(2024, 1, 1)
+    cases = max(1, N // 6)
+    for i in range(cases):
+        t_min = rng.choice([1, 7, 30, 90])
+        rows = []
+        for eid in range(rng.randint(0, 120)):
+            rows.append(
+                (
+                    rng.randint(0, 6),
+                    eid,
+                    epoch + timedelta(minutes=rng.randint(0, 200)),
+                    rng.choice(["view", "purchase", "error", "click"]),
+                )
+            )
+        if not rows:
+            continue
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp_ntz, event_type string"
+        )
+        got = sorted(
+            (r.user_id, r.event_id)
+            for r in event_pattern_matches(
+                df, window_us=t_min * 60 * 1_000_000
+            ).collect()
+        )
+        expected = []
+        by_user: dict = {}
+        for uid, eid, ts, typ in rows:
+            by_user.setdefault(uid, []).append((ts, eid, typ))
+        for uid, evs in by_user.items():
+            evs.sort()
+            lv = le = None
+            for ts, eid, typ in evs:
+                if (
+                    typ == "purchase"
+                    and lv is not None
+                    and (ts - lv) <= timedelta(minutes=t_min)
+                    and (le is None or le < lv)
+                ):
+                    expected.append((uid, eid))
+                if typ == "view":
+                    lv = ts
+                elif typ == "error":
+                    le = ts
+        assert got == sorted(expected), (SEED, i, t_min)
+    print(f"event pattern: {cases} cases OK")
+
+
+def fuzz_ts_windows(spark) -> None:
+    """ts_best_window (q_ts_similarity's registered integer-HOF plan) ==
+    plain-python sliding-window scan over the zero-filled global
+    horizon, random sparse series and random patterns incl. horizons
+    shorter than the pattern (VERDICT r9 #4)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.advanced import (
+        ts_best_window,
+    )
+
+    cases = max(1, N // 6)
+    for i in range(cases):
+        L = rng.randint(2, 6)
+        pattern = [rng.randint(0, 9) for _ in range(L)]
+        horizon = rng.randint(1, 20)
+        seen: dict[tuple[int, int], int] = {}
+        for _ in range(rng.randint(1, 80)):
+            seen[(rng.randint(0, 9), rng.randint(0, horizon - 1))] = rng.randint(0, 9)
+        rows = [(sk, w, c) for (sk, w), c in seen.items()]
+        wk = spark.createDataFrame(rows, "sk bigint, w int, c bigint")
+        got = sorted(
+            (r.l_suppkey, r.best_offset, r.best_dist)
+            for r in ts_best_window(wk, pattern).collect()
+        )
+        n_weeks = max(w for (_, w) in seen) + 1
+        expected = []
+        if n_weeks >= L:
+            for sk in sorted({s for (s, _) in seen}):
+                series = [seen.get((sk, w), 0) for w in range(n_weeks)]
+                d, o = min(
+                    (
+                        sum((series[o + d] - pattern[d]) ** 2 for d in range(L)),
+                        o,
+                    )
+                    for o in range(n_weeks - L + 1)
+                )
+                expected.append((sk, o, d))
+        assert got == sorted(expected), (SEED, i, pattern, n_weeks)
+    print(f"ts windows: {cases} cases OK")
+
+
 def main() -> None:
     spark = get_spark("deep-fuzz", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -288,6 +390,8 @@ def main() -> None:
     fuzz_pq_twins(spark)
     fuzz_blocked_cosine(spark)
     fuzz_kmeans_twins(spark)
+    fuzz_event_pattern(spark)
+    fuzz_ts_windows(spark)
     print("deep fuzz: ALL OK")
 
 
