@@ -555,13 +555,36 @@ def pq_adc_topk(
                 luts[qi, m, kk] = sum(
                     (seg[d] - c[d]) * (seg[d] - c[d]) for d in range(sub)
                 )
+    return _adc_rank(codes, luts, qids, qcells, cell_col, k, id_col)
+
+
+def _adc_rank(
+    codes: DataFrame,
+    luts,
+    qids: list[int],
+    qcells: list,
+    cell_col: str | None,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The shared ADC scoring tail — LUT-gather scan + JVM ROUND(9) +
+    per-probe rank window — behind both the lattice-codebook
+    (:func:`pq_adc_topk`) and trained-codebook
+    (:func:`pq_adc_topk_cb`) servers; only the LUT BUILD differs
+    between them, so the scan arithmetic cannot drift. ``luts`` is the
+    (probes × subspaces × n_codes) tensor; ascending-m LEFT fold per
+    batch, argmin ties to the smaller neighbor id in the window."""
+    import numpy as np
+
     spark = codes.sparkSession
     if cell_col is not None:
         # partition-pruning half of IVF-PQ: only the probed cells scan
         codes = codes.filter(F.col(cell_col).isin(*set(qcells)))
     b_lut = spark.sparkContext.broadcast(luts)
     b_qid = spark.sparkContext.broadcast(np.array(qids))
-    b_cell = spark.sparkContext.broadcast(np.array(qcells) if cell_col is not None else None)
+    b_cell = spark.sparkContext.broadcast(
+        np.array(qcells) if cell_col is not None else None
+    )
 
     def score(batches):
         import pandas as pd
@@ -1072,3 +1095,239 @@ def blocked_cosine_pairs(
         cell_col,
         F.round(F.col("__cos"), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+# -- trained product-quantization codebooks ----------------------------------
+
+PQT_ITERS = 2
+
+
+def pq_train(
+    df: DataFrame,
+    subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    dim: int = PQ_DIM,
+    int_scale: int = 1_000_000,
+    iters: int = PQT_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train all ``subspaces`` PQ codebooks in ONE distributed Lloyd run
+    — the step that separates a usable IVF-PQ index from the fixed
+    lattice codebook (q_ann_pq_recall_trained measured the lattice's ADC
+    noise as the binding recall loss; training the codebooks recovers
+    it: see q_ann_pq_recall_trained_cb). Vectors explode into
+    (id, m, integer-subvector) rows — m is a COLUMN, not a loop — so
+    every round is one Arrow argmin pass over all subspaces at once
+    (per-m centroid slices of the broadcast tensor, the same
+    :func:`_cell_dists` fold as cell training) plus ONE
+    groupBy(m, code, d) shuffle whose result is subspaces×k×sub rows
+    regardless of corpus size. Returns codebooks[m][code] as sub-dim
+    float lists.
+
+    Cross-engine determinism (the kmeans_cells policy, subspace-wise):
+    integer subvectors floor(x*int_scale), centroids sum/(n*int_scale)
+    exact divisions, ascending-d folds, argmin-first = smaller-code
+    tie-break, seeds = the k smallest ``id_col`` rows' subvectors
+    (ranked per m by id). Empty codes keep their centroid. The DuckDB
+    twin is the relational chain in queries/similarity._pq_train_cte_chain.
+    """
+    sub = dim // subspaces
+    base = _int_vectors(df, id_col, vec_col, int_scale)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.slice("iv", m * sub + 1, sub).alias("siv"),
+            )
+            for m in range(subspaces)
+        ]
+    )
+    sv = (
+        base.select("__id", F.explode(slices).alias("x"))
+        .select("__id", F.col("x.m").alias("m"), F.col("x.siv").alias("siv"))
+        .persist()
+    )
+    try:
+        seed_rows = sv.orderBy("__id", "m").limit(k * subspaces).collect()
+        # Row.__id needs item access (PySpark blocks dunder attributes)
+        seed_ids = sorted({r["__id"] for r in seed_rows})
+        if len(seed_ids) < k:
+            raise ValueError(f"corpus has fewer than k={k} vectors")
+        rank_of = {vid: i for i, vid in enumerate(seed_ids[:k])}
+        cb: list[list[list[float]]] = [[None] * k for _ in range(subspaces)]
+        for r in seed_rows:
+            if r["__id"] in rank_of:
+                cb[r.m][rank_of[r["__id"]]] = [
+                    float(x) / float(int_scale) for x in r.siv
+                ]
+
+        def assign(cb_now: list[list[list[float]]]) -> DataFrame:
+            C = [[list(map(float, c)) for c in bk] for bk in cb_now]
+
+            def go(batches):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mv = pdf["m"].to_numpy()
+                    IVS = np.array(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["siv"]]
+                    )
+                    code = np.empty(len(pdf), dtype="int32")
+                    for m in np.unique(mv):
+                        mask = mv == m
+                        cm, _ = _argmin_cells(IVS[mask], C[int(m)], sub, int_scale)
+                        code[mask] = cm
+                    yield pd.DataFrame(
+                        {
+                            "m": mv,
+                            "siv": pdf["siv"],
+                            "code": code,
+                        }
+                    )
+
+            return sv.mapInPandas(go, "m int, siv array<long>, code int")
+
+        for _ in range(iters):
+            stats = (
+                assign(cb)
+                .select("m", "code", F.posexplode("siv").alias("d", "x"))
+                .groupBy("m", "code", "d")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_mc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                by_mc.setdefault((int(r.m), int(r.code)), {})[int(r.d)] = (
+                    int(r.s),
+                    int(r.n),
+                )
+            cb = [
+                [
+                    [
+                        float(by_mc[(m, code)][d][0])
+                        / (float(by_mc[(m, code)][d][1]) * float(int_scale))
+                        if (m, code) in by_mc
+                        else cb[m][code][d]  # empty code keeps its centroid
+                        for d in range(sub)
+                    ]
+                    for code in range(k)
+                ]
+                for m in range(subspaces)
+            ]
+        return cb
+    finally:
+        sv.unpersist()
+
+
+def pq_encode_cb(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    int_scale: int = 1_000_000,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode against TRAINED codebooks (:func:`pq_train`) — same Arrow
+    shape as :func:`pq_encode`, but the input enters as iv/int_scale
+    doubles (the space the codebooks were trained in, via the same
+    :func:`_cell_dists` fold), so encode distance and training distance
+    are bit-compatible. Returns (id, *keep_cols, pq_codes 'c0,...',
+    recon_err ROUND(6)); ties break to the smaller code (argmin-first).
+    """
+    subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [[list(map(float, c)) for c in bk] for bk in codebooks]
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(int_scale)).cast("long"),
+    )
+    in_cols = [F.col(id_col), *[F.col(c) for c in keep_cols], iv.alias("__iv")]
+    base = df.select(*in_cols)
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            IV = np.array([np.asarray(x, dtype=np.int64) for x in pdf["__iv"]])
+            n = len(IV)
+            codes = np.empty((n, subspaces), dtype=np.int64)
+            recon = np.zeros(n)
+            for m in range(subspaces):
+                cm, dm = _argmin_cells(
+                    IV[:, m * sub : (m + 1) * sub], C[m], sub, int_scale
+                )
+                codes[:, m] = cm
+                recon = recon + dm  # ascending-m left fold
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["pq_codes"] = [",".join(str(int(x)) for x in row) for row in codes]
+            out["recon_err"] = recon
+            yield pd.DataFrame(out)
+
+    enc_df = base.mapInPandas(
+        enc,
+        f"{id_col} long{keep_schema}, pq_codes string, recon_err double",
+    )
+    return enc_df.select(
+        id_col,
+        *keep_cols,
+        "pq_codes",
+        F.round(F.col("recon_err"), 6).alias("recon_err"),
+    )
+
+
+def pq_adc_topk_cb(
+    queries_pd,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    int_scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k against TRAINED codebooks: probe LUTs
+    build driver-side from iv/int_scale probe subvectors vs the trained
+    tensor (ascending-d explicit adds — the list_sum order), then the
+    scan/rank tail is the SHARED :func:`_adc_rank` (identical to the
+    lattice server), so only the LUT source differs between the two."""
+    import numpy as np
+
+    subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+    if not len(queries_pd):
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank int"
+        )
+    n_codes = len(codebooks[0])
+    luts = np.zeros((len(queries_pd), subspaces, n_codes))
+    qids: list[int] = []
+    qcells: list = []
+    for qi, (_, q) in enumerate(queries_pd.iterrows()):
+        qiv = [
+            float(np.floor(float(x) * int_scale)) / float(int_scale)
+            for x in q[vec_col]
+        ]
+        qids.append(int(q[id_col]))
+        if cell_col is not None:
+            cell = q[cell_col]
+            qcells.append(cell.item() if hasattr(cell, "item") else cell)
+        for m in range(subspaces):
+            seg = qiv[m * sub : (m + 1) * sub]
+            for kk in range(n_codes):
+                c = codebooks[m][kk]
+                luts[qi, m, kk] = sum(
+                    (seg[d] - c[d]) * (seg[d] - c[d]) for d in range(sub)
+                )
+    return _adc_rank(codes, luts, qids, qcells, cell_col, k, id_col)
