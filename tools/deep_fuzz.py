@@ -22,6 +22,8 @@ Covered (operator → invariant):
                         ordered-history scan (random windows)
 - ts_best_window     registered integer-HOF sliding-window plan ==
                         plain-python zero-filled horizon scan
+- pq_train           single-pass all-subspace Lloyd == per-subspace
+                        numpy model, random (subspaces, k, dim)
 
 Run: python tools/deep_fuzz.py [EXAMPLES]   (default 60 per invariant)
 """
@@ -282,6 +284,55 @@ def fuzz_kmeans_twins(spark) -> None:
     print(f"kmeans twins: {max(1, N // 12)} cases OK")
 
 
+def fuzz_pq_train(spark) -> None:
+    """pq_train's one-pass all-subspaces Lloyd == an independent numpy
+    per-subspace run, bit-exact on every centroid, across random
+    (subspaces, k, dim, n) incl. duplicate/grid vectors forcing
+    assignment ties and empty codes (keep-old-centroid rule)."""
+    import numpy as np
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        pq_train,
+    )
+
+    cases = max(1, N // 12)
+    for i in range(cases):
+        subspaces = rng.choice([2, 4])
+        sub = rng.choice([2, 4])
+        dim = subspaces * sub
+        kc = rng.choice([2, 4, 8])
+        n = rng.randint(kc, 80)
+        vecs = [_random_vec(dim) for _ in range(n)]
+        for _ in range(rng.randint(0, n // 4)):  # duplicates -> ties
+            vecs[rng.randrange(n)] = list(rng.choice(vecs))
+        df = spark.createDataFrame(
+            [(j, v) for j, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = pq_train(df, subspaces=subspaces, k=kc, dim=dim, iters=2)
+        IV = np.floor(np.array(vecs) * 1e6).astype("int64")
+        for m in range(subspaces):
+            IVm = IV[:, m * sub : (m + 1) * sub]
+            Xm = IVm / 1e6
+            cents = [Xm[j].copy() for j in range(kc)]
+            for _ in range(2):
+                d = np.array(
+                    [[float(((x - c) ** 2).sum()) for c in cents] for x in Xm]
+                )
+                a = np.argmin(d, axis=1)
+                for code in range(kc):
+                    mask = a == code
+                    if mask.any():
+                        cents[code] = IVm[mask].sum(axis=0).astype(
+                            "float64"
+                        ) / (mask.sum() * 1e6)
+            for code in range(kc):
+                assert got[m][code] == list(cents[code]), (
+                    SEED, i, subspaces, kc, dim, n, m, code,
+                )
+    print(f"pq_train twins: {cases} cases OK")
+
+
 def fuzz_event_pattern(spark) -> None:
     """event_pattern_matches (q_event_pattern's registered plan) ==
     per-user ordered-history scan, random event soups with duplicate
@@ -390,6 +441,7 @@ def main() -> None:
     fuzz_pq_twins(spark)
     fuzz_blocked_cosine(spark)
     fuzz_kmeans_twins(spark)
+    fuzz_pq_train(spark)
     fuzz_event_pattern(spark)
     fuzz_ts_windows(spark)
     print("deep fuzz: ALL OK")
