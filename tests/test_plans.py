@@ -1324,3 +1324,64 @@ def test_trained_cb_recall_floor(spark):
         rows = q_ann_pq_recall_trained_cb(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
         assert mean_rc >= floor, (sf_dir, mean_rc)
+
+
+def test_ivf_cell_partition_pruning(spark, sf_smoke, tmp_path):
+    """The claim every IVF docstring makes — 'at 100 TB the build writes
+    cell-partitioned code files, so a probe touches nprobe/n_cells of
+    the files' — exercised for real: write the trained index
+    partitionBy(cell), and (a) the probed-cells predicate must reach
+    the scan as a PartitionFilter whose EXECUTED numFiles metric equals
+    the probed cell count (files actually skipped, not just planned),
+    (b) ADC serving from the pruned store must equal serving from the
+    in-memory codes relation row-for-row. NOTE: a cast() on the
+    partition column defeats pruning (the filter lands on the cast,
+    not the attribute) — the store must be filtered on the raw
+    partition column; discovered while writing this test."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    e = table(spark, sf_smoke, "embeddings")
+    cents = kmeans_fit(e)
+    cb = pq_train(e)
+    cells = ivf_assign(e, cents).select("vec_id", "cell")
+    codes = (
+        pq_encode_cb(e, cb)
+        .select("vec_id", "pq_codes")
+        .join(cells, "vec_id")
+        .coalesce(1)  # one file per cell directory -> numFiles == n_cells
+    )
+    path = str(tmp_path / "ivf_codes")
+    codes.write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    n_cells = stored.select("cell").distinct().count()
+
+    # two probes x nprobe=2 -> at most 4 of the cell directories scan
+    probes = e.filter(F.col("vec_id") < 2)
+    pcells = ivf_probe(probes, cents, 2).select("vec_id", "cell")
+    probe_cells = sorted({r.cell for r in pcells.collect()})
+    assert len(probe_cells) <= 4 < n_cells
+
+    pruned = stored.filter(F.col("cell").isin(*probe_cells))
+    text = explain_str(pruned)
+    assert "PartitionFilters: [cell#" in text, text[:3000]
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_files = int(scan.metrics().apply("numFiles").value())
+    assert n_files == len(probe_cells), (n_files, probe_cells, n_cells)
+
+    probes_pd = probes.join(pcells, "vec_id").toPandas()
+    from_store = pq_adc_topk_cb(probes_pd, stored, cb, k=10, cell_col="cell")
+    in_memory = pq_adc_topk_cb(probes_pd, codes, cb, k=10, cell_col="cell")
+    assert from_store.exceptAll(in_memory).count() == 0
+    assert in_memory.exceptAll(from_store).count() == 0
