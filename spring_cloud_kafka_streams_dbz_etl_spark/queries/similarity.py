@@ -563,7 +563,13 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- k-means IVF training ----------------------------------------------------
 
-def _kmeans_cte_chain() -> str:
+def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
+    """``train_where`` (a predicate over the bare ``vec_id`` column,
+    default unrestricted) limits which vectors the Lloyd ROUNDS and
+    seeds see — the frozen-model maintenance oracle
+    (s_ann_index_maintain) trains on the initial shard only; the final
+    ``af`` assignment always covers the full corpus (serving routes
+    EVERY vector through the model)."""
     from ..operators.similarity import KMEANS_ITERS, KMEANS_K
 
     k, dim, scale = KMEANS_K, 64, 1_000_000
@@ -572,13 +578,16 @@ def _kmeans_cte_chain() -> str:
         f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
     )
 
-    def assign(src_iv: str, cents: str, out: str, extra: str = ", i.iv") -> str:
+    def assign(
+        src_iv: str, cents: str, out: str, extra: str = ", i.iv", where: str = "TRUE"
+    ) -> str:
         return f"""{out} AS (
   SELECT vec_id{extra.replace('i.', '')}, cell, dist FROM (
     SELECT i.vec_id{extra}, s.cell, {dist} AS dist,
            ROW_NUMBER() OVER (PARTITION BY i.vec_id
                               ORDER BY {dist} ASC, s.cell ASC) AS rn
-    FROM {src_iv} i CROSS JOIN {cents} s)
+    FROM {src_iv} i CROSS JOIN {cents} s
+    WHERE {where})
   WHERE rn = 1
 )"""
 
@@ -609,9 +618,10 @@ def _kmeans_cte_chain() -> str:
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
          list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM iv
-  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-), {assign('iv', 'c0', 'a1')}, {update('a1', 'c0', 'c1')},
-{assign('iv', 'c1', 'a2')}, {update('a2', 'c1', 'c2')},
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {train_where}
+                   ORDER BY vec_id LIMIT {k})
+), {assign('iv', 'c0', 'a1', where=train_where.replace('vec_id', 'i.vec_id'))}, {update('a1', 'c0', 'c1')},
+{assign('iv', 'c1', 'a2', where=train_where.replace('vec_id', 'i.vec_id'))}, {update('a2', 'c1', 'c2')},
 {assign('iv', 'c2', 'af', extra=', i.iv')}"""
 
 
@@ -1626,7 +1636,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall loss; training the codebooks recovers it) ---------------------------
 
 
-def _pq_train_cte_chain() -> str:
+def _pq_train_cte_chain(train_where: str = "TRUE") -> str:
     """Relational per-subspace Lloyd — the DuckDB twin of
     :func:`operators.similarity.pq_train`, with the subspace index m as
     a COLUMN (one chain trains all 8 codebooks, mirroring the Spark
@@ -1634,7 +1644,10 @@ def _pq_train_cte_chain() -> str:
     scope (the kmeans chain's integerization). Ends in
     ``cbt(CB)`` — the trained (m × code × sub) tensor as one nested
     list, drop-in for the literal `_pq_cb_sql()` tensor in
-    `_pq_dd_sql()` / the ADC expression."""
+    `_pq_dd_sql()` / the ADC expression. ``train_where`` (a predicate
+    over the bare ``__id`` column) limits which vectors the Lloyd
+    rounds and seeds see — the frozen-model maintenance oracle trains
+    on the initial shard only."""
     from ..operators.similarity import PQ_DIM, PQ_K, PQ_SUBSPACES, PQT_ITERS
 
     m_count, kc = PQ_SUBSPACES, PQ_K
@@ -1652,7 +1665,8 @@ def _pq_train_cte_chain() -> str:
     SELECT s.__id, s.m, s.siv, t.code,
            ROW_NUMBER() OVER (PARTITION BY s.__id, s.m
                               ORDER BY {sdist} ASC, t.code ASC) AS rn
-    FROM sv s JOIN {prev} t ON s.m = t.m)
+    FROM sv s JOIN {prev} t ON s.m = t.m
+    WHERE {train_where.replace('__id', 's.__id')})
   WHERE rn = 1
 )"""
 
@@ -1683,7 +1697,9 @@ def _pq_train_cte_chain() -> str:
   SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY __id) - 1 AS code,
          list_transform(siv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM sv
-  WHERE __id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kc})
+  WHERE __id IN (SELECT vec_id FROM embeddings
+                 WHERE {train_where.replace('__id', 'vec_id')}
+                 ORDER BY vec_id LIMIT {kc})
 ), {passign('pc0', 'pa1')}, {pupdate('pa1', 'pc0', 'pc1')},
 {passign('pc1', 'pa2')}, {pupdate('pa2', 'pc1', 'pc2')},
 cbm AS (

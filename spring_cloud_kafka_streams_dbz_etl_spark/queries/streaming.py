@@ -2171,3 +2171,115 @@ def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_enriched_transcript(spark, topic_dir)
     assert sum(ends.values()) == decoded.count(), ends  # dense broker offsets
     return decoded
+
+
+def _ann_maintain_oracle() -> str:
+    from .similarity import _kmeans_cte_chain, _pq_dd_sql, _pq_train_cte_chain
+
+    scale = 1_000_000
+    return f"""
+WITH {_kmeans_cte_chain(train_where="vec_id % 2 = 0")},
+{_pq_train_cte_chain(train_where="__id % 2 = 0")}, pv AS (
+  SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS v
+  FROM iv
+), venc AS (
+  SELECT p.vec_id, p.v, t.CB FROM pv p CROSS JOIN cbt t
+), tdd AS (
+  SELECT vec_id, {_pq_dd_sql()} AS dd FROM venc
+)
+SELECT d.vec_id, CAST(af.cell AS INT) AS cell,
+       array_to_string(list_transform(dd, dl ->
+         CAST(list_position(dl, list_min(dl)) - 1 AS VARCHAR)), ',') AS pq_codes
+FROM tdd d JOIN af ON d.vec_id = af.vec_id
+"""
+
+
+@query("s_ann_index_maintain", oracle=_ann_maintain_oracle())
+def s_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance under arrival — the streaming
+    half of the trained-index family: the model (IVF cells via
+    kmeans_fit + PQ codebooks via pq_train) is built ONCE on the
+    initial shard (even vec_ids, the index's base build), FROZEN, and
+    every arriving micro-batch routes + encodes through it
+    (ivf_assign / pq_encode_cb inside foreachBatch — the same kernels
+    the batch build uses) and appends to the cell-partitioned code
+    store. Shard 1 (odd ids) arrives after the stream is live; the end
+    state must equal the batch rule "train on shard 0, route and
+    encode EVERYTHING through that frozen model" — which is exactly
+    what the oracle states with train-filtered Lloyd CTE chains.
+
+    This is how a 100 TB vector index actually lives: periodic
+    re-trains (the batch build), continuous ingest between them
+    (THIS pipeline — new documents' embeddings land in the right cell
+    files within a micro-batch, immediately visible to the
+    cell-pruned ADC scan), and the recall audits
+    (q_ann_pq_recall_trained_cb) gate each re-train. Model freshness
+    vs drift is an offline decision; ingest never blocks on it.
+
+    Scale: per batch, routing + encoding are map-only Arrow passes
+    (model broadcasts as a few KiB of task state), the append writes
+    only that batch's rows into per-cell directories (partitionBy —
+    no shuffle, no rewrite of existing files); store growth is
+    32x-compressed codes. Restart-idempotence of the sink is the
+    s_idempotent_sink recipe (batch-id-keyed overwrite) and is kept
+    orthogonal here."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+        pq_encode_cb,
+        pq_train,
+    )
+
+    tune(spark)
+    src_dir, store, ckpt = _tmp("annm_src"), _tmp("annm_store"), _tmp("annm_ckpt")
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    even = pc.equal(pc.bit_wise_and(vecs["vec_id"], 1), 0)
+    pq.write_table(vecs.filter(even), f"{src_dir}/embeddings.parquet")
+
+    # base build: train the model on the initial shard, then freeze it
+    base = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    cents = kmeans_fit(base)
+    cb = pq_train(base)
+
+    def route_encode_append(batch_df, _batch_id) -> None:
+        routed = ivf_assign(batch_df, cents).select("vec_id", "cell")
+        coded = pq_encode_cb(batch_df, cb).select("vec_id", "pq_codes")
+        (
+            coded.join(routed, "vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(store)
+        )
+
+    reg = StreamRegistry()
+    reg.register(
+        "s_ann_maintain",
+        lambda: (
+            spark.readStream.schema(base.schema)
+            .parquet(src_dir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(route_encode_append)
+            .start()
+        ),
+        checkpoint=ckpt,
+    )
+    reg.process_available("s_ann_maintain")
+
+    # the late shard arrives while the stream is live (atomic rename)
+    import os
+
+    tmp2 = f"{src_dir}/.embeddings2.parquet.tmp"
+    pq.write_table(vecs.filter(pc.invert(even)), tmp2)
+    os.rename(tmp2, f"{src_dir}/embeddings2.parquet")
+    reg.process_available("s_ann_maintain")
+    reg.stop("s_ann_maintain")
+
+    stored = spark.read.parquet(store)
+    # cast AFTER any partition filtering would happen (SCALE.md fifth
+    # anti-pattern); here the full store is the result relation
+    return stored.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "pq_codes"
+    )
