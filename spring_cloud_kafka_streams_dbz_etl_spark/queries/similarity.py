@@ -1454,7 +1454,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch with nothing shuffled but the k survivors. At 100 TB the
     corpus pass swaps for the IVF-PQ shortlist (q_ann_ivfpq) probed
     deeper than k and the same exclusion+rank applies to the shortlist
-    — the plan shape here IS that reranker."""
+    — built in r10 as q_hard_negatives_served, which reuses this
+    exclusion+rank on the trained-index shortlist."""
     from pyspark.sql import Window
 
     tune(spark)
@@ -1913,3 +1914,78 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
     ).select("query_id", "neighbor_id")
     return _refined_recall(e, probes, short, spark)
+
+
+def _embedding_drift_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_chain(train_where="vec_id % 2 = 0")}, tagged AS (
+  SELECT CAST(cell AS INT) AS cell,
+         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_base
+  FROM af
+), per_cell AS (
+  SELECT cell,
+         CAST(SUM(is_base) AS BIGINT) AS n_base,
+         CAST(SUM(1 - is_base) AS BIGINT) AS n_new
+  FROM tagged GROUP BY cell
+)
+SELECT cell, n_base, n_new,
+       ROUND(CAST(n_base AS DOUBLE) / SUM(n_base) OVER (), 6) AS share_base,
+       ROUND(CAST(n_new AS DOUBLE) / SUM(n_new) OVER (), 6) AS share_new,
+       ROUND(ABS(CAST(n_base AS DOUBLE) / SUM(n_base) OVER ()
+                 - CAST(n_new AS DOUBLE) / SUM(n_new) OVER ()) / 2, 6) AS tvd_contrib
+FROM per_cell
+"""
+
+
+@query("q_embedding_drift", oracle=_embedding_drift_oracle())
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the RE-TRAIN TRIGGER the
+    index-maintenance story needs (s_ann_index_maintain freezes the
+    model between rebuilds; THIS query is the offline decision of when
+    to rebuild): the frozen coarse quantizer (cells trained on the
+    base shard, even vec_ids) routes BOTH populations, and per cell the
+    base-vs-new occupancy shares plus the cell's total-variation
+    contribution come out; Σ tvd_contrib is the standard
+    distribution-shift score (0 = identical routing profile, 1 =
+    disjoint). A drifted corpus piles into few cells — exactly the
+    skew that degrades IVF recall and the signal to re-run
+    kmeans_fit/pq_train and re-audit with q_ann_pq_recall_trained_cb.
+
+    Population split is vec_id parity (the fixture's arrival-shard
+    convention, same as s_ann_index_maintain); in production the tag
+    is an ingest-epoch column and the comparison is a sliding window
+    of epochs against the epoch the model was trained on.
+
+    Scale: routing is the map-only frozen-model Arrow pass; the
+    aggregate is one groupBy over n_cells rows of output; the share
+    window runs over n_cells rows driver-side-sized. Cost ≈ one corpus
+    scan per monitoring run, trivially cheaper than the rebuild it
+    gates."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign, kmeans_fit
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    cents = kmeans_fit(fan_out(base, spark))
+    assigned = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    per_cell = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    wall = Window.partitionBy()
+    sb = F.col("n_base").cast("double") / F.sum("n_base").over(wall)
+    sn = F.col("n_new").cast("double") / F.sum("n_new").over(wall)
+    return per_cell.select(
+        "cell",
+        "n_base",
+        "n_new",
+        F.round(sb, 6).alias("share_base"),
+        F.round(sn, 6).alias("share_new"),
+        F.round(F.abs(sb - sn) / 2, 6).alias("tvd_contrib"),
+    )
