@@ -291,8 +291,8 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_kmeans_cells"})
 # CHECKED_BY_ROUND[9] (ADVICE r8's process note): this round's new
 # queries (q_ann_pq_recall_trained, q_hard_negatives_served, the
 # trained-codebook pair q_pq_train_encode / q_ann_pq_recall_trained_cb,
-# s_ann_index_maintain, and q_embedding_drift — zero CHECKED_BY_ROUND
-# rows, front automatically), any CHANGED_SINCE_CHECK
+# s_ann_index_maintain, q_embedding_drift, and q_ann_nprobe_curve —
+# zero CHECKED_BY_ROUND rows, front automatically), any CHANGED_SINCE_CHECK
 # re-fronts from round-10 plan edits, then fewest-checked re-checks
 # (the remaining two-green tail: r1/r2-era queries with exactly two
 # green rounds — q_agg_distinct, q_sessionize, q_salted_agg,

@@ -1989,3 +1989,247 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sn, 6).alias("share_new"),
         F.round(F.abs(sb - sn) / 2, 6).alias("tvd_contrib"),
     )
+
+
+NPROBE_CURVE = (1, 2, 3)  # the sweep the capacity-planning curve reports
+
+
+def _nprobe_curve_oracle() -> str:
+    from ..operators.similarity import PQ_DIM
+
+    m_count, _, sub, _ = _pq_consts()
+    scale = 1_000_000
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    cdist = (
+        f"list_sum(list_transform(range(1, {PQ_DIM + 1}), d -> "
+        f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
+    )
+
+    def branch(np_: int) -> str:
+        return f"""short{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM pv WHERE vec_id < {N_PROBE_QUERIES}) q
+    JOIN pcr ON pcr.vec_id = q.vec_id AND pcr.rn <= {np_}
+    JOIN tcoded c ON c.cell = pcr.cell
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {REFINE_DEPTH}
+), approx{np_} AS (
+  SELECT {np_} AS nprobe, query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.query_id
+             ORDER BY {l2} ASC, s.neighbor_id ASC) AS rank
+    FROM short{np_} s
+    JOIN v q ON q.vec_id = s.query_id
+    JOIN v c ON c.vec_id = s.neighbor_id)
+  WHERE rank <= {TOPK}
+)"""
+
+    branches = ", ".join(branch(np_) for np_ in NPROBE_CURVE)
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM approx{np_}" for np_ in NPROBE_CURVE
+    )
+    nprobe_vals = ", ".join(f"({np_})" for np_ in NPROBE_CURVE)
+    return f"""
+WITH {_kmeans_cte_chain()}, pcr AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT i.vec_id, CAST(s.cell AS INT) AS cell,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY {cdist} ASC, s.cell ASC) AS rn
+    FROM iv i CROSS JOIN c2 s
+    WHERE i.vec_id < {N_PROBE_QUERIES})
+  WHERE rn <= {max(NPROBE_CURVE)}
+), {_pq_train_cte_chain()}, v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pv AS (
+  SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS v
+  FROM iv
+), venc AS (
+  SELECT p.vec_id, p.v, t.CB FROM pv p CROSS JOIN cbt t
+), tdd AS (
+  SELECT vec_id, CB, {_pq_dd_sql()} AS dd FROM venc
+), tcoded AS (
+  SELECT d.vec_id, CAST(af.cell AS INT) AS cell, d.CB,
+         list_transform(dd, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+  FROM tdd d JOIN af ON d.vec_id = af.vec_id
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    CROSS JOIN v c
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), {branches}, approx_u AS (
+  {unions}
+)
+SELECT np.nprobe, x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOPK}, 6) AS recall_at_k
+FROM exact x
+CROSS JOIN (VALUES {nprobe_vals}) np(nprobe)
+LEFT JOIN approx_u a
+  ON a.nprobe = np.nprobe
+ AND a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY np.nprobe, x.query_id
+"""
+
+
+@query("q_ann_nprobe_curve", oracle=_nprobe_curve_oracle())
+def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe CAPACITY-PLANNING curve — recall@{TOPK} of the
+    fully-trained stack at every nprobe in {NPROBE_CURVE}, per probe,
+    in one run: the table an operator reads to pick the
+    latency-vs-recall point (each +1 nprobe adds ~1/n_cells of the
+    code bytes to every probe's scan; the audits showed recall is
+    coverage-ceiling-bound once codebooks are trained, so THIS curve
+    is exactly the knob that remains). Model trains once; the exact
+    ground truth computes once; only the shortlist/refine stage runs
+    per curve point — the marginal cost of one more curve point is one
+    more cell-pruned ADC scan, not a rebuild.
+
+    Output (nprobe, query_id, n_hits, recall_at_k) — the per-probe
+    grain keeps tail probes visible (a mean can hide one probe whose
+    true neighbors all live outside its probed cells; the rebuild
+    decision cares about that tail). The curve is NOT guaranteed
+    monotone: a wider probe set adds ADC-confusable candidates ahead
+    of the FIXED refine depth, so recall can dip (measured 0.938 ->
+    0.925 from nprobe 2 -> 3 at sf0.001) — reading that dip as "raise
+    REFINE_DEPTH with nprobe" is precisely what this table is for.
+
+    Scale: identical serving dataflow per point as
+    q_ann_pq_recall_trained_cb; at a real corpus the curve runs on the
+    probe sample against the committed index, so the whole sweep costs
+    |curve| cell-pruned scans + one exact pass."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+
+    cents = kmeans_fit(fan_out(e, spark))
+    cb = pq_train(fan_out(e, spark))
+    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    codes = (
+        pq_encode_cb(fan_out(e, spark), cb)
+        .select("vec_id", "pq_codes")
+        .join(cells, "vec_id")
+    )
+    pall = ivf_probe(probes, cents, max(NPROBE_CURVE)).select(
+        "vec_id", "cell", "probe_rank"
+    )
+    probes_all = probes.join(pall, "vec_id").toPandas()
+
+    # exact ground truth once (the expensive pass)
+    q = probes.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
+    )
+    c = fan_out(e, spark).select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__cv"),
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    # per curve point: cell-pruned ADC shortlist + broadcast exact refine
+    refine_l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("__rv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    rvec = fan_out(e, spark).select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__rv"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("l2_refine").asc(), F.col("neighbor_id").asc()
+    )
+    approxes = []
+    for np_ in NPROBE_CURVE:
+        probes_pd = probes_all[probes_all["probe_rank"] <= np_]
+        short = pq_adc_topk_cb(
+            probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
+        ).select("query_id", "neighbor_id")
+        approxes.append(
+            rvec.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "neighbor_id", refine_l2.alias("l2_refine"))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOPK)
+            .select(
+                F.lit(np_).cast("int").alias("a_nprobe"),
+                F.col("query_id").alias("a_query"),
+                F.col("neighbor_id").alias("a_neighbor"),
+            )
+        )
+    approx_u = approxes[0]
+    for a in approxes[1:]:
+        approx_u = approx_u.unionAll(a)
+
+    exact_np = exact.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(n,) for n in NPROBE_CURVE], "nprobe int")
+        )
+    )
+    return (
+        exact_np.join(
+            approx_u,
+            (F.col("nprobe") == F.col("a_nprobe"))
+            & (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor").cast("double") / TOPK, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
