@@ -1331,14 +1331,10 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _refined_recall(e, probes, short, spark)
 
 
-def _refined_recall(e, probes, short, spark) -> DataFrame:
-    """The shared audit tail of the trained-index recall family
-    (q_ann_pq_recall_trained / q_ann_pq_recall_trained_cb): exact
-    squared-L2 ground truth (broadcast-probes map-only corpus scan,
-    ROUND(6), ties by neighbor id), the FAISS-style exact refine of the
-    BROADCAST ADC shortlist (no corpus shuffle; true-L2 re-rank over
-    shortlist-sized data), and the per-probe recall@{TOPK} aggregate.
-    Candidate generation is the only thing the audits differ in."""
+def _exact_topk(e, probes, spark) -> DataFrame:
+    """Exact squared-L2 ground truth (query_id, neighbor_id): the
+    broadcast-probes map-only corpus scan, ROUND(6) before ranking,
+    ties by neighbor id — the truth side every recall audit shares."""
     from pyspark.sql import Window
 
     q = probes.select(
@@ -1359,7 +1355,7 @@ def _refined_recall(e, probes, short, spark) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("l2_dist").asc(), F.col("neighbor_id").asc()
     )
-    exact = (
+    return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1369,6 +1365,16 @@ def _refined_recall(e, probes, short, spark) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
+
+def _refine_topk(e, probes, short, spark) -> DataFrame:
+    """The FAISS-style exact refine (a_query, a_neighbor): the tiny ADC
+    shortlist BROADCASTS onto the corpus scan to fetch raw vectors (no
+    corpus shuffle), true-L2 re-ranks over shortlist-sized data."""
+    from pyspark.sql import Window
+
+    q = probes.select(
+        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
+    )
     refine_l2 = F.round(
         F.aggregate(
             F.zip_with(F.col("__qv"), F.col("__rv"), lambda a, b: (a - b) * (a - b)),
@@ -1384,7 +1390,7 @@ def _refined_recall(e, probes, short, spark) -> DataFrame:
     wr = Window.partitionBy("query_id").orderBy(
         F.col("l2_refine").asc(), F.col("neighbor_id").asc()
     )
-    approx = (
+    return (
         rvec.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", refine_l2.alias("l2_refine"))
@@ -1395,6 +1401,18 @@ def _refined_recall(e, probes, short, spark) -> DataFrame:
             F.col("neighbor_id").alias("a_neighbor"),
         )
     )
+
+
+def _refined_recall(e, probes, short, spark) -> DataFrame:
+    """The shared audit tail of the trained-index recall family
+    (q_ann_pq_recall_trained / q_ann_pq_recall_trained_cb): exact
+    ground truth (:func:`_exact_topk`), the exact refine of the ADC
+    shortlist (:func:`_refine_topk`), and the per-probe recall@{TOPK}
+    aggregate. Candidate generation is the only thing the audits
+    differ in; q_ann_nprobe_curve composes the same two pieces per
+    curve point."""
+    exact = _exact_topk(e, probes, spark)
+    approx = _refine_topk(e, probes, short, spark)
     return (
         exact.join(
             approx,
@@ -2117,8 +2135,6 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_pq_recall_trained_cb; at a real corpus the curve runs on the
     probe sample against the committed index, so the whole sweep costs
     |curve| cell-pruned scans + one exact pass."""
-    from pyspark.sql import Window
-
     from ..operators.similarity import (
         ivf_assign,
         ivf_probe,
@@ -2145,51 +2161,10 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes_all = probes.join(pall, "vec_id").toPandas()
 
-    # exact ground truth once (the expensive pass)
-    q = probes.select(
-        F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
-    )
-    c = fan_out(e, spark).select(
-        F.col("vec_id").alias("neighbor_id"),
-        to_double(F.col("embedding")).alias("__cv"),
-    )
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
-    )
-    exact = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", l2.alias("l2_dist"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "neighbor_id")
-    )
-
-    # per curve point: cell-pruned ADC shortlist + broadcast exact refine
-    refine_l2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__qv"), F.col("__rv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    rvec = fan_out(e, spark).select(
-        F.col("vec_id").alias("neighbor_id"),
-        to_double(F.col("embedding")).alias("__rv"),
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("l2_refine").asc(), F.col("neighbor_id").asc()
-    )
+    # exact ground truth once (the expensive pass); per curve point one
+    # cell-pruned ADC shortlist + broadcast exact refine — the same
+    # _exact_topk/_refine_topk pieces the single-point audits compose
+    exact = _exact_topk(e, probes, spark)
     approxes = []
     for np_ in NPROBE_CURVE:
         probes_pd = probes_all[probes_all["probe_rank"] <= np_]
@@ -2197,15 +2172,8 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
         ).select("query_id", "neighbor_id")
         approxes.append(
-            rvec.join(F.broadcast(short), "neighbor_id")
-            .join(F.broadcast(q), "query_id")
-            .select("query_id", "neighbor_id", refine_l2.alias("l2_refine"))
-            .withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= TOPK)
-            .select(
-                F.lit(np_).cast("int").alias("a_nprobe"),
-                F.col("query_id").alias("a_query"),
-                F.col("neighbor_id").alias("a_neighbor"),
+            _refine_topk(e, probes, short, spark).select(
+                F.lit(np_).cast("int").alias("a_nprobe"), "a_query", "a_neighbor"
             )
         )
     approx_u = approxes[0]
