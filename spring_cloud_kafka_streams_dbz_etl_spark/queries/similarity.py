@@ -573,6 +573,7 @@ def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
     from ..operators.similarity import KMEANS_ITERS, KMEANS_K
 
     k, dim, scale = KMEANS_K, 64, 1_000_000
+    assert KMEANS_ITERS == 2, "oracle chain unrolls exactly two Lloyd rounds"
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}), d -> "
         f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
