@@ -44,10 +44,48 @@ def materialize(df) -> int:
 
 LOAD_OK = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_OK", "2.0"))
 LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
-# interleave-flakiness auto-adjudication knobs (see main())
+# interleave-flakiness auto-adjudication knobs (see main()); the flag
+# decision deliberately reuses SUSPECT_RATIO (ADVICE r10: a hardcoded
+# 1.5 silently diverged from the env-tunable suspect threshold)
 SUSPECT_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_SUSPECT_RATIO", "1.5"))
 ISOLATED_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_REPEATS", "5"))
 ISOLATED_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MAX", "6"))
+# round-over-round drift rule (VERDICT r10 #5): flag a query whose
+# median grew past DRIFT_RATIO vs the previous round's artifact in TWO
+# consecutive rounds — one jump is usually interleave noise, two is a
+# trend the next verdict should adjudicate.
+DRIFT_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_RATIO", "1.25"))
+
+
+def _drift_flags(timings: dict[str, float]) -> list[str]:
+    """Names whose median exceeded DRIFT_RATIO x the prior round's value
+    AND whose prior round already exceeded DRIFT_RATIO x the round before
+    it — read from the two most recent BENCH_r*.json artifacts next to
+    this script (missing/unparseable artifacts degrade to no flags)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    prevs = []
+    for p in arts[-2:]:
+        try:
+            with open(p) as f:
+                prevs.append(json.load(f).get("queries") or {})
+        except (OSError, ValueError):
+            prevs.append({})
+    if len(prevs) < 2:
+        return []
+    older, prev = prevs
+    return sorted(
+        n
+        for n, t in timings.items()
+        if n in prev and n in older and prev[n] > 0 and older[n] > 0
+        and t > DRIFT_RATIO * prev[n] and prev[n] > DRIFT_RATIO * older[n]
+    )
 
 
 def _wait_for_idle() -> float:
@@ -133,13 +171,17 @@ def main() -> None:
     # best pass is a suspected interleave victim (GC pause / shuffle
     # service contention from a neighboring query), not a plan
     # regression. Re-measure it ISOLATED — back-to-back repeats with
-    # nothing else running — and stamp both numbers into the artifact
-    # so the round-over-round comparison reads the adjudicated value,
-    # not the contaminated one. interleave_flagged lists the queries
-    # whose interleaved median exceeded 1.5x their isolated median —
-    # the formal trigger the verdict audits.
+    # nothing else running. When the interleaved median exceeds
+    # SUSPECT_RATIO x the isolated median, the query is FLAGGED and its
+    # headline timing (and the total) is SUBSTITUTED with the isolated
+    # median — the adjudicated value — while the contaminated
+    # interleaved median stays in the artifact under
+    # ``interleaved_median`` for transparency (ADVICE r10: previously
+    # both values were merely stamped and the total still summed the
+    # contaminated medians).
     isolated: dict[str, float] = {}
     flagged: list[str] = []
+    interleaved_median: dict[str, float] = {}
     if passes > 1:
         suspects = sorted(
             (n for n, ts in raw.items() if timings[n] > SUSPECT_RATIO * min(ts)),
@@ -153,8 +195,10 @@ def main() -> None:
                 materialize(specs[name].fn(spark, SF_DIR))
                 ts.append(round(time.perf_counter() - t0, 3))
             isolated[name] = sorted(ts)[len(ts) // 2]
-            if timings[name] > 1.5 * isolated[name]:
+            if timings[name] > SUSPECT_RATIO * isolated[name]:
                 flagged.append(name)
+                interleaved_median[name] = timings[name]
+                timings[name] = isolated[name]
 
     total = round(sum(timings.values()), 3)
     compact = {
@@ -168,6 +212,8 @@ def main() -> None:
         "load_warn": load_at_start > LOAD_OK,
         "isolated": isolated,
         "interleave_flagged": flagged,
+        "interleaved_median": interleaved_median,
+        "drift_flagged": _drift_flags(timings),
     }
     # The driver captures only a stdout TAIL: keep the printed line COMPACT
     # (BENCH_r06.json came back parsed:null because the one huge line with

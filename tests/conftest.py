@@ -11,6 +11,8 @@ from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark  # noqa: 
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+# the largest driver fixture — recall-floor / scale-shape pins run here
+SF_SCALE = os.environ.get("SPARK_GRAFT_SCALE_SF", "/root/testdata/sf0.1")
 
 
 @pytest.fixture(scope="session")

@@ -13,6 +13,8 @@ from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
     pushed_filters,
     read_schema_columns,
 )
+from conftest import SF_ORACLE, SF_SCALE
+
 from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
 
 SPECS = all_queries()
@@ -1157,7 +1159,7 @@ def test_trained_recall_floor(spark):
         q_ann_pq_recall_trained,
     )
 
-    for sf_dir, floor in [("/root/testdata/sf0.01", 0.70), ("/root/testdata/sf0.1", 0.38)]:
+    for sf_dir, floor in [(SF_ORACLE, 0.70), (SF_SCALE, 0.38)]:
         rows = q_ann_pq_recall_trained(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
         assert mean_rc >= floor, (sf_dir, mean_rc)
@@ -1318,8 +1320,8 @@ def test_trained_cb_recall_floor(spark):
     )
 
     for sf_dir, floor in [
-        ("/root/testdata/sf0.01", 0.84),
-        ("/root/testdata/sf0.1", 0.72),
+        (SF_ORACLE, 0.84),
+        (SF_SCALE, 0.72),
     ]:
         rows = q_ann_pq_recall_trained_cb(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
