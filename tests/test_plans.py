@@ -13,9 +13,15 @@ from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
     pushed_filters,
     read_schema_columns,
 )
-from conftest import SF_ORACLE, SF_SCALE
+import os as _os
+import sys as _sys
 
-from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+# conftest.py is pytest-loaded, not an importable module from the repo
+# root — pull its path constants via an explicit sys.path entry.
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from conftest import SF_ORACLE, SF_SCALE  # noqa: E402
+
+from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries  # noqa: E402
 
 SPECS = all_queries()
 
