@@ -685,8 +685,50 @@ def pandas_topk_scores(
 
 # -- distributed k-means (IVF cell training) --------------------------------
 
-KMEANS_K = 8
+KMEANS_K_MIN = 8  # smallest useful coarse quantizer (and the tiny-corpus floor)
 KMEANS_ITERS = 2
+IVF_TARGET_CELL = 32  # minimum average cell occupancy a training run should see
+
+
+def ivf_cells_for(n_vectors: int, target_cell: int = IVF_TARGET_CELL) -> int:
+    """Cell count for the IVF coarse quantizer, by corpus size — the
+    `lsh_bits_for` / `simhash_width_for` sizing rule the ANN stack was
+    missing (VERDICT r10 #1: a fixed k=8 caps cell pruning at
+    nprobe/8 forever and was the measured sf0.1 recall ceiling).
+
+    k = ceil(4·√n), the middle of the √n..16·√n band FAISS documents
+    for IVF training, clamped below by ``KMEANS_K_MIN`` and above by
+    n // target_cell so tiny corpora keep trainable occupancy (≥
+    ``target_cell`` vectors per cell on average — Lloyd with near-empty
+    cells just freezes seeds). Values: 500 → 15, 2k → 62, 1e6 → 4000,
+    1e9 → 126,491 — at scale the ADC scan reads nprobe/k of the
+    cell-partitioned code files, so pruning IMPROVES as the corpus
+    grows instead of capping at nprobe/8.
+
+    Must stay bit-identical to the oracle's knobs CTE
+    (queries/similarity._kmeans_cte_chain): GREATEST/LEAST over exact
+    integer ops and one IEEE sqrt — no float drift surface."""
+    import math
+
+    return max(
+        KMEANS_K_MIN,
+        min(math.ceil(4 * math.sqrt(n_vectors)), n_vectors // max(1, target_cell)),
+    )
+
+
+def nprobe_for(n_cells: int) -> int:
+    """Serving-time probe width for a k-cell IVF index: ceil(√k),
+    floored at 2. Sublinear in k by design — as `ivf_cells_for` grows
+    the cell count with the corpus, the scanned FRACTION nprobe/k =
+    1/√k keeps shrinking (k=15 → 4 of 15, k=62 → 8 of 62, k=126k → 356
+    of 126k ≈ 0.3%), which is the whole point of scaling k. Recall at
+    this width is what the audit family (q_ann_pq_recall_trained*)
+    measures and pins; raise per-query when an SLA needs the coverage
+    ceiling lifted (q_ann_nprobe_curve is the planning table).
+    Twin of the oracle knobs CTE's ``np`` column."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(n_cells)))
 
 
 def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):
@@ -824,7 +866,7 @@ def _lloyd_train(
 
 def kmeans_fit(
     df: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -840,9 +882,16 @@ def kmeans_fit(
     (reference parity: the ETL's enrichment lookups separate the
     lookup-table BUILD from its APPLY the same way,
     spring-cloud-kafka-streams-dbz-etl processor topology; here the
-    split is train-vs-serve for the ANN index)."""
+    split is train-vs-serve for the ANN index).
+
+    ``k=None`` (the default) sizes the quantizer from the training
+    corpus via :func:`ivf_cells_for` — the count() runs on the already-
+    persisted integer projection, so it costs one pass the Lloyd rounds
+    were about to pay for anyway."""
     base = _int_vectors(df, id_col, vec_col, int_scale).persist()
     try:
+        if k is None:
+            k = ivf_cells_for(base.count())
         return _lloyd_train(
             base,
             k,
@@ -930,7 +979,7 @@ def ivf_probe(
 
 def kmeans_cells(
     df: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -967,8 +1016,11 @@ def kmeans_cells(
     the update is ONE shuffle of k×dim partial sums (bytes independent
     of corpus size). iters is fixed (production IVF trains on a sample
     anyway); convergence quality is the standard Lloyd guarantee.
+    ``k=None`` sizes the quantizer via :func:`ivf_cells_for`.
     """
     base = _int_vectors(df, id_col, vec_col, int_scale).persist()
+    if k is None:
+        k = ivf_cells_for(base.count())
 
     def assign_expr(cents_now: list[list[float]]) -> DataFrame:
         """JVM-expression assignment (the pre-r6 registered form): k×dim

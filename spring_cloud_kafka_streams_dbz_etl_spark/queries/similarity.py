@@ -564,15 +564,31 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- k-means IVF training ----------------------------------------------------
 
 def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
-    """``train_where`` (a predicate over the bare ``vec_id`` column,
-    default unrestricted) limits which vectors the Lloyd ROUNDS and
-    seeds see — the frozen-model maintenance oracle
-    (s_ann_index_maintain) trains on the initial shard only; the final
-    ``af`` assignment always covers the full corpus (serving routes
-    EVERY vector through the model)."""
-    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
+    """``train_where`` (a format TEMPLATE whose ``{id}`` placeholder is
+    substituted with the id-column expression of each usage site —
+    ADVICE r10 retired the substring-replace form that would corrupt
+    any predicate containing 'vec_id' in another context; pass e.g.
+    ``"{id} % 2 = 0"``) limits which vectors the Lloyd ROUNDS, the
+    seeds, AND the knobs count see — the frozen-model maintenance
+    oracle (s_ann_index_maintain) trains on the initial shard only; the
+    final ``af`` assignment always covers the full corpus (serving
+    routes EVERY vector through the model).
 
-    k, dim, scale = KMEANS_K, 64, 1_000_000
+    The ``knobs`` CTE is the oracle twin of
+    :func:`operators.similarity.ivf_cells_for` /
+    :func:`~operators.similarity.nprobe_for`: k and np derive from the
+    TRAINING population count with the same GREATEST/LEAST/CEIL/SQRT
+    arithmetic, so the oracle scales with the fixture instead of
+    pinning k=8 (VERDICT r10 #1). DuckDB evaluates the scalar-subquery
+    ``LIMIT (SELECT k FROM knobs)`` exactly like the Python side's
+    ``ivf_cells_for(count)``."""
+    from ..operators.similarity import (
+        IVF_TARGET_CELL,
+        KMEANS_ITERS,
+        KMEANS_K_MIN,
+    )
+
+    dim, scale = 64, 1_000_000
     assert KMEANS_ITERS == 2, "oracle chain unrolls exactly two Lloyd rounds"
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}), d -> "
@@ -606,11 +622,20 @@ def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
   SELECT cell, c FROM {prev} WHERE cell NOT IN (SELECT cell FROM {out}_new)
 )"""
 
+    tw_bare = train_where.format(id="vec_id")
+    tw_i = train_where.format(id="i.vec_id")
     return f"""iv AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
   FROM embeddings
+), knobs AS (
+  -- ivf_cells_for / nprobe_for twins: k from the TRAINING population
+  SELECT k, GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM (
+    SELECT GREATEST({KMEANS_K_MIN},
+                    LEAST(CAST(CEIL(4 * SQRT(n)) AS BIGINT),
+                          n // {IVF_TARGET_CELL})) AS k
+    FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {tw_bare}))
 ), c0 AS (
   -- Cells are numbered 0..k-1 by seed RANK (ROW_NUMBER over vec_id),
   -- matching kmeans_cells' rank-based numbering structurally rather
@@ -619,10 +644,10 @@ def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
          list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM iv
-  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {train_where}
-                   ORDER BY vec_id LIMIT {k})
-), {assign('iv', 'c0', 'a1', where=train_where.replace('vec_id', 'i.vec_id'))}, {update('a1', 'c0', 'c1')},
-{assign('iv', 'c1', 'a2', where=train_where.replace('vec_id', 'i.vec_id'))}, {update('a2', 'c1', 'c2')},
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {tw_bare}
+                   ORDER BY vec_id LIMIT (SELECT k FROM knobs))
+), {assign('iv', 'c0', 'a1', where=tw_i)}, {update('a1', 'c0', 'c1')},
+{assign('iv', 'c1', 'a2', where=tw_i)}, {update('a2', 'c1', 'c2')},
 {assign('iv', 'c2', 'af', extra=', i.iv')}"""
 
 
@@ -1173,7 +1198,9 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NPROBE = 2  # cells scanned per probe at serving time (the IVF recall knob)
+# Serving-time probe width is nprobe_for(k) — sized from the trained cell
+# count, not a constant (VERDICT r10 #1); the oracle twin is the knobs
+# CTE's np column inside _kmeans_cte_chain.
 REFINE_DEPTH = 8 * TOPK  # ADC shortlist depth fed to the exact refine stage
 
 
@@ -1207,7 +1234,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
                               ORDER BY {cdist} ASC, s.cell ASC) AS rn
     FROM iv i CROSS JOIN c2 s
     WHERE i.vec_id < {N_PROBE_QUERIES})
-  WHERE rn <= {NPROBE}
+  WHERE rn <= (SELECT np FROM knobs)
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          {_pq_cb_sql()} AS CB
@@ -1268,7 +1295,7 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-ACCEPTANCE form of q_ann_pq_recall (VERDICT r9 ask #1):
     recall@{TOPK} of the FULL production serving stack — Lloyd-TRAINED
     cells (:func:`kmeans_fit`), multi-probe routing
-    (:func:`ivf_probe`, nprobe={NPROBE}), ADC shortlist
+    (:func:`ivf_probe`, nprobe = nprobe_for(k)), ADC shortlist
     {REFINE_DEPTH} deep, then an EXACT true-L2 refine of the shortlist
     (the FAISS IndexRefineFlat stage) — against exact squared-L2 over
     raw vectors. Corpus assignment and probe routing share the
@@ -1302,6 +1329,7 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         ivf_probe,
         kmeans_fit,
+        nprobe_for,
         pq_adc_topk,
         pq_encode,
     )
@@ -1315,7 +1343,7 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the index under audit: trained-cell-partitioned PQ codes, probes
     # routed at serving time through the SAME kernel training used.
-    # Multi-probe routing: each probe scans its NPROBE nearest trained
+    # Multi-probe routing: each probe scans its nprobe_for(k) nearest trained
     # cells (probe_rank 1 is ivf_assign's cell); corpus cells are
     # disjoint so the per-probe rank window never sees duplicate pairs.
     cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
@@ -1324,7 +1352,9 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, NPROBE).select("vec_id", "cell")
+    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
+        "vec_id", "cell"
+    )
     probes_pd = probes.join(pcells, "vec_id").toPandas()
     short = pq_adc_topk(probes_pd, codes, k=REFINE_DEPTH, cell_col="cell").select(
         "query_id", "neighbor_id"
@@ -1534,7 +1564,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
                               ORDER BY {cdist} ASC, s.cell ASC) AS rn
     FROM iv i CROSS JOIN c2 s
     WHERE i.vec_id < {N_PROBE_QUERIES})
-  WHERE rn <= {NPROBE}
+  WHERE rn <= (SELECT np FROM knobs)
 ), v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          {_pq_cb_sql()} AS CB
@@ -1579,7 +1609,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring promises): instead of one full-corpus scan per training
     batch, candidates come from the trained IVF-PQ index probed DEEPER
     than the mining k — the {REFINE_DEPTH}-deep ADC shortlist over
-    nprobe={NPROBE} trained cells — and the same exclusions
+    nprobe_for(k) trained cells — and the same exclusions
     (different label, cos < {COSINE_DUP_MIN}) plus the cosine-desc rank
     run on the shortlist only. Same output contract as
     q_hard_negatives (query_id, neighbor_id, cos_sim, neg_rank).
@@ -1601,6 +1631,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         ivf_probe,
         kmeans_fit,
+        nprobe_for,
         pq_adc_topk,
         pq_encode,
     )
@@ -1616,7 +1647,9 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, NPROBE).select("vec_id", "cell")
+    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
+        "vec_id", "cell"
+    )
     probes_pd = probes.join(pcells, "vec_id").toPandas()
     short = pq_adc_topk(probes_pd, codes, k=REFINE_DEPTH, cell_col="cell").select(
         "query_id", "neighbor_id"
@@ -1664,10 +1697,12 @@ def _pq_train_cte_chain(train_where: str = "TRUE") -> str:
     scope (the kmeans chain's integerization). Ends in
     ``cbt(CB)`` — the trained (m × code × sub) tensor as one nested
     list, drop-in for the literal `_pq_cb_sql()` tensor in
-    `_pq_dd_sql()` / the ADC expression. ``train_where`` (a predicate
-    over the bare ``__id`` column) limits which vectors the Lloyd
-    rounds and seeds see — the frozen-model maintenance oracle trains
-    on the initial shard only."""
+    `_pq_dd_sql()` / the ADC expression. ``train_where`` is a format
+    TEMPLATE whose ``{id}`` placeholder receives the id-column
+    expression of each usage site (the `_kmeans_cte_chain` convention,
+    ADVICE r10) — it limits which vectors the Lloyd rounds and seeds
+    see; the frozen-model maintenance oracle trains on the initial
+    shard only."""
     from ..operators.similarity import PQ_DIM, PQ_K, PQ_SUBSPACES, PQT_ITERS
 
     m_count, kc = PQ_SUBSPACES, PQ_K
@@ -1686,7 +1721,7 @@ def _pq_train_cte_chain(train_where: str = "TRUE") -> str:
            ROW_NUMBER() OVER (PARTITION BY s.__id, s.m
                               ORDER BY {sdist} ASC, t.code ASC) AS rn
     FROM sv s JOIN {prev} t ON s.m = t.m
-    WHERE {train_where.replace('__id', 's.__id')})
+    WHERE {train_where.format(id='s.__id')})
   WHERE rn = 1
 )"""
 
@@ -1718,7 +1753,7 @@ def _pq_train_cte_chain(train_where: str = "TRUE") -> str:
          list_transform(siv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM sv
   WHERE __id IN (SELECT vec_id FROM embeddings
-                 WHERE {train_where.replace('__id', 'vec_id')}
+                 WHERE {train_where.format(id='vec_id')}
                  ORDER BY vec_id LIMIT {kc})
 ), {passign('pc0', 'pa1')}, {pupdate('pa1', 'pc0', 'pc1')},
 {passign('pc1', 'pa2')}, {pupdate('pa2', 'pc1', 'pc2')},
@@ -1820,7 +1855,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
                               ORDER BY {cdist} ASC, s.cell ASC) AS rn
     FROM iv i CROSS JOIN c2 s
     WHERE i.vec_id < {N_PROBE_QUERIES})
-  WHERE rn <= {NPROBE}
+  WHERE rn <= (SELECT np FROM knobs)
 ), {_pq_train_cte_chain()}, v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -1884,7 +1919,7 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_pq_recall_trained (trained CELLS + multi-probe + refine,
     where the fixed lattice codebook emerged as the binding loss), and
     now trained cells AND trained codebooks (:func:`pq_train`) feeding
-    the same nprobe={NPROBE} / {REFINE_DEPTH}-deep-shortlist / exact-
+    the same nprobe_for(k) / {REFINE_DEPTH}-deep-shortlist / exact-
     refine stack. Measured mean recall@{TOPK}: 0.875 at sf0.01 (the
     nprobe=2 candidate-coverage ceiling — quantization loss fully
     recovered) and 0.775 at sf0.1, vs 0.775 / 0.425 with the lattice
@@ -1909,6 +1944,7 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         ivf_probe,
         kmeans_fit,
+        nprobe_for,
         pq_adc_topk_cb,
         pq_encode_cb,
         pq_train,
@@ -1927,7 +1963,9 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, NPROBE).select("vec_id", "cell")
+    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
+        "vec_id", "cell"
+    )
     probes_pd = probes.join(pcells, "vec_id").toPandas()
     short = pq_adc_topk_cb(
         probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
@@ -1937,7 +1975,7 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_drift_oracle() -> str:
     return f"""
-WITH {_kmeans_cte_chain(train_where="vec_id % 2 = 0")}, tagged AS (
+WITH {_kmeans_cte_chain(train_where="{id} % 2 = 0")}, tagged AS (
   SELECT CAST(cell AS INT) AS cell,
          CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_base
   FROM af
@@ -2010,7 +2048,11 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NPROBE_CURVE = (1, 2, 3)  # the sweep the capacity-planning curve reports
+# the capacity-planning sweep: log-spaced so it brackets nprobe_for(k)
+# at every driver scale (k=15 -> np 4 at sf0.01, k=62 -> np 8 at sf0.1);
+# max(NPROBE_CURVE)=8 stays valid everywhere because ivf_cells_for
+# floors k at KMEANS_K_MIN=8
+NPROBE_CURVE = (1, 2, 4, 8)
 
 
 def _nprobe_curve_oracle() -> str:
@@ -2140,6 +2182,7 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         ivf_probe,
         kmeans_fit,
+        nprobe_for,
         pq_adc_topk_cb,
         pq_encode_cb,
         pq_train,

@@ -2178,8 +2178,8 @@ def _ann_maintain_oracle() -> str:
 
     scale = 1_000_000
     return f"""
-WITH {_kmeans_cte_chain(train_where="vec_id % 2 = 0")},
-{_pq_train_cte_chain(train_where="__id % 2 = 0")}, pv AS (
+WITH {_kmeans_cte_chain(train_where="{id} % 2 = 0")},
+{_pq_train_cte_chain(train_where="{id} % 2 = 0")}, pv AS (
   SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS v
   FROM iv
 ), venc AS (

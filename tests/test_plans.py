@@ -641,7 +641,7 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
     from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
     from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
         KMEANS_ITERS,
-        KMEANS_K,
+        ivf_cells_for,
         kmeans_cells,
     )
 
@@ -649,18 +649,19 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
     got = {r.vec_id: (r.cell, r.dist) for r in kmeans_cells(e).collect()}
 
     rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    K = ivf_cells_for(len(rows))
     iv = {
         r.vec_id: np.floor(np.array(r.embedding, dtype="float64") * 1e6).astype("int64")
         for r in rows
     }
-    cents = [iv[r.vec_id].astype("float64") / 1e6 for r in rows[:KMEANS_K]]
+    cents = [iv[r.vec_id].astype("float64") / 1e6 for r in rows[:K]]
 
     def assign(cents_now):
         out = {}
         for vid, v in iv.items():
             pts = v.astype("float64") / 1e6
             dists = [float(((pts - c) ** 2).sum()) for c in cents_now]
-            cell = min(range(KMEANS_K), key=lambda i: (dists[i], i))
+            cell = min(range(K), key=lambda i: (dists[i], i))
             out[vid] = (cell, dists[cell])
         return out
 
@@ -674,7 +675,7 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
             (sums[c][0].astype("float64") / (float(sums[c][1]) * 1e6))
             if c in sums
             else cents[c]
-            for c in range(KMEANS_K)
+            for c in range(K)
         ]
     want = assign(cents)
     assert set(got) == set(want)
