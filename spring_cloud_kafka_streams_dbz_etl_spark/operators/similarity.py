@@ -716,6 +716,28 @@ def ivf_cells_for(n_vectors: int, target_cell: int = IVF_TARGET_CELL) -> int:
     )
 
 
+# Deterministic seed-spreading hash (VERDICT r10 #2): first-k-by-id
+# seeding put adjacent-id — and in id-correlated corpora, near-identical
+# — vectors into adjacent seed slots, producing the skewed occupancy
+# q_embedding_drift exists to detect. Ordering candidates by a Knuth
+# multiplicative hash of the id decorrelates seed choice from id
+# locality while staying RNG-free and oracle-expressible. The low 20
+# bits enter first so the product (2^20 * 2654435761 < 2^52) can never
+# overflow a BIGINT in EITHER engine — Spark longs wrap silently on
+# overflow while DuckDB throws, so the safe range is a cross-engine
+# determinism requirement, not a style choice. Collisions (ids equal
+# mod 2^20) tie-break on the raw id.
+SEED_HASH_MASK = 1_048_576  # 2^20
+SEED_HASH_MULT = 2_654_435_761  # Knuth's 2^32 / phi
+SEED_HASH_MOD = 4_294_967_296  # 2^32
+
+
+def _seed_hash(id_col: F.Column) -> F.Column:
+    return (id_col % F.lit(SEED_HASH_MASK)) * F.lit(SEED_HASH_MULT) % F.lit(
+        SEED_HASH_MOD
+    )
+
+
 def nprobe_for(n_cells: int) -> int:
     """Serving-time probe width for a k-cell IVF index: ceil(√k),
     floored at 2. Sublinear in k by design — as `ivf_cells_for` grows
@@ -829,13 +851,15 @@ def _lloyd_train(
     int_scale: int,
     assign_impl,
 ) -> list[list[float]]:
-    """The shared Lloyd loop (MLlib shape): seeds are the k smallest
-    __id rows (deterministic, no RNG); each round is one assignment pass
-    (``assign_impl``) plus ONE groupBy(cell, d) shuffle of k×dim partial
-    sums — bytes independent of corpus size — and a k×dim collect to
-    rebuild the driver-side model. Empty cells keep their previous
-    centroid. Returns the trained k×dim centroid list."""
-    seeds = base.orderBy("__id").limit(k).collect()
+    """The shared Lloyd loop (MLlib shape): seeds are the k first rows
+    in :func:`_seed_hash` order (deterministic k-means++-style spread —
+    no RNG, hash-decorrelated from id locality, tie-break on id; cell c
+    is the c-th seed in that order on BOTH engines); each round is one
+    assignment pass (``assign_impl``) plus ONE groupBy(cell, d) shuffle
+    of k×dim partial sums — bytes independent of corpus size — and a
+    k×dim collect to rebuild the driver-side model. Empty cells keep
+    their previous centroid. Returns the trained k×dim centroid list."""
+    seeds = base.orderBy(_seed_hash(F.col("__id")), "__id").limit(k).collect()
     if len(seeds) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
     # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
@@ -1010,7 +1034,7 @@ def kmeans_cells(
     (exact integer operands -> one IEEE division, bit-identical
     everywhere), distances accumulate (iv/int_scale − c)² in ascending
     dimension order, argmin tie-breaks on the smaller cell id. Seeds are
-    the k smallest ``id_col`` rows — deterministic, no RNG.
+    the first k rows in `_seed_hash` order — deterministic spread, no RNG.
 
     Scale: per round, the argmin is whole-stage-codegen'd map work and
     the update is ONE shuffle of k×dim partial sums (bytes independent
@@ -1180,8 +1204,9 @@ def pq_train(
     Cross-engine determinism (the kmeans_cells policy, subspace-wise):
     integer subvectors floor(x*int_scale), centroids sum/(n*int_scale)
     exact divisions, ascending-d folds, argmin-first = smaller-code
-    tie-break, seeds = the k smallest ``id_col`` rows' subvectors
-    (ranked per m by id). Empty codes keep their centroid. The DuckDB
+    tie-break, seeds = the first k distinct ``id_col`` values in
+    `_seed_hash` order (subvectors ranked per m by that order). Empty
+    codes keep their centroid. The DuckDB
     twin is the relational chain in queries/similarity._pq_train_cte_chain.
     """
     sub = dim // subspaces
@@ -1201,18 +1226,34 @@ def pq_train(
         .persist()
     )
     try:
-        seed_rows = sv.orderBy("__id", "m").limit(k * subspaces).collect()
-        # Row.__id needs item access (PySpark blocks dunder attributes)
-        seed_ids = sorted({r["__id"] for r in seed_rows})
+        # Seed IDS first, subvectors second (ADVICE r10: the old
+        # limit(k*subspaces) over (__id, m) rows assumed unique ids with
+        # exactly `subspaces` rows each — a duplicate id could leave
+        # None codebook slots). Ranks follow _seed_hash order, the same
+        # deterministic spread the cell trainer uses.
+        # (Row.__id needs item access — PySpark blocks dunder attributes.)
+        seed_ids = [
+            r["__id"]
+            for r in sv.select("__id")
+            .distinct()
+            .orderBy(_seed_hash(F.col("__id")), "__id")
+            .limit(k)
+            .collect()
+        ]
         if len(seed_ids) < k:
             raise ValueError(f"corpus has fewer than k={k} vectors")
-        rank_of = {vid: i for i, vid in enumerate(seed_ids[:k])}
+        rank_of = {vid: i for i, vid in enumerate(seed_ids)}
+        seed_rows = sv.filter(F.col("__id").isin(seed_ids)).collect()
+        if len(seed_rows) != k * subspaces:
+            raise ValueError(
+                f"seed ids are not unique in the corpus: expected "
+                f"{k * subspaces} (id, m) rows, got {len(seed_rows)}"
+            )
         cb: list[list[list[float]]] = [[None] * k for _ in range(subspaces)]
         for r in seed_rows:
-            if r["__id"] in rank_of:
-                cb[r.m][rank_of[r["__id"]]] = [
-                    float(x) / float(int_scale) for x in r.siv
-                ]
+            cb[r.m][rank_of[r["__id"]]] = [
+                float(x) / float(int_scale) for x in r.siv
+            ]
 
         def assign(cb_now: list[list[list[float]]]) -> DataFrame:
             C = [[list(map(float, c)) for c in bk] for bk in cb_now]

@@ -563,6 +563,19 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- k-means IVF training ----------------------------------------------------
 
+def _seed_h(col: str) -> str:
+    """SQL twin of operators.similarity._seed_hash — the deterministic
+    Knuth-multiplicative seed-spreading order (low 20 bits first so the
+    product stays far inside BIGINT range in both engines)."""
+    from ..operators.similarity import (
+        SEED_HASH_MASK,
+        SEED_HASH_MOD,
+        SEED_HASH_MULT,
+    )
+
+    return f"(({col} % {SEED_HASH_MASK}) * {SEED_HASH_MULT}) % {SEED_HASH_MOD}"
+
+
 def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
     """``train_where`` (a format TEMPLATE whose ``{id}`` placeholder is
     substituted with the id-column expression of each usage site —
@@ -637,15 +650,17 @@ def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
                           n // {IVF_TARGET_CELL})) AS k
     FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {tw_bare}))
 ), c0 AS (
-  -- Cells are numbered 0..k-1 by seed RANK (ROW_NUMBER over vec_id),
-  -- matching kmeans_cells' rank-based numbering structurally rather
-  -- than relying on the fixture's vec_ids being contiguous from 0
-  -- (ADVICE r04).
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+  -- Cells are numbered 0..k-1 by seed RANK in seed-hash order (the
+  -- deterministic k-means++-style spread; ADVICE r04 established
+  -- rank-based numbering, VERDICT r10 #2 moved the rank key from raw
+  -- vec_id to the hash so adjacent-id vectors stop seeding adjacent —
+  -- and in id-correlated corpora near-identical — centroids).
+  SELECT ROW_NUMBER() OVER (ORDER BY {_seed_h('vec_id')}, vec_id) - 1 AS cell,
          list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM iv
   WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE {tw_bare}
-                   ORDER BY vec_id LIMIT (SELECT k FROM knobs))
+                   ORDER BY {_seed_h('vec_id')}, vec_id
+                   LIMIT (SELECT k FROM knobs))
 ), {assign('iv', 'c0', 'a1', where=tw_i)}, {update('a1', 'c0', 'c1')},
 {assign('iv', 'c1', 'a2', where=tw_i)}, {update('a2', 'c1', 'c2')},
 {assign('iv', 'c2', 'af', extra=', i.iv')}"""
@@ -674,8 +689,9 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism (the LSH/PQ policy): integer vectors
     floor(x*1e6), centroids sum/(n*1e6) as one exact-operand IEEE
     division, distances accumulated in ascending-dimension order, argmin
-    tie-break on smaller cell; seeds are the k smallest vec_ids (no
-    RNG). The oracle unrolls both Lloyd iterations as CTEs, including
+    tie-break on smaller cell; seeds are the first k vec_ids in
+    deterministic seed-hash order (k-means++-style spread, no RNG). The
+    oracle unrolls both Lloyd iterations as CTEs, including
     the empty-cell keep-old-centroid rule."""
     from ..operators.similarity import kmeans_cells
 
@@ -1305,16 +1321,17 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_ann_pq_recall documents WHY pure ADC on arbitrary label-cells
     reports recall ~ 0.06; this query closes the loop the way a real
-    build does. Measured mean recall@10: 0.8125 at sf0.001, 0.775 at
-    sf0.01, 0.425 at sf0.1 (floors pinned in
-    tests/test_plans.py::test_trained_recall_floor). The stage-by-stage
-    decomposition: trained-cell candidate coverage at nprobe=2 is the
-    ceiling (0.875 at sf0.01) and refine reaches it as REFINE_DEPTH
-    approaches the probed-candidate count — at sf0.1 the fixed lattice
-    codebook's ADC noise makes the {REFINE_DEPTH}-deep shortlist the
-    binding loss, which is the accept/reject signal an operator reads
-    before raising nprobe / REFINE_DEPTH / n_cells for the density at
-    hand.
+    build does. Measured mean recall@10 with honest (hash-seeded,
+    probe-leak-free) training: 0.5375 at sf0.001, 0.50 at sf0.01,
+    0.3375 at sf0.1 (floors pinned in
+    tests/test_plans.py::test_trained_recall_floor — r10's higher
+    numbers were an artifact: first-k-by-id seeding made the probe set
+    part of the codebook, see that test's docstring). The binding
+    constraint is nprobe coverage — cells partition the corpus finer
+    than the fixture's NN locality, so recall tracks the scanned
+    fraction (q_ann_nprobe_curve is the planning table); the lattice
+    codebook's ADC noise adds the remaining loss the trained-codebook
+    stack (q_ann_pq_recall_trained_cb) recovers.
 
     Scale: training is :func:`kmeans_fit`'s constant-shuffle Lloyd
     rounds (k×dim partial sums per round); routing is one map-only
@@ -1747,14 +1764,17 @@ def _pq_train_cte_chain(train_where: str = "TRUE") -> str:
          list_transform(range(1, {sub + 1}), i -> iv[m * {sub} + i]) AS siv
   FROM iv, UNNEST(range(0, {m_count})) AS t(m)
 ), pc0 AS (
-  -- codes numbered 0..k-1 by seed rank per subspace (same ids, same
-  -- ranks across every m — the Spark side's rank_of map)
-  SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY __id) - 1 AS code,
+  -- codes numbered 0..k-1 by seed rank in seed-hash order per subspace
+  -- (same ids, same ranks across every m — the Spark side's rank_of
+  -- map, which follows the same _seed_hash order as cell training)
+  SELECT m,
+         ROW_NUMBER() OVER (PARTITION BY m
+                            ORDER BY {_seed_h('__id')}, __id) - 1 AS code,
          list_transform(siv, x -> CAST(x AS DOUBLE) / {scale}.0) AS c
   FROM sv
   WHERE __id IN (SELECT vec_id FROM embeddings
                  WHERE {train_where.format(id='vec_id')}
-                 ORDER BY vec_id LIMIT {kc})
+                 ORDER BY {_seed_h('vec_id')}, vec_id LIMIT {kc})
 ), {passign('pc0', 'pa1')}, {pupdate('pa1', 'pc0', 'pc1')},
 {passign('pc1', 'pa2')}, {pupdate('pa2', 'pc1', 'pc2')},
 cbm AS (
@@ -1805,14 +1825,15 @@ def q_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(m, code, d) shuffle whose output is 8×16×8 rows regardless
     of corpus size), then pq_encode_cb encodes against the trained
     tensor in the SAME iv/int_scale space training used, via the same
-    `_argmin_cells` fold. Measured at sf0.01: mean recon_err 0.574
-    trained vs 2.67 lattice (4.65× tighter quantization — the gap
+    `_argmin_cells` fold. Measured at sf0.01: mean recon_err 0.575
+    trained vs 2.67 lattice (4.64× tighter quantization — the gap
     q_ann_pq_recall_trained measured as ADC noise; pinned in
     test_trained_codebooks_tighter_than_lattice).
 
     The oracle unrolls the per-subspace Lloyd relationally
-    (`_pq_train_cte_chain`): seeds are the k smallest vec_ids' subvectors
-    ranked per m, updates are exact-integer sums / (n·scale) divisions,
+    (`_pq_train_cte_chain`): seeds are the first k vec_ids in seed-hash
+    order (subvectors ranked per m by that order), updates are
+    exact-integer sums / (n·scale) divisions,
     ties break to the smaller code — bit-identical across engines.
 
     Scale: training shuffles constant bytes per round; encode is one
@@ -1920,13 +1941,14 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the fixed lattice codebook emerged as the binding loss), and
     now trained cells AND trained codebooks (:func:`pq_train`) feeding
     the same nprobe_for(k) / {REFINE_DEPTH}-deep-shortlist / exact-
-    refine stack. Measured mean recall@{TOPK}: 0.875 at sf0.01 (the
-    nprobe=2 candidate-coverage ceiling — quantization loss fully
-    recovered) and 0.775 at sf0.1, vs 0.775 / 0.425 with the lattice
-    codebook (floors pinned in test_trained_recall_floor alongside the
-    trained-cells stack). The accept decision this enables: commit the
-    trained index; raise nprobe only if the SLA needs the coverage
-    ceiling itself lifted.
+    refine stack. Measured mean recall@{TOPK} with honest
+    (probe-leak-free) seeding: 0.575 at sf0.01 and 0.40 at sf0.1, vs
+    0.50 / 0.3375 with the lattice codebook (floors pinned in
+    test_trained_cb_recall_floor alongside the trained-cells stack) —
+    codebook training recovers the ADC-noise share of the loss; the
+    remainder is nprobe coverage, the knob q_ann_nprobe_curve prices.
+    The accept decision this enables: commit the trained index; raise
+    nprobe only if the SLA needs the coverage ceiling itself lifted.
 
     Everything downstream of training reuses the audited parts: corpus
     routing via :func:`ivf_assign`, probe routing via
@@ -2170,8 +2192,10 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     true neighbors all live outside its probed cells; the rebuild
     decision cares about that tail). The curve is NOT guaranteed
     monotone: a wider probe set adds ADC-confusable candidates ahead
-    of the FIXED refine depth, so recall can dip (measured 0.938 ->
-    0.925 from nprobe 2 -> 3 at sf0.001) — reading that dip as "raise
+    of the FIXED refine depth, so recall can plateau or dip (measured
+    at sf0.1: 0.40 at BOTH nprobe 4 and 8 while raw candidate coverage
+    keeps rising 0.40 -> 0.49 — the {REFINE_DEPTH}-deep shortlist is
+    absorbing the extra coverage) — reading that plateau as "raise
     REFINE_DEPTH with nprobe" is precisely what this table is for.
 
     Scale: identical serving dataflow per point as

@@ -654,7 +654,10 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_smoke):
         r.vec_id: np.floor(np.array(r.embedding, dtype="float64") * 1e6).astype("int64")
         for r in rows
     }
-    cents = [iv[r.vec_id].astype("float64") / 1e6 for r in rows[:K]]
+    seed_order = sorted(
+        rows, key=lambda r: ((r.vec_id % 2**20) * 2654435761 % 2**32, r.vec_id)
+    )
+    cents = [iv[r.vec_id].astype("float64") / 1e6 for r in seed_order[:K]]
 
     def assign(cents_now):
         out = {}
@@ -1158,15 +1161,23 @@ def test_trained_recall_floor(spark):
     """The index-acceptance gate (VERDICT r9 ask #1): the trained
     IVF-PQ-refine stack must clear its stated recall@10 floor at BOTH
     driver scales. Measured (deterministic — no RNG anywhere in the
-    chain): 0.775 at sf0.01, 0.425 at sf0.1; floors leave a small
-    margin only against future fixture regeneration."""
+    chain): 0.50 at sf0.01, 0.3375 at sf0.1 with hash-ordered seeding.
+
+    These floors are LOWER than r10's (0.775 / 0.425) on purpose: the
+    old first-k-by-id seeding placed the audit's own probe set
+    (vec_id < 8) among the k smallest-id seeds, so every probe started
+    as a cell centroid and its neighbors were pre-centered in its own
+    cell — the audit was partially training on its test queries. Hash
+    seeding removes the leak; a numpy sweep over random/stride/
+    farthest-first seedings confirms the honest coverage ceiling at
+    nprobe_for(k) sits exactly where these floors are (SCALE.md)."""
     import statistics
 
     from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
         q_ann_pq_recall_trained,
     )
 
-    for sf_dir, floor in [(SF_ORACLE, 0.70), (SF_SCALE, 0.38)]:
+    for sf_dir, floor in [(SF_ORACLE, 0.45), (SF_SCALE, 0.30)]:
         rows = q_ann_pq_recall_trained(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
         assert mean_rc >= floor, (sf_dir, mean_rc)
@@ -1272,11 +1283,18 @@ def test_pq_train_matches_numpy_lloyd(spark, sf_smoke):
             for r in rows
         ]
     )
+    seed_idx = sorted(
+        range(len(rows)),
+        key=lambda i: (
+            (rows[i].vec_id % 2**20) * 2654435761 % 2**32,
+            rows[i].vec_id,
+        ),
+    )[:PQ_K]
     sub = PQ_DIM // PQ_SUBSPACES
     for m in range(PQ_SUBSPACES):
         IVm = IV[:, m * sub : (m + 1) * sub]
         Xm = IVm / 1e6
-        cents = [Xm[i].copy() for i in range(PQ_K)]
+        cents = [Xm[i].copy() for i in seed_idx]
         for _ in range(PQT_ITERS):
             d = np.array(
                 [[float(((x - c) ** 2).sum()) for c in cents] for x in Xm]
@@ -1316,10 +1334,12 @@ def test_trained_codebooks_tighter_than_lattice(spark, sf_smoke):
 
 def test_trained_cb_recall_floor(spark):
     """Acceptance floors for the FULLY-trained stack (cells + codebooks
-    + multi-probe + refine): measured 0.875 at sf0.01 and 0.775 at
-    sf0.1 — deterministic end to end; floors leave margin only against
-    fixture regeneration. Must also strictly beat the lattice-codebook
-    stack's floors (0.70 / 0.38) — that gap IS the value of pq_train."""
+    + multi-probe + refine): measured 0.575 at sf0.01 and 0.40 at
+    sf0.1 — deterministic end to end, honest (probe-leak-free, see
+    test_trained_recall_floor) seeding; floors leave margin only
+    against fixture regeneration. Must also strictly beat the
+    lattice-codebook stack's floors (0.45 / 0.30) — that gap IS the
+    value of pq_train."""
     import statistics
 
     from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
@@ -1327,8 +1347,8 @@ def test_trained_cb_recall_floor(spark):
     )
 
     for sf_dir, floor in [
-        (SF_ORACLE, 0.84),
-        (SF_SCALE, 0.72),
+        (SF_ORACLE, 0.52),
+        (SF_SCALE, 0.36),
     ]:
         rows = q_ann_pq_recall_trained_cb(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
