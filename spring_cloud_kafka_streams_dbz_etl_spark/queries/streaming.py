@@ -2283,3 +2283,139 @@ def s_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stored.select(
         "vec_id", F.col("cell").cast("int").alias("cell"), "pq_codes"
     )
+
+
+# Re-train trigger threshold for the rebuild gate: the fixture's shard
+# split measures Σ tvd_contrib 0.052-0.09 across driver scales, so 0.03
+# fires deterministically everywhere; production owns this number (it is
+# the q_embedding_drift output an operator alerts on).
+REBUILD_TV = 0.03
+
+
+def _rebuild_oracle() -> str:
+    from .similarity import _pq_recall_trained_cb_oracle
+
+    return _pq_recall_trained_cb_oracle()
+
+
+@query("s_ann_index_rebuild", oracle=_rebuild_oracle())
+def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REBUILD step that closes the index lifecycle (VERDICT r10
+    #3): build (s_ann_index_maintain's frozen even-shard model, v1) →
+    drift-gate (q_embedding_drift's Σ tvd_contrib over the frozen
+    routing, computed here from a k-row collect) → RETRAIN on the
+    drifted full corpus → ATOMIC SWAP of the serving index → post-swap
+    recall re-audit served from the committed store. The result
+    relation IS that audit (same contract as q_ann_pq_recall_trained_cb
+    — the rebuilt model trains on the full corpus, so the oracle is the
+    fully-trained recall oracle verbatim), which means a green driver
+    row certifies the swapped index actually serves the retrained
+    model, not whatever was lying in the directory.
+
+    Versioning reuses the dimension store's rename-commit mechanism
+    (sources/sinks._commit_version, proven by q_dim_time_travel):
+    each index version is one immutable directory, committed by a
+    staging write + atomic rename, cell-PARTITIONED (partition_by —
+    the serving scan prunes to nprobe/n_cells of the files), with
+    current+previous retained. The lifecycle contract is runtime-
+    asserted on every run: the current reader resolves v1 until the
+    v2 rename lands (checked row-for-row AFTER the new model is fully
+    trained, immediately before commit), and v1 stays time-travel-
+    readable row-for-row after the swap.
+
+    Scale: retraining is kmeans_fit + pq_train's constant-shuffle Lloyd
+    rounds; encode+route is one map-only Arrow pass; the commit writes
+    the new index files WITHOUT touching the serving version until one
+    metadata rename; the audit costs one exact pass over the probe
+    sample + one cell-pruned ADC scan — at 10⁹ vectors the swap is the
+    same rename and the old version keeps serving in-flight readers,
+    which is why rebuilds never block ingest (s_ann_index_maintain
+    keeps appending to the frozen version between rebuilds).
+
+    Reference parity: the ETL's enrichment dimension gets CRUD writes
+    whose next-batch visibility the stream relies on
+    (AnimalController.java:27-63); the index store is the same
+    versioned-commit pattern applied to the ANN serving artifact."""
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        nprobe_for,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+    from ..catalog import table as load_table
+    from ..sources.sinks import _commit_version, load_dimension
+    from .similarity import N_PROBE_QUERIES, REFINE_DEPTH, _refined_recall
+
+    tune(spark)
+    store = _tmp("annr_store")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+
+    # v1: the maintain end-state — model frozen on the initial shard,
+    # EVERYTHING routed/encoded through it, committed cell-partitioned
+    cents1 = kmeans_fit(base)
+    cb1 = pq_train(base)
+    idx1 = (
+        pq_encode_cb(e, cb1)
+        .select("vec_id", "pq_codes")
+        .join(ivf_assign(e, cents1).select("vec_id", "cell"), "vec_id")
+    )
+    _commit_version(spark, idx1, store, partition_by=["cell"])
+
+    # drift gate: Σ tvd_contrib of base-vs-new occupancy under the
+    # FROZEN model (the q_embedding_drift rule); the collect is k rows
+    per_cell = (
+        ivf_assign(e, cents1)
+        .select("cell", (F.col("vec_id") % 2 == 0).alias("is_base"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("is_base").cast("long")).alias("n_base"),
+            F.sum((~F.col("is_base")).cast("long")).alias("n_new"),
+        )
+        .collect()
+    )
+    tb = sum(r.n_base for r in per_cell)
+    tn = sum(r.n_new for r in per_cell)
+    tv = 0.5 * sum(abs(r.n_base / tb - r.n_new / tn) for r in per_cell)
+    if tv < REBUILD_TV:
+        raise AssertionError(
+            f"fixture shard split no longer drifts (tv={tv:.4f} < "
+            f"{REBUILD_TV}); the rebuild path would silently stop being "
+            "exercised — regenerate the gate threshold"
+        )
+
+    # retrain on the drifted corpus; the serving version MUST still be
+    # v1 for the entire training window
+    cents2 = kmeans_fit(e)
+    cb2 = pq_train(e)
+    idx2 = (
+        pq_encode_cb(e, cb2)
+        .select("vec_id", "pq_codes")
+        .join(ivf_assign(e, cents2).select("vec_id", "cell"), "vec_id")
+    )
+    cur = load_dimension(spark, store)  # resolves the CURRENT version
+    assert cur.exceptAll(idx1).count() == 0 and idx1.exceptAll(cur).count() == 0, (
+        "reader saw a partially-built index before the commit"
+    )
+
+    _commit_version(spark, idx2, store, partition_by=["cell"])  # the swap
+
+    # post-swap: v1 is still time-travel-readable and unchanged...
+    old = load_dimension(spark, store, version=1)
+    assert old.exceptAll(idx1).count() == 0 and idx1.exceptAll(old).count() == 0, (
+        "v1 changed across the swap — versions must be immutable"
+    )
+    # ...and the recall re-audit serves from the COMMITTED current store
+    served = load_dimension(spark, store)
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+    pcells = ivf_probe(probes, cents2, nprobe_for(len(cents2))).select(
+        "vec_id", "cell"
+    )
+    probes_pd = probes.join(pcells, "vec_id").toPandas()
+    short = pq_adc_topk_cb(
+        probes_pd, served, cb2, k=REFINE_DEPTH, cell_col="cell"
+    ).select("query_id", "neighbor_id")
+    return _refined_recall(e, probes, short, spark)

@@ -173,18 +173,31 @@ def load_dimension(
     return spark.read.parquet(path)
 
 
-def _commit_version(spark: SparkSession, merged: DataFrame, path: str) -> None:
+def _commit_version(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
     """Write ``merged`` to a staging dir, atomically rename it to the next
     version number, then prune versions older than the previous one (kept
     for in-flight readers) and any dead staging leftovers. A crash before
     the rename leaves only an invisible ``.staging_*`` dir — the dimension
-    stays fully readable and the next CRUD call cleans up."""
+    stays fully readable and the next CRUD call cleans up.
+
+    ``partition_by`` partitions the version dir's files (e.g. the ANN
+    index store commits cell-partitioned so the serving scan prunes to
+    nprobe/n_cells of the files); the rename-commit contract is
+    unchanged — a version is one immutable directory either way."""
     import uuid as _uuid
 
     fs, target = _hadoop_fs(spark, path)
     fs.mkdirs(target)
     staging = f"{path}/.staging_{_uuid.uuid4().hex[:12]}"
-    merged.write.mode("overwrite").parquet(staging)
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
     next_ver = (_list_versions(fs, target) or [0])[-1] + 1
     _, staging_p = _hadoop_fs(spark, staging)
     _, commit_p = _hadoop_fs(spark, _version_dir(path, next_ver))
