@@ -247,6 +247,33 @@ _ROUND_9 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r10.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the round-10 trained-index family's first driver rows
+# (q_ann_pq_recall_trained[_cb], q_pq_train_encode, q_embedding_drift,
+# q_ann_nprobe_curve, q_hard_negatives_served, s_ann_index_maintain),
+# the q_kmeans_cells re-front after the train/serve refactor, and the
+# fewest-checked tail re-checks.
+_ROUND_10 = frozenset(
+    {
+        "q_ann_nprobe_curve", "q_ann_pq_recall_trained",
+        "q_ann_pq_recall_trained_cb", "q_anomaly_zscore", "q_cdc_apply",
+        "q_cdc_envelope_parse", "q_cooccurrence", "q_corpus_shuffle",
+        "q_dataset_card", "q_date_funcs", "q_decontaminate", "q_dedup_exact",
+        "q_dim_time_travel", "q_doc_chunks", "q_embedding_drift",
+        "q_event_pattern", "q_ewma", "q_funnel", "q_gap_fill",
+        "q_grouping_sets", "q_hard_negatives", "q_hard_negatives_served",
+        "q_incremental_agg", "q_kmeans_cells", "q_minhash_near_dup",
+        "q_mixture_weights", "q_multiset_ops", "q_nullsafe_join",
+        "q_outer_join", "q_pack_sequences", "q_pareto_frontier",
+        "q_pop_growth", "q_pq_train_encode", "q_quantile_bins",
+        "q_reservoir_sample", "q_retention_cohorts", "q_rolling_window",
+        "q_running_distinct", "q_scalar_subquery", "q_scd2", "q_scd2_enrich",
+        "q_snapshot_diff", "q_stratified_sample", "q_string_funcs",
+        "q_temperature_sample", "q_time_rollup", "q_udaf_grouped",
+        "q_udf_scalar", "q_window_ranks", "s_ann_index_maintain",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -257,6 +284,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     7: _ROUND_7,
     8: _ROUND_8,
     9: _ROUND_9,
+    10: _ROUND_10,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -283,7 +311,29 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # (pinned bit-identical in test_kmeans_fit_plus_ivf_assign_equals_
 # kmeans_cells, but q_kmeans_cells' green r4 row predates the rewrite,
 # so it re-fronts for a fresh driver row at HEAD).
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_kmeans_cells"})
+# Round 10's q_kmeans_cells re-verified green in r10 and is cleared.
+# Round-11 entries: (a) q_ts_similarity — its plan changed in r10
+# (operator extraction for the property fuzz) AFTER the r10 window was
+# budgeted, so its green r9 row predates the rewrite (VERDICT r10
+# "what's wrong" #3); (b) the entire trained-index family — r11
+# replaced the fixed KMEANS_K=8 with ivf_cells_for(n)/nprobe_for(k)
+# AND moved Lloyd seeding (cells + PQ codebooks) to deterministic
+# hash order, changing every plan that trains or serves through the
+# model, plus both oracle CTE chains. All earlier green rows for these
+# predate the rewrite.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {
+        "q_ts_similarity",
+        "q_kmeans_cells",
+        "q_ann_pq_recall_trained",
+        "q_ann_pq_recall_trained_cb",
+        "q_pq_train_encode",
+        "q_hard_negatives_served",
+        "q_ann_nprobe_curve",
+        "q_embedding_drift",
+        "s_ann_index_maintain",
+    }
+)
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -299,6 +349,14 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_kmeans_cells"})
 # q_approx_stats, q_stats_moments, the sourcefmt family, ...) to fill
 # 50. Queries registered after this budgeting land here and front
 # round 11.
+# Round 10's window verified as budgeted (50/50 green, zero deferrals).
+# The round-11 window, budgeted in the same change that records
+# CHECKED_BY_ROUND[10]: s_ann_index_rebuild (new, zero rows — fronts
+# automatically), the 9 CHANGED_SINCE_CHECK re-fronts (q_ts_similarity
+# plus the trained-index family after the ivf_cells_for/hash-seeding
+# rewrite), then the fewest-checked tail (two-green r1/r2-era queries)
+# fills to 50. Queries registered after this budgeting land here and
+# front round 12.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 
