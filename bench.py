@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs every query marked bench=True in the registry — 33 headliners
+Runs every query marked bench=True in the registry — 37 headliners
 spanning relational/TPC-H, text, dedup (MinHash/SimHash/containment/
-clusters), ANN (cosine/PQ/IVF-PQ), graph (triangles), layout (Z-order),
+clusters), ANN (cosine/PQ/IVF-PQ + the trained-index serving stack,
+added r11), graph (triangles), layout (Z-order),
 and the streaming CDC/transactional/chained-agg pipelines — on
 local[$SPARK_GRAFT_CPUS], forcing full materialization through the noop
 sink (so column computation isn't skipped the way .count() allows).
@@ -74,7 +75,11 @@ def _drift_flags(timings: dict[str, float]) -> list[str]:
     for p in arts[-2:]:
         try:
             with open(p) as f:
-                prevs.append(json.load(f).get("queries") or {})
+                d = json.load(f)
+            # driver artifacts wrap the bench line under "parsed"
+            prevs.append(
+                (d.get("queries") or (d.get("parsed") or {}).get("queries")) or {}
+            )
         except (OSError, ValueError):
             prevs.append({})
     if len(prevs) < 2:

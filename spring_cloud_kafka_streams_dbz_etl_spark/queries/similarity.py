@@ -1933,7 +1933,14 @@ GROUP BY x.query_id
 """
 
 
-@query("q_ann_pq_recall_trained_cb", oracle=_pq_recall_trained_cb_oracle())
+@query(
+    "q_ann_pq_recall_trained_cb",
+    oracle=_pq_recall_trained_cb_oracle(),
+    # headline bench member since r11 (VERDICT r10 #6): the trained-index
+    # serving stack's cost — train, route, cell-pruned ADC, refine —
+    # tracked round-over-round, not just its recall
+    bench=True,
+)
 def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULLY-trained index acceptance audit — the final link in the
     family: q_ann_pq_recall (label cells, lattice codebooks, ADC only),

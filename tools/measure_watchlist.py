@@ -52,6 +52,19 @@ any query whose interleaved median exceeds 1.5x its best pass in
 isolation and stamps the result into the artifact (isolated /
 interleave_flagged keys).
 
+Finding (r11, idle machine, sf0.1, local[32]) — adjudicating
+q_knn_graph, the largest unexplained r10 mover (1.17 -> 1.56,
+VERDICT r10 #5):
+
+    q_knn_graph  median 1.197 s  [0.941 .. 3.887]  (r9 bench 1.174 / r10 1.563)
+
+Isolated median sits at the r9 value with one ~4x GC-pause outlier in
+the 7 samples — the interleave-inflation signature again; block-key
+occupancy untouched (no code change). Verdict: noise, no plan defect.
+bench.py additionally carries a drift rule from this round
+(drift_flagged: >1.25x round-over-round twice consecutively) so a REAL
+trend distinguishes itself from one-round noise in the artifact itself.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
