@@ -778,19 +778,28 @@ def _cell_dists(IV, C: list[list[float]], dim: int, int_scale: int):
     decisions — :func:`_argmin_cells`' argmin assignment and
     :func:`ivf_probe`'s top-nprobe routing — so single-probe and
     multi-probe serving rank cells with bit-identical distances.
-    X = iv/int_scale exact divisions, ascending-d LEFT fold per cell."""
+    X = iv/int_scale exact divisions, ascending-d LEFT fold.
+
+    The loop runs over DIMENSIONS only (one (n × k) rank-1 update per
+    d), not over (cell, d): since `ivf_cells_for` scales k with the
+    corpus, a per-cell loop would pay k×dim numpy dispatches per batch
+    (~4k at sf0.1's k=62) where this shape pays dim regardless of k.
+    Bit-compatibility is unchanged — each (vector, cell) element still
+    accumulates (x_d − c_d)² in ascending-d order, the same IEEE adds
+    in the same sequence as the per-cell form (pinned against the JVM
+    expression tree in test_kmeans_assign_arrow_equals_expr); never
+    rewrite this as the BLAS ‖x‖² + ‖c‖² − 2x·c expansion, which
+    changes the summation order and breaks cross-engine ties."""
     import numpy as np
 
     X = IV / float(int_scale)
     n = len(X)
-    dists = np.empty((n, len(C)))
-    for cell in range(len(C)):
-        acc = np.zeros(n)
-        for d in range(dim):
-            t = X[:, d] - C[cell][d]
-            acc = acc + t * t
-        dists[:, cell] = acc
-    return dists
+    CM = np.asarray(C, dtype=np.float64)  # (k, dim)
+    acc = np.zeros((n, len(C)))
+    for d in range(dim):
+        t = X[:, d, None] - CM[None, :, d]
+        acc = acc + t * t
+    return acc
 
 
 def _int_vectors(

@@ -1217,7 +1217,20 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Serving-time probe width is nprobe_for(k) — sized from the trained cell
 # count, not a constant (VERDICT r10 #1); the oracle twin is the knobs
 # CTE's np column inside _kmeans_cte_chain.
-REFINE_DEPTH = 8 * TOPK  # ADC shortlist depth fed to the exact refine stage
+def refine_depth_for(nprobe: int) -> int:
+    """ADC shortlist depth fed to the exact refine stage: 2·TOPK per
+    probed cell. Measured at sf0.1 (nprobe=8): a FIXED 80-deep
+    shortlist plateaued recall at 0.40 while candidate coverage kept
+    rising to 0.49 — the extra coverage was being absorbed by the
+    shortlist; 2·TOPK·nprobe (160) reaches the coverage ceiling
+    (0.4875) and doubling again buys nothing. At sf0.01 (nprobe=4) the
+    rule reproduces the historical depth of 80 exactly. The SQL twin is
+    ``np * 20`` against the knobs CTE. At 10⁹ vectors the shortlist is
+    still tiny next to the probed candidate mass (356 probes × ~8k
+    rows/cell vs a 7,120-row shortlist) — ADC's 32× byte reduction
+    remains the scan win; this rule just keeps the refine stage from
+    becoming the recall bottleneck as nprobe grows."""
+    return 2 * TOPK * nprobe
 
 
 def _pq_recall_trained_oracle() -> str:
@@ -1284,7 +1297,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
     JOIN pc ON pc.vec_id = q.vec_id
     JOIN coded c ON c.cell = pc.cell
     WHERE q.vec_id <> c.vec_id)
-  WHERE rank <= {REFINE_DEPTH}
+  WHERE rank <= (SELECT np FROM knobs) * {2 * TOPK}
 ), approx AS (
   SELECT query_id, neighbor_id FROM (
     SELECT s.query_id, s.neighbor_id,
@@ -1312,7 +1325,7 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@{TOPK} of the FULL production serving stack — Lloyd-TRAINED
     cells (:func:`kmeans_fit`), multi-probe routing
     (:func:`ivf_probe`, nprobe = nprobe_for(k)), ADC shortlist
-    {REFINE_DEPTH} deep, then an EXACT true-L2 refine of the shortlist
+    refine_depth_for(nprobe) deep, then an EXACT true-L2 refine of it
     (the FAISS IndexRefineFlat stage) — against exact squared-L2 over
     raw vectors. Corpus assignment and probe routing share the
     training kernel (`_argmin_cells` / `_cell_dists` via
@@ -1322,8 +1335,8 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_pq_recall documents WHY pure ADC on arbitrary label-cells
     reports recall ~ 0.06; this query closes the loop the way a real
     build does. Measured mean recall@10 with honest (hash-seeded,
-    probe-leak-free) training: 0.5375 at sf0.001, 0.50 at sf0.01,
-    0.3375 at sf0.1 (floors pinned in
+    probe-leak-free) training and nprobe-scaled refine depth: 0.5375
+    at sf0.001, 0.50 at sf0.01, 0.475 at sf0.1 (floors pinned in
     tests/test_plans.py::test_trained_recall_floor — r10's higher
     numbers were an artifact: first-k-by-id seeding made the probe set
     part of the codebook, see that test's docstring). The binding
@@ -1339,7 +1352,7 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id ONCE at index-build time (at 100 TB the build writes
     cell-partitioned code files, so serving pays zero joins); the ADC
     scan is cell-pruned and 32× compressed; the refine stage BROADCASTS
-    the (probes × {REFINE_DEPTH})-row shortlist onto the corpus scan —
+    the (probes × depth)-row shortlist onto the corpus scan —
     no corpus shuffle — and re-ranks true L2 over shortlist-sized
     data."""
     from ..operators.similarity import (
@@ -1369,13 +1382,12 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
-        "vec_id", "cell"
-    )
+    nprobe = nprobe_for(len(cents))
+    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
     probes_pd = probes.join(pcells, "vec_id").toPandas()
-    short = pq_adc_topk(probes_pd, codes, k=REFINE_DEPTH, cell_col="cell").select(
-        "query_id", "neighbor_id"
-    )
+    short = pq_adc_topk(
+        probes_pd, codes, k=refine_depth_for(nprobe), cell_col="cell"
+    ).select("query_id", "neighbor_id")
     return _refined_recall(e, probes, short, spark)
 
 
@@ -1605,7 +1617,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
     JOIN pc ON pc.vec_id = q.vec_id
     JOIN coded c ON c.cell = pc.cell
     WHERE q.vec_id <> c.vec_id)
-  WHERE rank <= {REFINE_DEPTH}
+  WHERE rank <= (SELECT np FROM knobs) * {2 * TOPK}
 )
 SELECT query_id, neighbor_id, cos_sim, neg_rank FROM (
   SELECT s.query_id, s.neighbor_id, {cos} AS cos_sim,
@@ -1625,7 +1637,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_hard_negatives' SERVING twin (VERDICT r9 ask #2, the form its
     docstring promises): instead of one full-corpus scan per training
     batch, candidates come from the trained IVF-PQ index probed DEEPER
-    than the mining k — the {REFINE_DEPTH}-deep ADC shortlist over
+    than the mining k — the refine_depth_for(nprobe)-deep ADC shortlist over
     nprobe_for(k) trained cells — and the same exclusions
     (different label, cos < {COSINE_DUP_MIN}) plus the cosine-desc rank
     run on the shortlist only. Same output contract as
@@ -1633,7 +1645,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This retires the mining family's one scale caveat: the brute form's
     per-probe window ranks the full below-threshold corpus, while here
-    the window sees at most {REFINE_DEPTH} rows per probe. At 100 TB
+    the window sees at most the shortlist depth per probe. At 100 TB
     the candidate scan reads nprobe/n_cells of the cell-partitioned
     code files at 32x compression, the raw-vector fetch joins a
     BROADCAST shortlist against the corpus scan (no corpus shuffle),
@@ -1664,13 +1676,12 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
-        "vec_id", "cell"
-    )
+    nprobe = nprobe_for(len(cents))
+    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
     probes_pd = probes.join(pcells, "vec_id").toPandas()
-    short = pq_adc_topk(probes_pd, codes, k=REFINE_DEPTH, cell_col="cell").select(
-        "query_id", "neighbor_id"
-    )
+    short = pq_adc_topk(
+        probes_pd, codes, k=refine_depth_for(nprobe), cell_col="cell"
+    ).select("query_id", "neighbor_id")
 
     # refine + mine: fetch raw vectors for the broadcast shortlist,
     # apply the exclusions, rank by cosine over shortlist-sized data
@@ -1911,7 +1922,7 @@ WITH {_kmeans_cte_chain()}, pc AS (
     JOIN pc ON pc.vec_id = q.vec_id
     JOIN tcoded c ON c.cell = pc.cell
     WHERE q.vec_id <> c.vec_id)
-  WHERE rank <= {REFINE_DEPTH}
+  WHERE rank <= (SELECT np FROM knobs) * {2 * TOPK}
 ), approx AS (
   SELECT query_id, neighbor_id FROM (
     SELECT s.query_id, s.neighbor_id,
@@ -1947,10 +1958,10 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_pq_recall_trained (trained CELLS + multi-probe + refine,
     where the fixed lattice codebook emerged as the binding loss), and
     now trained cells AND trained codebooks (:func:`pq_train`) feeding
-    the same nprobe_for(k) / {REFINE_DEPTH}-deep-shortlist / exact-
+    the same nprobe_for(k) / refine_depth_for(nprobe)-shortlist / exact-
     refine stack. Measured mean recall@{TOPK} with honest
-    (probe-leak-free) seeding: 0.575 at sf0.01 and 0.40 at sf0.1, vs
-    0.50 / 0.3375 with the lattice codebook (floors pinned in
+    (probe-leak-free) seeding: 0.575 at sf0.01 and 0.4875 at sf0.1, vs
+    0.50 / 0.475 with the lattice codebook (floors pinned in
     test_trained_cb_recall_floor alongside the trained-cells stack) —
     codebook training recovers the ADC-noise share of the loss; the
     remainder is nprobe coverage, the knob q_ann_nprobe_curve prices.
@@ -1992,12 +2003,11 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pcells = ivf_probe(probes, cents, nprobe_for(len(cents))).select(
-        "vec_id", "cell"
-    )
+    nprobe = nprobe_for(len(cents))
+    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
     probes_pd = probes.join(pcells, "vec_id").toPandas()
     short = pq_adc_topk_cb(
-        probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
+        probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
     ).select("query_id", "neighbor_id")
     return _refined_recall(e, probes, short, spark)
 
@@ -2115,7 +2125,7 @@ def _nprobe_curve_oracle() -> str:
     JOIN pcr ON pcr.vec_id = q.vec_id AND pcr.rn <= {np_}
     JOIN tcoded c ON c.cell = pcr.cell
     WHERE q.vec_id <> c.vec_id)
-  WHERE rank <= {REFINE_DEPTH}
+  WHERE rank <= {refine_depth_for(np_)}
 ), approx{np_} AS (
   SELECT {np_} AS nprobe, query_id, neighbor_id FROM (
     SELECT s.query_id, s.neighbor_id,
@@ -2201,9 +2211,10 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone: a wider probe set adds ADC-confusable candidates ahead
     of the FIXED refine depth, so recall can plateau or dip (measured
     at sf0.1: 0.40 at BOTH nprobe 4 and 8 while raw candidate coverage
-    keeps rising 0.40 -> 0.49 — the {REFINE_DEPTH}-deep shortlist is
-    absorbing the extra coverage) — reading that plateau as "raise
-    REFINE_DEPTH with nprobe" is precisely what this table is for.
+    keeps rising 0.40 -> 0.49 under a FIXED 80-deep shortlist — which
+    is exactly why the engine's policy is now refine_depth_for(nprobe):
+    the curve scales depth with each point, pricing the full composed
+    knob the way serving actually runs it.
 
     Scale: identical serving dataflow per point as
     q_ann_pq_recall_trained_cb; at a real corpus the curve runs on the
@@ -2244,7 +2255,7 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for np_ in NPROBE_CURVE:
         probes_pd = probes_all[probes_all["probe_rank"] <= np_]
         short = pq_adc_topk_cb(
-            probes_pd, codes, cb, k=REFINE_DEPTH, cell_col="cell"
+            probes_pd, codes, cb, k=refine_depth_for(np_), cell_col="cell"
         ).select("query_id", "neighbor_id")
         approxes.append(
             _refine_topk(e, probes, short, spark).select(

@@ -2347,7 +2347,7 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..catalog import table as load_table
     from ..sources.sinks import _commit_version, load_dimension
-    from .similarity import N_PROBE_QUERIES, REFINE_DEPTH, _refined_recall
+    from .similarity import N_PROBE_QUERIES, _refined_recall, refine_depth_for
 
     tune(spark)
     store = _tmp("annr_store")
@@ -2411,11 +2411,10 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ...and the recall re-audit serves from the COMMITTED current store
     served = load_dimension(spark, store)
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
-    pcells = ivf_probe(probes, cents2, nprobe_for(len(cents2))).select(
-        "vec_id", "cell"
-    )
+    nprobe = nprobe_for(len(cents2))
+    pcells = ivf_probe(probes, cents2, nprobe).select("vec_id", "cell")
     probes_pd = probes.join(pcells, "vec_id").toPandas()
     short = pq_adc_topk_cb(
-        probes_pd, served, cb2, k=REFINE_DEPTH, cell_col="cell"
+        probes_pd, served, cb2, k=refine_depth_for(nprobe), cell_col="cell"
     ).select("query_id", "neighbor_id")
     return _refined_recall(e, probes, short, spark)
