@@ -1252,8 +1252,12 @@ def test_hard_negatives_served_plan_is_cell_pruned_no_cross(spark, sf_smoke):
     assert "CartesianProduct" not in text, text[:2000]
     assert "BroadcastNestedLoopJoin" not in text, text[:2000]
     # the cell-pruned candidate scan: codes filtered on the probed cell
-    # set ahead of the Arrow ADC scorer
-    assert "cell" in text and "IN (" in text.replace("cell#", "cell"), text[:3000]
+    # set ahead of the Arrow ADC scorer. With ivf_cells_for scaling k,
+    # the probed set can exceed spark.sql.optimizer.inSetConversionThreshold
+    # (10), where Catalyst compiles the same membership filter as INSET
+    # instead of IN (...) — both are the pruning predicate under pin.
+    flat = text.replace("cell#", "cell")
+    assert "cell" in flat and ("IN (" in flat or "INSET" in flat), text[:3000]
     assert "MapInPandas" in text, text[:2000]
 
 
