@@ -1092,3 +1092,87 @@ def test_global_rank_equals_single_sort(spark, values, n_buckets):
         ).collect()
     }
     assert got == exp
+
+
+@given(n=st.integers(min_value=8, max_value=2_000_000_000))
+@settings(max_examples=300, deadline=None)
+def test_ivf_knob_chain_invariants(n):
+    """The corpus-sized ANN knob chain (r11) holds its contracts at any
+    corpus size: k in [8, max(8, n/32)] and within the FAISS band up to
+    the occupancy clamp; nprobe in [2, k] (ivf_probe's validation
+    range) with the scanned fraction nprobe/k nonincreasing in k; the
+    refine depth is exactly 2*TOPK per probed cell. Also pins the
+    Python/SQL twin property on the subset DuckDB can check cheaply —
+    the formulas use only GREATEST/LEAST/CEIL/SQRT over exact ints, so
+    agreement on representative values implies agreement everywhere the
+    same libm sqrt is used."""
+    import math
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        IVF_TARGET_CELL,
+        KMEANS_K_MIN,
+        ivf_cells_for,
+        nprobe_for,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
+        TOPK,
+        refine_depth_for,
+    )
+
+    k = ivf_cells_for(n)
+    assert k >= KMEANS_K_MIN
+    assert k <= max(KMEANS_K_MIN, n // IVF_TARGET_CELL)
+    assert k <= max(KMEANS_K_MIN, math.ceil(4 * math.sqrt(n)))
+    np_ = nprobe_for(k)
+    assert 2 <= np_ <= k  # ivf_probe's accepted range
+    assert refine_depth_for(np_) == 2 * TOPK * np_
+    # pruning improves (weakly) with corpus growth: scanned fraction at
+    # 4n never exceeds the fraction at n
+    k4 = ivf_cells_for(4 * n)
+    assert nprobe_for(k4) / k4 <= np_ / k + 1e-12
+
+
+def test_ivf_knob_chain_matches_duckdb_twin():
+    """The knobs CTE arithmetic (the SQL twin inside _kmeans_cte_chain)
+    must equal the Python rules value-for-value across a size sweep —
+    the same GREATEST/LEAST/CEIL/SQRT composition, so any drift here
+    means an engine's sqrt/ceil semantics changed."""
+    import duckdb
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        IVF_TARGET_CELL,
+        KMEANS_K_MIN,
+        ivf_cells_for,
+        nprobe_for,
+    )
+
+    sizes = [8, 32, 100, 250, 500, 1_000, 2_000, 16_384, 1_000_000,
+             123_456_789, 1_000_000_000]
+    rows = duckdb.sql(
+        "SELECT n, k, GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM ("
+        f"  SELECT n, GREATEST({KMEANS_K_MIN}, LEAST(CAST(CEIL(4 * SQRT(n)) AS BIGINT),"
+        f"         n // {IVF_TARGET_CELL})) AS k"
+        f"  FROM (SELECT UNNEST({sizes}) AS n))"
+    ).fetchall()
+    for n, k_sql, np_sql in rows:
+        assert k_sql == ivf_cells_for(n), n
+        assert np_sql == nprobe_for(k_sql), n
+
+
+def test_seed_hash_order_matches_duckdb_twin():
+    """_seed_hash (Spark) and _seed_h (SQL) must induce the SAME total
+    order over ids — the property cell/code numbering depends on. Checked
+    as pure arithmetic over a range with collisions (ids equal mod 2^20
+    tie-break on id), no Spark session needed."""
+    import duckdb
+
+    ids = list(range(0, 3000)) + [2**20, 2**20 + 1, 5 * 2**20 + 7, 2**40 + 7]
+    py = sorted(ids, key=lambda i: ((i % 2**20) * 2654435761 % 2**32, i))
+    sql = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT i FROM (SELECT UNNEST({ids}) AS i) "
+            "ORDER BY ((i % 1048576) * 2654435761) % 4294967296, i"
+        ).fetchall()
+    ]
+    assert py == sql
