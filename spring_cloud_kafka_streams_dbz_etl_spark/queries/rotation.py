@@ -357,7 +357,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # rewrite), then the fewest-checked tail (two-green r1/r2-era queries)
 # fills to 50. Queries registered after this budgeting land here and
 # front round 12.
-DEFERRED_NEW: frozenset[str] = frozenset()
+# q_bpe_train registered after the round-11 window was budgeted; it
+# defers to keep the window stable (ADVICE r8's process rule) and
+# fronts in round 12.
+DEFERRED_NEW: frozenset[str] = frozenset({"q_bpe_train"})
 
 
 def times_checked(name: str) -> int:

@@ -1323,3 +1323,190 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(mk / 1000.0).cast("long").alias("max_count"),
         ((1000 - (mk % 1000)) % 1000).cast("long").alias("argmax_bucket"),
     )
+
+
+# -- BPE tokenizer TRAINING (Sennrich et al. 2015) ---------------------------
+
+N_BPE_MERGES = 8
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled relational BPE: per round, (a) adjacent-pair counts
+    weighted by word frequency, (b) deterministic argmax (count DESC,
+    pair lexicographic), (c) GREEDY left-to-right merge application
+    stated relationally — match starts grouped into islands of
+    CONSECUTIVE positions (overlap is only possible when left==right)
+    and the even offsets within each island are exactly the pairs a
+    left-to-right scan merges. Deliberately a DIFFERENT formulation
+    from the Spark side's fold (windows/joins vs a HOF reduce), so
+    parity cannot come from mirroring a shared bug.
+
+    Every t{r} is AS MATERIALIZED: each round references its
+    predecessor twice (pair stats + rebuild), so inlined CTEs would
+    expand the base scan 2^rounds times — materialization keeps the
+    chain linear, exactly like the engine's per-round persist."""
+    chain = ["""w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), t0 AS MATERIALIZED (
+  SELECT w, f, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS tok
+  FROM w0, UNNEST(range(1, length(w) + 1)) AS u(i)
+)"""]
+    for r in range(1, N_BPE_MERGES + 1):
+        p = r - 1
+        chain.append(f"""b{r} AS (
+  SELECT lt, rt, cnt FROM (
+    SELECT lt, rt, SUM(f) AS cnt FROM (
+      SELECT t.tok AS lt,
+             LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) AS rt, t.f
+      FROM t{p} t) x
+    WHERE rt IS NOT NULL GROUP BY lt, rt)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, lt ASC, rt ASC) = 1
+), g{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos, MIN(pos) OVER (PARTITION BY w, isl) AS isl_start FROM (
+      SELECT w, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+      FROM (
+        SELECT x.w, x.pos FROM (
+          SELECT t.w, t.pos, t.tok,
+                 LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) AS nxt
+          FROM t{p} t) x, b{r}
+        WHERE x.tok = b{r}.lt AND x.nxt = b{r}.rt)))
+  WHERE (pos - isl_start) % 2 = 0
+), t{r} AS MATERIALIZED (
+  SELECT w, f, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN is_start THEN tok || nxt ELSE tok END AS tok
+  FROM (
+    SELECT t.w, t.f, t.pos, t.tok,
+           LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos) AS nxt,
+           g1.pos IS NOT NULL AS is_start,
+           g2.pos IS NOT NULL AS is_dropped
+    FROM t{p} t
+    LEFT JOIN g{r} g1 ON g1.w = t.w AND g1.pos = t.pos
+    LEFT JOIN g{r} g2 ON g2.w = t.w AND g2.pos = t.pos - 1)
+  WHERE NOT is_dropped
+), v{r} AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM t{r})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, lt AS left_tok, rt AS right_tok,"
+        f" CAST(cnt AS BIGINT) AS pair_count,"
+        f" (SELECT vocab FROM v{r}) AS vocab_size_after FROM b{r}"
+        for r in range(1, N_BPE_MERGES + 1)
+    )
+    return f"WITH {', '.join(chain)}\n{unions}"
+
+
+def _bpe_apply_merge(lt: str, rt: str, merged: str) -> F.Column:
+    """One merge round applied to the per-word token array as a single
+    codegen'd left fold (the greedy left-to-right BPE scan): if the
+    accumulator's last token is ``lt`` and the incoming token is ``rt``,
+    replace the last with ``merged``, else append. The merged symbol is
+    strictly longer than ``lt``, so a just-merged token can never match
+    as the left of the same pair — exactly the scan-from-i+2 rule.
+    Tokens pass through ``F.lit`` (never string-spliced into SQL), so
+    arbitrary corpus characters are safe."""
+    init = F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lt))
+            & (x == F.lit(rt))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate("toks", init, step)
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2015, arXiv:1508.07909)
+    — the learn-the-merges half that q_bpe_tokens' fixed pretokenizer
+    only applies: the top {N} merge rules from the corpus, each row
+    (merge_rank, left_tok, right_tok, pair_count, vocab_size_after).
+    Deterministic end to end: pair argmax ties break lexicographically,
+    greedy left-to-right application (overlapping occurrences of a
+    self-pair merge at even offsets only — 'aaaa' + (a,a) -> [aa, aa],
+    'aaa' -> [aa, a]).
+
+    Spark shape — the part that matters at 100 TB: BPE trains on the
+    WORD HISTOGRAM, not the corpus. The only corpus-sized work is ONE
+    groupBy(word) (map-side combinable; at 100 TB the histogram is
+    ~1e7 rows against 1e11 corpus words). Every merge round then runs
+    on vocabulary-sized data: pair counting is a combinable
+    groupBy(pair) over per-word adjacent pairs, the argmax collect is
+    ONE row (control-plane, the Lloyd-model pattern), and merge
+    application is a map-only whole-stage-codegen array fold — no
+    shuffle. Rounds are inherently sequential (each merge changes the
+    next round's pair statistics); each round's relation persists and
+    the previous unpersists, so lineage stays one round deep.
+
+    The oracle unrolls all {N} rounds relationally with a DIFFERENT
+    greedy formulation (consecutive-match islands + even-offset rule
+    vs the fold) — two independent statements of the same spec.
+
+    Reference parity: none (BASELINE.json north star — LLM-data
+    tooling the reference ETL never had)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    prev = words.select(
+        "w",
+        "f",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    ).persist()
+    out: list[tuple] = []
+    for rank in range(1, N_BPE_MERGES + 1):
+        pairs = (
+            prev.filter(F.size("toks") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), i -> "
+                        "struct(element_at(toks, i) AS lt, "
+                        "element_at(toks, i + 1) AS rt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lt", "p.rt")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "lt", "rt").limit(1).collect()
+        if not best:
+            raise ValueError(
+                f"pairs exhausted after {rank - 1} merges — corpus too small "
+                f"for N_BPE_MERGES={N_BPE_MERGES}"
+            )
+        b = best[0]
+        merged = b.lt + b.rt
+        nxt = prev.select(
+            "w", "f", _bpe_apply_merge(b.lt, b.rt, merged).alias("toks")
+        ).persist()
+        vocab = (
+            nxt.select(F.explode("toks").alias("t"))
+            .agg(F.countDistinct("t"))
+            .collect()[0][0]
+        )
+        out.append((rank, b.lt, b.rt, int(b.cnt), int(vocab)))
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, left_tok string, right_tok string, "
+        "pair_count bigint, vocab_size_after bigint",
+    )

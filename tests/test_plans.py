@@ -1421,3 +1421,54 @@ def test_ivf_cell_partition_pruning(spark, sf_smoke, tmp_path):
     in_memory = pq_adc_topk_cb(probes_pd, codes, cb, k=10, cell_col="cell")
     assert from_store.exceptAll(in_memory).count() == 0
     assert in_memory.exceptAll(from_store).count() == 0
+
+
+def test_bpe_merge_fold_matches_greedy_model(spark):
+    """The codegen fold behind q_bpe_train's merge application must
+    equal a literal greedy left-to-right BPE scan on adversarial words
+    — self-pair runs ('aaaa' -> [aa, aa], 'aaa' -> [aa, a]), merges at
+    word edges, no-match words, and a seeded random batch over a tiny
+    alphabet (maximizing overlap runs). One Spark job for the whole
+    batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.text import (
+        _bpe_apply_merge,
+    )
+
+    rng = random.Random(11)
+    words = ["a", "aa", "aaa", "aaaa", "aaaaa", "ab", "ba", "aba", "bab",
+             "abab", "baba", "bb", ""] + [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    words = sorted(set(w for w in words if w))
+
+    def greedy(toks: list[str], lt: str, rt: str) -> list[str]:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lt and toks[i + 1] == rt:
+                out.append(lt + rt)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    )
+    for lt, rt in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            r.w: r.out
+            for r in df.select(
+                "w", _bpe_apply_merge(lt, rt, lt + rt).alias("out")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == greedy(list(w), lt, rt), (w, lt, rt, got[w])
