@@ -1510,3 +1510,110 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left_tok string, right_tok string, "
         "pair_count bigint, vocab_size_after bigint",
     )
+
+
+def _bpe_segment_oracle() -> str:
+    """The training chain's final relation t{N}, expanded back to the
+    document grain: per-word token counts join the per-doc word
+    multiset (every corpus word is in the histogram by construction)."""
+    n = N_BPE_MERGES
+    train = _bpe_train_oracle()
+    chain = train[len("WITH ") : train.index("\nSELECT CAST(1 AS INT)")]
+    # keep only the CTE chain; the merge-table SELECT tail is replaced
+    # by the document-grain expansion
+    chain = chain[: chain.rindex(f", v{n} AS")]
+    return f"""WITH {chain}, wl AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM t{n} GROUP BY w
+), dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(LENGTH(dw.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(wl.n_tok) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(LENGTH(dw.w)) AS DOUBLE) / SUM(wl.n_tok), 6) AS chars_per_token
+FROM dw JOIN wl ON dw.w = wl.w
+GROUP BY dw.doc_id
+"""
+
+
+@query("q_bpe_segment", oracle=_bpe_segment_oracle())
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half completing the tokenizer lifecycle (train →
+    segment, the q_bpe_train twin the way ivf_assign is kmeans_fit's):
+    the corpus re-segments under the trained merge table and each
+    document reports its token budget — (doc_id, n_words, n_chars,
+    n_bpe_tokens, chars_per_token). The compression trajectory is what
+    a data pipeline actually buys from a tokenizer: context-window
+    budgeting (q_pack_sequences consumes exactly this count) and
+    per-source cost accounting before a training run.
+
+    Spark shape: training reruns the histogram loop (see q_bpe_train —
+    corpus-sized work is ONE groupBy(word)); segmentation then joins
+    the per-WORD token length back to the doc-word relation with the
+    vocabulary-sized side BROADCAST — the corpus never shuffles for
+    the lookup, only the final doc rollup groups. At 100 TB: histogram
+    ~1e7 rows broadcast in MiBs, corpus pass is scan + map + one
+    combinable groupBy(doc_id).
+
+    The oracle reuses the training chain's final relation verbatim and
+    expands it to the document grain — one spec, two engines, shared
+    derivation."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    prev = words.select(
+        "w",
+        "f",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    ).persist()
+    for _ in range(N_BPE_MERGES):
+        pairs = (
+            prev.filter(F.size("toks") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), i -> "
+                        "struct(element_at(toks, i) AS lt, "
+                        "element_at(toks, i + 1) AS rt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lt", "p.rt")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        b = pairs.orderBy(F.col("cnt").desc(), "lt", "rt").limit(1).collect()[0]
+        nxt = prev.select(
+            "w", "f", _bpe_apply_merge(b.lt, b.rt, b.lt + b.rt).alias("toks")
+        ).persist()
+        prev.unpersist()
+        prev = nxt
+    wl = prev.select("w", F.size("toks").cast("long").alias("n_tok"))
+    dw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    out = (
+        dw.join(F.broadcast(wl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+    prev.unpersist()
+    return out
