@@ -796,9 +796,16 @@ def _cell_dists(IV, C: list[list[float]], dim: int, int_scale: int):
     n = len(X)
     CM = np.asarray(C, dtype=np.float64)  # (k, dim)
     acc = np.zeros((n, len(C)))
+    t = np.empty_like(acc)
     for d in range(dim):
-        t = X[:, d, None] - CM[None, :, d]
-        acc = acc + t * t
+        # in-place forms of (x_d − c_d)² accumulation: identical IEEE
+        # ops on identical operands in identical order, no (n × k)
+        # temporaries — at 32k vectors × 716 cells the out-of-place
+        # form allocated ~11 GB/pass of short-lived arrays and was
+        # memory-bandwidth-bound
+        np.subtract(X[:, d, None], CM[None, :, d], out=t)
+        np.multiply(t, t, out=t)
+        acc += t
     return acc
 
 
