@@ -1472,3 +1472,49 @@ def test_bpe_merge_fold_matches_greedy_model(spark):
         }
         for w in words:
             assert got[w] == greedy(list(w), lt, rt), (w, lt, rt, got[w])
+
+
+def test_versioned_index_store_commit_prunes_cells(spark, sf_smoke, tmp_path):
+    """s_ann_index_rebuild's store contract: a version committed through
+    _commit_version(partition_by=['cell']) must (a) serve cell-filtered
+    reads with file-level partition pruning (EXECUTED numFiles == the
+    filtered cell count), and (b) keep the previous version readable
+    row-for-row after the next commit — the two properties the atomic
+    swap stands on."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+    from spring_cloud_kafka_streams_dbz_etl_spark.sources.sinks import (
+        _commit_version,
+        load_dimension,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    cents = kmeans_fit(e)
+    idx1 = ivf_assign(e, cents).select("vec_id", "cell").coalesce(1)
+    store = str(tmp_path / "vstore")
+    _commit_version(spark, idx1, store, partition_by=["cell"])
+
+    cur = load_dimension(spark, store)
+    cells = sorted(r.cell for r in cur.select("cell").distinct().collect())[:3]
+    pruned = cur.filter(F.col("cell").isin(*cells))
+    text = explain_str(pruned)
+    assert "PartitionFilters: [cell#" in text, text[:3000]
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_files = int(scan.metrics().apply("numFiles").value())
+    assert n_files == len(cells), (n_files, cells)
+
+    # second commit (a different relation); v1 unchanged and readable
+    idx2 = idx1.withColumn("cell", (F.col("cell") + 1).cast("int"))
+    _commit_version(spark, idx2, store, partition_by=["cell"])
+    old = load_dimension(spark, store, version=1)
+    assert old.exceptAll(idx1).count() == 0
+    assert idx1.exceptAll(old).count() == 0
+    new = load_dimension(spark, store)
+    assert new.exceptAll(idx2).count() == 0

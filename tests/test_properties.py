@@ -1126,10 +1126,16 @@ def test_ivf_knob_chain_invariants(n):
     np_ = nprobe_for(k)
     assert 2 <= np_ <= k  # ivf_probe's accepted range
     assert refine_depth_for(np_) == 2 * TOPK * np_
-    # pruning improves (weakly) with corpus growth: scanned fraction at
-    # 4n never exceeds the fraction at n
+    # pruning improves (weakly) with corpus growth once the cell count
+    # actually grows: for k4 >= 2k, ceil(sqrt(k4))/k4 <= 1/sqrt(2k) +
+    # 1/(2k) < 1/sqrt(k) <= ceil(sqrt(k))/k for every k >= 3. Across
+    # the KMEANS_K_MIN floor the fraction CAN tick up (hypothesis found
+    # n=80 -> 3/8 vs n=320 -> 4/10) — the floor pins k for corpora too
+    # small for pruning to matter, so the guarantee starts where the
+    # rule leaves the clamp.
     k4 = ivf_cells_for(4 * n)
-    assert nprobe_for(k4) / k4 <= np_ / k + 1e-12
+    if k4 >= 2 * k:
+        assert nprobe_for(k4) / k4 <= np_ / k + 1e-12
 
 
 def test_ivf_knob_chain_matches_duckdb_twin():
