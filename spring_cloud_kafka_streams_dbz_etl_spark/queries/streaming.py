@@ -2345,6 +2345,7 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode_cb,
         pq_train,
     )
+    from ..catalog import fan_out as _fan
     from ..catalog import table as load_table
     from ..sources.sinks import _commit_version, load_dimension
     from .similarity import N_PROBE_QUERIES, _refined_recall, refine_depth_for
@@ -2355,9 +2356,11 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(F.col("vec_id") % 2 == 0)
 
     # v1: the maintain end-state — model frozen on the initial shard,
-    # EVERYTHING routed/encoded through it, committed cell-partitioned
-    cents1 = kmeans_fit(base)
-    cb1 = pq_train(base)
+    # EVERYTHING routed/encoded through it, committed cell-partitioned.
+    # Training inputs fan_out: the SCALE.md measurement shows the Arrow
+    # Lloyd passes serialize on an under-partitioned source.
+    cents1 = kmeans_fit(_fan(base, spark))
+    cb1 = pq_train(_fan(base, spark))
     idx1 = (
         pq_encode_cb(e, cb1)
         .select("vec_id", "pq_codes")
@@ -2389,8 +2392,8 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # retrain on the drifted corpus; the serving version MUST still be
     # v1 for the entire training window
-    cents2 = kmeans_fit(e)
-    cb2 = pq_train(e)
+    cents2 = kmeans_fit(_fan(e, spark))
+    cb2 = pq_train(_fan(e, spark))
     idx2 = (
         pq_encode_cb(e, cb2)
         .select("vec_id", "pq_codes")
