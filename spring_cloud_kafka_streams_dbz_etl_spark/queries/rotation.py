@@ -360,7 +360,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # q_bpe_train registered after the round-11 window was budgeted; it
 # defers to keep the window stable (ADVICE r8's process rule) and
 # fronts in round 12.
-DEFERRED_NEW: frozenset[str] = frozenset({"q_bpe_train", "q_bpe_segment"})
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {"q_bpe_train", "q_bpe_segment", "s_ann_serve"}
+)
 
 
 def times_checked(name: str) -> int:

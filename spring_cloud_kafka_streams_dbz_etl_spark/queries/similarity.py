@@ -1426,10 +1426,14 @@ def _exact_topk(e, probes, spark) -> DataFrame:
     )
 
 
-def _refine_topk(e, probes, short, spark) -> DataFrame:
-    """The FAISS-style exact refine (a_query, a_neighbor): the tiny ADC
-    shortlist BROADCASTS onto the corpus scan to fetch raw vectors (no
-    corpus shuffle), true-L2 re-ranks over shortlist-sized data."""
+def _serve_topk(e, probes, short, spark) -> DataFrame:
+    """The production read-path RESULT: top-{TOPK} per probe with the
+    exact refine distance and rank — (query_id, neighbor_id, l2_refine,
+    rank). The FAISS-style exact refine: the tiny ADC shortlist
+    BROADCASTS onto the corpus scan to fetch raw vectors (no corpus
+    shuffle), true-L2 re-ranks over shortlist-sized data. s_ann_serve
+    returns this relation per micro-batch; the recall audits trim it to
+    ids via :func:`_refine_topk`."""
     from pyspark.sql import Window
 
     q = probes.select(
@@ -1454,12 +1458,17 @@ def _refine_topk(e, probes, short, spark) -> DataFrame:
         rvec.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", refine_l2.alias("l2_refine"))
-        .withColumn("rank", F.row_number().over(wr))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= TOPK)
-        .select(
-            F.col("query_id").alias("a_query"),
-            F.col("neighbor_id").alias("a_neighbor"),
-        )
+    )
+
+
+def _refine_topk(e, probes, short, spark) -> DataFrame:
+    """:func:`_serve_topk` trimmed to the id pairs the recall joins
+    consume (a_query, a_neighbor)."""
+    return _serve_topk(e, probes, short, spark).select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
     )
 
 

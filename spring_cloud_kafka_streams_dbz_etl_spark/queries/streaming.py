@@ -2421,3 +2421,192 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes_pd, served, cb2, k=refine_depth_for(nprobe), cell_col="cell"
     ).select("query_id", "neighbor_id")
     return _refined_recall(e, probes, short, spark)
+
+
+def _ann_serve_oracle() -> str:
+    """The full-corpus-trained serving read path stated relationally:
+    trained cells + trained codebooks + multi-probe routing + depth-
+    scaled ADC shortlist + exact refine, ranked — the
+    q_ann_pq_recall_trained_cb chain minus its ground-truth/recall
+    stages (serving has no exact pass; that is the audit's job)."""
+    from ..operators.similarity import PQ_DIM
+    from .similarity import (
+        N_PROBE_QUERIES,
+        TOPK,
+        _kmeans_cte_chain,
+        _pq_consts,
+        _pq_dd_sql,
+        _pq_train_cte_chain,
+    )
+
+    m_count, _, sub, _ = _pq_consts()
+    scale = 1_000_000
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    cdist = (
+        f"list_sum(list_transform(range(1, {PQ_DIM + 1}), d -> "
+        f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
+    )
+    return f"""
+WITH {_kmeans_cte_chain()}, pc AS (
+  SELECT vec_id, cell FROM (
+    SELECT i.vec_id, CAST(s.cell AS INT) AS cell,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY {cdist} ASC, s.cell ASC) AS rn
+    FROM iv i CROSS JOIN c2 s
+    WHERE i.vec_id < {N_PROBE_QUERIES})
+  WHERE rn <= (SELECT np FROM knobs)
+), {_pq_train_cte_chain()}, v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pv AS (
+  SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS v
+  FROM iv
+), venc AS (
+  SELECT p.vec_id, p.v, t.CB FROM pv p CROSS JOIN cbt t
+), tdd AS (
+  SELECT vec_id, CB, {_pq_dd_sql()} AS dd FROM venc
+), tcoded AS (
+  SELECT d.vec_id, CAST(af.cell AS INT) AS cell, d.CB,
+         list_transform(dd, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+  FROM tdd d JOIN af ON d.vec_id = af.vec_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM pv WHERE vec_id < {N_PROBE_QUERIES}) q
+    JOIN pc ON pc.vec_id = q.vec_id
+    JOIN tcoded c ON c.cell = pc.cell
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= (SELECT np FROM knobs) * {2 * TOPK}
+)
+SELECT query_id, neighbor_id, l2_refine, rank FROM (
+  SELECT s.query_id, s.neighbor_id, {l2} AS l2_refine,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY s.query_id
+              ORDER BY {l2} ASC, s.neighbor_id ASC) AS INT) AS rank
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v c ON c.vec_id = s.neighbor_id)
+WHERE rank <= {TOPK}
+"""
+
+
+@query("s_ann_serve", oracle=_ann_serve_oracle())
+def s_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE half of the index story — streaming retrieval against
+    the frozen trained index: probe queries arrive as micro-batches and
+    each batch runs the production read path (ivf_probe multi-probe
+    routing → cell-pruned ADC shortlist at refine_depth_for(nprobe) →
+    exact broadcast refine → top-{{TOPK}} with distances and ranks) in
+    foreachBatch, appending results. Index build happens ONCE up front
+    (kmeans_fit + pq_train + pq_encode_cb, full corpus); the stream
+    never retrains — that's s_ann_index_rebuild's job. End state must
+    equal the batch rule "serve every probe against the committed
+    index", which is what the oracle states (the recall-audit chain
+    minus its ground-truth stages — serving has no exact pass).
+
+    This completes the serving lifecycle: ingest
+    (s_ann_index_maintain), rebuild (s_ann_index_rebuild), offline
+    audits (q_ann_pq_recall_trained*), capacity planning
+    (q_ann_nprobe_curve), and now the query-side stream a retrieval
+    API actually runs.
+
+    Scale: per micro-batch, routing is a map-only Arrow pass over the
+    batch (KiB model in task state), the ADC scan reads nprobe/k of
+    the cell-partitioned codes, the refine broadcasts a
+    (batch × depth)-row shortlist — per-batch cost is independent of
+    corpus size and batches are embarrassingly independent (probes
+    never interact), so serving throughput scales with executors while
+    the index stays put."""
+    from ..catalog import fan_out as _fan
+    from ..catalog import table as load_table
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        nprobe_for,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+    from .similarity import N_PROBE_QUERIES, _serve_topk, refine_depth_for
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tune(spark)
+    src_dir, out_dir, ckpt = _tmp("anns_src"), _tmp("anns_out"), _tmp("anns_ckpt")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # one-time index build against the full corpus; model frozen
+    cents = kmeans_fit(_fan(e, spark))
+    cb = pq_train(_fan(e, spark))
+    codes = (
+        pq_encode_cb(_fan(e, spark), cb)
+        .select("vec_id", "pq_codes")
+        .join(ivf_assign(_fan(e, spark), cents).select("vec_id", "cell"), "vec_id")
+        .persist()
+    )
+    codes.count()
+    nprobe = nprobe_for(len(cents))
+
+    # probe stream: first shard before the stream starts, second lands live
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    probes_all = vecs.filter(pc.less(vecs["vec_id"], N_PROBE_QUERIES))
+    first = probes_all.filter(pc.less(probes_all["vec_id"], N_PROBE_QUERIES // 2))
+    late = probes_all.filter(
+        pc.greater_equal(probes_all["vec_id"], N_PROBE_QUERIES // 2)
+    )
+    pq.write_table(first, f"{src_dir}/probes1.parquet")
+
+    def serve(batch_df, _batch_id) -> None:
+        if not batch_df.take(1):
+            return
+        pcells = ivf_probe(batch_df, cents, nprobe).select("vec_id", "cell")
+        probes_pd = batch_df.join(pcells, "vec_id").toPandas()
+        short = pq_adc_topk_cb(
+            probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
+        ).select("query_id", "neighbor_id")
+        (
+            _serve_topk(e, batch_df, short, spark)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    reg = StreamRegistry()
+    reg.register(
+        "s_ann_serve",
+        lambda: (
+            spark.readStream.schema(e.schema)
+            .parquet(src_dir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(serve)
+            .start()
+        ),
+        checkpoint=ckpt,
+    )
+    reg.process_available("s_ann_serve")
+
+    import os
+
+    tmp2 = f"{src_dir}/.probes2.parquet.tmp"
+    pq.write_table(late, tmp2)
+    os.rename(tmp2, f"{src_dir}/probes2.parquet")
+    reg.process_available("s_ann_serve")
+    reg.stop("s_ann_serve")
+    codes.unpersist()
+
+    return spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "l2_refine", "rank"
+    )
