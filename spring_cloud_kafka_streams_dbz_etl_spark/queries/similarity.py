@@ -676,6 +676,77 @@ SELECT vec_id, CAST(cell AS INT) AS cell, ROUND(dist, 6) AS dist FROM af
 """
 
 
+def _cell_stats_oracle() -> str:
+    return f"""
+WITH {_kmeans_cte_chain()}, r AS (
+  SELECT CAST(cell AS INT) AS cell,
+         CAST(ROUND(dist, 6) AS DECIMAL(18, 6)) AS d
+  FROM af
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM r), 6) AS share,
+       CAST(MAX(d) AS DOUBLE) AS max_dist,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS avg_dist
+FROM r GROUP BY cell
+"""
+
+
+@query("q_ann_cell_stats", oracle=_cell_stats_oracle())
+def q_ann_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health observability — the per-cell table an operator reads
+    BEFORE touching any ANN knob: occupancy (n_vectors, share of
+    corpus) and geometry (max_dist = the cell radius that bounds how
+    far a true neighbor can sit from the probed centroid, avg_dist =
+    quantization tightness). Skewed shares mean the quantizer needs
+    retraining (q_embedding_drift tells you WHEN across populations;
+    this is the static WHERE); fat radii at fixed k price the
+    nprobe_for/refine_depth_for defaults the audits pin. Completes the
+    lifecycle family: build → serve → audit → monitor → REPORT.
+
+    Determinism: distances enter as the assignment's ROUND(6) values
+    cast to DECIMAL(18,6), summed exactly (order-independent), one
+    closing division — the repo's decimal policy, so avg_dist is
+    engine-identical despite float averaging being order-sensitive.
+
+    Scale: one groupBy(cell) over the assignment relation — k output
+    rows; the share window is a scalar count broadcast. Cost ≈ one
+    routing pass, the same table a 10⁹-vector index build logs per
+    version commit."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import kmeans_cells
+
+    tune(spark)
+    cells = kmeans_cells(fan_out(table(spark, sf_dir, "embeddings"), spark))
+    d = F.col("dist").cast("decimal(18,6)")
+    # corpus total via an all-rows window over the k-row aggregate (the
+    # q_embedding_drift shape) — no extra driver action, no second
+    # assignment pass
+    wall = Window.partitionBy()
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.max(d).cast("double").alias("max_dist"),
+            F.round(
+                F.sum(d).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_dist"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double")
+                / F.sum("n_vectors").over(wall),
+                6,
+            ).alias("share"),
+            "max_dist",
+            "avg_dist",
+        )
+    )
+
+
 @query("q_kmeans_cells", oracle=_kmeans_oracle())
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means — the TRAINING half of the IVF path (the cell
