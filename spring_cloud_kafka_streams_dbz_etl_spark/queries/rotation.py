@@ -361,7 +361,13 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # defers to keep the window stable (ADVICE r8's process rule) and
 # fronts in round 12.
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_bpe_train", "q_bpe_segment", "s_ann_serve", "q_ann_cell_stats"}
+    {
+        "q_bpe_train",
+        "q_bpe_segment",
+        "s_ann_serve",
+        "q_ann_cell_stats",
+        "q_ann_filtered",
+    }
 )
 
 

@@ -2367,3 +2367,139 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- filtered vector search ---------------------------------------------------
+
+ANN_FILTER = "label < 5"  # the allowed-subset predicate (~half the corpus)
+
+
+def _ann_filtered_oracle() -> str:
+    from ..operators.similarity import PQ_DIM
+
+    m_count, _, sub, _ = _pq_consts()
+    scale = 1_000_000
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
+        f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i])))"
+        for m in range(m_count)
+    )
+    cdist = (
+        f"list_sum(list_transform(range(1, {PQ_DIM + 1}), d -> "
+        f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
+    )
+    return f"""
+WITH {_kmeans_cte_chain()}, pc AS (
+  SELECT vec_id, cell FROM (
+    SELECT i.vec_id, CAST(s.cell AS INT) AS cell,
+           ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                              ORDER BY {cdist} ASC, s.cell ASC) AS rn
+    FROM iv i CROSS JOIN c2 s
+    WHERE i.vec_id < {N_PROBE_QUERIES})
+  WHERE rn <= (SELECT np FROM knobs)
+), {_pq_train_cte_chain()}, v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pv AS (
+  SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / {scale}.0) AS v
+  FROM iv
+), venc AS (
+  SELECT p.vec_id, p.v, t.CB FROM pv p CROSS JOIN cbt t
+), tdd AS (
+  SELECT vec_id, CB, {_pq_dd_sql()} AS dd FROM venc
+), tcoded AS (
+  SELECT d.vec_id, CAST(af.cell AS INT) AS cell, d.CB,
+         list_transform(dd, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+  FROM tdd d
+  JOIN af ON d.vec_id = af.vec_id
+  JOIN v vv ON vv.vec_id = d.vec_id
+  WHERE vv.{ANN_FILTER}
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({adc}, 9) ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM pv WHERE vec_id < {N_PROBE_QUERIES}) q
+    JOIN pc ON pc.vec_id = q.vec_id
+    JOIN tcoded c ON c.cell = pc.cell
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= (SELECT np FROM knobs) * {2 * TOPK}
+)
+SELECT query_id, neighbor_id, l2_refine, rank FROM (
+  SELECT s.query_id, s.neighbor_id, {l2} AS l2_refine,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY s.query_id
+              ORDER BY {l2} ASC, s.neighbor_id ASC) AS INT) AS rank
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN (SELECT vec_id, v FROM v WHERE {ANN_FILTER}) c
+    ON c.vec_id = s.neighbor_id)
+WHERE rank <= {TOPK}
+"""
+
+
+@query("q_ann_filtered", oracle=_ann_filtered_oracle())
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN restricted to a metadata predicate
+    ({ANN_FILTER}: the allowed subset, ~half the corpus), the production
+    pattern every vector store names (FAISS IDSelector, tenant/ACL
+    scoping, freshness windows) and the classic place naive ANN breaks.
+    PRE-filter strategy: the codes relation carries its metadata
+    (pq_encode_cb keep_cols — the attribute-carrying index) and the
+    predicate lands on the code store BEFORE the ADC scan, so the
+    scorer never touches disallowed rows and the shortlist is never
+    starved by post-hoc deletion. The alternative — post-filtering a
+    top-k — silently returns < k rows whenever the filter removes
+    shortlist members; with pre-filtering the depth semantics are
+    unchanged and recall is measured against the FILTERED exact truth.
+
+    The selectivity rule this encodes for operators: at filter
+    selectivity s, probed candidate mass shrinks to s·nprobe·(n/k), so
+    hold (nprobe · s) roughly constant — below s ≈ 1/cell there is
+    nothing left to prune and brute force over the filtered subset
+    (q_cosine_topk's shape) is the right plan. Output is the serving
+    contract (query_id, neighbor_id, l2_refine, rank), probes
+    unrestricted (a tenant may query across its own scope only — the
+    per-probe-predicate variant — by keying the filter column into the
+    probe join; same plan shape).
+
+    Scale: identical dataflow to s_ann_serve with one extra codegen
+    predicate riding the (cell-pruned, 32×-compressed) code scan; at a
+    partitioned store a low-cardinality filter column can join `cell`
+    in partitionBy for file-level pruning of both dimensions."""
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        nprobe_for,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+
+    cents = kmeans_fit(fan_out(e, spark))
+    cb = pq_train(fan_out(e, spark))
+    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    codes = (
+        pq_encode_cb(fan_out(e, spark), cb, keep_cols=("label",))
+        .select("vec_id", "label", "pq_codes")
+        .join(cells, "vec_id")
+        .filter(ANN_FILTER)  # pre-filter: disallowed rows never reach ADC
+    )
+    nprobe = nprobe_for(len(cents))
+    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
+    probes_pd = probes.join(pcells, "vec_id").toPandas()
+    short = pq_adc_topk_cb(
+        probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
+    ).select("query_id", "neighbor_id")
+    return _serve_topk(e.filter(ANN_FILTER), probes, short, spark)
