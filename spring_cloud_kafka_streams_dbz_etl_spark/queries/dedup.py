@@ -949,3 +949,119 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_micro_sum"),
         )
     )
+
+
+# -- label propagation over the near-dup graph --------------------------------
+
+LP_ROUNDS = 2
+
+
+def _label_prop_oracle() -> str:
+    chain = [
+        """e AS (
+  SELECT doc_a AS s, doc_b AS t FROM verified
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM verified
+), l0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN source END AS label,
+         CASE WHEN doc_id % 3 = 0 THEN 0 END AS labeled_round
+  FROM documents
+)"""
+    ]
+    for r in range(1, LP_ROUNDS + 1):
+        p = r - 1
+        chain.append(f"""v{r} AS (
+  SELECT e.t AS doc_id, l.label, COUNT(*) AS c
+  FROM e JOIN l{p} l ON l.doc_id = e.s
+  WHERE l.label IS NOT NULL
+  GROUP BY e.t, l.label
+), b{r} AS (
+  SELECT doc_id, label FROM (
+    SELECT doc_id, label,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{r})
+  WHERE rn = 1
+), l{r} AS (
+  SELECT l.doc_id, COALESCE(l.label, b.label) AS label,
+         CASE WHEN l.label IS NOT NULL THEN l.labeled_round
+              WHEN b.label IS NOT NULL THEN {r} END AS labeled_round
+  FROM l{p} l LEFT JOIN b{r} b ON b.doc_id = l.doc_id
+)""")
+    return (
+        f"WITH {_minhash_cte()}, {', '.join(chain)}\n"
+        f"SELECT doc_id, label, CAST(labeled_round AS INT) AS labeled_round "
+        f"FROM l{LP_ROUNDS}"
+    )
+
+
+@query("q_label_propagate", oracle=_label_prop_oracle())
+def q_label_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the NEAR-DUP graph — the
+    curation move that stretches scarce trusted labels: a third of the
+    corpus (doc_id % 3 = 0, the fixture's human-labeled shard) carries
+    a trusted source label; everyone else inherits by majority vote of
+    their near-duplicate neighbors, {LP_ROUNDS} rounds, labels frozen
+    once assigned (seeds at round 0, then monotone fill). Near-dups
+    share provenance/quality by construction — the same edge set the
+    dedup family trusts to DELETE documents is strong enough evidence
+    to LABEL them. Deterministic: votes tie-break (count DESC, label
+    ASC); output (doc_id, label, labeled_round) with NULLs for docs no
+    propagation wave reached — the honest remainder a heuristic
+    labeler must not invent labels for.
+
+    Spark shape: the pair relation is the banded MinHash join (never
+    all-pairs); per round, ONE combinable groupBy((dst, label)) over
+    the label-bearing frontier joined to edges, a per-dst rank window
+    sharing that shuffle key, and a left join back to the running label
+    relation — cost per round is |edges touching labeled nodes|, not
+    |corpus|². At 100 TB propagation rides the same edge relation the
+    dedup pass already materialized; rounds are bounded (diameter of
+    dup clusters is small — q_dup_clusters' CC converges in O(log d)
+    for the same reason)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    pairs = _build_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = cache_scoped(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    )
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("source")).alias("label"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0)).alias("labeled_round"),
+    )
+    for r in range(1, LP_ROUNDS + 1):
+        votes = (
+            edges.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("doc_id").alias("s"), F.col("label").alias("nl")
+                ),
+                "s",
+            )
+            .groupBy(F.col("t").alias("doc_id"), "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), F.col("nl").asc()
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("nl").alias("blabel"))
+        )
+        labels = (
+            labels.join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("label"), F.col("blabel")).alias("label"),
+                F.when(F.col("label").isNotNull(), F.col("labeled_round"))
+                .when(F.col("blabel").isNotNull(), F.lit(r))
+                .alias("labeled_round"),
+            )
+        )
+    return labels.select(
+        "doc_id", "label", F.col("labeled_round").cast("int").alias("labeled_round")
+    )

@@ -367,6 +367,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_ann_serve",
         "q_ann_cell_stats",
         "q_ann_filtered",
+        "q_label_propagate",
     }
 )
 
