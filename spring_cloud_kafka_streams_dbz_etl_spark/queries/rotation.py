@@ -368,6 +368,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_ann_cell_stats",
         "q_ann_filtered",
         "q_label_propagate",
+        "q_linear_probe",
     }
 )
 

