@@ -369,6 +369,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_ann_filtered",
         "q_label_propagate",
         "q_linear_probe",
+        "q_embedding_pca",
     }
 )
 

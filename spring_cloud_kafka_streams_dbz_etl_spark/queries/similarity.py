@@ -2503,3 +2503,164 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
     ).select("query_id", "neighbor_id")
     return _serve_topk(e.filter(ANN_FILTER), probes, short, spark)
+
+
+# -- principal component by power iteration -----------------------------------
+
+PCA_ITERS = 8
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    D, P, scale = PCA_DIM, PCA_ITERS, 1_000_000
+    chain = [f"""iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
+  FROM embeddings
+), nn AS (SELECT COUNT(*) AS n FROM iv),
+gram AS (
+  SELECT d, e, SUM(CAST(iv[d] * iv[e] AS DECIMAL(38, 0))) AS s
+  FROM iv, UNNEST(range(1, {D + 1})) t(d), UNNEST(range(1, {D + 1})) u(e)
+  GROUP BY d, e
+), mu AS (
+  SELECT d, CAST(SUM(iv[d]) AS DOUBLE) / (SELECT n FROM nn) / {scale} AS m
+  FROM iv, UNNEST(range(1, {D + 1})) t(d)
+  GROUP BY d
+), cov AS (
+  SELECT g.d, g.e,
+         CAST(g.s AS DOUBLE) / (SELECT n FROM nn) / {float(scale) * scale}
+           - md.m * me.m AS cv
+  FROM gram g
+  JOIN mu md ON md.d = g.d
+  JOIN mu me ON me.d = g.e
+), crow AS (
+  SELECT d, list(cv ORDER BY e) AS row FROM cov GROUP BY d
+), cmat AS MATERIALIZED (
+  SELECT list(row ORDER BY d) AS C FROM (SELECT d, row FROM crow ORDER BY d)
+), mul AS (
+  SELECT list(m ORDER BY d) AS m FROM mu
+), v0 AS (SELECT list_transform(range(1, {D + 1}), d -> 0.125) AS v)"""]
+    for r in range(1, P + 1):
+        p = r - 1
+        chain.append(f"""u{r} AS (
+  SELECT list_transform(range(1, {D + 1}), d ->
+           list_sum(list_transform(range(1, {D + 1}), e ->
+             C[d][e] * v[e]))) AS u
+  FROM cmat, v{p}
+), v{r} AS (
+  SELECT list_transform(u, x ->
+           FLOOR(x / SQRT(list_sum(list_transform(u, y -> y * y)))
+                 * {scale}) / {scale}) AS v
+  FROM u{r}
+)""")
+    return f"""WITH {', '.join(chain)}
+SELECT i.vec_id,
+       ROUND(list_sum(list_transform(range(1, {D + 1}), d ->
+             (i.iv[d] / {scale}.0 - m.m[d]) * w.v[d])), 6) AS pc1_proj
+FROM iv i, mul m, v{P} w
+"""
+
+
+@query("q_embedding_pca", oracle=_pca_oracle())
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — the spectral primitive behind whitening, dimensionality
+    reduction before ANN, and SemDeDup-style direction analysis. Output
+    is each vector's projection onto the {PCA_ITERS}-round iterate
+    (vec_id, pc1_proj).
+
+    Spec honesty: the operator pins the DETERMINISTIC P-round iterate,
+    not "the eigenvector" — power iteration converges at rate
+    (λ2/λ1)^P, and this fixture's spectrum is nearly flat (isotropic
+    noise + weak cluster structure), so the iterate is still moving at
+    P={PCA_ITERS}. That is the right contract for a cross-engine
+    oracle: both engines compute identical iterates at every P, and an
+    operator who needs tighter convergence raises P (cost: one more
+    64-list fold in the oracle, zero extra data passes in the engine —
+    iteration is driver-side model math).
+
+    Fourth instance of the training-loop pattern, with a twist: the
+    DATA pass is one exact sufficient-statistics aggregate — the Gram
+    matrix Σ iv_d·iv_e as DECIMAL(38,0) over integerized vectors
+    (exact at any corpus size; 64×64+64 outputs) — and ALL iterations
+    happen on that driver-side matrix: zero data passes per iteration,
+    the opposite end of the spectrum from Lloyd's pass-per-round.
+    Determinism: covariance from exact-operand divisions, matrix-vector
+    products as ascending-e folds (the list_sum twin), iterates
+    floor-quantized to the 1e-6 lattice each round, v0 = 1/√64 = 0.125
+    exactly. Projection is one map-only fold over the corpus.
+
+    Scale: the Gram aggregate is map-side combinable (the 100 TB form
+    computes per-partition integer partial Grams in one Arrow pass —
+    numpy X^T X on int64 — and sums 64×64 partials); everything after
+    is O(D²) driver math. One corpus pass total, plus the projection
+    pass the consumer was going to run anyway."""
+    import math
+
+    tune(spark)
+    D, P, scale = PCA_DIM, PCA_ITERS, 1_000_000
+    e = table(spark, sf_dir, "embeddings")
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * float(scale)).cast("long"),
+    )
+    base = cache_scoped(fan_out(e, spark).select("vec_id", iv.alias("iv")))
+    d_idx = F.explode(F.sequence(F.lit(1), F.lit(D))).alias("d")
+    pairs = (
+        base.select("iv", d_idx)
+        .select(
+            "iv", "d", F.explode(F.sequence(F.lit(1), F.lit(D))).alias("ee")
+        )
+        .groupBy("d", "ee")
+        .agg(
+            F.sum(
+                (F.element_at("iv", F.col("d")) * F.element_at("iv", F.col("ee")))
+                .cast("decimal(38,0)")
+            ).alias("s")
+        )
+        .collect()
+    )
+    mus = (
+        base.select(d_idx, F.col("iv"))
+        .groupBy("d")
+        .agg(F.sum(F.element_at("iv", F.col("d"))).alias("sd"))
+        .collect()
+    )
+    n = base.count()
+    mu = [0.0] * D
+    for r in mus:
+        mu[r.d - 1] = float(r.sd) / n / scale
+    C = [[0.0] * D for _ in range(D)]
+    for r in pairs:
+        C[r.d - 1][r.ee - 1] = float(r.s) / n / float(scale * scale) - mu[
+            r.d - 1
+        ] * mu[r.ee - 1]
+    v = [0.125] * D
+    for _ in range(P):
+        u = [0.0] * D
+        for ee in range(D):  # ascending-e left fold, the list_sum twin
+            ve = v[ee]
+            for d in range(D):
+                u[d] = u[d] + C[d][ee] * ve
+        norm = math.sqrt(_sum_ascending([x * x for x in u]))
+        v = [math.floor(x / norm * scale) / scale for x in u]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("iv"), lambda x: x / F.lit(float(scale))),
+            F.zip_with(mu_arr, v_arr, lambda m, w: F.struct(m.alias("m"), w.alias("w"))),
+            lambda x, mw: (x - mw["m"]) * mw["w"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select("vec_id", F.round(proj, 6).alias("pc1_proj"))
+
+
+def _sum_ascending(xs: list[float]) -> float:
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
