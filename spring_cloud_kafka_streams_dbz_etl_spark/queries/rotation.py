@@ -370,6 +370,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_label_propagate",
         "q_linear_probe",
         "q_embedding_pca",
+        "s_linear_probe_online",
     }
 )
 

@@ -2610,3 +2610,232 @@ def s_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "query_id", "neighbor_id", "l2_refine", "rank"
     )
+
+
+def _online_probe_oracle() -> str:
+    """Batch-sequenced online GD stated relationally: the scaler (mu /
+    sd / ybar) freezes on the FIRST shard (even doc_ids — the arrival
+    fixture's initial batch), then one gradient step per arriving
+    shard, weights carried across steps — the q_linear_probe round
+    chain with per-step population predicates."""
+    from .text import GD_BUCKETS, GD_LR
+
+    D, lr, scale = GD_BUCKETS, GD_LR, 1_000_000
+    bucket = f"CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {D}"
+    ccols = ", ".join(
+        f"SUM(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS c{d}" for d in range(D)
+    )
+    stat_cols = ", ".join(
+        f"CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM n0) AS mu{d}, "
+        f"SQRT(CAST(SUM(COALESCE(c{d}, 0) * COALESCE(c{d}, 0)) AS DOUBLE) "
+        f"/ (SELECT n FROM n0) "
+        f"- (CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM n0)) "
+        f"* (CAST(SUM(COALESCE(c{d}, 0)) AS DOUBLE) / (SELECT n FROM n0))) AS sd{d}"
+        for d in range(D)
+    )
+    zcols = ", ".join(
+        f"CASE WHEN (SELECT sd{d} FROM st) = 0 THEN 0.0 "
+        f"ELSE FLOOR((COALESCE(c.c{d}, 0) - (SELECT mu{d} FROM st)) "
+        f"/ (SELECT sd{d} FROM st) * {scale}) / {scale} END AS z{d}"
+        for d in range(D)
+    )
+    chain = [f"""tok AS (
+  SELECT doc_id, {bucket} AS b FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), cnt AS (
+  SELECT doc_id, {ccols} FROM tok GROUP BY doc_id
+), jc AS (
+  SELECT d.doc_id, d.n_chars, {', '.join(f'cc.c{d}' for d in range(D))}
+  FROM documents d LEFT JOIN cnt cc ON cc.doc_id = d.doc_id
+), n0 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+st AS (
+  SELECT {stat_cols} FROM jc WHERE doc_id % 2 = 0
+), yb AS (
+  SELECT CAST(SUM(n_chars) AS DOUBLE) / (SELECT n FROM n0) AS ybar
+  FROM documents WHERE doc_id % 2 = 0
+), z AS MATERIALIZED (
+  SELECT c.doc_id, c.n_chars - (SELECT ybar FROM yb) AS yc, {zcols}
+  FROM jc c
+), w0 AS (SELECT {', '.join(f'0.0 AS w{d}' for d in range(D))})"""]
+    for r, parity in ((1, 0), (2, 1)):
+        p = r - 1
+        pred = " + ".join(f"z.z{d} * w.w{d}" for d in range(D))
+        gsum = ", ".join(
+            f"SUM(CAST(ROUND(z.z{d} * ({pred} - z.yc), 6) AS DECIMAL(38, 6))) AS g{d}"
+            for d in range(D)
+        )
+        wnew = ", ".join(
+            f"FLOOR((w.w{d} - {lr} * (CAST(s.g{d} AS DOUBLE) / s.nb))"
+            f" * {scale}) / {scale} AS w{d}"
+            for d in range(D)
+        )
+        chain.append(f"""s{r} AS (
+  SELECT {gsum},
+         SUM(CAST(ROUND(({pred} - z.yc) * ({pred} - z.yc), 6)
+             AS DECIMAL(38, 6))) AS sq,
+         COUNT(*) AS nb
+  FROM z CROSS JOIN w{p} w
+  WHERE z.doc_id % 2 = {parity}
+), w{r} AS (
+  SELECT {wnew} FROM s{r} s CROSS JOIN w{p} w
+), m{r} AS (
+  SELECT ROUND(CAST(sq AS DOUBLE) / nb, 6) AS mse FROM s{r}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS step, CAST({d} AS INT) AS feature_id, "
+        f"w{d} AS weight_after, (SELECT mse FROM m{r}) AS mse_before FROM w{r}"
+        for r in (1, 2)
+        for d in range(GD_BUCKETS)
+    )
+    return f"WITH {', '.join(chain)}\n{unions}"
+
+
+@query("s_linear_probe_online", oracle=_online_probe_oracle())
+def s_linear_probe_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE learning — q_linear_probe's streaming half: documents
+    arrive in shards (even doc_ids first, the rest while the stream is
+    live) and every micro-batch applies ONE gradient step to the model
+    inside foreachBatch, weights carried across batches in driver
+    state. The feature scaler (per-bucket mean/std, target mean)
+    freezes on the FIRST shard — the s_ann_index_maintain rule applied
+    to preprocessing: arriving data standardizes through the frozen
+    scaler, never re-fits it mid-stream (re-fitting would silently
+    change the meaning of already-learned weights). End state must
+    equal batch-sequenced GD with per-step population predicates,
+    which is what the oracle states.
+
+    Per batch: the gradient is the same ONE decimal-exact combinable
+    aggregate as the offline probe (every component + the loss in a
+    single collected row), so each micro-batch costs one map pass +
+    one 1-row aggregate regardless of batch size — streaming SGD as a
+    foreachBatch one-liner, the online counterpart of data-parallel
+    GD. Output (step, feature_id, weight_after, mse_before): the
+    weight path and per-batch loss trajectory."""
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import fan_out as _fan
+    from ..catalog import table as load_table
+    from .text import GD_BUCKETS, GD_LR
+
+    tune(spark)
+    D, scale = GD_BUCKETS, 1_000_000
+    src_dir, ckpt = _tmp("gdo_src"), _tmp("gdo_ckpt")
+    d_t = load_table(spark, sf_dir, "documents")
+
+    def featurize(df):
+        tok = (
+            _fan(df, spark)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+        )
+        bucket = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % D
+        cnt = tok.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(bucket == d, 1).otherwise(0)).alias(f"c{d}")
+                for d in range(D)
+            ]
+        )
+        return df.select("doc_id", "n_chars").join(cnt, "doc_id", "left").select(
+            "doc_id",
+            "n_chars",
+            *[
+                F.coalesce(F.col(f"c{d}"), F.lit(0)).alias(f"c{d}")
+                for d in range(D)
+            ],
+        )
+
+    # frozen scaler from the initial shard (even doc_ids)
+    first = d_t.filter(F.col("doc_id") % 2 == 0)
+    srow = featurize(first).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sy"),
+        *[F.sum(F.col(f"c{d}")).alias(f"s{d}") for d in range(D)],
+        *[F.sum(F.col(f"c{d}") * F.col(f"c{d}")).alias(f"q{d}") for d in range(D)],
+    ).collect()[0]
+    n0 = srow["n"]
+    ybar = float(srow["sy"]) / n0
+    mu = [float(srow[f"s{d}"]) / n0 for d in range(D)]
+    sd = [
+        math.sqrt(float(srow[f"q{d}"]) / n0 - (float(srow[f"s{d}"]) / n0) ** 2)
+        for d in range(D)
+    ]
+
+    state = {"w": [0.0] * D, "out": []}
+
+    def step(batch_df, _batch_id) -> None:
+        if not batch_df.take(1):
+            return
+        jc = featurize(batch_df)
+
+        def zc(d: int) -> F.Column:
+            if sd[d] == 0:
+                return F.lit(0.0)
+            return (
+                F.floor((F.col(f"c{d}") - F.lit(mu[d])) / F.lit(sd[d]) * scale)
+                / scale
+            )
+
+        z = jc.select(
+            (F.col("n_chars") - F.lit(ybar)).alias("yc"),
+            *[zc(d).alias(f"z{d}") for d in range(D)],
+        )
+        w = state["w"]
+        pred = None
+        for d in range(D):
+            term = F.col(f"z{d}") * F.lit(w[d])
+            pred = term if pred is None else pred + term
+        resid = pred - F.col("yc")
+        row = z.agg(
+            *[
+                F.sum(
+                    F.round(F.col(f"z{d}") * resid, 6).cast("decimal(38,6)")
+                ).alias(f"g{d}")
+                for d in range(D)
+            ],
+            F.sum(F.round(resid * resid, 6).cast("decimal(38,6)")).alias("sq"),
+            F.count(F.lit(1)).alias("nb"),
+        ).collect()[0]
+        nb = row["nb"]
+        mse = round(float(row["sq"]) / nb, 6)
+        state["w"] = [
+            math.floor((w[d] - GD_LR * (float(row[f"g{d}"]) / nb)) * scale)
+            / scale
+            for d in range(D)
+        ]
+        s = len(state["out"]) // D + 1
+        state["out"].extend((s, d, state["w"][d], mse) for d in range(D))
+
+    docs_pa = pq.read_table(f"{sf_dir}/documents.parquet")
+    even = pc.equal(pc.bit_wise_and(docs_pa["doc_id"], 1), 0)
+    pq.write_table(docs_pa.filter(even), f"{src_dir}/docs1.parquet")
+
+    reg = StreamRegistry()
+    reg.register(
+        "s_gd_online",
+        lambda: (
+            spark.readStream.schema(d_t.schema)
+            .parquet(src_dir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(step)
+            .start()
+        ),
+        checkpoint=ckpt,
+    )
+    reg.process_available("s_gd_online")
+
+    import os
+
+    tmp2 = f"{src_dir}/.docs2.parquet.tmp"
+    pq.write_table(docs_pa.filter(pc.invert(even)), tmp2)
+    os.rename(tmp2, f"{src_dir}/docs2.parquet")
+    reg.process_available("s_gd_online")
+    reg.stop("s_gd_online")
+
+    return spark.createDataFrame(
+        state["out"],
+        "step int, feature_id int, weight_after double, mse_before double",
+    )
