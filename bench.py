@@ -67,10 +67,15 @@ def _drift_flags(timings: dict[str, float]) -> list[str]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    arts = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    # a stray artifact whose name lacks digits after "r" degrades to
+    # "not an artifact" rather than aborting the whole bench run
+    matched = [
+        (p, re.search(r"r(\d+)", os.path.basename(p)))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    arts = [p for p, m in sorted(
+        ((p, m) for p, m in matched if m), key=lambda pm: int(pm[1].group(1))
+    )]
     prevs = []
     for p in arts[-2:]:
         try:

@@ -49,6 +49,22 @@ def release_scoped() -> None:
             pass
 
 
+def round_half_up6(x: float) -> float:
+    """Round to 6 decimals, half away from zero, on the value's shortest
+    decimal repr — the repo's cross-engine rounding policy. DuckDB's
+    ROUND(double, 6) rounds the shortest-repr decimal half-away
+    (probed: 2.0000025 -> 2.000003, 0.1234565 -> 0.123457), while
+    Python's built-in round() is half-to-even — a decimal tie would
+    hash-mismatch. Driver-side control-plane twin of F.round/HALF_UP."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def query(name: str, oracle: str | None = None, bench: bool = False):
     def deco(fn):
         @functools.wraps(fn)

@@ -274,6 +274,32 @@ _ROUND_10 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r11.json — 50/50 GREEN (rows+schema+hash, zero
+# errors): the 9 CHANGED_SINCE_CHECK re-fronts after the
+# ivf_cells_for/hash-seeding rewrite (q_ts_similarity + the trained-index
+# family), s_ann_index_rebuild's first row, q_label_propagate's first row
+# (it was registered in time to make the window after all), the dedup
+# family re-checks, the full TPC-H sweep, layout, and multimodal.
+_ROUND_11 = frozenset(
+    {
+        "q_ts_similarity", "q_kmeans_cells", "q_ann_pq_recall_trained",
+        "q_hard_negatives_served", "q_pq_train_encode",
+        "q_ann_pq_recall_trained_cb", "q_embedding_drift",
+        "q_ann_nprobe_curve", "s_ann_index_maintain", "s_ann_index_rebuild",
+        "q_simhash", "q_dedup_docs", "q_containment", "q_dup_hubs",
+        "q_substring_runs", "q_leakage_split", "q_minhash_est_audit",
+        "q_dup_source_matrix", "q_label_propagate", "q_zorder_layout",
+        "q_compaction_plan", "q_zone_map_skip", "q_multimodal_schema",
+        "q_media_decode", "q_media_resize", "q_media_features",
+        "q_media_frame_dedup", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+        "q_tpch_q6", "q_tpch_q18", "q_tpch_q7", "q_tpch_q8", "q_tpch_q14",
+        "q_tpch_q19", "q_tpch_q4", "q_tpch_q1", "q_tpch_q2", "q_tpch_q9",
+        "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q15",
+        "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+        "q_tpch_q22", "q_pii_redact",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -285,6 +311,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     8: _ROUND_8,
     9: _ROUND_9,
     10: _ROUND_10,
+    11: _ROUND_11,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -321,17 +348,19 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # hash order, changing every plan that trains or serves through the
 # model, plus both oracle CTE chains. All earlier green rows for these
 # predate the rewrite.
+# Round 11's 9 entries (q_ts_similarity + the trained-index family after
+# the ivf_cells_for/hash-seeding rewrite) all re-verified green AT HEAD
+# in r11 and are cleared in the same change that records
+# CHECKED_BY_ROUND[11] (ADVICE r8's process rule). Round-12 entries:
+# none yet — the r12 ADVICE fixes (round-policy in q_linear_probe /
+# s_linear_probe_online, decimal-cast Gram in q_embedding_pca, zero
+# guards in s_ann_index_rebuild) touch queries that either have no green
+# row yet (they front via DEFERRED_NEW) or whose r11 row postdates
+# nothing (s_ann_index_rebuild's guard change is control-flow only, but
+# it re-fronts anyway for a fresh row at HEAD).
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
-        "q_ts_similarity",
-        "q_kmeans_cells",
-        "q_ann_pq_recall_trained",
-        "q_ann_pq_recall_trained_cb",
-        "q_pq_train_encode",
-        "q_hard_negatives_served",
-        "q_ann_nprobe_curve",
-        "q_embedding_drift",
-        "s_ann_index_maintain",
+        "s_ann_index_rebuild",
     }
 )
 
@@ -360,19 +389,20 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # q_bpe_train registered after the round-11 window was budgeted; it
 # defers to keep the window stable (ADVICE r8's process rule) and
 # fronts in round 12.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        "q_bpe_train",
-        "q_bpe_segment",
-        "s_ann_serve",
-        "q_ann_cell_stats",
-        "q_ann_filtered",
-        "q_label_propagate",
-        "q_linear_probe",
-        "q_embedding_pca",
-        "s_linear_probe_online",
-    }
-)
+# Round 11's window verified (50/50 green). All 9 entries cleared in
+# the same change that records CHECKED_BY_ROUND[11]:
+# q_label_propagate turned out to have MADE the r11 window (green row
+# in CORRECTNESS_r11.json — the stale entry was under-prioritizing a
+# one-green-row query via the synthetic times_checked()==2, VERDICT
+# r11 "what's wrong" #2); the 8 genuinely-deferred queries
+# (q_bpe_train, q_bpe_segment, s_ann_serve, q_ann_cell_stats,
+# q_ann_filtered, q_linear_probe, q_embedding_pca,
+# s_linear_probe_online) now carry their real zero-row count and front
+# the round-12 window automatically, followed by the
+# CHANGED_SINCE_CHECK re-fronts, then the fewest-checked tail fills to
+# 50. Queries registered after this budgeting land here and front
+# round 13.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:

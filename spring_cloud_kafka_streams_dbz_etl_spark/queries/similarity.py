@@ -2614,9 +2614,15 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d", "ee")
         .agg(
+            # cast ONE operand to decimal before the multiply: a LongType
+            # product wraps silently on overflow while the DuckDB oracle's
+            # BIGINT multiply throws — the exact cross-engine hazard the
+            # repo's exact-integer policy exists to remove (safe at the
+            # fixture's |iv|<=1e6 but latent past ~3e3-magnitude
+            # embeddings; ADVICE r11)
             F.sum(
-                (F.element_at("iv", F.col("d")) * F.element_at("iv", F.col("ee")))
-                .cast("decimal(38,0)")
+                F.element_at("iv", F.col("d")).cast("decimal(38,0)")
+                * F.element_at("iv", F.col("ee"))
             ).alias("s")
         )
         .collect()

@@ -27,7 +27,7 @@ from ..streaming.pipeline import (
     build_dlq_reprocess,
 )
 from ..streaming.registry import StreamRegistry
-from . import query
+from . import query, round_half_up6
 
 # Shared filter of valid change records after envelope parsing (tombstone /
 # delete / id sentinel rules, sources/cdc.py).
@@ -2382,6 +2382,12 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = sum(r.n_base for r in per_cell)
     tn = sum(r.n_new for r in per_cell)
+    if tb == 0 or tn == 0:
+        raise AssertionError(
+            f"degenerate drift-gate shards (tb={tb}, tn={tn}): an all-even "
+            "or all-odd vec_id fixture gives the TVD a zero denominator — "
+            "regenerate the fixture split"
+        )
     tv = 0.5 * sum(abs(r.n_base / tb - r.n_new / tn) for r in per_cell)
     if tv < REBUILD_TV:
         raise AssertionError(
@@ -2399,18 +2405,22 @@ def s_ann_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(ivf_assign(e, cents2).select("vec_id", "cell"), "vec_id")
     )
+    # lifecycle contracts as explicit raises, not `assert` — these must
+    # hold regardless of interpreter flags (python -O strips asserts)
     cur = load_dimension(spark, store)  # resolves the CURRENT version
-    assert cur.exceptAll(idx1).count() == 0 and idx1.exceptAll(cur).count() == 0, (
-        "reader saw a partially-built index before the commit"
-    )
+    if cur.exceptAll(idx1).count() != 0 or idx1.exceptAll(cur).count() != 0:
+        raise AssertionError(
+            "reader saw a partially-built index before the commit"
+        )
 
     _commit_version(spark, idx2, store, partition_by=["cell"])  # the swap
 
     # post-swap: v1 is still time-travel-readable and unchanged...
     old = load_dimension(spark, store, version=1)
-    assert old.exceptAll(idx1).count() == 0 and idx1.exceptAll(old).count() == 0, (
-        "v1 changed across the swap — versions must be immutable"
-    )
+    if old.exceptAll(idx1).count() != 0 or idx1.exceptAll(old).count() != 0:
+        raise AssertionError(
+            "v1 changed across the swap — versions must be immutable"
+        )
     # ...and the recall re-audit serves from the COMMITTED current store
     served = load_dimension(spark, store)
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
@@ -2800,7 +2810,7 @@ def s_linear_probe_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("nb"),
         ).collect()[0]
         nb = row["nb"]
-        mse = round(float(row["sq"]) / nb, 6)
+        mse = round_half_up6(float(row["sq"]) / nb)
         state["w"] = [
             math.floor((w[d] - GD_LR * (float(row[f"g{d}"]) / nb)) * scale)
             / scale

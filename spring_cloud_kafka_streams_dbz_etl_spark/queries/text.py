@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import fan_out, table
 from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
 from ..session import tune
-from . import cache_scoped, query
+from . import cache_scoped, query, round_half_up6
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -1803,7 +1803,7 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.sum(F.round(resid * resid, 6).cast("decimal(38,6)")).alias("sq"),
         ).collect()[0]
-        mse = round(float(row["sq"]) / n, 6)
+        mse = round_half_up6(float(row["sq"]) / n)
         w = [
             math.floor((w[d] - GD_LR * (float(row[f"g{d}"]) / n)) * scale)
             / scale
