@@ -739,18 +739,29 @@ def _seed_hash(id_col: F.Column) -> F.Column:
 
 
 def nprobe_for(n_cells: int) -> int:
-    """Serving-time probe width for a k-cell IVF index: ceil(√k),
-    floored at 2. Sublinear in k by design — as `ivf_cells_for` grows
+    """Serving-time probe width for a k-cell IVF index: 2·ceil(√k),
+    floored at 4. Sublinear in k by design — as `ivf_cells_for` grows
     the cell count with the corpus, the scanned FRACTION nprobe/k =
-    1/√k keeps shrinking (k=15 → 4 of 15, k=62 → 8 of 62, k=126k → 356
-    of 126k ≈ 0.3%), which is the whole point of scaling k. Recall at
-    this width is what the audit family (q_ann_pq_recall_trained*)
-    measures and pins; raise per-query when an SLA needs the coverage
-    ceiling lifted (q_ann_nprobe_curve is the planning table).
+    2/√k keeps shrinking (k=15 → 8 of 15, k=62 → 16 of 62 ≈ 26%,
+    k=4000 → 128 ≈ 3.2%, k=126k → 712 of 126k ≈ 0.56%), which is the
+    whole point of scaling k.
+
+    The 2× over the r11 ceil(√k) policy is the VERDICT r11 ask #3
+    coverage bump, priced by q_ann_nprobe_curve before adoption: the
+    honest (leak-free-seeded) stack was candidate-coverage-bound at
+    0.4875 recall@10 (sf0.1, nprobe=8 of 62), and the curve showed
+    coverage still rising 0.40→0.4875 over 4→8 — doubling the width
+    buys the next coverage step (measured 0.675 at nprobe=16, SCALE.md)
+    while quantization improvements (residual PQ / OPQ) would buy ZERO
+    until coverage rises, because the exact refine already converts all
+    delivered coverage into recall. Recall at this width is what the
+    audit family (q_ann_pq_recall_trained*) measures and pins; raise
+    per-query when an SLA needs the ceiling lifted further
+    (q_ann_nprobe_curve is the planning table).
     Twin of the oracle knobs CTE's ``np`` column."""
     import math
 
-    return max(2, math.ceil(math.sqrt(n_cells)))
+    return max(4, 2 * math.ceil(math.sqrt(n_cells)))
 
 
 def _argmin_cells(IV, C: list[list[float]], dim: int, int_scale: int):

@@ -352,15 +352,23 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # the ivf_cells_for/hash-seeding rewrite) all re-verified green AT HEAD
 # in r11 and are cleared in the same change that records
 # CHECKED_BY_ROUND[11] (ADVICE r8's process rule). Round-12 entries:
-# none yet — the r12 ADVICE fixes (round-policy in q_linear_probe /
-# s_linear_probe_online, decimal-cast Gram in q_embedding_pca, zero
-# guards in s_ann_index_rebuild) touch queries that either have no green
-# row yet (they front via DEFERRED_NEW) or whose r11 row postdates
-# nothing (s_ann_index_rebuild's guard change is control-flow only, but
-# it re-fronts anyway for a fresh row at HEAD).
+# the nprobe_for width doubling (VERDICT r11 ask #3: max(4, 2·ceil(√k))
+# replaces max(2, ceil(√k)); SQL twin in the knobs CTE updated to
+# match) changes every serving plan AND oracle that probes at the
+# default width — the five below have green r11 rows under the OLD
+# width and re-front for fresh rows at HEAD. s_ann_index_rebuild also
+# carries the r12 ADVICE guard fixes. Queries whose oracle merely
+# CONTAINS the knobs CTE but never reads np (q_kmeans_cells,
+# q_pq_train_encode, q_embedding_drift) produce byte-identical results
+# and do not re-front; the r12 parity sweep re-confirmed them green.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
         "s_ann_index_rebuild",
+        "q_ann_pq_recall_trained",
+        "q_ann_pq_recall_trained_cb",
+        "q_ann_nprobe_curve",
+        "q_hard_negatives_served",
+        "s_ann_index_maintain",
     }
 )
 

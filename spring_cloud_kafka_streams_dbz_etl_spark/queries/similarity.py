@@ -644,7 +644,7 @@ def _kmeans_cte_chain(train_where: str = "TRUE") -> str:
   FROM embeddings
 ), knobs AS (
   -- ivf_cells_for / nprobe_for twins: k from the TRAINING population
-  SELECT k, GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM (
+  SELECT k, GREATEST(4, 2 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM (
     SELECT GREATEST({KMEANS_K_MIN},
                     LEAST(CAST(CEIL(4 * SQRT(n)) AS BIGINT),
                           n // {IVF_TARGET_CELL})) AS k
@@ -1290,17 +1290,20 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE's np column inside _kmeans_cte_chain.
 def refine_depth_for(nprobe: int) -> int:
     """ADC shortlist depth fed to the exact refine stage: 2·TOPK per
-    probed cell. Measured at sf0.1 (nprobe=8): a FIXED 80-deep
-    shortlist plateaued recall at 0.40 while candidate coverage kept
-    rising to 0.49 — the extra coverage was being absorbed by the
-    shortlist; 2·TOPK·nprobe (160) reaches the coverage ceiling
-    (0.4875) and doubling again buys nothing. At sf0.01 (nprobe=4) the
-    rule reproduces the historical depth of 80 exactly. The SQL twin is
-    ``np * 20`` against the knobs CTE. At 10⁹ vectors the shortlist is
-    still tiny next to the probed candidate mass (356 probes × ~8k
-    rows/cell vs a 7,120-row shortlist) — ADC's 32× byte reduction
-    remains the scan win; this rule just keeps the refine stage from
-    becoming the recall bottleneck as nprobe grows."""
+    probed cell. Measured at sf0.1 under the r11 nprobe=8 policy: a
+    FIXED 80-deep shortlist plateaued recall at 0.40 while candidate
+    coverage kept rising to 0.49 — the extra coverage was being
+    absorbed by the shortlist; 2·TOPK·nprobe reached the coverage
+    ceiling and doubling again bought nothing. Under the r12
+    2·ceil(√k) nprobe policy the rule gives depth 160 at sf0.01
+    (nprobe=8) and 320 at sf0.1 (nprobe=16), and the exact refine
+    still converts ALL delivered coverage into recall (recall ==
+    candidate coverage at every q_ann_nprobe_curve point). The SQL
+    twin is ``np * 20`` against the knobs CTE. At 10⁹ vectors the
+    shortlist is still tiny next to the probed candidate mass (712
+    probes × ~8k rows/cell vs a 14,240-row shortlist) — ADC's 32× byte
+    reduction remains the scan win; this rule just keeps the refine
+    stage from becoming the recall bottleneck as nprobe grows."""
     return 2 * TOPK * nprobe
 
 
@@ -1406,13 +1409,15 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_pq_recall documents WHY pure ADC on arbitrary label-cells
     reports recall ~ 0.06; this query closes the loop the way a real
     build does. Measured mean recall@10 with honest (hash-seeded,
-    probe-leak-free) training and nprobe-scaled refine depth: 0.5375
-    at sf0.001, 0.50 at sf0.01, 0.475 at sf0.1 (floors pinned in
-    tests/test_plans.py::test_trained_recall_floor — r10's higher
+    probe-leak-free) training, the r12 2·ceil(√k) nprobe policy, and
+    nprobe-scaled refine depth: 0.7375 at sf0.001, 0.75 at sf0.01,
+    0.65 at sf0.1 (floors pinned in
+    tests/test_plans.py::test_trained_recall_floor — r10's inflated
     numbers were an artifact: first-k-by-id seeding made the probe set
-    part of the codebook, see that test's docstring). The binding
-    constraint is nprobe coverage — cells partition the corpus finer
-    than the fixture's NN locality, so recall tracks the scanned
+    part of the codebook, see that test's docstring; r11's honest
+    0.50/0.475 were coverage-bound at the old ceil(√k) width). The
+    binding constraint is nprobe coverage — cells partition the corpus
+    finer than the fixture's NN locality, so recall tracks the scanned
     fraction (q_ann_nprobe_curve is the planning table); the lattice
     codebook's ADC noise adds the remaining loss the trained-codebook
     stack (q_ann_pq_recall_trained_cb) recovers.
@@ -2040,11 +2045,13 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     now trained cells AND trained codebooks (:func:`pq_train`) feeding
     the same nprobe_for(k) / refine_depth_for(nprobe)-shortlist / exact-
     refine stack. Measured mean recall@{TOPK} with honest
-    (probe-leak-free) seeding: 0.575 at sf0.01 and 0.4875 at sf0.1, vs
-    0.50 / 0.475 with the lattice codebook (floors pinned in
-    test_trained_cb_recall_floor alongside the trained-cells stack) —
-    codebook training recovers the ADC-noise share of the loss; the
-    remainder is nprobe coverage, the knob q_ann_nprobe_curve prices.
+    (probe-leak-free) seeding and the r12 2·ceil(√k) nprobe policy:
+    0.85 at sf0.01 and 0.675 at sf0.1, vs 0.75 / 0.65 with the lattice
+    codebook (floors pinned in test_trained_cb_recall_floor alongside
+    the trained-cells stack) — codebook training recovers the
+    ADC-noise share of the loss; the remainder is nprobe coverage, the
+    knob q_ann_nprobe_curve prices (0.4875 → 0.675 across the r11→r12
+    width doubling at sf0.1, recall == coverage at every point).
     The accept decision this enables: commit the trained index; raise
     nprobe only if the SLA needs the coverage ceiling itself lifted.
 
@@ -2168,10 +2175,13 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the capacity-planning sweep: log-spaced so it brackets nprobe_for(k)
-# at every driver scale (k=15 -> np 4 at sf0.01, k=62 -> np 8 at sf0.1);
-# max(NPROBE_CURVE)=8 stays valid everywhere because ivf_cells_for
-# floors k at KMEANS_K_MIN=8
-NPROBE_CURVE = (1, 2, 4, 8)
+# at every driver scale (k=15 -> np 8 at sf0.01, k=62 -> np 16 at
+# sf0.1 under the r12 2·ceil(√k) policy). A point above k clamps to k
+# on BOTH engines: Spark routes through ivf_probe(min(np, k)) and the
+# oracle's rn <= np predicate has only k ranked rows to keep — the
+# point still reports its NOMINAL nprobe (with refine depth scaled by
+# the nominal value), so the curve row set is fixture-independent.
+NPROBE_CURVE = (1, 2, 4, 8, 16)
 
 
 def _nprobe_curve_oracle() -> str:
@@ -2322,7 +2332,7 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
-    pall = ivf_probe(probes, cents, max(NPROBE_CURVE)).select(
+    pall = ivf_probe(probes, cents, min(max(NPROBE_CURVE), len(cents))).select(
         "vec_id", "cell", "probe_rank"
     )
     probes_all = probes.join(pall, "vec_id").toPandas()
@@ -2520,7 +2530,10 @@ def _pca_oracle() -> str:
   FROM embeddings
 ), nn AS (SELECT COUNT(*) AS n FROM iv),
 gram AS (
-  SELECT d, e, SUM(CAST(iv[d] * iv[e] AS DECIMAL(38, 0))) AS s
+  -- one operand widened BEFORE the multiply: the product is exact in
+  -- decimal on both engines (BIGINT would throw here past ~3e3-magnitude
+  -- embeddings; the Spark twin wraps silently — ADVICE r11)
+  SELECT d, e, SUM(CAST(iv[d] AS DECIMAL(38, 0)) * iv[e]) AS s
   FROM iv, UNNEST(range(1, {D + 1})) t(d), UNNEST(range(1, {D + 1})) u(e)
   GROUP BY d, e
 ), mu AS (

@@ -1161,24 +1161,26 @@ def test_trained_recall_floor(spark):
     """The index-acceptance gate (VERDICT r9 ask #1): the trained
     IVF-PQ-refine stack must clear its stated recall@10 floor at BOTH
     driver scales. Measured (deterministic — no RNG anywhere in the
-    chain): 0.50 at sf0.01, 0.475 at sf0.1 with hash-ordered seeding
-    and nprobe-scaled refine depth (refine_depth_for).
+    chain): 0.75 at sf0.01, 0.65 at sf0.1 with hash-ordered seeding,
+    the r12 2·ceil(√k) nprobe policy (VERDICT r11 ask #3), and
+    nprobe-scaled refine depth (refine_depth_for).
 
-    These floors are LOWER than r10's (0.775 / 0.425) on purpose: the
-    old first-k-by-id seeding placed the audit's own probe set
-    (vec_id < 8) among the k smallest-id seeds, so every probe started
-    as a cell centroid and its neighbors were pre-centered in its own
-    cell — the audit was partially training on its test queries. Hash
-    seeding removes the leak; a numpy sweep over random/stride/
-    farthest-first seedings confirms the honest coverage ceiling at
-    nprobe_for(k) sits exactly where these floors are (SCALE.md)."""
+    History of these floors: r10's 0.775/0.425 were partly a leak —
+    first-k-by-id seeding placed the audit's own probe set (vec_id < 8)
+    among the k smallest-id seeds, so every probe started as a cell
+    centroid ("training on the test set", index edition). r11's honest
+    hash-seeded numbers (0.50/0.475) were candidate-coverage-bound at
+    the old ceil(√k) probe width; r12 doubled the width (scan fraction
+    2/√k — 26% at sf0.1's k=62 but 0.56% at 10⁹ vectors' k=126k) and
+    measured coverage == recall at every curve point, so the bump
+    converts 1:1 into recall (SCALE.md)."""
     import statistics
 
     from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
         q_ann_pq_recall_trained,
     )
 
-    for sf_dir, floor in [(SF_ORACLE, 0.45), (SF_SCALE, 0.42)]:
+    for sf_dir, floor in [(SF_ORACLE, 0.70), (SF_SCALE, 0.60)]:
         rows = q_ann_pq_recall_trained(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)
         assert mean_rc >= floor, (sf_dir, mean_rc)
@@ -1339,14 +1341,15 @@ def test_trained_codebooks_tighter_than_lattice(spark, sf_smoke):
 
 def test_trained_cb_recall_floor(spark):
     """Acceptance floors for the FULLY-trained stack (cells + codebooks
-    + multi-probe + refine): measured 0.575 at sf0.01 and 0.4875 at
-    sf0.1 — deterministic end to end, honest (probe-leak-free, see
-    test_trained_recall_floor) seeding, nprobe-scaled refine depth;
-    floors leave margin only against fixture regeneration. Must also
-    beat the lattice-codebook stack's floors (0.45 / 0.42) — that gap
-    IS the value of pq_train (narrower at sf0.1, where the deeper
-    shortlist lets the noisier lattice ADC recover candidates too —
-    the SCALE.md residual-PQ trade in miniature)."""
+    + multi-probe + refine): measured 0.85 at sf0.01 and 0.675 at
+    sf0.1 under the r12 2·ceil(√k) nprobe policy — deterministic end
+    to end, honest (probe-leak-free, see test_trained_recall_floor)
+    seeding, nprobe-scaled refine depth; floors leave margin only
+    against fixture regeneration. Must also beat the lattice-codebook
+    stack's floors (0.70 / 0.60) — that gap IS the value of pq_train
+    (narrower at sf0.1, where the deeper shortlist lets the noisier
+    lattice ADC recover candidates too — the SCALE.md residual-PQ
+    trade in miniature)."""
     import statistics
 
     from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
@@ -1354,8 +1357,8 @@ def test_trained_cb_recall_floor(spark):
     )
 
     for sf_dir, floor in [
-        (SF_ORACLE, 0.52),
-        (SF_SCALE, 0.44),
+        (SF_ORACLE, 0.80),
+        (SF_SCALE, 0.62),
     ]:
         rows = q_ann_pq_recall_trained_cb(spark, sf_dir).collect()
         mean_rc = statistics.mean(r.recall_at_k for r in rows)

@@ -1097,11 +1097,12 @@ def test_global_rank_equals_single_sort(spark, values, n_buckets):
 @given(n=st.integers(min_value=8, max_value=2_000_000_000))
 @settings(max_examples=300, deadline=None)
 def test_ivf_knob_chain_invariants(n):
-    """The corpus-sized ANN knob chain (r11) holds its contracts at any
-    corpus size: k in [8, max(8, n/32)] and within the FAISS band up to
-    the occupancy clamp; nprobe in [2, k] (ivf_probe's validation
-    range) with the scanned fraction nprobe/k nonincreasing in k; the
-    refine depth is exactly 2*TOPK per probed cell. Also pins the
+    """The corpus-sized ANN knob chain (r11, width doubled r12) holds
+    its contracts at any corpus size: k in [8, max(8, n/32)] and within
+    the FAISS band up to the occupancy clamp; nprobe in [4, k]
+    (2·ceil(√k) ≤ k for every k ≥ KMEANS_K_MIN = 8, ivf_probe's
+    validation range) with the scanned fraction nprobe/k nonincreasing
+    in k; the refine depth is exactly 2*TOPK per probed cell. Also pins the
     Python/SQL twin property on the subset DuckDB can check cheaply —
     the formulas use only GREATEST/LEAST/CEIL/SQRT over exact ints, so
     agreement on representative values implies agreement everywhere the
@@ -1124,11 +1125,12 @@ def test_ivf_knob_chain_invariants(n):
     assert k <= max(KMEANS_K_MIN, n // IVF_TARGET_CELL)
     assert k <= max(KMEANS_K_MIN, math.ceil(4 * math.sqrt(n)))
     np_ = nprobe_for(k)
-    assert 2 <= np_ <= k  # ivf_probe's accepted range
+    assert 4 <= np_ <= k  # ivf_probe's accepted range
     assert refine_depth_for(np_) == 2 * TOPK * np_
     # pruning improves (weakly) with corpus growth once the cell count
-    # actually grows: for k4 >= 2k, ceil(sqrt(k4))/k4 <= 1/sqrt(2k) +
-    # 1/(2k) < 1/sqrt(k) <= ceil(sqrt(k))/k for every k >= 3. Across
+    # actually grows: the r12 2× width multiplies both sides of the
+    # r11 inequality by 2, so for k4 >= 2k, 2·ceil(sqrt(k4))/k4 <=
+    # 2·(1/sqrt(2k) + 1/(2k)) < 2/sqrt(k) <= 2·ceil(sqrt(k))/k. Across
     # the KMEANS_K_MIN floor the fraction CAN tick up (hypothesis found
     # n=80 -> 3/8 vs n=320 -> 4/10) — the floor pins k for corpora too
     # small for pruning to matter, so the guarantee starts where the
@@ -1155,7 +1157,7 @@ def test_ivf_knob_chain_matches_duckdb_twin():
     sizes = [8, 32, 100, 250, 500, 1_000, 2_000, 16_384, 1_000_000,
              123_456_789, 1_000_000_000]
     rows = duckdb.sql(
-        "SELECT n, k, GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM ("
+        "SELECT n, k, GREATEST(4, 2 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM ("
         f"  SELECT n, GREATEST({KMEANS_K_MIN}, LEAST(CAST(CEIL(4 * SQRT(n)) AS BIGINT),"
         f"         n // {IVF_TARGET_CELL})) AS k"
         f"  FROM (SELECT UNNEST({sizes}) AS n))"
