@@ -1454,6 +1454,31 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (BASELINE.json north star — LLM-data
     tooling the reference ETL never had)."""
     tune(spark)
+    out, _ = _bpe_train_merges(spark, sf_dir, N_BPE_MERGES)
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, left_tok string, right_tok string, "
+        "pair_count bigint, vocab_size_after bigint",
+    )
+
+
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The distributed merge loop behind q_bpe_train, parameterized on
+    depth so the rounds-vs-merges cost curve can be measured past the
+    registered query's N_BPE_MERGES (tools/measure_bpe.py; SCALE.md
+    prices the 32k-merge regime from it).
+
+    Lineage control (found BY the depth measurement, r12): persist()
+    truncates COMPUTATION but not the LOGICAL PLAN — each round nests
+    another transform() over the last, and by ~16 rounds plan
+    construction itself OOMs the driver. localCheckpoint(eager=True)
+    materializes the round AND truncates the plan to a leaf — the
+    MLlib/GraphX iterative-algorithm rule. (Local checkpoints live on
+    executors; a production run at reliability-critical depth points
+    sparkContext.setCheckpointDir at durable storage and uses
+    checkpoint() at the same cadence.)"""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1467,9 +1492,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("toks"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     out: list[tuple] = []
-    for rank in range(1, N_BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         pairs = (
             prev.filter(F.size("toks") >= 2)
             .select(
@@ -1489,27 +1514,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:
             raise ValueError(
                 f"pairs exhausted after {rank - 1} merges — corpus too small "
-                f"for N_BPE_MERGES={N_BPE_MERGES}"
+                f"for n_merges={n_merges}"
             )
         b = best[0]
         merged = b.lt + b.rt
         nxt = prev.select(
             "w", "f", _bpe_apply_merge(b.lt, b.rt, merged).alias("toks")
-        ).persist()
+        ).localCheckpoint(eager=True)
         vocab = (
             nxt.select(F.explode("toks").alias("t"))
             .agg(F.countDistinct("t"))
             .collect()[0][0]
         )
         out.append((rank, b.lt, b.rt, int(b.cnt), int(vocab)))
-        prev.unpersist()
         prev = nxt
-    prev.unpersist()
-    return spark.createDataFrame(
-        out,
-        "merge_rank int, left_tok string, right_tok string, "
-        "pair_count bigint, vocab_size_after bigint",
-    )
+    return out, prev
 
 
 def _bpe_segment_oracle() -> str:
@@ -1563,47 +1582,17 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation."""
     tune(spark)
     d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    prev = words.select(
-        "w",
-        "f",
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-        ).alias("toks"),
-    ).persist()
-    for _ in range(N_BPE_MERGES):
-        pairs = (
-            prev.filter(F.size("toks") >= 2)
-            .select(
-                "f",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1), i -> "
-                        "struct(element_at(toks, i) AS lt, "
-                        "element_at(toks, i + 1) AS rt))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.lt", "p.rt")
-            .agg(F.sum("f").alias("cnt"))
-        )
-        b = pairs.orderBy(F.col("cnt").desc(), "lt", "rt").limit(1).collect()[0]
-        nxt = prev.select(
-            "w", "f", _bpe_apply_merge(b.lt, b.rt, b.lt + b.rt).alias("toks")
-        ).persist()
-        prev.unpersist()
-        prev = nxt
-    wl = prev.select("w", F.size("toks").cast("long").alias("n_tok"))
+    # the trained final relation comes from the SAME loop as
+    # q_bpe_train (shared _bpe_train_merges — lineage-checkpointed per
+    # round; the per-round vocab count it also computes is
+    # vocabulary-sized noise next to the pair aggregate)
+    _, trained = _bpe_train_merges(spark, sf_dir, N_BPE_MERGES)
+    wl = trained.select("w", F.size("toks").cast("long").alias("n_tok"))
     dw = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
     )
-    out = (
+    return (
         dw.join(F.broadcast(wl), "w")
         .groupBy("doc_id")
         .agg(
@@ -1615,8 +1604,6 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
-    prev.unpersist()
-    return out
 
 
 # -- in-engine linear-probe training (distributed full-batch GD) --------------

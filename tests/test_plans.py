@@ -1565,3 +1565,33 @@ def test_online_probe_tracks_batch_gd(spark):
     o_mse = {r.step: r.mse_before for r in o}
     assert b_mse[GD_ROUNDS] * 5 < b_mse[1], b_mse
     assert o_mse[last_step] * 5 < o_mse[1], o_mse
+
+
+def test_bpe_deep_training_extends_shallow(spark):
+    """Deeper BPE training must EXTEND the shallow merge table, not
+    rewrite it (greedy BPE is prefix-stable: the first N merges depend
+    only on the corpus, not on how many more you plan to learn), and
+    vocab_size_after may move by at most -1 per round downward (each
+    merge adds one token and can retire up to two now-unused singles:
+    net change is within [-1, +1]).
+
+    This test exists because the r12 depth MEASUREMENT
+    (tools/measure_bpe.py) found the loop OOMing at ~16 rounds: each
+    round nested another transform() into the logical plan and persist()
+    does not truncate plans — the fix is localCheckpoint(eager=True)
+    per round (the MLlib iterative rule), and this pin holds the deep
+    path runnable. Measured at sf0.1 after the fix: depth 64 trains in
+    ~18 s, marginal ~0.2-0.3 s/round (constant, vocabulary-sized
+    data + fixed per-job scheduling)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.text import (
+        N_BPE_MERGES,
+        _bpe_train_merges,
+    )
+
+    shallow, _ = _bpe_train_merges(spark, SF_ORACLE, N_BPE_MERGES)
+    deep, _ = _bpe_train_merges(spark, SF_ORACLE, 4 * N_BPE_MERGES)
+    assert len(deep) == 4 * N_BPE_MERGES
+    assert deep[: len(shallow)] == shallow  # prefix-stable
+    vocabs = [row[4] for row in deep]
+    for prev, cur in zip(vocabs, vocabs[1:]):
+        assert cur >= prev - 1
