@@ -2967,3 +2967,97 @@ def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(1).unionAll(stats(2))
+
+
+# -- kNN majority-vote classification ------------------------------------------
+
+
+def _knn_classify_oracle() -> str:
+    dim = PCA_DIM
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+), nbr AS (
+  SELECT query_id, nl FROM (
+    SELECT q.vec_id AS query_id, c.label AS nl,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
+    FROM (SELECT * FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    CROSS JOIN v c
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), votes AS (
+  SELECT query_id, nl, COUNT(*) AS c FROM nbr GROUP BY query_id, nl
+), winner AS (
+  SELECT query_id, nl, c FROM (
+    SELECT query_id, nl, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, nl ASC) AS rn
+    FROM votes)
+  WHERE rn = 1
+)
+SELECT w.query_id, t.label AS true_label,
+       CAST(w.nl AS INT) AS pred_label,
+       CAST(w.c AS BIGINT) AS votes,
+       CAST(CASE WHEN w.nl = t.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM winner w JOIN v t ON t.vec_id = w.query_id
+"""
+
+
+@query("q_knn_classify", oracle=_knn_classify_oracle())
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN MAJORITY-VOTE classification — the weak-supervision /
+    label-propagation primitive a training-data pipeline runs to label
+    unlabeled shards from a labeled seed set (and the evaluation twin
+    of q_label_propagate's graph form): each probe takes the majority
+    label of its {TOPK} exact nearest neighbors. Deterministic end to
+    end: neighbors rank by (ROUND-6 squared-L2 asc, neighbor_id asc) —
+    `_exact_topk` verbatim, the truth side every ANN audit shares — and
+    the vote breaks count ties on the SMALLER label (the rule stated in
+    both engines as a (count desc, label asc) window).
+
+    Output (query_id, true_label, pred_label, votes, correct): per
+    probe the vote outcome and whether it matched the held vector's own
+    label — the accuracy row a labeling run logs.
+
+    Scale: the probe side broadcasts (bounded), the corpus side is ONE
+    map-only scan (BroadcastNestedLoopJoin, no shuffle of the corpus);
+    the vote is a probes×{TOPK}-row groupBy — driver-invisible. At
+    10⁹ vectors the exact scan swaps for the trained-index shortlist
+    (q_ann_pq_recall_trained_cb's serving path) unchanged above the
+    neighbor relation — this query pins the vote semantics that serving
+    variant must reproduce.
+
+    Reference parity: none (BASELINE.json north star — LLM-data tooling
+    the reference ETL never had)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+    nbr = _exact_topk(e, probes, spark).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+        "neighbor_id",
+    )
+    votes = nbr.groupBy("query_id", "nl").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nl").asc())
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "nl", "c")
+    )
+    return winner.join(
+        probes.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+    ).select(
+        "query_id",
+        F.col("label").alias("true_label"),
+        F.col("nl").cast("int").alias("pred_label"),
+        F.col("c").cast("bigint").alias("votes"),
+        F.when(F.col("nl") == F.col("label"), 1).otherwise(0).cast("int").alias("correct"),
+    )

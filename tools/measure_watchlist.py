@@ -65,6 +65,25 @@ bench.py additionally carries a drift rule from this round
 (drift_flagged: >1.25x round-over-round twice consecutively) so a REAL
 trend distinguishes itself from one-round noise in the artifact itself.
 
+Finding (r12, idle machine — loadavg 0.2 — sf0.1, local[32]) —
+adjudicating the two largest vs-r10 movers after BENCH_r12 came back
+0.94x of r11 but 1.08x of r10 at a truly idle start (the r11 1.15x
+drift confirmed down per VERDICT r11 ask #2; these two had stayed at
+their r11 levels):
+
+    q_agg_group    median 1.217 s  [1.087 .. 3.593]  (r10 bench 1.341 / r12 1.893)
+    s_chained_agg  median 3.852 s  [3.625 .. 7.415]  (r10 bench 4.625 / r12 6.271)
+
+Both isolated medians sit BELOW their r10 interleaved medians — code
+unchanged in both plans since their last green rows — and each 7-sample
+set carries exactly one ~3x/2x GC-pause outlier, the interleave
+signature. Verdict: no plan regression; the residual vs-r10 gap is
+shared-JVM pressure from the headline set itself growing (33 -> 37
+queries incl. the 6.6 s trained-index audit), which raises GC pressure
+on mid-set queries — visible only against r10's smaller-set numbers,
+not against r11's. bench.py's start-load gate additionally tightened
+to loadavg 1.0 this round so contended starts can't compound it.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
