@@ -419,6 +419,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_linear_probe_pca",
         "q_index_health",
         "q_knn_classify",
+        "q_knn_classify_served",
     }
 )
 

@@ -1951,15 +1951,29 @@ def q_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode_cb(fan_out(e, spark), cb)
 
 
-def _pq_recall_trained_cb_oracle() -> str:
+def _trained_l2_sql() -> str:
+    from ..operators.similarity import PQ_DIM
+
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+
+
+def _trained_serving_cte_chain() -> str:
+    """The fully-trained SERVING read path as a reusable CTE chain
+    ending in ``approx (query_id, neighbor_id)`` — trained cells +
+    multi-probe routing + trained codebooks + coded store + depth-
+    scaled ADC shortlist + exact refine to top-{TOPK}. Shared by the
+    recall audit (q_ann_pq_recall_trained_cb appends its exact ground
+    truth + recall aggregate) and every serving CONSUMER whose oracle
+    must state the same read path (q_knn_classify_served votes over
+    it)."""
     from ..operators.similarity import PQ_DIM
 
     m_count, _, sub, _ = _pq_consts()
     scale = 1_000_000
-    l2 = (
-        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
-        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
-    )
+    l2 = _trained_l2_sql()
     adc = " + ".join(
         f"list_sum(list_transform(range(1, {sub + 1}), i -> "
         f"(q.v[{m} * {sub} + i] - CB[{m} + 1][codes[{m} + 1] + 1][i]) * "
@@ -1970,8 +1984,7 @@ def _pq_recall_trained_cb_oracle() -> str:
         f"list_sum(list_transform(range(1, {PQ_DIM + 1}), d -> "
         f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
     )
-    return f"""
-WITH {_kmeans_cte_chain()}, pc AS (
+    return f"""{_kmeans_cte_chain()}, pc AS (
   SELECT vec_id, cell FROM (
     SELECT i.vec_id, CAST(s.cell AS INT) AS cell,
            ROW_NUMBER() OVER (PARTITION BY i.vec_id
@@ -1993,16 +2006,6 @@ WITH {_kmeans_cte_chain()}, pc AS (
   SELECT d.vec_id, CAST(af.cell AS INT) AS cell, d.CB,
          list_transform(dd, dl -> list_position(dl, list_min(dl)) - 1) AS codes
   FROM tdd d JOIN af ON d.vec_id = af.vec_id
-), exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
-    FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
-    CROSS JOIN v c
-    WHERE q.vec_id <> c.vec_id)
-  WHERE rank <= {TOPK}
 ), short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2023,6 +2026,22 @@ WITH {_kmeans_cte_chain()}, pc AS (
     FROM short s
     JOIN v q ON q.vec_id = s.query_id
     JOIN v c ON c.vec_id = s.neighbor_id)
+  WHERE rank <= {TOPK}
+)"""
+
+
+def _pq_recall_trained_cb_oracle() -> str:
+    l2 = _trained_l2_sql()
+    return f"""
+WITH {_trained_serving_cte_chain()}, exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    CROSS JOIN v c
+    WHERE q.vec_id <> c.vec_id)
   WHERE rank <= {TOPK}
 )
 SELECT x.query_id,
@@ -3044,6 +3063,118 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr = _exact_topk(e, probes, spark).join(
         e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
         "neighbor_id",
+    )
+    votes = nbr.groupBy("query_id", "nl").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nl").asc())
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "nl", "c")
+    )
+    return winner.join(
+        probes.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+    ).select(
+        "query_id",
+        F.col("label").alias("true_label"),
+        F.col("nl").cast("int").alias("pred_label"),
+        F.col("c").cast("bigint").alias("votes"),
+        F.when(F.col("nl") == F.col("label"), 1).otherwise(0).cast("int").alias("correct"),
+    )
+
+
+def _knn_classify_served_oracle() -> str:
+    return f"""
+WITH {_trained_serving_cte_chain()}, nbr AS (
+  SELECT a.query_id, t.label AS nl
+  FROM approx a JOIN embeddings t ON t.vec_id = a.neighbor_id
+), votes AS (
+  SELECT query_id, nl, COUNT(*) AS c FROM nbr GROUP BY query_id, nl
+), winner AS (
+  SELECT query_id, nl, c FROM (
+    SELECT query_id, nl, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, nl ASC) AS rn
+    FROM votes)
+  WHERE rn = 1
+)
+SELECT w.query_id, t.label AS true_label,
+       CAST(w.nl AS INT) AS pred_label,
+       CAST(w.c AS BIGINT) AS votes,
+       CAST(CASE WHEN w.nl = t.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM winner w JOIN embeddings t ON t.vec_id = w.query_id
+"""
+
+
+@query("q_knn_classify_served", oracle=_knn_classify_served_oracle())
+def q_knn_classify_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_knn_classify's SERVING twin — the vote runs over the
+    fully-trained index's read path instead of the exact scan: trained
+    cells (kmeans_fit) + multi-probe routing (ivf_probe at
+    nprobe_for(k)) + trained codebooks (pq_train) + depth-scaled ADC
+    shortlist + exact refine to top-{TOPK}, THEN the identical
+    (count desc, label asc) majority vote. The pairing mirrors
+    q_hard_negatives → q_hard_negatives_served: the brute query pins
+    the vote semantics, this one proves the production path reproduces
+    them at index cost — per-probe work is nprobe/k of the code files
+    + a shortlist refine, independent of corpus size, so labeling a
+    10⁹-vector unlabeled shard from a labeled seed set costs index
+    serving, not an exact scan.
+
+    Where the two twins disagree on a probe, the gap is exactly the
+    index's recall loss on that probe's neighborhood
+    (q_ann_pq_recall_trained_cb measures it: 0.85/0.675 at
+    sf0.01/sf0.1) — the vote is majority over {TOPK}, so it tolerates
+    missing neighbors until the margin flips; the accuracy delta
+    between the twins is the number an operator actually weighs when
+    deciding whether weak labels may be served from the index.
+    Measured at sf0.01: the twins agree on 6 of 8 probes (pinned in
+    test_knn_classify_served_tracks_exact); absolute accuracy is
+    chance on this fixture — its labels are embedding-uncorrelated —
+    which is itself the honest readout a labeling run must surface.
+
+    Oracle: the shared `_trained_serving_cte_chain` (the recall
+    audit's read path verbatim) + the brute twin's vote CTEs."""
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        kmeans_fit,
+        nprobe_for,
+        pq_adc_topk_cb,
+        pq_encode_cb,
+        pq_train,
+    )
+    from pyspark.sql import Window
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+
+    cents = kmeans_fit(fan_out(e, spark))
+    cb = pq_train(fan_out(e, spark))
+    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    codes = (
+        pq_encode_cb(fan_out(e, spark), cb)
+        .select("vec_id", "pq_codes")
+        .join(cells, "vec_id")
+    )
+    nprobe = nprobe_for(len(cents))
+    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
+    probes_pd = probes.join(pcells, "vec_id").toPandas()
+    short = pq_adc_topk_cb(
+        probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
+    ).select("query_id", "neighbor_id")
+    nbr = (
+        _refine_topk(e, probes, short, spark)
+        .select(
+            F.col("a_query").alias("query_id"),
+            F.col("a_neighbor").alias("neighbor_id"),
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
     )
     votes = nbr.groupBy("query_id", "nl").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nl").asc())

@@ -1595,3 +1595,27 @@ def test_bpe_deep_training_extends_shallow(spark):
     vocabs = [row[4] for row in deep]
     for prev, cur in zip(vocabs, vocabs[1:]):
         assert cur >= prev - 1
+
+
+def test_knn_classify_served_tracks_exact(spark):
+    """The vote-serving twin pin (mirrors the hard-negatives pairing):
+    q_knn_classify_served's per-probe predictions must agree with the
+    exact twin's on MOST probes — the disagreement budget is exactly
+    the index's recall loss flowing through a majority vote, so a
+    collapse here means the serving path broke, not the fixture.
+    Measured at sf0.01 (deterministic end to end): 6 of 8 probes
+    agree; floor at 5 leaves margin only against fixture
+    regeneration."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.similarity import (
+        q_knn_classify,
+        q_knn_classify_served,
+    )
+
+    ex = {r.query_id: r.pred_label for r in q_knn_classify(spark, SF_ORACLE).collect()}
+    sv = {
+        r.query_id: r.pred_label
+        for r in q_knn_classify_served(spark, SF_ORACLE).collect()
+    }
+    assert set(ex) == set(sv)
+    agree = sum(1 for k in ex if ex[k] == sv[k])
+    assert agree >= 5, (agree, ex, sv)
