@@ -1184,3 +1184,35 @@ def test_seed_hash_order_matches_duckdb_twin():
         ).fetchall()
     ]
     assert py == sql
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        # stress the tie neighborhood: exact 7-decimal lattice points,
+        # where the 7th digit is 5 and Python round() would go half-even
+        st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+            lambda n: n / 1e7
+        ),
+    )
+)
+def test_round_half_up6_matches_duckdb_round(x):
+    """round_half_up6 is the driver-side control-plane twin of the SQL
+    ROUND(x, 6) both oracles use for mse (q_linear_probe /
+    s_linear_probe_online / q_linear_probe_pca) — ADVICE r11 flagged
+    that Python's built-in round() is half-to-even while DuckDB rounds
+    the shortest-repr decimal half away from zero, so a decimal tie at
+    the 7th digit would hash-mismatch. This fuzz pins the replacement
+    against DuckDB itself, including the exact-tie lattice where the
+    two policies actually differ."""
+    import duckdb
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import round_half_up6
+
+    expected = duckdb.sql(
+        "SELECT ROUND(CAST(? AS DOUBLE), 6)", params=[x]
+    ).fetchone()[0]
+    assert round_half_up6(x) == expected, (x, round_half_up6(x), expected)
