@@ -1437,3 +1437,203 @@ def event_pattern_matches(
         & (F.col("purchase_us") - F.col("view_us") <= window_us)
         & (F.col("err_us").isNull() | (F.col("err_us") < F.col("view_us")))
     ).select("user_id", "event_id", "purchase_us", "view_us")
+
+
+# -- changepoint detection (two-window mean shift) -----------------------------
+
+MS_W = 7  # days on each side of the candidate changepoint
+
+
+@query(
+    "q_mean_shift_detect",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS gmean
+  FROM daily GROUP BY 1
+), win AS (
+  SELECT event_type, day, cnt,
+         SUM(cnt) OVER wb AS sum_before, COUNT(*) OVER wb AS n_before,
+         SUM(cnt) OVER wa AS sum_after, COUNT(*) OVER wa AS n_after
+  FROM daily
+  WINDOW wb AS (PARTITION BY event_type ORDER BY day ASC
+                ROWS BETWEEN {MS_W} PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY event_type ORDER BY day ASC
+                ROWS BETWEEN CURRENT ROW AND {MS_W - 1} FOLLOWING)
+)
+SELECT w.event_type, w.day, w.cnt,
+       ROUND(CAST(w.sum_before AS DOUBLE) / {MS_W}, 6) AS before_mean,
+       ROUND(CAST(w.sum_after AS DOUBLE) / {MS_W}, 6) AS after_mean,
+       ROUND(CAST(w.sum_after - w.sum_before AS DOUBLE) / {MS_W}, 6) AS shift,
+       CAST(CASE WHEN ABS(CAST(w.sum_after - w.sum_before AS DOUBLE) / {MS_W})
+                      > 0.25 * g.gmean
+                 THEN 1 ELSE 0 END AS INT) AS is_change
+FROM win w JOIN g ON g.event_type = w.event_type
+WHERE w.n_before = {MS_W} AND w.n_after = {MS_W}
+""",
+)
+def q_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by two-window MEAN SHIFT — the streaming-
+    telemetry question "did this metric's level move, and when":
+    per (event_type, day), compare the mean of the {MS_W} days before
+    against the {MS_W} days from the candidate on (the windowed twin of
+    a CUSUM alarm: a sustained level shift maximizes exactly this
+    statistic; unlike CUSUM's clamped recursion it is pure window
+    algebra, so it stays one shuffle and needs no per-key fold). Flag
+    when |shift| exceeds 25% of the type's global daily mean.
+
+    Determinism: daily counts are exact integers; both window sums are
+    exact; every division is exact-int / constant; the flag compares
+    two doubles derived from identical exact operands in both engines.
+    Edge days with incomplete windows are excluded (n_before = n_after
+    = {MS_W}), so the row set is fixture-shape-stable.
+
+    Scale: one shuffle builds |types|x|days| daily rows (map-side
+    combinable count over the raw events); both windows and the global
+    mean run on that tiny relation partitioned by type — at 100 TB the
+    window stage is ~6 orders of magnitude below the scan, the
+    q_time_rollup continuous-aggregate shape with a detector on top."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = daily.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-MS_W, -1)
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(0, MS_W - 1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wb).alias("sum_before"),
+        F.count(F.lit(1)).over(wb).alias("n_before"),
+        F.sum("cnt").over(wa).alias("sum_after"),
+        F.count(F.lit(1)).over(wa).alias("n_after"),
+    ).filter((F.col("n_before") == MS_W) & (F.col("n_after") == MS_W))
+    shift_raw = (F.col("sum_after") - F.col("sum_before")).cast("double") / MS_W
+    return win.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(F.col("sum_before").cast("double") / MS_W, 6).alias("before_mean"),
+        F.round(F.col("sum_after").cast("double") / MS_W, 6).alias("after_mean"),
+        F.round(shift_raw, 6).alias("shift"),
+        F.when(F.abs(shift_raw) > 0.25 * F.col("gmean"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_change"),
+    )
+
+
+# -- seasonal decomposition (trend / weekday seasonal / residual) --------------
+
+SD_HALF = 3  # centered moving-average half-width (7-day trend window)
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, day, cnt,
+         SUM(cnt) OVER wc AS tsum, COUNT(*) OVER wc AS tn,
+         CAST(dayofweek(day) AS INT) AS dow
+  FROM daily
+  WINDOW wc AS (PARTITION BY event_type ORDER BY day ASC
+                ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF} FOLLOWING)
+), trf AS (
+  SELECT event_type, day, cnt, dow,
+         CAST(tsum AS DOUBLE) / {2 * SD_HALF + 1} AS trend
+  FROM tr WHERE tn = {2 * SD_HALF + 1}
+), seas AS (
+  -- weekday effect: mean detrended deviation per (type, weekday), as
+  -- one exact-operand division (SUM of identical doubles is order-
+  -- sensitive, so aggregate the EXACT pieces: Σcnt exact int, Σtsum
+  -- exact int, then one arithmetic expression)
+  SELECT event_type, dow,
+         (CAST(SUM(cnt) AS DOUBLE)
+          - CAST(SUM(tsum_part) AS DOUBLE) / {2 * SD_HALF + 1})
+         / COUNT(*) AS seasonal
+  FROM (SELECT event_type, day, cnt, dow,
+               CAST(tsum AS BIGINT) AS tsum_part
+        FROM tr WHERE tn = {2 * SD_HALF + 1})
+  GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.cnt,
+       ROUND(t.trend, 6) AS trend,
+       ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(CAST(t.cnt AS DOUBLE) - t.trend - s.seasonal, 6) AS residual
+FROM trf t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of the daily
+    event series: trend = {2 * SD_HALF + 1}-day CENTERED moving average
+    (full windows only), seasonal = per-weekday mean of the detrended
+    deviation, residual = observed − trend − seasonal — the triple a
+    data-quality dashboard plots to separate "traffic is growing" from
+    "it's just Saturday" from "something broke".
+
+    Determinism: the weekday seasonal aggregates EXACT pieces (Σcnt and
+    Σ(window-sum) are exact BIGINTs) and divides once — never a SUM of
+    per-row doubles, whose accumulation order differs across engines;
+    residual then combines three identically-derived doubles.
+
+    Scale: same shape as q_mean_shift_detect — one combinable shuffle
+    to |types|×|days| rows, windows + weekday groupBy on the tiny
+    relation; the weekday table joins back broadcast."""
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    width = 2 * SD_HALF + 1
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-SD_HALF, SD_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wc).alias("tsum"),
+        F.count(F.lit(1)).over(wc).alias("tn"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    ).filter(F.col("tn") == width)
+    seas = tr.groupBy("event_type", "dow").agg(
+        (
+            (
+                F.sum("cnt").cast("double")
+                - F.sum("tsum").cast("double") / width
+            )
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    trend = F.col("tsum").cast("double") / width
+    return tr.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(trend, 6).alias("trend"),
+        F.round(F.col("seasonal"), 6).alias("seasonal"),
+        F.round(F.col("cnt").cast("double") - trend - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )

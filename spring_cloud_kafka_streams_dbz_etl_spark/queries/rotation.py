@@ -420,6 +420,8 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_index_health",
         "q_knn_classify",
         "q_knn_classify_served",
+        "q_mean_shift_detect",
+        "q_seasonal_decompose",
     }
 )
 
