@@ -1619,3 +1619,20 @@ def test_knn_classify_served_tracks_exact(spark):
     assert set(ex) == set(sv)
     agree = sum(1 for k in ex if ex[k] == sv[k])
     assert agree >= 5, (agree, ex, sv)
+
+
+def test_mean_shift_and_seasonal_plans(spark, sf_smoke):
+    """Both daily-rollup detectors must keep the detector stage off the
+    fact table: the only scan-sized work is the map-side-combinable
+    daily groupBy; the global-mean / weekday-seasonal relations join
+    back BROADCAST (never a sort-merge join, never a cartesian)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    for name in ("q_mean_shift_detect", "q_seasonal_decompose"):
+        text = explain_str(SPECS[name].fn(spark, sf_smoke))
+        assert "BroadcastHashJoin" in text, (name, text[:1500])
+        assert "SortMergeJoin" not in text, (name, text[:1500])
+        assert "CartesianProduct" not in text, (name, text[:1500])
+        # the raw-events aggregate must combine map-side (partial_count
+        # before the exchange), so the shuffle carries rollup rows
+        assert "partial_count" in text, (name, text[:1500])
