@@ -1444,9 +1444,7 @@ def event_pattern_matches(
 MS_W = 7  # days on each side of the candidate changepoint
 
 
-@query(
-    "q_mean_shift_detect",
-    oracle=f"""
+_MEAN_SHIFT_ORACLE = f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1473,8 +1471,10 @@ SELECT w.event_type, w.day, w.cnt,
                  THEN 1 ELSE 0 END AS INT) AS is_change
 FROM win w JOIN g ON g.event_type = w.event_type
 WHERE w.n_before = {MS_W} AND w.n_after = {MS_W}
-""",
-)
+"""
+
+
+@query("q_mean_shift_detect", oracle=_MEAN_SHIFT_ORACLE)
 def q_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changepoint detection by two-window MEAN SHIFT — the streaming-
     telemetry question "did this metric's level move, and when":
@@ -1501,6 +1501,14 @@ def q_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return mean_shift_table(daily)
+
+
+def mean_shift_table(daily: DataFrame) -> DataFrame:
+    """The detector stage of q_mean_shift_detect over a daily rollup
+    (event_type, day, cnt) — shared with s_mean_shift_alert, whose
+    rollup is maintained incrementally from arriving shards (the
+    q_time_rollup partial-merge invariant) rather than scanned."""
     g = daily.groupBy("event_type").agg(
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("gmean")
     )

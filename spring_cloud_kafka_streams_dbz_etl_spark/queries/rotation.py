@@ -422,6 +422,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_knn_classify_served",
         "q_mean_shift_detect",
         "q_seasonal_decompose",
+        "s_mean_shift_alert",
     }
 )
 

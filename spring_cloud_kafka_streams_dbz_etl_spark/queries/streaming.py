@@ -2849,3 +2849,95 @@ def s_linear_probe_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["out"],
         "step int, feature_id int, weight_after double, mse_before double",
     )
+
+
+def _mean_shift_alert_oracle() -> str:
+    from .analytic import _MEAN_SHIFT_ORACLE
+
+    return _MEAN_SHIFT_ORACLE
+
+
+@query("s_mean_shift_alert", oracle=_mean_shift_alert_oracle())
+def s_mean_shift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_mean_shift_detect's STREAMING half — the telemetry monitor a
+    pipeline actually runs: event shards arrive over time (days 1-15
+    land first; the rest while the stream is live) and every
+    micro-batch maintains the DAILY rollup incrementally by appending
+    its map-side-combined partial counts to the rollup store — the
+    q_time_rollup continuous-aggregate invariant (aggregate partials,
+    never rescan raw history) with the sink as the state
+    (s_curation_incremental's rule: state never outgrows what was
+    already written; here it is |types|x|days| partial rows per batch).
+    The detector then runs over the re-aggregated rollup — the SAME
+    `mean_shift_table` stage as the batch query, so the end state
+    equals the batch detector on the full corpus, which is exactly
+    what the shared oracle states.
+
+    Late data: a day split across shards lands as TWO partials that
+    re-aggregate to the true count — corrections need no rescan and no
+    state mutation, only an append (the idempotent-rollup property
+    that makes this safe to restart from checkpoint).
+
+    Scale: per batch one combinable groupBy over the batch's events +
+    one tiny append; the detector reads |types|x|days| partial rows —
+    at 100 TB the alert query never touches raw history."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .analytic import mean_shift_table
+
+    tune(spark)
+    src_dir, ckpt, roll = _tmp("msa_src"), _tmp("msa_ckpt"), _tmp("msa_roll")
+    from ..catalog import table as load_table
+
+    d_t = load_table(spark, sf_dir, "events")
+
+    events_pa = pq.read_table(f"{sf_dir}/events.parquet")
+    # MID-DAY cutoff on purpose: Jan 16 splits across the two shards,
+    # so that day's count lands as TWO partials the re-aggregation must
+    # reconcile — the late-data property the docstring claims, exercised
+    cutoff = pc.strptime("2024-01-16 12:00:00", format="%Y-%m-%d %H:%M:%S", unit="us")
+    early = pc.less(events_pa["ts"], cutoff)
+    pq.write_table(events_pa.filter(early), f"{src_dir}/events1.parquet")
+
+    def roll_up(batch_df, _batch_id) -> None:
+        if not batch_df.take(1):
+            return
+        (
+            batch_df.groupBy(
+                "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .write.mode("append")
+            .parquet(roll)
+        )
+
+    reg = StreamRegistry()
+    reg.register(
+        "s_mean_shift",
+        lambda: (
+            spark.readStream.schema(d_t.schema)
+            .parquet(src_dir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(roll_up)
+            .start()
+        ),
+        checkpoint=ckpt,
+    )
+    reg.process_available("s_mean_shift")
+
+    # the tail shard arrives while the stream is live (atomic rename)
+    import os
+
+    tmp2 = f"{src_dir}/.events2.parquet.tmp"
+    pq.write_table(events_pa.filter(pc.invert(early)), tmp2)
+    os.rename(tmp2, f"{src_dir}/events2.parquet")
+    reg.process_available("s_mean_shift")
+    reg.stop("s_mean_shift")
+
+    daily = (
+        spark.read.parquet(roll)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return mean_shift_table(daily)
