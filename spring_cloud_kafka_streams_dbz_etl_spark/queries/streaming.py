@@ -2900,15 +2900,23 @@ def s_mean_shift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = pc.less(events_pa["ts"], cutoff)
     pq.write_table(events_pa.filter(early), f"{src_dir}/events1.parquet")
 
-    def roll_up(batch_df, _batch_id) -> None:
+    def roll_up(batch_df, batch_id) -> None:
         if not batch_df.take(1):
             return
+        # batch-id-keyed dynamic partition overwrite (the
+        # s_idempotent_sink rule): a checkpoint-replayed batch
+        # OVERWRITES its own partition instead of appending a duplicate
+        # partial — this is what makes the restart claim true, a plain
+        # append would double-count on replay
         (
             batch_df.groupBy(
                 "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
             )
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(roll)
         )
 
@@ -2937,6 +2945,7 @@ def s_mean_shift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         spark.read.parquet(roll)
+        .select("event_type", "day", "cnt")  # batch_id is lineage, not data
         .groupBy("event_type", "day")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
