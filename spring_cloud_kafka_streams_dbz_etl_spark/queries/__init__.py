@@ -50,19 +50,33 @@ def release_scoped() -> None:
 
 
 def round_half_up6(x: float) -> float:
-    """Round to 6 decimals, half away from zero, on the value's shortest
-    decimal repr — the repo's cross-engine rounding policy. DuckDB's
-    ROUND(double, 6) rounds the shortest-repr decimal half-away
-    (probed: 2.0000025 -> 2.000003, 0.1234565 -> 0.123457), while
-    Python's built-in round() is half-to-even — a decimal tie would
-    hash-mismatch. Driver-side control-plane twin of F.round/HALF_UP."""
-    import decimal
+    """The exact driver-side mirror of DuckDB's ROUND(x, 6) on DOUBLE:
+    std::round(x * 1e6) / 1e6 — scale in double arithmetic, round the
+    SCALED DOUBLE half away from zero, unscale. Used wherever a
+    driver-computed control-plane value (the linear probes' mse) must
+    hash-equal an oracle column produced by SQL ROUND.
 
-    return float(
-        decimal.Decimal(repr(float(x))).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
+    Two wrong implementations this replaced, both fuzz-caught
+    (test_round_half_up6_matches_duckdb_round):
+    - Python's built-in round(): half-to-even — diverges on decimal
+      ties (ADVICE r11).
+    - Decimal(repr(x)).quantize(HALF_UP): rounds the SHORTEST-REPR
+      decimal, which diverges from the scaled-double algorithm when
+      x*1e6's double value crosses a .5 the decimal expansion doesn't
+      (fuzz counterexample 562949953.9125094: repr ends ...0940 ->
+      quantize keeps ...509, but x*1e6 IS exactly ...509.5 in double
+      and DuckDB rounds it away to ...510). Probed: DuckDB is
+      half-AWAY on the scaled double (508.5 -> 509, 664.5 -> 665 —
+      not banker's), hence math.floor + the explicit 0.5 comparison
+      below rather than Python round() on the scaled value."""
+    import math
+
+    y = float(x) * 1e6
+    f = math.floor(y)
+    d = y - f
+    if d > 0.5 or (d == 0.5 and y > 0):
+        f += 1
+    return f / 1e6
 
 
 def query(name: str, oracle: str | None = None, bench: bool = False):

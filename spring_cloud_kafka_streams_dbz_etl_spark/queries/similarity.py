@@ -1025,18 +1025,22 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("rank")
 
     def cross_encoder_stub(batches):
-        import decimal
         import hashlib
+        import math
 
         def round_half_up6(x: float) -> float:
-            # repo-wide float policy: round half AWAY FROM ZERO like Spark
-            # F.round / DuckDB ROUND — never Python round()'s half-to-even
-            # (ADVICE r05 low)
-            return float(
-                decimal.Decimal(repr(x)).quantize(
-                    decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-                )
-            )
+            # repo-wide float policy: the exact mirror of DuckDB
+            # ROUND(x, 6) — half away from zero on the SCALED DOUBLE
+            # (std::round(x*1e6)/1e6), never Python round()'s
+            # half-to-even (ADVICE r05 low; algorithm pinned by
+            # test_round_half_up6_matches_duckdb_round — inlined here
+            # because this body ships to executors)
+            y = float(x) * 1e6
+            f = math.floor(y)
+            d = y - f
+            if d > 0.5 or (d == 0.5 and y > 0):
+                f += 1
+            return f / 1e6
 
         for pdf in batches:
             rel = [

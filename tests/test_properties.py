@@ -1201,13 +1201,16 @@ def test_seed_hash_order_matches_duckdb_twin():
 )
 def test_round_half_up6_matches_duckdb_round(x):
     """round_half_up6 is the driver-side control-plane twin of the SQL
-    ROUND(x, 6) both oracles use for mse (q_linear_probe /
-    s_linear_probe_online / q_linear_probe_pca) — ADVICE r11 flagged
-    that Python's built-in round() is half-to-even while DuckDB rounds
-    the shortest-repr decimal half away from zero, so a decimal tie at
-    the 7th digit would hash-mismatch. This fuzz pins the replacement
-    against DuckDB itself, including the exact-tie lattice where the
-    two policies actually differ."""
+    ROUND(x, 6) the mse oracles use (q_linear_probe /
+    s_linear_probe_online / q_linear_probe_pca). This fuzz pins it
+    against DuckDB itself — and it has already earned its keep twice:
+    it killed Python round() (half-to-even, the ADVICE r11 item) AND
+    the first replacement (shortest-repr Decimal quantize), whose
+    counterexample 562949953.9125094 revealed DuckDB's real algorithm
+    is half-away on the SCALED DOUBLE (std::round(x*1e6)/1e6), not on
+    the decimal expansion. The wide float strategy covers the
+    scaled-tie artifacts; the lattice strategy covers true decimal
+    ties."""
     import duckdb
 
     from spring_cloud_kafka_streams_dbz_etl_spark.queries import round_half_up6
