@@ -1065,3 +1065,98 @@ def q_label_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "label", F.col("labeled_round").cast("int").alias("labeled_round")
     )
+
+
+# -- dedup threshold capacity planning -----------------------------------------
+
+DEDUP_SWEEP = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _dedup_sweep_oracle() -> str:
+    grid = ", ".join(f"(CAST({t} AS DOUBLE))" for t in DEDUP_SWEEP)
+    return f"""
+WITH {_minhash_cte()}, grid(threshold) AS (VALUES {grid}),
+hits AS (
+  SELECT g.threshold, v.doc_a, v.doc_b,
+         CAST(ROUND(v.jaccard, 6) AS DECIMAL(18, 6)) AS jd
+  FROM grid g JOIN verified v ON v.jaccard >= g.threshold
+), per_t AS (
+  SELECT threshold,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+  FROM hits GROUP BY threshold
+), docs_t AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM (
+    SELECT threshold, doc_a AS d FROM hits
+    UNION ALL SELECT threshold, doc_b FROM hits)
+  GROUP BY threshold
+)
+SELECT g.threshold,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(d.n_docs, 0) AS n_docs,
+       p.mean_jaccard
+FROM grid g
+LEFT JOIN per_t p ON p.threshold = g.threshold
+LEFT JOIN docs_t d ON d.threshold = g.threshold
+"""
+
+
+@query("q_dedup_threshold_sweep", oracle=_dedup_sweep_oracle())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-knob CAPACITY-PLANNING table (the q_ann_nprobe_curve of
+    the near-dup family): pair yield, documents touched, and mean
+    similarity of the surviving pairs at every Jaccard threshold in
+    {DEDUP_SWEEP} — the table an operator reads before committing a
+    corpus-wide dedup pass, because the threshold trades recall of true
+    duplicates against collateral removal and the right value is
+    corpus-dependent. One banded candidate generation + exact verify
+    (the q_minhash_near_dup machinery verbatim, NO all-pairs), then the
+    sweep is a broadcast grid join over the verified pair relation —
+    the marginal cost of one more threshold is a filter, not a rescan.
+
+    Determinism: per-pair jaccard enters the mean as ROUND(6) DECIMAL
+    (order-independent sum, one closing division — the repo policy);
+    thresholds compare the same IEEE quotient to the same literal in
+    both engines. Thresholds with zero passing pairs keep their row
+    (n_pairs = 0, NULL mean) so the output grid is fixture-shape-
+    stable.
+
+    Scale: identical to q_minhash_near_dup up to the pair relation
+    (band equi-join, bounded bucket occupancy); the sweep stage runs
+    on |pairs| x |grid| rows — at 100 TB that is sweep-over-candidates,
+    ~6 orders below the corpus scan that produced them."""
+    tune(spark)
+    pairs = cache_scoped(_build_minhash_pairs(spark, sf_dir))
+    grid = F.broadcast(
+        spark.createDataFrame([(t,) for t in DEDUP_SWEEP], "threshold double")
+    )
+    hits = cache_scoped(
+        grid.join(pairs, pairs["jaccard"] >= grid["threshold"]).select(
+            "threshold",
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).cast("decimal(18,6)").alias("jd"),
+        )
+    )
+    per_t = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("jd").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_jaccard"
+        ),
+    )
+    docs_t = (
+        hits.select("threshold", F.col("doc_a").alias("d"))
+        .unionAll(hits.select("threshold", F.col("doc_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        grid.join(per_t, "threshold", "left")
+        .join(docs_t, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "mean_jaccard",
+        )
+    )

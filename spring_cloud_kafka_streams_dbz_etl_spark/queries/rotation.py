@@ -423,6 +423,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_mean_shift_detect",
         "q_seasonal_decompose",
         "s_mean_shift_alert",
+        "q_dedup_threshold_sweep",
     }
 )
 
