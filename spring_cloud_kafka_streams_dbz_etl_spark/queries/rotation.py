@@ -424,6 +424,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_seasonal_decompose",
         "s_mean_shift_alert",
         "q_dedup_threshold_sweep",
+        "q_bpe_fertility",
     }
 )
 

@@ -1800,3 +1800,74 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, feature_id int, weight_after double, mse_before double"
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    n = N_BPE_MERGES
+    train = _bpe_train_oracle()
+    chain = train[len("WITH ") : train.index("\nSELECT CAST(1 AS INT)")]
+    chain = chain[: chain.rindex(f", v{n} AS")]
+    return f"""WITH {chain}, wl AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok FROM t{n} GROUP BY w
+), dw AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT dw.lang,
+       CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(LENGTH(dw.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(wl.n_tok) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(LENGTH(dw.w)) AS DOUBLE) / SUM(wl.n_tok), 6)
+         AS chars_per_token,
+       ROUND(CAST(SUM(wl.n_tok) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word
+FROM dw JOIN wl ON dw.w = wl.w
+GROUP BY dw.lang
+"""
+
+
+@query("q_bpe_fertility", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the per-language
+    tokens-per-word / chars-per-token table a tokenizer team reads
+    before committing a vocabulary, because a tokenizer trained on a
+    skewed mixture silently taxes the under-represented languages
+    (higher fertility = more tokens for the same text = less content
+    per context window and higher serving cost for those users). Same
+    trained merges as q_bpe_train/q_bpe_segment (shared
+    _bpe_train_merges loop), rolled up to the language grain with
+    document counts.
+
+    Scale: identical to q_bpe_segment — the vocabulary-sized
+    token-length table broadcasts onto the doc-word relation, the
+    corpus never shuffles for the lookup, and the final rollup is a
+    combinable groupBy(lang) of |langs| output rows. Exact-integer
+    sums; the two ratios are single closing divisions.
+
+    Reference parity: none (BASELINE.json north star — LLM-data
+    tooling the reference ETL never had)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    _, trained = _bpe_train_merges(spark, sf_dir, N_BPE_MERGES)
+    wl = trained.select("w", F.size("toks").cast("long").alias("n_tok"))
+    dw = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        dw.join(F.broadcast(wl), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
+    )
