@@ -1160,3 +1160,87 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_jaccard",
         )
     )
+
+
+# -- LSH band-layout capacity planning ------------------------------------------
+
+# (bands, rows_per_band) layouts of the K = MINHASH_K = 6 signature slots
+LSH_PLAN_GRID = ((6, 1), (3, 2), (2, 3), (1, 6))
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n as explicit repeated multiplication — identical left-to-right
+    IEEE chains in both engines (libm pow is NOT guaranteed identical
+    across implementations; repeated multiply is)."""
+    return " * ".join([f"({expr})"] * n)
+
+
+def _lsh_band_plan_oracle() -> str:
+    branches = []
+    for b, r in LSH_PLAN_GRID:
+        jr = _pow_chain("v.jaccard", r)
+        pc = f"1.0 - {_pow_chain(f'1.0 - ({jr})', b)}"
+        branches.append(f"""
+  SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         ROUND(CAST(SUM(CAST(ROUND({pc}, 6) AS DECIMAL(18, 6)))
+                    AS DOUBLE), 6) AS expected_caught,
+         ROUND(CAST(SUM(CAST(ROUND({pc}, 6) AS DECIMAL(18, 6)))
+                    AS DOUBLE) / COUNT(*), 6) AS expected_recall
+  FROM verified v""")
+    return f"WITH {_minhash_cte()}\n{' UNION ALL '.join(branches)}"
+
+
+@query("q_lsh_band_plan", oracle=_lsh_band_plan_oracle())
+def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-layout CAPACITY PLANNING — the (bands, rows_per_band)
+    S-curve table (the q_ann_nprobe_curve of the dedup family): for
+    every layout of the K={MINHASH_K} signature slots, the expected
+    candidate recall over the corpus's OWN near-dup pair population,
+    via the standard MinHash collision model p(caught) = 1−(1−j^r)^b
+    evaluated at each verified pair's exact Jaccard. More bands of
+    fewer rows = higher recall and more false candidates; this table
+    prices the knob on real data instead of a textbook curve.
+
+    Honesty caveat (the q_minhash_est_audit framing): the pair
+    population comes from the CURRENT banding's candidates, so the
+    table measures RELATIVE retention across layouts on the discovered
+    pairs — pairs the current layout never surfaced are invisible to
+    it (they are also invisible to any cheaper instrument; a layout
+    change this table motivates should be followed by one re-audit).
+
+    Determinism: j^r and (1−j^r)^b are explicit repeated-multiply
+    chains (libm pow is NOT cross-engine-identical; left-to-right IEEE
+    multiplies are); per-pair probabilities enter the sums as ROUND(6)
+    DECIMAL — order-independent — with single closing divisions.
+
+    Scale: one banded candidate generation + exact verify (shared with
+    q_minhash_near_dup); the plan stage is |grid| aggregates over the
+    pair relation — each layout costs one combinable pass over
+    candidates, never a re-shingle or re-hash."""
+    tune(spark)
+    pairs = cache_scoped(_build_minhash_pairs(spark, sf_dir))
+    outs = []
+    for b, r in LSH_PLAN_GRID:
+        jr = F.lit(1.0)
+        for _ in range(r):
+            jr = jr * F.col("jaccard")
+        miss = F.lit(1.0)
+        for _ in range(b):
+            miss = miss * (F.lit(1.0) - jr)
+        pc = F.round(F.lit(1.0) - miss, 6).cast("decimal(18,6)")
+        outs.append(
+            pairs.agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+                F.round(F.sum(pc).cast("double"), 6).alias("expected_caught"),
+                F.round(
+                    F.sum(pc).cast("double") / F.count(F.lit(1)), 6
+                ).alias("expected_recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

@@ -425,6 +425,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "s_mean_shift_alert",
         "q_dedup_threshold_sweep",
         "q_bpe_fertility",
+        "q_lsh_band_plan",
     }
 )
 
