@@ -1636,3 +1636,20 @@ def test_mean_shift_and_seasonal_plans(spark, sf_smoke):
         # the raw-events aggregate must combine map-side (partial_count
         # before the exchange), so the shuffle carries rollup rows
         assert "partial_count" in text, (name, text[:1500])
+
+
+def test_capacity_planner_plans(spark, sf_smoke):
+    """The r12 planning tables must stay planning-priced: the dedup
+    threshold sweep and the LSH band plan reuse ONE banded candidate
+    generation (band hash equi-join — never a cartesian of documents),
+    and the fertility rollup broadcasts the vocabulary-sized token
+    table onto the doc-word relation (never a shuffle of the corpus
+    for the lookup)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    for name in ("q_dedup_threshold_sweep", "q_lsh_band_plan"):
+        text = explain_str(SPECS[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in text, (name, text[:1500])
+    text = explain_str(SPECS["q_bpe_fertility"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in text, text[:1500]
+    assert "SortMergeJoin" not in text, text[:1500]
