@@ -78,3 +78,78 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select("doc_id", F.expr(f"text || {_INJECT_SQL}").alias("text"))
     out = redact_pii(aug, text_col="text")
     return out.select("doc_id", "text", "n_email", "n_phone", "n_ssn", "n_ip")
+
+
+def _pii_risk_oracle() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(aug, '{_RE2[name]}')) AS INT) AS n_{name}"
+        for name in ("email", "phone", "ssn", "ip")
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT source, '{name}' AS pii_class, n_{name} AS n FROM counted"
+        for name in ("email", "phone", "ssn", "ip")
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source, text || {_INJECT_SQL} AS aug FROM documents
+), counted AS (
+  SELECT doc_id, source, {counts} FROM aug
+), long AS ({unions}),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT l.source, l.pii_class,
+       CAST(SUM(CASE WHEN l.n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(l.n) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN l.n > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n_docs FROM nd WHERE nd.source = l.source), 6) AS doc_rate
+FROM long l GROUP BY l.source, l.pii_class
+"""
+
+
+@query("q_pii_risk_report", oracle=_pii_risk_oracle())
+def q_pii_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII TRIAGE table read BEFORE committing a redaction pass:
+    per (source, pii_class), documents affected, total hits, and the
+    per-source document hit RATE — the view that says which feed is
+    leaking which identifier class (a crawler pulling a breach dump
+    shows as one source's ssn rate spiking) and whether redaction or
+    source-level quarantine is the right response. Same deterministic
+    doc_id-derived injection + RE2-safe pattern twins as q_pii_redact,
+    rolled up to the (source, class) grain.
+
+    Scale: counting stays map-only codegen on the corpus scan (the
+    q_pii_redact shape); the rollup shuffles |sources| x 4 rows. The
+    rate divides two exact integers once per output row."""
+    from ..operators.pii import redact_pii
+
+    tune(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.select(
+        "doc_id", "source", F.expr(f"text || {_INJECT_SQL}").alias("text")
+    )
+    counted = redact_pii(aug, text_col="text").select(
+        "source", "n_email", "n_phone", "n_ssn", "n_ip"
+    )
+    longf = None
+    for name in ("email", "phone", "ssn", "ip"):
+        part = counted.select(
+            "source",
+            F.lit(name).alias("pii_class"),
+            F.col(f"n_{name}").alias("n"),
+        )
+        longf = part if longf is None else longf.unionAll(part)
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = longf.groupBy("source", "pii_class").agg(
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_docs_affected"
+        ),
+        F.sum("n").cast("long").alias("n_hits"),
+    )
+    return agg.join(F.broadcast(nd), "source").select(
+        "source",
+        "pii_class",
+        "n_docs_affected",
+        "n_hits",
+        F.round(
+            F.col("n_docs_affected").cast("double") / F.col("n_docs"), 6
+        ).alias("doc_rate"),
+    )

@@ -426,6 +426,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_dedup_threshold_sweep",
         "q_bpe_fertility",
         "q_lsh_band_plan",
+        "q_pii_risk_report",
     }
 )
 
