@@ -1244,3 +1244,90 @@ def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+def _dup_cluster_stats_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+per_cluster AS (
+  SELECT c.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+         CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars
+                       ELSE 0 END) AS BIGINT) AS chars_removable
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_docs_removable,
+       CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+       CAST(SUM(chars_removable) AS BIGINT) AS chars_removable
+FROM per_cluster GROUP BY sz
+"""
+
+
+@query("q_dup_cluster_stats", oracle=_dup_cluster_stats_oracle())
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI table — what a corpus-wide near-dup pass would
+    actually RECLAIM, by duplicate-cluster size: for each cluster size,
+    how many clusters exist, how many documents they hold, how many are
+    removable under the keep-one (min-id canonical) policy, and the
+    character mass reclaimed — the summary that decides whether the
+    dedup pass pays for itself and whether savings come from a few
+    giant boilerplate clusters (investigate the source) or a long tail
+    of pairs (routine). Size-1 rows are the untouched corpus remainder,
+    kept so the table accounts for every document.
+
+    Composition: the q_minhash_near_dup pair relation → the same
+    connected-components closure as q_dup_clusters → per-cluster exact
+    char sums → a |distinct sizes|-row rollup. Exact integers
+    throughout; no floats anywhere.
+
+    Scale: identical to q_dup_clusters up to the component relation
+    (banded pairs, iterative CC with per-round combinable shuffles);
+    the stats are two combinable groupBys over |docs| then |clusters|
+    rows."""
+    from ..operators.graph import connected_components
+
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents")
+    vertices = d.select("doc_id")
+    comp = connected_components(
+        vertices, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    per_cluster = (
+        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_chars"))
+                .otherwise(0)
+            ).cast("long").alias("chars_removable"),
+        )
+    )
+    return per_cluster.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_docs_removable"),
+        F.sum("chars_total").cast("long").alias("chars_total"),
+        F.sum("chars_removable").cast("long").alias("chars_removable"),
+    )

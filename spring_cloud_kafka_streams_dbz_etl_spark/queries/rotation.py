@@ -427,6 +427,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_bpe_fertility",
         "q_lsh_band_plan",
         "q_pii_risk_report",
+        "q_dup_cluster_stats",
     }
 )
 
