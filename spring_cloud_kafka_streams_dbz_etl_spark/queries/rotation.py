@@ -410,10 +410,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # CHANGED_SINCE_CHECK re-fronts, then the fewest-checked tail fills to
 # 50. Queries registered after this budgeting land here and front
 # round 13.
-# q_linear_probe_pca and q_index_health registered later in round 12
-# (after the window above was budgeted); they defer to keep the window
-# stable and front round 13. Both are locally oracle-green via
-# tests/test_oracle_parity.py (the driver's exact comparison).
+# The 12 queries below were registered later in round 12 (after the
+# window above was budgeted); they defer to keep the window stable and
+# front round 13. Every one is locally oracle-green at BOTH sf0.01 and
+# sf0.1 via tests/test_oracle_parity.py (the driver's exact
+# comparison), most also via a plain-session driver-emulation drive.
 DEFERRED_NEW: frozenset[str] = frozenset(
     {
         "q_linear_probe_pca",
@@ -433,8 +434,16 @@ DEFERRED_NEW: frozenset[str] = frozenset(
 
 
 def times_checked(name: str) -> int:
+    # Deferred-new queries must sort BEHIND every real tier, not tie
+    # with it: the old synthetic 2 tied with the twice-checked tail and
+    # registration order (module import order) broke the tie in the
+    # deferrals' favor whenever a new query lived in an early module
+    # (caught in r12: six analytic/dedup/pii additions leaked into the
+    # already-budgeted window). A deferral fronts NEXT round because
+    # budgeting removes it from DEFERRED_NEW, restoring its real count
+    # of 0 — the sentinel only has to keep it out of THIS round.
     if name in DEFERRED_NEW:
-        return 2
+        return 10**6
     if name in CHANGED_SINCE_CHECK:
         return 0
     return sum(1 for checked in CHECKED_BY_ROUND.values() if name in checked)
