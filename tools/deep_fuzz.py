@@ -311,10 +311,19 @@ def fuzz_pq_train(spark) -> None:
         )
         got = pq_train(df, subspaces=subspaces, k=kc, dim=dim, iters=2)
         IV = np.floor(np.array(vecs) * 1e6).astype("int64")
+        # seeds follow the r11 hash-spread order (operators.similarity.
+        # _seed_hash: Knuth multiplicative on the low 20 id bits, ties
+        # by raw id), distinct ids first — the pre-r11 first-k-by-row
+        # model is what this harness used to encode, and re-running the
+        # fuzz after the seeding change caught the stale model (r12)
+        seed_ids = sorted(
+            range(len(vecs)),
+            key=lambda j: (((j % 1_048_576) * 2_654_435_761) % 4_294_967_296, j),
+        )[:kc]
         for m in range(subspaces):
             IVm = IV[:, m * sub : (m + 1) * sub]
             Xm = IVm / 1e6
-            cents = [Xm[j].copy() for j in range(kc)]
+            cents = [Xm[j].copy() for j in seed_ids]
             for _ in range(2):
                 d = np.array(
                     [[float(((x - c) ** 2).sum()) for c in cents] for x in Xm]
