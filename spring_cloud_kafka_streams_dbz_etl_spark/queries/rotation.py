@@ -429,6 +429,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_lsh_band_plan",
         "q_pii_risk_report",
         "q_dup_cluster_stats",
+        "q_source_quality_matrix",
     }
 )
 

@@ -1871,3 +1871,97 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+_QSCORE_SQL = """0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0)"""
+
+
+def _source_quality_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, lang, {_QSCORE_SQL} AS qs FROM documents
+), per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(ROUND(qs, 6) AS DECIMAL(18, 6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_quality,
+         CAST(SUM(CASE WHEN qs < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM q GROUP BY source
+), lang_counts AS (
+  SELECT source, lang, COUNT(*) AS c FROM q GROUP BY source, lang
+), top_lang AS (
+  SELECT source, lang AS top_lang, c FROM (
+    SELECT source, lang, c,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang ASC) AS rn
+    FROM lang_counts)
+  WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.mean_quality,
+       ROUND(CAST(p.n_low AS DOUBLE) / p.n_docs, 6) AS p_low_quality,
+       p.n_langs, t.top_lang,
+       ROUND(CAST(t.c AS DOUBLE) / p.n_docs, 6) AS top_lang_share
+FROM per_src p JOIN top_lang t ON t.source = p.source
+"""
+
+
+@query("q_source_quality_matrix", oracle=_source_quality_oracle())
+def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE quality triage matrix — the first table a corpus
+    owner reads when a new feed lands: document count, mean composite
+    quality (the q_quality_score gate), the share of low-quality
+    (< 0.5) documents, language spread (distinct langs, dominant lang
+    and its share). One feed full of short/repetitive text or suddenly
+    mono-language shows here before any per-document gate runs at full
+    corpus cost.
+
+    Determinism: per-doc quality scores enter the mean as ROUND(6)
+    DECIMAL (order-independent sums — a mean of raw doubles is
+    accumulation-order-dependent); the low-quality flag compares
+    identically-derived doubles to the same literal in both engines;
+    the dominant language ranks (count desc, lang asc).
+
+    Scale: two combinable groupBys over the corpus scan (per-source
+    stats, per-(source, lang) counts) — output is |sources| rows; the
+    dominant-language window runs over |sources|×|langs| rows."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", "lang", quality_score(F.col("text")).alias("qs"))
+    per_src = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round("qs", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("qs") < 0.5, 1).otherwise(0)).cast("long").alias("n_low"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lang_counts = q.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang").asc())
+    top = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return per_src.join(top, "source").select(
+        "source",
+        "n_docs",
+        "mean_quality",
+        F.round(F.col("n_low").cast("double") / F.col("n_docs"), 6).alias(
+            "p_low_quality"
+        ),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+    )
