@@ -361,6 +361,10 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # CONTAINS the knobs CTE but never reads np (q_kmeans_cells,
 # q_pq_train_encode, q_embedding_drift) produce byte-identical results
 # and do not re-front; the r12 parity sweep re-confirmed them green.
+# q_rerank re-fronts too: its executor-inlined rounding helper moved to
+# the scaled-double DuckDB mirror in r12 (same values on every fixture
+# row — parity re-verified green at both SFs — but the policy is a
+# fresh driver row after any material plan change).
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
         "s_ann_index_rebuild",
@@ -369,6 +373,7 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         "q_ann_nprobe_curve",
         "q_hard_negatives_served",
         "s_ann_index_maintain",
+        "q_rerank",
     }
 )
 
