@@ -1301,7 +1301,10 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to q_dup_clusters up to the component relation
     (banded pairs, iterative CC with per-round combinable shuffles);
     the stats are two combinable groupBys over |docs| then |clusters|
-    rows."""
+    rows. The component→n_chars join is deliberately a SHUFFLE join
+    (both sides are |docs|-sized — per-doc relations are never
+    broadcast anywhere in the engine), and it reuses doc_id as the
+    shuffle key."""
     from ..operators.graph import connected_components
 
     tune(spark)
