@@ -489,3 +489,67 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos"),
         )
     )
+
+
+def _embedding_coverage_oracle() -> str:
+    return """
+WITH j AS (
+  SELECT d.doc_id, d.source, e.vec_id
+  FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT COALESCE(source, '<no-document>') AS source,
+       CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+       CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_embedding,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_embedding,
+       ROUND(CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END), 0),
+             6) AS coverage
+FROM j GROUP BY 1
+"""
+
+
+@query("q_embedding_coverage", oracle=_embedding_coverage_oracle())
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODALITY referential-integrity audit — the check an
+    embedding-dependent pipeline (ANN dedup, semantic decontamination,
+    hard-negative mining) runs before trusting its joins: per source,
+    documents WITH an embedding, documents missing one (the silent
+    recall hole — a doc the SemDeDup pass can never see), and orphan
+    embeddings with no document (stale vectors a re-crawl left behind,
+    surfaced under the '<no-document>' source). The coverage ratio per
+    source localizes an embedding-job failure to the feed that
+    suffered it.
+
+    One FULL OUTER equi-join on the shared id — both sides corpus-sized
+    so it shuffles on the id (never broadcast, the per-doc-relation
+    rule) — then a combinable rollup to |sources|+1 rows. Exact
+    integers; one guarded closing division."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    both = F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()
+    n_doc = F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0))
+    return (
+        j.groupBy(
+            F.coalesce(F.col("source"), F.lit("<no-document>")).alias("source")
+        )
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_embedded"),
+            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_embedding"),
+            F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_embedding"),
+            F.round(
+                F.sum(F.when(both, 1).otherwise(0)).cast("double")
+                / F.nullif(n_doc, F.lit(0)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -435,6 +435,7 @@ DEFERRED_NEW: frozenset[str] = frozenset(
         "q_pii_risk_report",
         "q_dup_cluster_stats",
         "q_source_quality_matrix",
+        "q_embedding_coverage",
     }
 )
 
