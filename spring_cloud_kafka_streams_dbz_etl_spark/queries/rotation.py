@@ -300,6 +300,33 @@ _ROUND_11 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r12.json (all 50 green — rows+schema+hash, zero
+# errors): the 8 r11-deferred queries (BPE pair, ANN serving/cell/filter
+# family, linear-probe pair), the 7 CHANGED_SINCE_CHECK re-fronts after
+# the nprobe width doubling + q_rerank's rounding-mirror swap, and the
+# fewest-checked tail.
+_ROUND_12 = frozenset(
+    {
+        "q_agg_distinct", "q_agg_group", "q_ann_cell_stats",
+        "q_ann_filtered", "q_ann_nprobe_curve", "q_ann_pq_recall",
+        "q_ann_pq_recall_trained", "q_ann_pq_recall_trained_cb",
+        "q_ann_recall", "q_bm25", "q_bpe_segment", "q_bpe_train",
+        "q_bucketed_join", "q_char_entropy", "q_dq_audit",
+        "q_dq_quarantine", "q_embedding_drift", "q_embedding_pca",
+        "q_enrich_join", "q_filter_predicate", "q_fingerprint",
+        "q_fuzzy_match", "q_hard_negatives", "q_hard_negatives_served",
+        "q_join_inner_multi", "q_knn_graph", "q_label_propagate",
+        "q_lang_id", "q_linear_probe", "q_pq_train_encode",
+        "q_project_rename", "q_quality_score", "q_rerank",
+        "q_rollup_cube", "q_scalar_funcs", "q_semantic_decontaminate",
+        "q_semi_anti_join", "q_set_ops", "q_sort_limit_topk",
+        "q_text_stats", "q_tfidf", "q_token_count", "q_top_terms",
+        "q_triangle_count", "q_window_analytic", "q_window_rank",
+        "s_ann_index_maintain", "s_ann_index_rebuild", "s_ann_serve",
+        "s_linear_probe_online",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -312,6 +339,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     9: _ROUND_9,
     10: _ROUND_10,
     11: _ROUND_11,
+    12: _ROUND_12,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -365,17 +393,12 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # the scaled-double DuckDB mirror in r12 (same values on every fixture
 # row — parity re-verified green at both SFs — but the policy is a
 # fresh driver row after any material plan change).
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        "s_ann_index_rebuild",
-        "q_ann_pq_recall_trained",
-        "q_ann_pq_recall_trained_cb",
-        "q_ann_nprobe_curve",
-        "q_hard_negatives_served",
-        "s_ann_index_maintain",
-        "q_rerank",
-    }
-)
+# Round 12's 7 entries (the nprobe-width consumers + q_rerank) all
+# re-verified green AT HEAD in r12 and are cleared in the same change
+# that records CHECKED_BY_ROUND[12] (ADVICE r8's process rule).
+# Round-13 entries: plans with green rows rewritten this round land
+# here as they happen.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -415,29 +438,22 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # CHANGED_SINCE_CHECK re-fronts, then the fewest-checked tail fills to
 # 50. Queries registered after this budgeting land here and front
 # round 13.
-# The 12 queries below were registered later in round 12 (after the
-# window above was budgeted); they defer to keep the window stable and
-# front round 13. Every one is locally oracle-green at BOTH sf0.01 and
-# sf0.1 via tests/test_oracle_parity.py (the driver's exact
-# comparison), most also via a plain-session driver-emulation drive.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        "q_linear_probe_pca",
-        "q_index_health",
-        "q_knn_classify",
-        "q_knn_classify_served",
-        "q_mean_shift_detect",
-        "q_seasonal_decompose",
-        "s_mean_shift_alert",
-        "q_dedup_threshold_sweep",
-        "q_bpe_fertility",
-        "q_lsh_band_plan",
-        "q_pii_risk_report",
-        "q_dup_cluster_stats",
-        "q_source_quality_matrix",
-        "q_embedding_coverage",
-    }
-)
+# Round 12's window verified (50/50 green, cumulative 220/220). All 14
+# r12 deferrals cleared in the same change that records
+# CHECKED_BY_ROUND[12]: they carry their real zero-row count and front
+# the round-13 window automatically (VERDICT r12 ask #1 — green rows
+# for all 14 makes cumulative 234/234, every registered query
+# driver-verified).
+#
+# Round-13 window budget (VERDICT r12 ask #2 — stop the deferral queue
+# growing by reserving slots for in-round additions): 14 zero-count
+# deferrals front, then up to 6 RESERVE slots for queries registered
+# during round 13 (a brand-new registration carries zero checks and
+# sorts ahead of the tail automatically — the first 6 new queries this
+# round are therefore left OUT of DEFERRED_NEW and make this window),
+# then the fewest-checked tail (two-green r1/r2-era queries) fills to
+# 50. Only additions BEYOND the 6-slot reserve land in DEFERRED_NEW.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
