@@ -62,6 +62,30 @@ ISOLATED_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MAX", "6"))
 # trend the next verdict should adjudicate.
 DRIFT_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_RATIO", "1.25"))
 
+# Frozen round-over-round comparison core (VERDICT r12 ask #4): the
+# headline set grew 33 -> 37 members across r10-r12, so the headline
+# total quietly taxes every older number with shared-JVM pressure from
+# the additions. ``core_value`` sums exactly these 36 queries — the
+# BENCH_r10 membership, the best round and a subset of every later
+# round — so r10/r11/r12 artifacts can be re-read against the same
+# names. New bench members keep landing in ``value``/"queries" but
+# NEVER in the core; do not grow this set.
+BENCH_CORE = frozenset(
+    {
+        "q_agg_group", "q_ann_ivfpq", "q_bigram_nll", "q_containment",
+        "q_cooccurrence", "q_cosine_topk", "q_curation_pipeline",
+        "q_decontaminate", "q_dup_clusters", "q_enrich_join",
+        "q_interval_join", "q_join_inner_multi", "q_knn_graph",
+        "q_minhash_near_dup", "q_perplexity_filter", "q_pq_adc_topk",
+        "q_quantile_bins", "q_semantic_clusters", "q_simhash_near_dup",
+        "q_text_stats", "q_tfidf", "q_tpch_q1", "q_tpch_q21", "q_tpch_q3",
+        "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_triangle_count",
+        "q_unigram_nll", "q_window_rank", "q_zorder_layout",
+        "s_cdc_pipeline", "s_chained_agg", "s_idempotent_sink",
+        "s_kafka_txn_sink", "s_minhash_incremental",
+    }
+)
+
 
 def _drift_flags(timings: dict[str, float]) -> list[str]:
     """Names whose median exceeded DRIFT_RATIO x the prior round's value
@@ -216,11 +240,17 @@ def main() -> None:
                 timings[name] = isolated[name]
 
     total = round(sum(timings.values()), 3)
+    core = {n: t for n, t in timings.items() if n in BENCH_CORE}
     compact = {
         "metric": "headline query wall time, noop-sink materialization; "
         f"median of {passes} interleaved passes per query",
         "value": total,
         "unit": "sec",
+        # fixed 36-query comparison core (BENCH_r10 membership) — the
+        # round-over-round number; re-read older artifacts by summing
+        # the same names from their "queries" maps
+        "core_value": round(sum(core.values()), 3),
+        "core_n": len(core),
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "loadavg_start": round(load_at_start, 2),
