@@ -150,6 +150,86 @@ def kafka_raw_envelope_source(
     return source
 
 
+def jdbc_dimension_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 1000,
+    driver: str | None = None,
+) -> dict[str, str]:
+    """Reader options for a JDBC dimension table, assembled as data so
+    they are unit-testable without a database (same pattern as
+    :func:`kafka_source_options`).
+
+    The reference's dimension source of truth is Postgres via JPA
+    (app/src/main/java/com/example/app/repository/EventRepository.java:6,
+    SURVEY §1.4 "JDBC read or parquet dimension table"); this is the
+    JDBC half of that mapping — the parquet/versioned-store half lives
+    in sources/sinks.py.
+
+    Scale notes: ``partition_column``/bounds/``num_partitions`` stripe
+    the dimension scan into N concurrent range queries (without them a
+    JDBC read is ONE executor task — fine for a 25-row region dim,
+    wrong for a 10^8-row customer dim); ``fetchsize`` bounds row
+    round-trips per cursor fetch. All four must be set together or not
+    at all (Spark requires the full partitioning quad).
+    """
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetchsize)}
+    if driver:
+        opts["driver"] = driver
+    quad = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(v is not None for v in quad):
+        if any(v is None for v in quad):
+            raise ValueError(
+                "partition_column, lower_bound, upper_bound and "
+                "num_partitions must be set together"
+            )
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_dimension(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 1000,
+    driver: str | None = None,
+) -> DataFrame:
+    """Dimension table over JDBC (reference §2A #22's source of truth;
+    VERDICT r12 ask #5). Returns a plain DataFrame suitable for the
+    size-aware broadcast join in streaming/pipeline.py.
+
+    Filters and column pruning push into the generated SQL
+    (``PushedFilters``/``ReadSchema`` on the JDBCRelation scan — pinned
+    in tests/test_jdbc_dim.py against Spark's bundled embedded Derby,
+    so the plan shape is proven without a live Postgres)."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_dimension_options(
+        url,
+        table,
+        partition_column,
+        lower_bound,
+        upper_bound,
+        num_partitions,
+        fetchsize,
+        driver,
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def confluent_avro_value(value: F.Column, avro_schema_json: str) -> F.Column:
     """Decode a Confluent-framed Avro value column (§2A #2).
 
