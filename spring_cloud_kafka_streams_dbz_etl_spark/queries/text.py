@@ -1330,6 +1330,46 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BPE_MERGES = 8
 
 
+def bpe_merge_capacity(words: DataFrame) -> int:
+    """Certain-exhaustion upper bound on trainable merges for a word
+    histogram (column ``w``): ``sum(len(w)) - |W|``. Every applied merge
+    shrinks at least one vocabulary word's token sequence by >= 1 and the
+    floor is one token per word, so training PAST this depth is
+    guaranteed to exhaust; BELOW it, exhaustion can still arrive early
+    when one merge rule eats several occurrences (this fixture: bound
+    107, actual exhaustion 89 — pinned in test_plans.py). One
+    vocabulary-sized aggregate, 1-row collect (control-plane; at 100 TB
+    the histogram is ~1e7 rows)."""
+    row = words.agg(
+        F.count(F.lit(1)).alias("nw"), F.sum(F.length("w")).alias("chars")
+    ).collect()[0]
+    return int(row.chars) - int(row.nw)
+
+
+def bpe_merges_for(words: DataFrame, vocab_target: int) -> int:
+    """Merge-count knob (VERDICT r12 ask #7, the ivf_cells_for pattern):
+    classic BPE sizing ``merges = vocab_target - |alphabet|`` (final
+    vocabulary ~= base characters + one new token per merge), capped by
+    :func:`bpe_merge_capacity` so an over-ambitious target on a small
+    corpus degrades to "as deep as the corpus can go" instead of a
+    guaranteed mid-loop exhaustion. On this fixture alphabet=24, so
+    vocab_target=32 reproduces the registered N_BPE_MERGES=8.
+
+    Scale note: the knob prices the DISTRIBUTED loop, whose per-round
+    cost is two control-plane jobs (SCALE.md: ~0.2-0.3 s/round constant
+    in depth). For production vocab_targets (32k) SCALE.md's posture is
+    the cutover — histogram collects (~100 MB, vocabulary-bounded) and
+    the merge loop runs on a local pair-heap — so this knob's cap also
+    marks where the distributed loop stops being the right shape."""
+    alphabet = (
+        words.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .agg(F.countDistinct("c"))
+        .collect()[0][0]
+    )
+    return max(0, min(int(vocab_target) - int(alphabet), bpe_merge_capacity(words)))
+
+
 def _bpe_train_oracle() -> str:
     """Unrolled relational BPE: per round, (a) adjacent-pair counts
     weighted by word frequency, (b) deterministic argmax (count DESC,
@@ -1463,7 +1503,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int
+    spark: SparkSession, sf_dir: str, n_merges: int, allow_exhaustion: bool = False
 ) -> tuple[list[tuple], DataFrame]:
     """The distributed merge loop behind q_bpe_train, parameterized on
     depth so the rounds-vs-merges cost curve can be measured past the
@@ -1512,6 +1552,12 @@ def _bpe_train_merges(
         )
         best = pairs.orderBy(F.col("cnt").desc(), "lt", "rt").limit(1).collect()
         if not best:
+            # every histogram word is a single token — nothing left to
+            # learn. Callers sizing depth with bpe_merges_for() hit this
+            # only on degenerate corpora (the knob's capacity cap is an
+            # upper bound, not the exact exhaustion point).
+            if allow_exhaustion:
+                break
             raise ValueError(
                 f"pairs exhausted after {rank - 1} merges — corpus too small "
                 f"for n_merges={n_merges}"

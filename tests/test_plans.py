@@ -1597,6 +1597,48 @@ def test_bpe_deep_training_extends_shallow(spark):
         assert cur >= prev - 1
 
 
+def test_bpe_merges_for_knob_and_exhaustion(spark):
+    """bpe_merges_for (VERDICT r12 ask #7): classic vocab sizing
+    (merges = vocab_target - alphabet) capped by the certain-exhaustion
+    bound sum(len(w)) - |W|, and the loop's behavior AT the corpus's
+    true depth limit — graceful break with allow_exhaustion, ValueError
+    without. Pins the fixture trajectory the r12 depth measurement
+    found: bound 107, true exhaustion 89 (the bound is an upper bound,
+    not the exact limit — late merge rules eat multiple occurrences)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.text import (
+        N_BPE_MERGES,
+        _bpe_train_merges,
+        bpe_merge_capacity,
+        bpe_merges_for,
+    )
+
+    d = table(spark, SF_ORACLE, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cap = bpe_merge_capacity(words)
+    assert cap == 107  # sum(len(w)) - |W| = 138 - 31 on this fixture
+    assert bpe_merges_for(words, 32) == N_BPE_MERGES  # alphabet 24 + 8
+    assert bpe_merges_for(words, 10**6) == cap  # capacity-capped
+    assert bpe_merges_for(words, 10) == 0  # target below alphabet
+    # over-capacity without the escape hatch: certain mid-loop raise
+    with pytest.raises(ValueError, match="pairs exhausted"):
+        _bpe_train_merges(spark, SF_ORACLE, cap + 1)
+    # the escape hatch trains as deep as the corpus goes and stops
+    deep, final = _bpe_train_merges(spark, SF_ORACLE, cap, allow_exhaustion=True)
+    assert len(deep) == 89  # true exhaustion, strictly under the bound
+    assert deep[:N_BPE_MERGES] == _bpe_train_merges(spark, SF_ORACLE, N_BPE_MERGES)[0]
+    # terminal state: every histogram word is one token
+    assert final.filter(F.size("toks") >= 2).count() == 0
+
+
 def test_knn_classify_served_tracks_exact(spark):
     """The vote-serving twin pin (mirrors the hard-negatives pairing):
     q_knn_classify_served's per-probe predictions must agree with the
