@@ -453,6 +453,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 # round are therefore left OUT of DEFERRED_NEW and make this window),
 # then the fewest-checked tail (two-green r1/r2-era queries) fills to
 # 50. Only additions BEYOND the 6-slot reserve land in DEFERRED_NEW.
+# Reserve slots used so far in r13 (registered early, oracle-green at
+# both SFs before registration counted): 1. q_bpe_capacity,
+# 2. q_ann_coverage_curve.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

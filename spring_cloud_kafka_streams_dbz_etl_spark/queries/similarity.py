@@ -2408,6 +2408,144 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the rank-distribution sweep: wider than NPROBE_CURVE because one
+# routing pass prices EVERY width at once (no per-point ADC stage), so
+# extending the sweep to near-k costs nothing — exactly how the r13
+# geometry measurement (tools/measure_ann_geometry.py) extended the
+# curve past the serving default to find the 0.75/0.9 crossings.
+COVERAGE_CURVE = (1, 2, 4, 8, 16, 24, 32, 48)
+
+
+def _coverage_curve_oracle() -> str:
+    from ..operators.similarity import PQ_DIM
+
+    scale = 1_000_000
+    l2 = (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_DIM + 1}), i -> "
+        f"(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6)"
+    )
+    cdist = (
+        f"list_sum(list_transform(range(1, {PQ_DIM + 1}), d -> "
+        f"(i.iv[d] / {scale}.0 - s.c[d]) * (i.iv[d] / {scale}.0 - s.c[d])))"
+    )
+    total = N_PROBE_QUERIES * TOPK
+    grid = ", ".join(f"({w})" for w in COVERAGE_CURVE)
+    return f"""
+WITH {_kmeans_cte_chain()}, v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {l2} ASC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, v FROM v WHERE vec_id < {N_PROBE_QUERIES}) q
+    CROSS JOIN v c
+    WHERE q.vec_id <> c.vec_id)
+  WHERE rank <= {TOPK}
+), cellrank AS (
+  SELECT i.vec_id, CAST(s.cell AS INT) AS cell,
+         ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                            ORDER BY {cdist} ASC, s.cell ASC) AS rn
+  FROM iv i CROSS JOIN c2 s
+  WHERE i.vec_id < {N_PROBE_QUERIES}
+), nr AS (
+  SELECT x.query_id, cr.rn AS cell_rank
+  FROM exact x
+  JOIN af ON af.vec_id = x.neighbor_id
+  JOIN cellrank cr
+    ON cr.vec_id = x.query_id AND cr.cell = CAST(af.cell AS INT)
+), grid(nprobe) AS (VALUES {grid})
+SELECT CAST(g.nprobe AS INT) AS nprobe,
+       CAST(LEAST(g.nprobe, kb.k) AS INT) AS nprobe_eff,
+       CAST(SUM(CASE WHEN nr.cell_rank <= LEAST(g.nprobe, kb.k)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN nr.cell_rank <= LEAST(g.nprobe, kb.k)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {total}, 6)
+           AS coverage,
+       ROUND(CAST(LEAST(g.nprobe, kb.k) AS DOUBLE) / kb.k, 6) AS scan_frac,
+       ROUND(CAST(SUM(CASE WHEN nr.cell_rank <= LEAST(g.nprobe, kb.k)
+                           THEN 1 ELSE 0 END) * kb.k AS DOUBLE)
+             / ({total} * LEAST(g.nprobe, kb.k)), 6) AS lift
+FROM grid g CROSS JOIN knobs kb CROSS JOIN nr
+GROUP BY g.nprobe, kb.k
+"""
+
+
+@query("q_ann_coverage_curve", oracle=_coverage_curve_oracle())
+def q_ann_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-coverage curve from the NEIGHBOR-CELL RANK distribution
+    (r13, the query form of tools/measure_ann_geometry.py): for each
+    width in {COVERAGE_CURVE}, the fraction of exact top-{TOPK}
+    neighbors whose assigned cell ranks within the first ``nprobe``
+    cells of its query's centroid ordering, plus the uniform-baseline
+    price (scan_frac = nprobe/k) and the lift over it. Recall equals
+    coverage on this stack (measured r12 — the refine converts every
+    delivered candidate), so this table IS the recall ceiling at every
+    width, and ONE routing pass prices all widths at once —
+    q_ann_nprobe_curve runs the full composed serve path per point;
+    this is the cheap index-side sweep an operator extends to any
+    width (the r13 geometry closure read the 0.75-coverage crossing —
+    nprobe=20, 32% scan at sf0.1 — off exactly this curve). A decaying
+    lift column is the unstructured-geometry signature; clustered
+    corpora hold lift near k/nprobe out to saturation.
+
+    Scale: model trains once (distributed Lloyd, k×dim literals); the
+    exact ground truth is the audit-only broadcast-probes scan; the
+    routing pass is map-only Arrow over the 8-probe set at full width
+    (8×k rows); the corpus-sized assignment relation shuffle-joins the
+    80-row ground truth WITHOUT broadcast of the corpus side, then
+    everything downstream is probe-sized. Widths above k clamp to k on
+    both engines (nominal nprobe reported, nprobe_eff shows the clamp)
+    so the row set is fixture-independent.
+
+    Reference parity: none (BASELINE.json north star)."""
+    from ..operators.similarity import ivf_assign, ivf_probe, kmeans_fit
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(fan_out(e, spark))
+    k = len(cents)
+    probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
+    ranks = ivf_probe(probes, cents, k).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.col("probe_rank").alias("cell_rank"),
+    )
+    cells = ivf_assign(fan_out(e, spark), cents).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    nr = (
+        _exact_topk(e, probes, spark)
+        .join(cells, "neighbor_id")
+        .join(ranks, ["query_id", "cell"])
+        .select("query_id", "cell_rank")
+    )
+    grid = spark.createDataFrame([(w,) for w in COVERAGE_CURVE], "nprobe int")
+    total = N_PROBE_QUERIES * TOPK
+    covered = F.sum(
+        F.when(F.col("cell_rank") <= F.col("np_eff"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        nr.crossJoin(F.broadcast(grid))
+        .withColumn("np_eff", F.least(F.col("nprobe"), F.lit(k)))
+        .groupBy("nprobe", "np_eff")
+        .agg(covered.alias("n_covered"))
+        .select(
+            "nprobe",
+            F.col("np_eff").cast("int").alias("nprobe_eff"),
+            "n_covered",
+            F.round(F.col("n_covered").cast("double") / total, 6).alias("coverage"),
+            F.round(F.col("np_eff").cast("double") / k, 6).alias("scan_frac"),
+            F.round(
+                (F.col("n_covered") * k).cast("double")
+                / (total * F.col("np_eff")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # -- filtered vector search ---------------------------------------------------
 
 ANN_FILTER = "label < 5"  # the allowed-subset predicate (~half the corpus)

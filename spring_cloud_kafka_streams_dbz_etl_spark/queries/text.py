@@ -1370,6 +1370,93 @@ def bpe_merges_for(words: DataFrame, vocab_target: int) -> int:
     return max(0, min(int(vocab_target) - int(alphabet), bpe_merge_capacity(words)))
 
 
+_BPE_VOCAB_GRID = (26, 32, 64, 1_000_000)
+
+
+@query(
+    "q_bpe_capacity",
+    oracle=f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(LENGTH(w)) AS BIGINT) AS total_chars
+  FROM words
+), alpha AS (
+  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS alphabet_size FROM (
+    SELECT UNNEST(string_split(w, '')) AS c FROM words)
+  WHERE c <> ''
+), grid(vocab_target) AS (
+  VALUES {", ".join(f"(CAST({v} AS BIGINT))" for v in _BPE_VOCAB_GRID)}
+)
+SELECT vocab_target, alphabet_size, n_words, total_chars,
+       total_chars - n_words AS merge_capacity,
+       GREATEST(CAST(0 AS BIGINT),
+                LEAST(vocab_target - alphabet_size,
+                      total_chars - n_words)) AS n_merges
+FROM grid, stats, alpha
+""",
+)
+def q_bpe_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer capacity planning (r13, the table form of
+    :func:`bpe_merges_for` / :func:`bpe_merge_capacity`): for each
+    candidate vocab_target, the merge depth the knob would train —
+    ``min(vocab_target - alphabet, capacity)`` floored at 0 — alongside
+    the corpus stats it derives from (distinct words, total vocabulary
+    chars, alphabet size, the certain-exhaustion capacity bound). The
+    sheet an operator reads BEFORE launching q_bpe_train at a new
+    vocabulary size; driver-verifies the knob arithmetic cross-engine.
+
+    Scale: two vocabulary-sized aggregates (word histogram is the one
+    corpus-sized groupBy, shared shape with q_bpe_train) broadcast onto
+    a |grid|-row literal table — the documented 1-row scalar
+    crossJoin pattern, |grid| output rows. All integer arithmetic: no
+    float surface at all.
+
+    Reference parity: none (BASELINE.json north star)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("total_chars"),
+    )
+    alpha = (
+        words.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .agg(F.countDistinct("c").alias("alphabet_size"))
+    )
+    grid = spark.createDataFrame(
+        [(v,) for v in _BPE_VOCAB_GRID], "vocab_target long"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        grid.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(alpha))
+        .select(
+            "vocab_target",
+            "alphabet_size",
+            "n_words",
+            "total_chars",
+            (F.col("total_chars") - F.col("n_words")).alias("merge_capacity"),
+            F.greatest(
+                zero,
+                F.least(
+                    F.col("vocab_target") - F.col("alphabet_size"),
+                    F.col("total_chars") - F.col("n_words"),
+                ),
+            ).alias("n_merges"),
+        )
+    )
+
+
 def _bpe_train_oracle() -> str:
     """Unrolled relational BPE: per round, (a) adjacent-pair counts
     weighted by word frequency, (b) deterministic argmax (count DESC,
