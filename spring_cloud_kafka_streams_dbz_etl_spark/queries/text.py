@@ -1370,6 +1370,124 @@ def bpe_merges_for(words: DataFrame, vocab_target: int) -> int:
     return max(0, min(int(vocab_target) - int(alphabet), bpe_merge_capacity(words)))
 
 
+_VOCAB_GROWTH_GRID = ((1, 16), (1, 8), (1, 4), (1, 2), (1, 1))
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), first_seen AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM w GROUP BY w
+), doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY doc_id
+), mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+grid(grid_idx, num, den) AS (
+  VALUES {", ".join(f"({i + 1}, {n}, {d})" for i, (n, d) in enumerate(_VOCAB_GROWTH_GRID))}
+), thr AS (
+  SELECT grid_idx, CAST(max_id * num // den AS BIGINT) AS threshold_id
+  FROM grid CROSS JOIN mx
+), tok AS (
+  SELECT t.grid_idx,
+         CAST(SUM(CASE WHEN d.doc_id <= t.threshold_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN d.doc_id <= t.threshold_id THEN d.n ELSE 0 END)
+              AS BIGINT) AS n_tokens
+  FROM thr t CROSS JOIN doc_tokens d GROUP BY t.grid_idx
+), voc AS (
+  SELECT t.grid_idx,
+         CAST(SUM(CASE WHEN f.first_doc <= t.threshold_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS vocab_size
+  FROM thr t CROSS JOIN first_seen f GROUP BY t.grid_idx
+)
+SELECT t.grid_idx, t.threshold_id, k.n_docs, k.n_tokens, v.vocab_size,
+       ROUND(CAST(v.vocab_size AS DOUBLE) / k.n_tokens, 6) AS ttr
+FROM thr t JOIN tok k ON k.grid_idx = t.grid_idx
+JOIN voc v ON v.grid_idx = t.grid_idx
+""",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (r13): distinct-word count at
+    a grid of deterministic corpus prefixes (docs with id ≤ a fraction
+    of max id), with cumulative token counts and type-token ratio. The
+    corpus-planning primitive: the curve's log-log slope (fit offline —
+    libm log is not a cross-engine-safe oracle surface) extrapolates
+    vocabulary size at 100 TB, which sizes BPE vocab targets
+    (q_bpe_capacity feeds on it), embedding tables, and the
+    `bpe_merges_for` knob before any training run.
+
+    Scale: Heaps sampling WITHOUT windows or sorts — a word's prefix
+    membership is ``first_doc = min(doc_id)`` (ONE combinable
+    corpus-sized groupBy(word), same shape as the BPE histogram), then
+    both curve legs are conditional sums over a broadcast |grid|-row
+    literal: vocabulary leg over the |V|-row first-seen relation,
+    token leg over the |docs|-row per-doc counts. No global row_number
+    anywhere — prefix thresholds are integer id fractions, exact on
+    both engines.
+
+    Reference parity: none (BASELINE.json north star)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    first_seen = w.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    grid = spark.createDataFrame(
+        [(i + 1, n, den) for i, (n, den) in enumerate(_VOCAB_GROWTH_GRID)],
+        "grid_idx int, num long, den long",
+    )
+    thr = (
+        grid.crossJoin(F.broadcast(mx))
+        .select(
+            "grid_idx",
+            F.expr("max_id * num div den").cast("bigint").alias("threshold_id"),
+        )
+    )
+    tok = (
+        doc_tokens.crossJoin(F.broadcast(thr))
+        .groupBy("grid_idx", "threshold_id")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("threshold_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("threshold_id"), F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    voc = (
+        first_seen.crossJoin(F.broadcast(thr.select("grid_idx", "threshold_id")))
+        .groupBy("grid_idx")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("threshold_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab_size")
+        )
+    )
+    return tok.join(voc, "grid_idx").select(
+        "grid_idx",
+        "threshold_id",
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+    )
+
+
 _BPE_VOCAB_GRID = (26, 32, 64, 1_000_000)
 
 
