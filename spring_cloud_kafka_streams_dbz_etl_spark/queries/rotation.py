@@ -455,7 +455,7 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 # 50. Only additions BEYOND the 6-slot reserve land in DEFERRED_NEW.
 # Reserve slots used so far in r13 (registered early, oracle-green at
 # both SFs before registration counted): 1. q_bpe_capacity,
-# 2. q_ann_coverage_curve, 3. q_vocab_growth.
+# 2. q_ann_coverage_curve, 3. q_vocab_growth, 4. q_embedding_dq.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -2408,6 +2408,96 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # declared embedding width the DQ audit checks against
+
+
+@query(
+    "q_embedding_dq",
+    oracle=f"""
+WITH n AS (
+  SELECT label,
+         len(embedding) AS dim,
+         list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             AS ss,
+         list_bool_or(list_transform(embedding,
+                                     x -> isnan(CAST(x AS DOUBLE))
+                                          OR isinf(CAST(x AS DOUBLE))))
+             AS bad
+  FROM embeddings
+), m AS (
+  SELECT label, dim, bad,
+         CASE WHEN ss = 0 THEN 1 ELSE 0 END AS zero_norm,
+         CAST(ROUND(SQRT(ss), 6) AS DECIMAL(18, 6)) AS nrm
+  FROM n
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(zero_norm) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(CASE WHEN dim <> {EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dim_mismatch,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+       CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+FROM m GROUP BY label
+""",
+)
+def q_embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality audit (r13) — the hygiene gate BEFORE any
+    index build or dedup pass touches the vectors: per label, counts of
+    zero-norm vectors (undefined cosine — the NULL-drop contract
+    blocked_cosine_pairs pins), declared-width mismatches (a silent
+    upstream re-embed), and non-finite components (NaN/Inf poison every
+    distance), plus the norm envelope (min/max/avg) whose drift says
+    the embedding model or its normalization changed. The embedding
+    twin of q_dq_audit's relational checks.
+
+    Determinism: the squared-norm is the repo's sequential double fold
+    (list_sum twin), SQRT is IEEE-identical, norms enter aggregation as
+    ROUND(6) DECIMAL(18,6) so min/max/avg are order-independent and
+    engine-exact; anomaly counts are integer CASE sums.
+
+    Scale: one map-only pass over the corpus + a combinable
+    groupBy(label) — ‖labels‖ output rows; runs at parquet-scan speed
+    next to the index build it gates.
+
+    Reference parity: none (BASELINE.json north star)."""
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    ss = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    inf = F.lit(float("inf"))
+    bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == inf))
+    base = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        ss.alias("ss"),
+        bad.alias("bad"),
+    ).select(
+        "label",
+        "dim",
+        "bad",
+        F.when(F.col("ss") == 0, 1).otherwise(0).alias("zero_norm"),
+        F.round(F.sqrt("ss"), 6).cast("decimal(18,6)").alias("nrm"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("zero_norm").cast("bigint").alias("n_zero_norm"),
+        F.sum(F.when(F.col("dim") != EMB_DIM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dim_mismatch"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.min("nrm").cast("double").alias("min_norm"),
+        F.max("nrm").cast("double").alias("max_norm"),
+        F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_norm"
+        ),
+    )
+
+
 # the rank-distribution sweep: wider than NPROBE_CURVE because one
 # routing pass prices EVERY width at once (no per-point ADC stage), so
 # extending the sweep to near-k costs nothing — exactly how the r13
