@@ -1476,7 +1476,9 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_size")
         )
     )
-    return tok.join(voc, "grid_idx").select(
+    # both legs are |grid|-row aggregates; the closing join is broadcast
+    # (static stats can't see post-agg cardinality, so hint it)
+    return tok.join(F.broadcast(voc), "grid_idx").select(
         "grid_idx",
         "threshold_id",
         "n_docs",

@@ -1744,3 +1744,29 @@ def test_capacity_planner_plans(spark, sf_smoke):
     text = explain_str(SPECS["q_bpe_fertility"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in text, text[:1500]
     assert "SortMergeJoin" not in text, text[:1500]
+
+
+def test_r13_query_plans(spark, sf_smoke):
+    """The r13 additions keep their docstring shapes: q_vocab_growth is
+    windowless (Heaps sampling via conditional sums over a broadcast
+    grid — no global row_number, no sort-merge join); q_embedding_dq is
+    one map pass + a combinable groupBy(label) with NO join of any
+    kind; q_ann_coverage_curve never goes cartesian (its crossJoins are
+    broadcast literal grids -> BroadcastNestedLoopJoin, and the
+    corpus-sized assignment relation joins keyed)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    text = explain_str(SPECS["q_vocab_growth"].fn(spark, sf_smoke))
+    assert "Window" not in text, text[:1500]
+    assert "SortMergeJoin" not in text, text[:1500]
+    assert "CartesianProduct" not in text, text[:1500]
+    assert "partial_count" in text, text[:1500]  # map-side combine
+
+    text = explain_str(SPECS["q_embedding_dq"].fn(spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in text, (node, text[:1500])
+    assert "partial_count" in text, text[:1500]
+
+    text = explain_str(SPECS["q_ann_coverage_curve"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in text, text[:1500]
