@@ -68,6 +68,14 @@ class CdcPipelineConfig:
     # (see tests/test_kafka_integration.py). None = the sandbox's
     # file-source stand-in over sf_dir.
     raw_source: "Callable[[], DataFrame] | None" = None
+    # Optional dimension override: a zero-arg callable returning the
+    # enrichment dimension, re-invoked PER MICRO-BATCH (the reference's
+    # always-fresh JPA lookup, §2A #22). This is how the topology runs
+    # against the reference's actual source of truth — a JDBC database:
+    # pass lambda: sources.streams.jdbc_dimension(spark, url, table, ...)
+    # (proven against embedded Derby in tests/test_jdbc_dim.py). None =
+    # the versioned parquet dimension store over sf_dir.
+    dim_source: "Callable[[], DataFrame] | None" = None
 
 
 def _parse_keep_original(raw: DataFrame) -> DataFrame:
@@ -258,10 +266,16 @@ def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
         # (sources/sinks.py::load_dimension): the resolved version dir is
         # immutable, so a concurrent CRUD upsert can never yank files out
         # from under this micro-batch — no retry loop needed. Static dims
-        # (plain testdata parquet) read directly.
-        from ..sources.sinks import load_dimension
+        # (plain testdata parquet) read directly. With cfg.dim_source the
+        # resolver is the caller's (e.g. a JDBC read against the
+        # reference's Postgres source of truth) — still per-batch, so
+        # upstream CRUD writes are visible to the next micro-batch.
+        if cfg.dim_source is not None:
+            dim = cfg.dim_source()
+        else:
+            from ..sources.sinks import load_dimension
 
-        dim = load_dimension(spark, f"{cfg.sf_dir}/customer.parquet")
+            dim = load_dimension(spark, f"{cfg.sf_dir}/customer.parquet")
         if cfg.dim_filter:
             dim = dim.filter(cfg.dim_filter)
         return dim

@@ -91,6 +91,52 @@ def test_jdbc_dimension_roundtrip_values(spark, derby_dim):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_cdc_pipeline_enriches_from_jdbc_dimension(spark, sf_smoke, derby_dim):
+    """End-to-end §2A #22: the CDC enrichment stream running with a JDBC
+    database as the dimension source of truth (the reference's actual
+    topology — Kafka stream × Postgres-backed lookup; here embedded
+    Derby via cfg.dim_source, re-read per micro-batch like the
+    reference's always-fresh JPA lookup). Output must be byte-identical
+    to the same pipeline run against the parquet dimension."""
+    import tempfile
+    import uuid
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.pipeline import (
+        ENRICHED_SCHEMA,
+        CdcPipelineConfig,
+        build_cdc_pipeline,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.registry import (
+        StreamRegistry,
+    )
+
+    url, src = derby_dim
+
+    def run(dim_source):
+        d = tempfile.mkdtemp(prefix=f"jdbc_cdc_{uuid.uuid4().hex[:6]}_")
+        cfg = CdcPipelineConfig(
+            sf_dir=sf_smoke,
+            out_path=f"{d}/out",
+            dlq_path=f"{d}/dlq",
+            checkpoint=f"{d}/ckpt",
+            dim_source=dim_source,
+        )
+        reg = StreamRegistry()
+        reg.register("jdbc_cdc", build_cdc_pipeline(spark, cfg), checkpoint=f"{d}/ckpt")
+        reg.process_available("jdbc_cdc")
+        reg.stop("jdbc_cdc")
+        return sorted(
+            map(tuple, spark.read.schema(ENRICHED_SCHEMA).parquet(f"{d}/out").collect())
+        )
+
+    jdbc_rows = run(
+        lambda: jdbc_dimension(spark, url, "customer_dim", driver=DERBY_DRIVER)
+    )
+    parquet_rows = run(None)
+    assert jdbc_rows == parquet_rows
+    assert len(jdbc_rows) > 0
+
+
 def test_jdbc_dimension_pushdown_and_partitioning(spark, derby_dim):
     """The scale pins: predicate lands in the remote SQL (PushedFilters),
     projection prunes to the selected columns (ReadSchema), and the
