@@ -455,7 +455,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 # 50. Only additions BEYOND the 6-slot reserve land in DEFERRED_NEW.
 # Reserve slots used so far in r13 (registered early, oracle-green at
 # both SFs before registration counted): 1. q_bpe_capacity,
-# 2. q_ann_coverage_curve, 3. q_vocab_growth, 4. q_embedding_dq.
+# 2. q_ann_coverage_curve, 3. q_vocab_growth, 4. q_embedding_dq,
+# 5. q_embedding_spectrum (plus a value-identical _pca_model
+# extraction — parity re-verified for both PCA consumers at both SFs,
+# and both get fresh driver rows this window anyway).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

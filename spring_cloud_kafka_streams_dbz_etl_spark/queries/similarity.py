@@ -2883,6 +2883,31 @@ def _pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_embedding_pca's full computation, shared with
     q_linear_probe_pca (which consumes the projection as its feature
     and must see bit-identical values)."""
+    mu, _, v, base = _pca_model(spark, sf_dir)
+    D, scale = PCA_DIM, 1_000_000
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("iv"), lambda x: x / F.lit(float(scale))),
+            F.zip_with(mu_arr, v_arr, lambda m, w: F.struct(m.alias("m"), w.alias("w"))),
+            lambda x, mw: (x - mw["m"]) * mw["w"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select("vec_id", F.round(proj, 6).alias("pc1_proj"))
+
+
+def _pca_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[list[float]], list[float], DataFrame]:
+    """The exact sufficient-statistics pass + driver-side power
+    iteration behind q_embedding_pca: returns (mu, C, v_P, base) where
+    base is the cached integerized-vector relation. Extracted r13 (a
+    pure lift — identical expressions, identical fold orders, zero plan
+    change for the existing consumers) so q_embedding_spectrum can read
+    trace/Rayleigh diagnostics off the same model."""
     import math
 
     tune(spark)
@@ -2938,18 +2963,7 @@ def _pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 u[d] = u[d] + C[d][ee] * ve
         norm = math.sqrt(_sum_ascending([x * x for x in u]))
         v = [math.floor(x / norm * scale) / scale for x in u]
-    mu_arr = F.array(*[F.lit(m) for m in mu])
-    v_arr = F.array(*[F.lit(x) for x in v])
-    proj = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("iv"), lambda x: x / F.lit(float(scale))),
-            F.zip_with(mu_arr, v_arr, lambda m, w: F.struct(m.alias("m"), w.alias("w"))),
-            lambda x, mw: (x - mw["m"]) * mw["w"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return base.select("vec_id", F.round(proj, 6).alias("pc1_proj"))
+    return mu, C, v, base
 
 
 def _sum_ascending(xs: list[float]) -> float:
@@ -2957,6 +2971,87 @@ def _sum_ascending(xs: list[float]) -> float:
     for x in xs:
         acc = acc + x
     return acc
+
+
+def _spectrum_oracle() -> str:
+    D, P = PCA_DIM, PCA_ITERS
+    return f"""
+WITH {_pca_cte_chain()}, tr AS (
+  SELECT list_sum(list_transform(range(1, {D + 1}), d -> C[d][d])) AS trace
+  FROM cmat
+), ray AS (
+  SELECT list_sum(list_transform(range(1, {D + 1}), d -> v[d] *
+           list_sum(list_transform(range(1, {D + 1}), e ->
+             C[d][e] * v[e])))) AS num,
+         list_sum(list_transform(range(1, {D + 1}), d -> v[d] * v[d])) AS den
+  FROM cmat, v{P}
+)
+SELECT CAST({D} AS INT) AS dim,
+       ROUND(trace, 6) AS trace_cov,
+       ROUND(trace / {D}, 6) AS mean_eig,
+       ROUND(num / den, 6) AS lambda1_rq,
+       ROUND((num / den) / (trace / {D}), 6) AS flatness_ratio
+FROM tr, ray
+"""
+
+
+@query("q_embedding_spectrum", oracle=_spectrum_oracle())
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral pre-flight for the embedding corpus (r13): total
+    covariance energy (trace — exactly 1.0 on a unit-normalized corpus,
+    so it doubles as a normalization check next to q_embedding_dq),
+    mean eigenvalue (trace/dim), the Rayleigh quotient of the
+    deterministic {PCA_ITERS}-round power iterate (a lower bound on λ1
+    with the same spec honesty as q_embedding_pca — both engines
+    compute identical iterates), and flatness_ratio = λ̂1 / mean_eig.
+
+    What it decides — stated carefully, because the r13 geometry work
+    (SCALE.md, tools/measure_ann_geometry.py) proved spectrum and
+    IVF-friendliness are DIFFERENT questions: a ratio ≫ 1 means strong
+    low-rank structure, so whitening / PCA reduction / OPQ-style
+    rotation pays before encoding, and pc1 probes
+    (q_linear_probe_pca) have signal to find; a ratio near 1 (this
+    fixture: ~1.7 at sf0.01 over the unconverged iterate) means no
+    dominant direction — don't budget a reduction step. Multimodality
+    (whether IVF cells prune) is measured by the rank curve
+    (q_ann_coverage_curve), NOT here: the r13 clustered control has a
+    near-flat spectrum (64 equal clusters span all 64 dims) yet perfect
+    cell coverage, so the two pre-flights are complements, not
+    substitutes.
+
+    Scale: the data cost is q_embedding_pca's ONE exact Gram pass
+    (map-side-combinable DECIMAL(38,0) sufficient statistics, 64×64+64
+    outputs); every diagnostic here is O(D²) driver math on that model
+    — the output is a single row. Determinism: trace and both Rayleigh
+    folds are ascending-index sequential sums (the list_sum twin),
+    single IEEE divisions, ROUND(6) via the DuckDB-mirror helper.
+
+    Reference parity: none (BASELINE.json north star)."""
+    mu, C, v, _ = _pca_model(spark, sf_dir)
+    D = PCA_DIM
+    trace = _sum_ascending([C[d][d] for d in range(D)])
+    num = _sum_ascending(
+        [
+            v[d] * _sum_ascending([C[d][e] * v[e] for e in range(D)])
+            for d in range(D)
+        ]
+    )
+    den = _sum_ascending([v[d] * v[d] for d in range(D)])
+    lam = num / den
+    mean_eig = trace / D
+    return spark.createDataFrame(
+        [
+            (
+                D,
+                round_half_up6(trace),
+                round_half_up6(mean_eig),
+                round_half_up6(lam),
+                round_half_up6(lam / mean_eig),
+            )
+        ],
+        "dim int, trace_cov double, mean_eig double, lambda1_rq double, "
+        "flatness_ratio double",
+    )
 
 
 # -- linear probe ON the learned representation --------------------------------
