@@ -81,9 +81,9 @@ def spectrum(e, tag):
     X = np.array([list(map(float, r.embedding)) for r in e.collect()])
     X = X - X.mean(axis=0)
     ev = np.linalg.eigvalsh(np.cov(X.T))[::-1]
-    print(f"[{tag}] covariance spectrum: top8/mean = "
+    print(f"\n[{tag}] covariance spectrum: top8/mean = "
           f"{np.round(ev[:8] / ev.mean(), 2).tolist()}  "
-          f"(clustered data: top few >> 1; flat: all ~1)")
+          f"(clustered data: top few >> 1; flat: all ~1)", flush=True)
 
 
 def clustered_control(spark, n, dim, n_clusters, sigma):
