@@ -1383,7 +1383,13 @@ WITH w AS (
 ), first_seen AS (
   SELECT w, MIN(doc_id) AS first_doc FROM w GROUP BY w
 ), doc_tokens AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY doc_id
+  -- per-doc token count as a map-only array expression so EMPTY
+  -- documents keep their row (an exploded-word groupBy drops them and
+  -- undercounts n_docs — found by the Heaps property fuzz)
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
 ), mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
 grid(grid_idx, num, den) AS (
   VALUES {", ".join(f"({i + 1}, {n}, {d})" for i, (n, d) in enumerate(_VOCAB_GROWTH_GRID))}
@@ -1403,10 +1409,11 @@ grid(grid_idx, num, den) AS (
               AS BIGINT) AS vocab_size
   FROM thr t CROSS JOIN first_seen f GROUP BY t.grid_idx
 )
-SELECT t.grid_idx, t.threshold_id, k.n_docs, k.n_tokens, v.vocab_size,
-       ROUND(CAST(v.vocab_size AS DOUBLE) / k.n_tokens, 6) AS ttr
+SELECT t.grid_idx, t.threshold_id, k.n_docs, k.n_tokens,
+       COALESCE(v.vocab_size, 0) AS vocab_size,
+       ROUND(CAST(COALESCE(v.vocab_size, 0) AS DOUBLE) / k.n_tokens, 6) AS ttr
 FROM thr t JOIN tok k ON k.grid_idx = t.grid_idx
-JOIN voc v ON v.grid_idx = t.grid_idx
+LEFT JOIN voc v ON v.grid_idx = t.grid_idx
 """,
 )
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,16 +1437,36 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (BASELINE.json north star)."""
     tune(spark)
-    d = table(spark, sf_dir, "documents")
+    return vocab_growth_curve(
+        spark, table(spark, sf_dir, "documents"), _VOCAB_GROWTH_GRID
+    )
+
+
+def vocab_growth_curve(
+    spark: SparkSession, d: DataFrame, grid_fracs: tuple[tuple[int, int], ...]
+) -> DataFrame:
+    """q_vocab_growth's computation over an arbitrary (doc_id, text)
+    relation — factored so the threshold/conditional-sum arithmetic is
+    property-testable against a pure-Python Heaps model on synthetic
+    corpora (sparse ids, empty docs, duplicate words —
+    tests/test_properties.py)."""
     w = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
     )
     first_seen = w.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
-    doc_tokens = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # map-only per-doc token count: EMPTY documents keep their row (an
+    # exploded-word groupBy drops them and undercounts n_docs — found
+    # by the Heaps property fuzz on synthetic corpora)
+    doc_tokens = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).cast("bigint").alias("n"),
+    )
     mx = d.agg(F.max("doc_id").alias("max_id"))
     grid = spark.createDataFrame(
-        [(i + 1, n, den) for i, (n, den) in enumerate(_VOCAB_GROWTH_GRID)],
+        [(i + 1, n, den) for i, (n, den) in enumerate(grid_fracs)],
         "grid_idx int, num long, den long",
     )
     thr = (
@@ -1476,17 +1503,23 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_size")
         )
     )
+    from ..functions.vector import safe_div
+
     # both legs are |grid|-row aggregates; the closing join is broadcast
-    # (static stats can't see post-agg cardinality, so hint it)
-    return tok.join(F.broadcast(voc), "grid_idx").select(
+    # (static stats can't see post-agg cardinality, so hint it) and LEFT
+    # (an all-empty-word corpus has NO first_seen rows — the vocabulary
+    # leg vanishes entirely; coalesce restores the honest 0).
+    # safe_div: an all-empty-docs prefix has n_tokens = 0 — ANSI `/`
+    # would abort the job where DuckDB yields NULL (found by the Heaps
+    # property fuzz on its first run; the driver fixture never hits it).
+    vocab = F.coalesce(F.col("vocab_size"), F.lit(0).cast("bigint"))
+    return tok.join(F.broadcast(voc), "grid_idx", "left").select(
         "grid_idx",
         "threshold_id",
         "n_docs",
         "n_tokens",
-        "vocab_size",
-        F.round(F.col("vocab_size").cast("double") / F.col("n_tokens"), 6).alias(
-            "ttr"
-        ),
+        vocab.alias("vocab_size"),
+        F.round(safe_div(vocab.cast("double"), F.col("n_tokens")), 6).alias("ttr"),
     )
 
 

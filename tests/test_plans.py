@@ -1760,7 +1760,10 @@ def test_r13_query_plans(spark, sf_smoke):
     assert "Window" not in text, text[:1500]
     assert "SortMergeJoin" not in text, text[:1500]
     assert "CartesianProduct" not in text, text[:1500]
-    assert "partial_count" in text, text[:1500]  # map-side combine
+    # map-side combine on the histogram (partial_min) and curve legs
+    # (partial_sum); the per-doc token count is a map-only array expr,
+    # so no partial_count exists anymore
+    assert "partial_min" in text and "partial_sum" in text, text[:1500]
 
     text = explain_str(SPECS["q_embedding_dq"].fn(spark, sf_smoke))
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",

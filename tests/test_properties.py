@@ -1321,3 +1321,62 @@ def test_seasonal_decompose_identity(spark, cases):
                 assert key not in got, key
             else:
                 assert got[key] == sum(counts[i - SD_HALF : i + SD_HALF + 1]), key
+
+
+# -- vocabulary growth (Heaps curve) ------------------------------------------
+
+# (doc_id, text) corpora: sparse non-contiguous ids, empty docs,
+# multi-space runs, duplicated words across and within docs — the
+# adversarial surface for the threshold/conditional-sum arithmetic.
+heaps_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),  # sparse doc_id
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ffff"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(heaps_corpus, st.lists(st.tuples(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=16),
+), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_vocab_growth_matches_python_model(spark, corpus, fracs):
+    """vocab_growth_curve == the brute-force Heaps model: for each
+    threshold t = max_id * num // den, n_docs / n_tokens over docs with
+    id <= t and vocab = |{w : min doc_id containing w <= t}| — on
+    corpora with sparse ids and empty documents."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.text import (
+        vocab_growth_curve,
+    )
+
+    rows = [(int(i), " ".join(ws)) for i, ws in corpus]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    grid = tuple(fracs)
+    got = {
+        r["grid_idx"]: (
+            r["threshold_id"], r["n_docs"], r["n_tokens"], r["vocab_size"]
+        )
+        for r in vocab_growth_curve(spark, d, grid).collect()
+    }
+    max_id = max(i for i, _ in corpus)
+    first = {}
+    for i, ws in sorted(corpus):
+        for w in ws:
+            first.setdefault(w, i)
+    for gi, (num, den) in enumerate(grid, start=1):
+        t = max_id * num // den
+        in_pref = [(i, ws) for i, ws in corpus if i <= t]
+        n_docs = len(in_pref)
+        n_tokens = sum(len(ws) for _, ws in in_pref)
+        vocab = sum(1 for w, fd in first.items() if fd <= t)
+        # rows exist for EVERY grid point, including all-empty prefixes
+        # (ttr is NULL there — not compared; the oracle parity pins it)
+        assert got[gi] == (t, n_docs, n_tokens, vocab), (gi, got.get(gi))
