@@ -2417,18 +2417,25 @@ EMB_DIM = 64  # declared embedding width the DQ audit checks against
 WITH n AS (
   SELECT label,
          len(embedding) AS dim,
-         list_sum(list_transform(embedding,
-                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-             AS ss,
-         list_bool_or(list_transform(embedding,
+         -- COALESCE: DuckDB's list_sum of an EMPTY list is NULL where
+         -- Spark's fold returns its 0.0 init — a zero-length embedding
+         -- must count as zero-norm on both engines
+         COALESCE(list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  0.0) AS ss,
+         COALESCE(list_bool_or(list_transform(embedding,
                                      x -> isnan(CAST(x AS DOUBLE))
-                                          OR isinf(CAST(x AS DOUBLE))))
-             AS bad
+                                          OR isinf(CAST(x AS DOUBLE)))),
+                  FALSE) AS bad
   FROM embeddings
 ), m AS (
   SELECT label, dim, bad,
-         CASE WHEN ss = 0 THEN 1 ELSE 0 END AS zero_norm,
-         CAST(ROUND(SQRT(ss), 6) AS DECIMAL(18, 6)) AS nrm
+         CASE WHEN NOT bad AND ss = 0 THEN 1 ELSE 0 END AS zero_norm,
+         -- envelope over FINITE vectors only: sqrt(NaN/Inf) does not
+         -- cast to DECIMAL on this engine (it throws) and a poisoned
+         -- row has no meaningful norm anyway
+         CASE WHEN bad THEN NULL
+              ELSE CAST(ROUND(SQRT(ss), 6) AS DECIMAL(18, 6)) END AS nrm
   FROM n
 )
 SELECT label,
@@ -2439,7 +2446,7 @@ SELECT label,
        CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
        CAST(MIN(nrm) AS DOUBLE) AS min_norm,
        CAST(MAX(nrm) AS DOUBLE) AS max_norm,
-       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(nrm), 6) AS avg_norm
 FROM m GROUP BY label
 """,
 )
@@ -2464,11 +2471,32 @@ def q_embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (BASELINE.json north star)."""
     tune(spark)
-    e = table(spark, sf_dir, "embeddings")
+    return embedding_dq_audit(table(spark, sf_dir, "embeddings"))
+
+
+def embedding_dq_audit(e: DataFrame) -> DataFrame:
+    """q_embedding_dq's computation over an arbitrary (label, embedding)
+    relation — factored so the anomaly branches the driver fixture
+    never exercises (zero-norm, NaN/Inf, width mismatch, zero-length
+    vectors) are cross-engine-tested on synthetic corpora
+    (tests/test_jdbc_dim.py's sibling pattern; see
+    tests/test_properties.py::test_embedding_dq_cross_engine_anomalies).
+
+    Anomaly-row contracts, identical on both engines: a NaN/Inf vector
+    counts in n_nonfinite and is EXCLUDED from the norm envelope (its
+    sqrt would not cast to DECIMAL in DuckDB, and a poisoned row has no
+    meaningful norm); a zero-LENGTH embedding is zero-norm (DuckDB's
+    empty list_sum is NULL where Spark's fold returns 0.0 — coalesced);
+    avg_norm divides by the count of FINITE rows via safe_div (NULL,
+    not a job abort, when a label is entirely poisoned)."""
+    from ..functions.vector import safe_div
+
     v = to_double(F.col("embedding"))
     ss = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     inf = F.lit(float("inf"))
-    bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == inf))
+    bad = F.coalesce(
+        F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == inf)), F.lit(False)
+    )
     base = e.select(
         "label",
         F.size("embedding").alias("dim"),
@@ -2478,8 +2506,12 @@ def q_embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "dim",
         "bad",
-        F.when(F.col("ss") == 0, 1).otherwise(0).alias("zero_norm"),
-        F.round(F.sqrt("ss"), 6).cast("decimal(18,6)").alias("nrm"),
+        F.when(~F.col("bad") & (F.col("ss") == 0), 1).otherwise(0).alias(
+            "zero_norm"
+        ),
+        F.when(
+            ~F.col("bad"), F.round(F.sqrt("ss"), 6).cast("decimal(18,6)")
+        ).alias("nrm"),
     )
     return base.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -2492,9 +2524,9 @@ def q_embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nonfinite"),
         F.min("nrm").cast("double").alias("min_norm"),
         F.max("nrm").cast("double").alias("max_norm"),
-        F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_norm"
-        ),
+        F.round(
+            safe_div(F.sum("nrm").cast("double"), F.count("nrm")), 6
+        ).alias("avg_norm"),
     )
 
 

@@ -1380,3 +1380,75 @@ def test_vocab_growth_matches_python_model(spark, corpus, fracs):
         # rows exist for EVERY grid point, including all-empty prefixes
         # (ttr is NULL there — not compared; the oracle parity pins it)
         assert got[gi] == (t, n_docs, n_tokens, vocab), (gi, got.get(gi))
+
+
+# -- embedding DQ audit: cross-engine on anomalous corpora --------------------
+
+
+def test_embedding_dq_cross_engine_anomalies(spark, tmp_path):
+    """The driver fixture is fully healthy (every anomaly column 0), so
+    this pins the anomaly branches cross-engine on a synthetic corpus:
+    zero vectors, zero-LENGTH vectors (DuckDB empty list_sum is NULL),
+    NaN / +-Inf components (whose sqrt would not cast to DECIMAL in
+    DuckDB — excluded from the envelope on both engines), width
+    mismatches, and an entirely-poisoned label (avg over zero finite
+    rows -> NULL, not a job abort). Spark query vs the registered
+    DuckDB oracle, compared the driver's way (repr over name-sorted
+    columns)."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, 0, [1.0] * 64),                     # healthy, right width
+        (1, 0, [0.0] * 64),                     # zero norm
+        (2, 0, []),                             # zero LENGTH -> zero norm
+        (3, 0, [0.5] * 16),                     # width mismatch, finite
+        (4, 1, [nan] + [1.0] * 63),             # NaN component
+        (5, 1, [inf] + [1.0] * 63),             # +Inf
+        (6, 1, [-inf] + [1.0] * 63),            # -Inf
+        (7, 2, [nan] * 8),                      # label 2: ALL poisoned
+        (8, 2, [-inf] * 64),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    spec = all_queries()["q_embedding_dq"]
+    sdf = spec.fn(spark, str(tmp_path))
+    got = sorted(
+        tuple(repr(row[c]) for c in sorted(sdf.columns)) for row in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    res = con.execute(spec.oracle).fetchall()
+    cols = [d[0] for d in con.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    exp = sorted(tuple(repr(r[i]) for i in order) for r in res)
+    assert got == exp
+
+    by_label = {int(r["label"]): r for r in sdf.collect()}
+    l0, l1, l2 = by_label[0], by_label[1], by_label[2]
+    assert (l0["n_vectors"], l0["n_zero_norm"], l0["n_dim_mismatch"],
+            l0["n_nonfinite"]) == (4, 2, 2, 0)
+    assert math.isclose(l0["max_norm"], 8.0)  # ||[1]*64||
+    assert math.isclose(l0["min_norm"], 0.0)
+    assert (l1["n_nonfinite"], l1["n_zero_norm"]) == (3, 0)
+    assert l1["min_norm"] is None and l1["avg_norm"] is None  # no finite rows
+    assert (l2["n_vectors"], l2["n_nonfinite"]) == (2, 2)
+    assert l2["avg_norm"] is None
