@@ -1343,7 +1343,7 @@ def bpe_merge_capacity(words: DataFrame) -> int:
     row = words.agg(
         F.count(F.lit(1)).alias("nw"), F.sum(F.length("w")).alias("chars")
     ).collect()[0]
-    return int(row.chars) - int(row.nw)
+    return int(row.chars or 0) - int(row.nw)  # empty histogram -> 0
 
 
 def bpe_merges_for(words: DataFrame, vocab_target: int) -> int:
@@ -1534,8 +1534,11 @@ WITH words AS (
     SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
 ), stats AS (
+  -- COALESCE: an all-empty-text corpus has zero histogram rows; SUM
+  -- over none is NULL on both engines and NULL-skipping LEAST would
+  -- then let n_merges degrade to the raw target instead of 0
   SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
-         CAST(SUM(LENGTH(w)) AS BIGINT) AS total_chars
+         CAST(COALESCE(SUM(LENGTH(w)), 0) AS BIGINT) AS total_chars
   FROM words
 ), alpha AS (
   SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS alphabet_size FROM (
@@ -1579,7 +1582,11 @@ def q_bpe_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = words.agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.length("w")).alias("total_chars"),
+        # coalesce: zero histogram rows -> NULL sum, and NULL-skipping
+        # least() would let n_merges degrade to the raw target
+        F.coalesce(F.sum(F.length("w")), F.lit(0)).cast("bigint").alias(
+            "total_chars"
+        ),
     )
     alpha = (
         words.select(F.explode(F.split("w", "")).alias("c"))

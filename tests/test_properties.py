@@ -1452,3 +1452,42 @@ def test_embedding_dq_cross_engine_anomalies(spark, tmp_path):
     assert l1["min_norm"] is None and l1["avg_norm"] is None  # no finite rows
     assert (l2["n_vectors"], l2["n_nonfinite"]) == (2, 2)
     assert l2["avg_norm"] is None
+
+
+def test_bpe_capacity_cross_engine_on_degenerate_corpus(spark, tmp_path):
+    """q_bpe_capacity on an all-empty/whitespace corpus: zero histogram
+    rows make SUM NULL, and both engines' NULL-skipping LEAST would let
+    n_merges silently degrade to the raw vocab_target without the
+    COALESCE. Pins n_merges == 0 and capacity == 0, cross-engine."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["", "   ", " "], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    spec = all_queries()["q_bpe_capacity"]
+    sdf = spec.fn(spark, str(tmp_path))
+    rows = {int(r["vocab_target"]): r for r in sdf.collect()}
+    for t, r in rows.items():
+        assert (r["merge_capacity"], r["n_merges"], r["alphabet_size"]) == (0, 0, 0), (t, r)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = sorted(
+        tuple(repr(row[c]) for c in sorted(sdf.columns)) for row in sdf.collect()
+    )
+    res = con.execute(spec.oracle).fetchall()
+    cols = [d[0] for d in con.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    assert got == sorted(tuple(repr(r[i]) for i in order) for r in res)
