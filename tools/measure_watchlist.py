@@ -84,6 +84,20 @@ on mid-set queries — visible only against r10's smaller-set numbers,
 not against r11's. bench.py's start-load gate additionally tightened
 to loadavg 1.0 this round so contended starts can't compound it.
 
+Finding (r13, idle machine — loadavg ~0.9 — sf0.1, local[32]) —
+adjudicating the two largest r12->r13 movers after the r13 bench came
+back 0.955x of r12 (core 0.962x) with zero interleave/drift flags:
+
+    q_join_inner_multi  median 0.901 s  [0.842 .. 2.373]  (r12 bench 0.669 / r13 0.784)
+    q_tpch_q1           median 1.326 s  [1.294 .. 1.627]  (r12 bench 1.383 / r13 1.595)
+
+Neither plan was touched in r13 (no code change to joins or TPC-H);
+both interleaved deltas (+0.12 s / +0.21 s) sit inside the isolated
+sample spreads, q_join_inner_multi's set carries the usual single
+~2.5x GC-pause outlier, and q_tpch_q1's isolated median is BELOW its
+r12 interleaved value. Verdict: interleave noise at sub-second
+absolute scale; nothing to adjudicate further.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
