@@ -458,19 +458,30 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the month filter pushes to the lineitem scan (row-group
     skipping makes this a ~1/84th scan of the fact); part broadcasts;
     both sums are DECIMAL-exact with ONE final exact-operand double
-    division, so the percentage is bit-stable across partitionings."""
+    division, so the percentage is bit-stable across partitionings.
+
+    The ×100 multiplies the DECIMAL sum (exact) BEFORE the double cast,
+    mirroring the oracle's `100.0 * SUM(decimal)`: the old
+    `100.0 * double(sum)` rounded twice and diverged from DuckDB in the
+    16th digit — found by the r13 sf0.001 full parity sweep (the only
+    red row in 241; sf0.01/sf0.1 values never hit a rounding
+    boundary)."""
     tune(spark)
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= Q14_FROM) & (F.col("l_shipdate") < Q14_TO)
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     dec = _revenue().cast("decimal(18,6)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", dec).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+                (promo * F.lit(100)).cast("double")
                 / F.sum(dec).cast("double")
             ).alias("promo_revenue")
         )

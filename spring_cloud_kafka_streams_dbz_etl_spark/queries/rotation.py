@@ -397,8 +397,11 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # re-verified green AT HEAD in r12 and are cleared in the same change
 # that records CHECKED_BY_ROUND[12] (ADVICE r8's process rule).
 # Round-13 entries: plans with green rows rewritten this round land
-# here as they happen.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+# here as they happen. q_tpch_q14: the ×100 moved from a double
+# multiply to the exact decimal sum (two roundings -> one), fixing the
+# 16th-digit divergence the r13 sf0.001 full parity sweep found — its
+# r5 green row predates the fix, so it re-fronts for a fresh row.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_tpch_q14"})
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
