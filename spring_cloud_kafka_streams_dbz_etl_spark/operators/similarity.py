@@ -75,10 +75,17 @@ def lsh_bits_for(n_vectors: int, target_bucket: int = 1024) -> int:
     or below ``target_bucket``. Within-bucket verification work is
     Σ|bucket|² ≈ n·E|bucket| per band, so holding E|bucket| constant keeps
     candidate generation LINEAR in corpus size as it grows: 1e6 vectors →
-    10 bits, 1e9 → 20 bits. Floor of 8 matches the smallest useful band."""
-    import math
+    10 bits, 1e9 → 20 bits. Floor of 8 matches the smallest useful band.
 
-    return max(8, math.ceil(math.log2(max(2.0, n_vectors / max(1, target_bucket)))))
+    Integer-exact (r13): the smallest b >= 8 with 2^b · target >= n —
+    equivalent to the old ceil(log2(n/target)) everywhere EXCEPT the
+    exact boundaries n = target·2^k + tiny, where correctly-rounded
+    float log2 loses the +1 and under-sizes by one bit (found by the
+    q_knob_plan equivalence fuzz; q_knob_plan's oracle states the same
+    definition as a SQL bit-shift scan, so the knob now has no libm
+    surface at all). Pinned in test_lsh_bits_integer_equivalence."""
+    need = -(-int(n_vectors) // max(1, int(target_bucket)))  # ceil div
+    return max(8, (max(1, need) - 1).bit_length())
 
 
 def hyperplane_lsh_pairs(

@@ -459,7 +459,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_tpch_q14"})
 # Reserve slots used so far in r13 (registered early, oracle-green at
 # both SFs before registration counted): 1. q_bpe_capacity,
 # 2. q_ann_coverage_curve, 3. q_vocab_growth, 4. q_embedding_dq,
-# 5. q_embedding_spectrum (plus a value-identical _pca_model
+# 5. q_embedding_spectrum, 6. q_knob_plan (whose equivalence fuzz made
+# lsh_bits_for integer-exact — values identical at every fixture SF,
+# so the inlined-literal consumers q_lsh_cosine/q_simhash_near_dup are
+# plan-identical and do NOT re-front; parity re-verified) (plus a
+# value-identical _pca_model
 # extraction — parity re-verified for both PCA consumers at both SFs,
 # and both get fresh driver rows this window anyway).
 DEFERRED_NEW: frozenset[str] = frozenset()

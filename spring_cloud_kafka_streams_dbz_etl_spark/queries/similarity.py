@@ -3086,6 +3086,124 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knob_plan_oracle() -> str:
+    from ..operators.similarity import (
+        IVF_TARGET_CELL,
+        KMEANS_K_MIN,
+    )
+
+    # lsh_bits_for stated INTEGER-exactly: the smallest b >= 8 with
+    # 2^b * target_bucket >= n (identical to max(8, ceil(log2(n/1024)))
+    # on exact arithmetic; the SQL deliberately avoids libm log2, whose
+    # rounding at power-of-two boundaries is not a cross-engine
+    # guarantee — test_lsh_bits_integer_equivalence pins the Python
+    # float form against this definition)
+    # b caps at 52: 2^52 * 1024 = 2^62 is the largest product that fits
+    # a BIGINT, and it covers any COUNT(*) a real corpus can reach
+    bits = (
+        "SELECT CAST(MIN(b) AS BIGINT) AS bits "
+        "FROM range(8, 53) t(b), {src} "
+        "WHERE (CAST(1 AS BIGINT) << b) * 1024 >= n"
+    )
+    return f"""
+WITH nv AS (SELECT COUNT(*) AS n FROM embeddings),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+words AS (
+  SELECT w FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), ws AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COALESCE(SUM(LENGTH(w)), 0) AS BIGINT) AS chars
+  FROM words
+), al AS (
+  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS alpha FROM (
+    SELECT UNNEST(string_split(w, '')) AS c FROM words)
+  WHERE c <> ''
+), kk AS (
+  SELECT GREATEST({KMEANS_K_MIN},
+                  LEAST(CAST(CEIL(4 * SQRT(n)) AS BIGINT),
+                        n // {IVF_TARGET_CELL})) AS k
+  FROM nv
+), np AS (
+  SELECT GREATEST(4, 2 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS np FROM kk
+), bv AS ({bits.format(src="nv")}), bd AS ({bits.format(src="nd")})
+SELECT 'n_vectors' AS knob, CAST(n AS BIGINT) AS value FROM nv
+UNION ALL SELECT 'ivf_cells', k FROM kk
+UNION ALL SELECT 'nprobe', np FROM np
+UNION ALL SELECT 'refine_depth', np * {2 * TOPK} FROM np
+UNION ALL SELECT 'lsh_bits', bits FROM bv
+UNION ALL SELECT 'n_docs', CAST(n AS BIGINT) FROM nd
+UNION ALL SELECT 'simhash_width', LEAST(64, 4 * bits) FROM bd
+UNION ALL SELECT 'bpe_alphabet', alpha FROM al
+UNION ALL SELECT 'bpe_merge_capacity', chars - n_words FROM ws
+"""
+
+
+@query("q_knob_plan", oracle=_knob_plan_oracle())
+def q_knob_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's self-sizing sheet (r13): every corpus-derived knob —
+    IVF cell count, probe width, refine depth, LSH band bits, SimHash
+    fingerprint width, BPE alphabet/merge capacity — evaluated against
+    THIS corpus, as (knob, value) rows. The first query an operator
+    runs on new data: it answers "how will the engine configure
+    itself" before any index build or dedup pass, and it
+    driver-verifies the LIVE Python knob functions (the values here
+    come from ivf_cells_for / nprobe_for / refine_depth_for /
+    lsh_bits_for / simhash_width_for / bpe_merge_capacity themselves)
+    against independently-stated SQL: the oracle re-derives each knob
+    with integer-exact arithmetic (the LSH-bits formula is stated as a
+    bit-shift scan, not libm log2 — cross-engine log rounding at
+    power-of-two boundaries is not guaranteed; the float and integer
+    forms are pinned equivalent in test_lsh_bits_integer_equivalence).
+
+    Scale: the inputs are two COUNT(*)s and the vocabulary-sized word
+    histogram (the BPE-histogram shape); everything else is
+    control-plane arithmetic — the same 1-row collects every consumer
+    of these knobs already performs before training.
+
+    Reference parity: none (BASELINE.json north star)."""
+    from ..operators.similarity import (
+        ivf_cells_for,
+        lsh_bits_for,
+        nprobe_for,
+    )
+    from ..operators.dedup import simhash_width_for
+    from .text import bpe_merge_capacity
+
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+    n_vec = e.count()
+    n_docs = d.count()
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    alpha = (
+        words.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .agg(F.countDistinct("c"))
+        .collect()[0][0]
+    )
+    k = ivf_cells_for(n_vec)
+    np_ = nprobe_for(k)
+    rows = [
+        ("n_vectors", n_vec),
+        ("ivf_cells", k),
+        ("nprobe", np_),
+        ("refine_depth", refine_depth_for(np_)),
+        ("lsh_bits", lsh_bits_for(n_vec)),
+        ("n_docs", n_docs),
+        ("simhash_width", simhash_width_for(n_docs)),
+        ("bpe_alphabet", int(alpha)),
+        ("bpe_merge_capacity", bpe_merge_capacity(words)),
+    ]
+    return spark.createDataFrame(rows, "knob string, value long")
+
+
 # -- linear probe ON the learned representation --------------------------------
 
 

@@ -1491,3 +1491,32 @@ def test_bpe_capacity_cross_engine_on_degenerate_corpus(spark, tmp_path):
     cols = [d[0] for d in con.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     assert got == sorted(tuple(repr(r[i]) for i in order) for r in res)
+
+
+# -- knob-plan: lsh_bits float/integer equivalence ----------------------------
+
+
+@given(st.one_of(
+    st.integers(min_value=1, max_value=10**9),
+    # adversarial band: around powers of two times the target bucket
+    st.integers(min_value=1, max_value=40).flatmap(
+        lambda k: st.integers(min_value=-2, max_value=2).map(
+            lambda d: max(1, 1024 * (1 << k) + d)
+        )
+    ),
+))
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_lsh_bits_integer_equivalence(n):
+    """q_knob_plan's oracle states lsh_bits_for INTEGER-exactly (the
+    smallest b >= 8 with 2^b * 1024 >= n) to keep libm log2 out of the
+    cross-engine surface; this pins the Python float form equal to that
+    definition, including the +-2 neighborhoods of every power-of-two
+    boundary where a misrounded log2 would flip the ceil."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.similarity import (
+        lsh_bits_for,
+    )
+
+    b = 8
+    while (1 << b) * 1024 < n:
+        b += 1
+    assert lsh_bits_for(n) == b, (n, lsh_bits_for(n), b)
