@@ -553,3 +553,77 @@ def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+CTX_LENGTHS = (256, 512, 1024, 2048)
+
+
+@query(
+    "q_context_length_plan",
+    oracle="""
+WITH e AS (
+  SELECT CAST(u.L AS INT) AS ctx_len,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents, UNNEST([256, 512, 1024, 2048]) AS u(L)
+), a AS (
+  SELECT ctx_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+         CAST(SUM(CASE WHEN n_tokens > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS BIGINT) AS tokens_truncated,
+         CAST(SUM(ctx_len - LEAST(n_tokens, ctx_len)) AS BIGINT) AS naive_pad_tokens,
+         CAST(SUM(LEAST(n_tokens, ctx_len)) AS BIGINT) AS kept_tokens
+  FROM e GROUP BY ctx_len
+)
+SELECT ctx_len, n_docs, corpus_tokens, n_truncated, tokens_truncated,
+       naive_pad_tokens, kept_tokens,
+       CAST((kept_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS packed_sequences,
+       CAST(((kept_tokens + ctx_len - 1) // ctx_len) * ctx_len - kept_tokens AS BIGINT) AS packed_tail_waste
+FROM a
+""",
+)
+def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length capacity planning: for each candidate training
+    context length (256/512/1024/2048), what the corpus costs under the
+    two standard batching regimes — one-doc-per-sequence (pad to L,
+    truncate overlong) vs concatenate-and-fill packing (q_pack_sequences'
+    regime; only the final sequence carries tail padding). Emits, per L,
+    the truncation loss (docs clipped + tokens lost) and the padding
+    waste of each regime — the table that picks a context length and
+    predicts sequence counts before an expensive tokenize-and-pack job
+    runs. Integer-exact throughout (counts, sums, integer division);
+    no floats to diverge cross-engine.
+
+    Scale: one scan with the 4-length explode fused into it (rows out =
+    4x docs, but each row is two ints — no text survives the projection),
+    then a partial-agg groupBy on 4 keys: map-side combine reduces every
+    partition to <=4 rows before the shuffle, so the 4-key "skew" is
+    4 x num_partitions tiny rows at the reducers, not 4 giant groups.
+    The derived columns (packed_sequences via integer DIV) are computed
+    on the 4-row aggregate."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    e = d.select(
+        n_tok.alias("n_tokens"),
+        F.explode(F.array(*[F.lit(l) for l in CTX_LENGTHS])).alias("ctx_len"),
+    )
+    kept = F.least(F.col("n_tokens"), F.col("ctx_len"))
+    a = e.groupBy(F.col("ctx_len").cast("int").alias("ctx_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+        F.sum(F.when(F.col("n_tokens") > F.col("ctx_len"), 1).otherwise(0))
+        .cast("long").alias("n_truncated"),
+        F.sum(F.greatest(F.col("n_tokens") - F.col("ctx_len"), F.lit(0)))
+        .cast("long").alias("tokens_truncated"),
+        F.sum(F.col("ctx_len") - kept).cast("long").alias("naive_pad_tokens"),
+        F.sum(kept).cast("long").alias("kept_tokens"),
+    )
+    packed = F.expr("(kept_tokens + ctx_len - 1) DIV ctx_len").cast("long")
+    return a.select(
+        "ctx_len", "n_docs", "corpus_tokens", "n_truncated",
+        "tokens_truncated", "naive_pad_tokens", "kept_tokens",
+        packed.alias("packed_sequences"),
+        (packed * F.col("ctx_len") - F.col("kept_tokens"))
+        .cast("long").alias("packed_tail_waste"),
+    )

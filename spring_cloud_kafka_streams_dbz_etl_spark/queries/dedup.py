@@ -1334,3 +1334,90 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars_total").cast("long").alias("chars_total"),
         F.sum("chars_removable").cast("long").alias("chars_removable"),
     )
+
+
+def _dedup_survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+r AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS sz,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id,
+       CAST(MAX(sz) AS BIGINT) AS cluster_size,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars,
+       CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_reclaimed
+FROM r WHERE sz >= 2 GROUP BY cluster_id
+"""
+
+
+@query("q_dedup_survivors", oracle=_dedup_survivors_oracle())
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the last step a real dedup pass executes
+    before writing the keep-list: within each near-dup cluster, KEEP the
+    longest document (max n_chars, tie -> lowest doc_id) and emit the
+    per-cluster drop manifest (survivor id + size, how many documents
+    fall, how many characters the pass reclaims). q_dup_clusters'
+    min-id canonical answers "which cluster"; this answers "which copy
+    do we keep" under a quality policy — pipelines keep the longest /
+    highest-quality copy, not an arbitrary id (the policy key is
+    integer n_chars so both engines rank bit-identically; a float
+    quality score would need a scaled-integer key, same pattern).
+
+    Composition: the q_minhash_near_dup pair relation -> the same
+    connected-components closure as q_dup_clusters -> one join to doc
+    metadata -> per-cluster rank window -> a |clusters|-row rollup.
+
+    Scale: identical to q_dup_clusters up to the component relation
+    (banded pairs, iterative CC with per-round combinable shuffles).
+    The component->n_chars join is a deliberate SHUFFLE join (both
+    sides |docs|-sized; per-doc relations are never broadcast), and the
+    rank window + final groupBy reuse the cluster_id partitioning — one
+    extra shuffle total after CC. Cluster size is bounded by the
+    near-dup structure, not the corpus, so no window partition skews."""
+    from ..operators.graph import connected_components
+
+    tune(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents")
+    vertices = d.select("doc_id")
+    comp = connected_components(
+        vertices, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    j = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        j.withColumn("sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("sz") >= 2)
+        .withColumn("rn", F.row_number().over(w_rank))
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max("sz").cast("long").alias("cluster_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("survivor_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("long").alias("survivor_chars"),
+        F.count(F.when(F.col("rn") > 1, F.lit(1))).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).cast("long").alias("chars_reclaimed"),
+    )

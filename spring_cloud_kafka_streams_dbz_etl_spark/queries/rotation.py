@@ -466,7 +466,15 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_tpch_q14"})
 # value-identical _pca_model
 # extraction — parity re-verified for both PCA consumers at both SFs,
 # and both get fresh driver rows this window anyway).
-DEFERRED_NEW: frozenset[str] = frozenset()
+# The reserve is exhausted; additions beyond it defer per the process
+# rule (VERDICT r12 ask #2 allows <=5 deferred at round end):
+# q_dedup_survivors (quality-policy survivor selection + drop manifest,
+# the keep-list step after q_dup_clusters) and q_context_length_plan
+# (per-context-length truncation/padding capacity table). Both are
+# oracle-green at sf0.001/0.01/0.1; they front the round-14 window.
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {"q_dedup_survivors", "q_context_length_plan"}
+)
 
 
 def times_checked(name: str) -> int:

@@ -1773,3 +1773,28 @@ def test_r13_query_plans(spark, sf_smoke):
 
     text = explain_str(SPECS["q_ann_coverage_curve"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in text, text[:1500]
+
+
+def test_r13_late_addition_plans(spark, sf_smoke):
+    """The two post-reserve r13 additions keep their docstring shapes.
+    q_context_length_plan: one scan with the 4-length explode fused in,
+    a map-side-combinable groupBy on the tiny ctx_len key, no join of
+    any kind (the lengths ride the explode, not a grid join) and no
+    window. q_dedup_survivors: the CC closure plus ONE extra shuffle
+    (cluster_id window + rollup share the partitioning); the
+    component->metadata join is a deliberate shuffle join (per-doc
+    relations are never broadcast) and nothing goes cartesian."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    text = explain_str(SPECS["q_context_length_plan"].fn(spark, sf_smoke))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "Window"):
+        assert node not in text, (node, text[:1500])
+    assert "partial_count" in text and "partial_sum" in text, text[:1500]
+    assert "Generate" in text, text[:1500]  # the fused explode
+
+    text = explain_str(SPECS["q_dedup_survivors"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in text, text[:1500]
+    assert "Window" in text, text[:1500]
+    # the survivor rank must be a plain window, not a global sort
+    assert "rownum" in text.lower() or "row_number" in text.lower(), text[:1500]
