@@ -701,3 +701,29 @@ def test_window_topk_checkpoint_restart(spark, tmp_path):
     by_user = {(w.hour, u): t for (w, u, t, _r) in got}
     assert by_user[(10, 1)] == 6_000_000  # 1.0 pre-restart + 5.0 post
     assert by_user[(9, 1)] == 10_000_000  # pre-restart-only window intact
+
+
+def test_stream_tune_sizes_state_instances(spark):
+    """stream_tune sizes state-store instances to the key space:
+    ceil(keys / 25k) clamped to [4, parallelism]. The conf it sets is
+    what the stateful exchange freezes into the checkpoint, so the
+    formula IS the deployment contract — pin it."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import (
+        STATE_KEYS_PER_PARTITION,
+        stream_tune,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    assert STATE_KEYS_PER_PARTITION == 25_000
+    for keys, want in [
+        (1, 4),                       # floor: tiny fixtures stay parallel
+        (25_000 * 4, 4),              # exactly at the floor boundary
+        (25_000 * 6, min(6, par)),    # sized to state
+        (10**12, max(par, 4)),        # cap: huge key spaces get every core
+    ]:
+        stream_tune(spark, keys)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == want, keys
+    # restore the batch default for subsequent tests in this session
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import tune
+
+    tune(spark)
