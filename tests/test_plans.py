@@ -1798,3 +1798,52 @@ def test_r13_late_addition_plans(spark, sf_smoke):
     assert "Window" in text, text[:1500]
     # the survivor rank must be a plain window, not a global sort
     assert "rownum" in text.lower() or "row_number" in text.lower(), text[:1500]
+
+
+def test_runtime_bloom_filter_reduces_fact_scan_when_join_shuffles(spark, sf_smoke):
+    """At 100 TB the dim side of a selective join is often too big to
+    broadcast and the join shuffles; Spark's runtime bloom-filter
+    injection (on by default, gated on a 10 GiB application-side scan
+    that fixtures never reach) then semi-join-reduces the fact shuffle
+    at the scan. Pin that the engine's declarative join shape is
+    ELIGIBLE: force the shuffle-join regime (broadcast off, size gates
+    to zero) and assert Catalyst injects might_contain(bloom) onto the
+    fact side. Every conf here is runtime-settable and restored, so the
+    pin exercises exactly what flips at scale — data size — not a
+    different plan."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import tune
+
+    tune(spark)
+    touched = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_smoke, "lineitem")
+        orders = table(spark, sf_smoke, "orders")
+        j = (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # the filter must land on the FACT (lineitem) side's key
+        assert "l_orderkey" in plan.split("might_contain")[0].rsplit("\n", 2)[-1] or \
+            "might_contain(scalar-subquery" in plan, plan[:2000]
+    finally:
+        for k in touched:  # back to session defaults (tune() owns the rest)
+            spark.conf.unset(k)

@@ -98,6 +98,21 @@ sample spreads, q_join_inner_multi's set carries the usual single
 r12 interleaved value. Verdict: interleave noise at sub-second
 absolute scale; nothing to adjudicate further.
 
+Finding (r13 session 2, idle machine, sf0.1, local[32]) — adjudicating
+the residual 1.10x core gap vs BENCH_r10 (the best round) after the
+stream_tune state-sizing change landed (core 73.3 -> 71.6 s in-session;
+s_chained_agg 7.43 -> 2.17 s). The two remaining movers, isolated
+(fresh session, warmup, 3 repeats):
+
+    s_minhash_incremental  [6.54, 6.65, 7.58]  (r10 bench 6.51 / session bench 8.99)
+    s_kafka_txn_sink       [9.41, 9.49, 9.52]  (r10 bench 9.56 / session bench 12.67)
+
+Both isolated medians sit AT their r10 interleaved values — the entire
+residual core gap is shared-JVM pressure from the 33->37 headline-set
+growth, concentrated in the micro-batch-scheduling-bound streaming
+members. No plan regression anywhere; the frozen 36-query core plus
+these isolated spot-checks are the round-over-round comparison story.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
