@@ -484,8 +484,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # the keep-list step after q_dup_clusters) and q_context_length_plan
 # (per-context-length truncation/padding capacity table). Both are
 # oracle-green at sf0.001/0.01/0.1; they front the round-14 window.
+# s_state_inspect (offline checkpoint state-store introspection via the
+# Spark 4 statestore/state-metadata sources) joins them — also
+# oracle-green at all three SFs before registration counted.
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_dedup_survivors", "q_context_length_plan"}
+    {"q_dedup_survivors", "q_context_length_plan", "s_state_inspect"}
 )
 
 

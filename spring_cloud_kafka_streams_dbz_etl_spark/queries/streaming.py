@@ -2965,3 +2965,69 @@ def s_mean_shift_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return mean_shift_table(daily)
+
+
+@query(
+    "s_state_inspect",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def s_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store introspection (Spark 4 `statestore` data
+    source) — the ops workflow for diagnosing streaming state WITHOUT
+    touching the running query: run a windowed aggregation that (by
+    deliberate omission of a watermark — the classic state-leak bug)
+    retains every window in state, then read the CHECKPOINT's state
+    store back as a DataFrame and return its contents. The oracle is
+    the plain batch aggregate: with no watermark nothing is ever
+    evicted, so state == the full aggregate — exactly the invariant an
+    SRE checks when deciding whether a store leaks. The companion
+    `state-metadata` source exposes the frozen instance count per
+    operator (pinned in tests/test_streaming.py: it equals what
+    stream_tune set at first start, and can never change after).
+
+    Scale: the state read is partition-parallel over the store's own
+    instances (one task per state partition, no shuffle) and runs
+    against a checkpoint snapshot — on a production job this inspects
+    a 100 TB-stream's state from a separate cluster without pausing
+    the stream. The value schema is the operator's internal one
+    (count -> `value.count`), read-only and versioned with the
+    checkpoint."""
+    from ..catalog import table as load_table
+
+    # Window x type key space (the store this query inspects); frozen
+    # into the checkpoint created below.
+    stream_tune(spark, 5 * 24 * 31)
+    name = f"inspect_{uuid.uuid4().hex[:8]}"
+    src, ckpt = _tmp("inspect_src"), _tmp("inspect_ckpt")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

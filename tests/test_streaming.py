@@ -727,3 +727,58 @@ def test_stream_tune_sizes_state_instances(spark):
     from spring_cloud_kafka_streams_dbz_etl_spark.session import tune
 
     tune(spark)
+
+
+def test_state_metadata_pins_frozen_instance_count(spark, sf_smoke):
+    """The state-store instance count a stream runs with is whatever
+    spark.sql.shuffle.partitions was at FIRST start — frozen into the
+    checkpoint thereafter. Pin the full loop: stream_tune plans 4
+    instances for the windowed-agg key space, the checkpoint's
+    state-metadata reports exactly 4, and the offline statestore read
+    (s_state_inspect's mechanism) sees every partition's rows."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import stream_tune, tune
+
+    stream_tune(spark, 5 * 24 * 31)
+    planned = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert planned == 4
+    name = f"meta_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix="meta_src")
+    ckpt = tempfile.mkdtemp(prefix="meta_ckpt")
+    ev = (
+        table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "event_type")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.write.mode("overwrite").parquet(src)
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1 and meta[0].numPartitions == planned, meta
+    state = spark.read.format("statestore").load(ckpt)
+    parts = {r.partition_id for r in state.select("partition_id").distinct().collect()}
+    assert parts <= set(range(planned)) and len(parts) >= 2, parts
+    n_state = state.count()
+    n_batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    assert n_state == n_batch  # no watermark -> nothing evicted, state == aggregate
+    tune(spark)  # restore the batch default for later tests
