@@ -398,3 +398,39 @@ def winnow_fingerprints(
         F.col("idx0") <= F.col("n_grams") - window
     )
     return winmin.select(id_col, "wmin").distinct()
+
+
+def survivor_manifest(comp: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-cluster survivor selection + drop manifest (q_dedup_survivors'
+    rollup half): given ``comp(doc_id, cluster_id)`` (a connected-
+    components labeling) and ``docs(doc_id, n_chars)``, keep the longest
+    document per cluster of size >= 2 (max n_chars, tie -> lowest
+    doc_id) and emit one row per such cluster: survivor id + length,
+    members dropped, characters reclaimed.
+
+    The policy key is an INTEGER and the rank order (n_chars DESC,
+    doc_id ASC) is total, so the manifest is deterministic across
+    engines, partitionings, and re-runs — what makes a drop list safe
+    to re-derive. One shuffle join on doc_id (both sides corpus-sized,
+    never broadcast), then the rank window and the |clusters|-row
+    rollup share the cluster_id partitioning.
+    """
+    from pyspark.sql import Window
+
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        j.withColumn("sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("sz") >= 2)
+        .withColumn("rn", F.row_number().over(w_rank))
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max("sz").cast("long").alias("cluster_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("survivor_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("long").alias("survivor_chars"),
+        F.count(F.when(F.col("rn") > 1, F.lit(1))).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).cast("long").alias("chars_reclaimed"),
+    )

@@ -1392,7 +1392,11 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides |docs|-sized; per-doc relations are never broadcast), and the
     rank window + final groupBy reuse the cluster_id partitioning — one
     extra shuffle total after CC. Cluster size is bounded by the
-    near-dup structure, not the corpus, so no window partition skews."""
+    near-dup structure, not the corpus, so no window partition skews.
+    The rollup half is operators/dedup.survivor_manifest, property-
+    pinned against a pure-Python union-find + argmax model with forced
+    n_chars ties (tests/test_properties.py)."""
+    from ..operators.dedup import survivor_manifest
     from ..operators.graph import connected_components
 
     tune(spark)
@@ -1401,23 +1405,5 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices = d.select("doc_id")
     comp = connected_components(
         vertices, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
-    )
-    j = comp.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).join(d.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("cluster_id")
-    w_rank = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    ranked = (
-        j.withColumn("sz", F.count(F.lit(1)).over(w))
-        .filter(F.col("sz") >= 2)
-        .withColumn("rn", F.row_number().over(w_rank))
-    )
-    return ranked.groupBy("cluster_id").agg(
-        F.max("sz").cast("long").alias("cluster_size"),
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("survivor_id"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("long").alias("survivor_chars"),
-        F.count(F.when(F.col("rn") > 1, F.lit(1))).cast("long").alias("n_dropped"),
-        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).cast("long").alias("chars_reclaimed"),
-    )
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    return survivor_manifest(comp, d)

@@ -1520,3 +1520,51 @@ def test_lsh_bits_integer_equivalence(n):
     while (1 << b) * 1024 < n:
         b += 1
     assert lsh_bits_for(n) == b, (n, lsh_bits_for(n), b)
+
+
+@given(
+    st.lists(graph_case, min_size=1, max_size=4),
+    st.data(),
+)
+@settings(**SETTINGS)
+def test_survivor_manifest_matches_argmax_model(spark, cases, data):
+    """survivor_manifest == union-find clusters + pure-Python argmax
+    survivorship (max n_chars, tie -> min doc_id), with n_chars drawn
+    from a TINY range so ties inside clusters are common — the fixture
+    corpus may never exercise the tie-break, this does."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        survivor_manifest,
+    )
+
+    N = 10
+    comp_rows, doc_rows = [], []
+    clusters: dict[int, list[int]] = {}
+    chars: dict[int, int] = {}
+    for case_id, edges in enumerate(cases):
+        off = case_id * N
+        labels = _union_find_components(N, edges)
+        for v in range(N):
+            doc, comp_id = off + v, off + labels[v]
+            comp_rows.append((doc, comp_id))
+            chars[doc] = data.draw(st.integers(1, 3))
+            doc_rows.append((doc, chars[doc]))
+            clusters.setdefault(comp_id, []).append(doc)
+    expected = {}
+    for cid, members in clusters.items():
+        if len(members) < 2:
+            continue
+        surv = min(members, key=lambda d: (-chars[d], d))
+        expected[cid] = (
+            len(members), surv, chars[surv], len(members) - 1,
+            sum(chars[d] for d in members if d != surv),
+        )
+    comp = spark.createDataFrame(comp_rows, "doc_id long, cluster_id long")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, n_chars long")
+    got = {
+        r["cluster_id"]: (
+            r["cluster_size"], r["survivor_id"], r["survivor_chars"],
+            r["n_dropped"], r["chars_reclaimed"],
+        )
+        for r in survivor_manifest(comp, docs).collect()
+    }
+    assert got == expected
