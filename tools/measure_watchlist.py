@@ -112,6 +112,11 @@ residual core gap is shared-JVM pressure from the 33->37 headline-set
 growth, concentrated in the micro-batch-scheduling-bound streaming
 members. No plan regression anywhere; the frozen 36-query core plus
 these isolated spot-checks are the round-over-round comparison story.
+Post-adjudication footnote: the session's FINAL idle bench (after the
+stream_tune state-sizing change) came back total 70.97 s / core
+64.43 s with zero interleave or drift flags — the core's best value
+across all rounds (r10 65.09 / r11 75.13 / r12 72.71), i.e. the
+state-sizing win more than covers the residual interleave pressure.
 
 Usage: python tools/measure_watchlist.py [query ...]
 """
