@@ -485,10 +485,15 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # (per-context-length truncation/padding capacity table). Both are
 # oracle-green at sf0.001/0.01/0.1; they front the round-14 window.
 # s_state_inspect (offline checkpoint state-store introspection via the
-# Spark 4 statestore/state-metadata sources) joins them — also
-# oracle-green at all three SFs before registration counted.
+# Spark 4 statestore/state-metadata sources) and s_state_changefeed
+# (state CDC: per-batch key-update history via readChangeFeed) join
+# them — also oracle-green at all three SFs before registration
+# counted. 4 deferred total, inside VERDICT r12 ask #2's <=5 budget.
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_dedup_survivors", "q_context_length_plan", "s_state_inspect"}
+    {
+        "q_dedup_survivors", "q_context_length_plan",
+        "s_state_inspect", "s_state_changefeed",
+    }
 )
 
 

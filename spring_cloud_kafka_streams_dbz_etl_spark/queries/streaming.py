@@ -3031,3 +3031,99 @@ def s_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "s_state_changefeed",
+    oracle="""
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(event_id % 3 AS BIGINT) AS bucket
+  FROM events
+), pos AS (
+  SELECT bucket,
+         CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS batch_id
+  FROM (SELECT DISTINCT bucket FROM ev)
+), cum AS (
+  SELECT bucket, window_start, event_type, COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2, 3
+)
+SELECT p.batch_id, c.window_start, c.event_type,
+       CAST(SUM(c.cnt) OVER (PARTITION BY c.window_start, c.event_type
+                             ORDER BY c.bucket) AS BIGINT) AS n_events,
+       'update' AS change_type
+FROM cum c JOIN pos p ON p.bucket = c.bucket
+""",
+)
+def s_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State CDC — the change feed of a state store across micro-batches
+    (Spark 4 `statestore` source, `readChangeFeed`): replay events in
+    three deterministic id-bucket batches through a watermark-less
+    windowed aggregation, then read back WHEN each (window, type) key's
+    state changed and TO WHAT — the time-travel debugging view for
+    "which batch corrupted this key". Buckets are event_id % 3,
+    deliberately ORTHOGONAL to the window key, so most keys are updated
+    in every batch and the feed shows real per-key evolution (a
+    time-bucketed replay would touch each hourly window exactly once).
+    Exactly the keys a batch touches emit an `update` row carrying the
+    post-batch running count, so the oracle is the per-bucket
+    touched-key relation with a cumulative sum over bucket order —
+    state history as plain SQL.
+
+    Scale: the feed reads the checkpoint's per-batch delta files
+    directly — partition-parallel over store instances, cost
+    proportional to the CHANGES in the inspected batch range, never to
+    total state size; on a 100 TB stream you scope it with
+    changeStartBatchId/changeEndBatchId to the suspect window. Batch
+    determinism comes from explicit bucket appends (one
+    processAllAvailable drain per bucket, the s_late_data pattern), not
+    from file-listing order."""
+    from ..catalog import table as load_table
+
+    # Same windowed-agg key space as s_state_inspect; frozen at start.
+    stream_tune(spark, 5 * 24 * 31)
+    name = f"cfeed_{uuid.uuid4().hex[:8]}"
+    src, ckpt = _tmp("cfeed_src"), _tmp("cfeed_ckpt")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "event_id")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("bucket", (F.col("event_id") % 3).cast("long"))
+        .drop("event_id")
+    )
+    buckets = sorted(r[0] for r in ev.select("bucket").distinct().collect())
+    first = ev.filter(F.col("bucket") == buckets[0]).drop("bucket")
+    first.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 0 = first bucket
+        for b in buckets[1:]:  # each append drains as exactly one batch
+            ev.filter(F.col("bucket") == b).drop("bucket").write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+    )
+    return feed.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+        "change_type",
+    )
