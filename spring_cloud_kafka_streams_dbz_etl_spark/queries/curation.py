@@ -606,7 +606,7 @@ def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split("text", " ")).cast("long")
     e = d.select(
         n_tok.alias("n_tokens"),
-        F.explode(F.array(*[F.lit(l) for l in CTX_LENGTHS])).alias("ctx_len"),
+        F.explode(F.array(*[F.lit(ctx) for ctx in CTX_LENGTHS])).alias("ctx_len"),
     )
     kept = F.least(F.col("n_tokens"), F.col("ctx_len"))
     a = e.groupBy(F.col("ctx_len").cast("int").alias("ctx_len")).agg(
