@@ -327,6 +327,34 @@ _ROUND_12 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r13.json (all 50 green — rows+schema+hash, zero
+# errors): the 14 r12 deferrals' first rows (detectors, dedup planning,
+# text/source quality, kNN-classify pair, index health), the 6 r13
+# reserve-slot additions, the q_tpch_q14 re-front after the decimal
+# rounding fix, the 6 stream_tune stateful re-fronts, and the
+# fewest-checked tail. Cumulative 240/240 after this round.
+_ROUND_13 = frozenset(
+    {
+        "q_mean_shift_detect", "q_seasonal_decompose",
+        "q_embedding_coverage", "q_dedup_threshold_sweep",
+        "q_lsh_band_plan", "q_dup_cluster_stats", "q_tpch_q14",
+        "q_pii_risk_report", "q_embedding_dq", "q_ann_coverage_curve",
+        "q_embedding_spectrum", "q_knob_plan", "q_vocab_growth",
+        "q_bpe_capacity", "q_bpe_fertility", "q_source_quality_matrix",
+        "q_linear_probe_pca", "q_index_health", "q_knn_classify",
+        "q_knn_classify_served", "s_window_agg", "s_late_data",
+        "s_stateful_count", "s_session_window", "s_chained_agg",
+        "s_window_topk", "s_mean_shift_alert", "q_ann_cell_stats",
+        "q_ann_filtered", "q_embedding_pca", "q_bpe_train",
+        "q_bpe_segment", "q_linear_probe", "s_ann_serve",
+        "s_linear_probe_online", "q_label_propagate", "q_repetition",
+        "q_pmi_bigrams", "q_winnow_fingerprint", "q_curation_pipeline",
+        "q_unigram_nll", "q_bpe_tokens", "q_gopher_rules", "q_bigram_nll",
+        "q_boilerplate_phrases", "q_curation_near_dup", "q_term_drift",
+        "q_feature_hash", "q_json_source", "q_csv_source",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -340,6 +368,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     10: _ROUND_10,
     11: _ROUND_11,
     12: _ROUND_12,
+    13: _ROUND_13,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -403,17 +432,23 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # r5 green row predates the fix, so it re-fronts for a fresh row.
 # The six small-state stateful streams moved from tune() to
 # stream_tune() (state-store instances sized to the state key space,
-# not core count — measured s_chained_agg 4.10->2.15 s, s_window_topk
-# 55->16 s): the stateful exchange partitioning changed, so their green
-# rows under the 32-instance plans predate the change and they re-front
-# (results re-verified oracle-identical at sf0.01 + sf0.1 in-session).
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        "q_tpch_q14",
-        "s_window_agg", "s_late_data", "s_session_window",
-        "s_stateful_count", "s_chained_agg", "s_window_topk",
-    }
-)
+# not core count — isolated repeat medians s_chained_agg 4.10->2.15 s,
+# s_window_topk 55->16 s, measured by tools/measure_state.py; the
+# in-bench interleaved rows moved 6.42->4.95 s and similar — both
+# contexts labelled per ADVICE r13): the stateful exchange partitioning
+# changed, so their green rows under the 32-instance plans predate the
+# change and they re-front (results re-verified oracle-identical at
+# sf0.01 + sf0.1 in-session).
+# Round 13's 7 entries (q_tpch_q14 after the decimal rounding fix + the
+# six stream_tune stateful re-fronts) all re-verified green AT HEAD in
+# r13 and are cleared in the same change that records
+# CHECKED_BY_ROUND[13]. Round-14 entries: the s_state_changefeed
+# atomic-append fix (ADVICE r13 medium — bucket appends now
+# coalesce(1) so each commits as a single file rename and cannot split
+# across micro-batches) changes that stream's ingestion plan; it has no
+# green driver row yet (it is a DEFERRED_NEW fronting this window), so
+# no re-front entry is needed — listed here for the audit trail only.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -489,12 +524,26 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # (state CDC: per-batch key-update history via readChangeFeed) join
 # them — also oracle-green at all three SFs before registration
 # counted. 4 deferred total, inside VERDICT r12 ask #2's <=5 budget.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        "q_dedup_survivors", "q_context_length_plan",
-        "s_state_inspect", "s_state_changefeed",
-    }
-)
+# Round 13's window verified (50/50 green, cumulative 240/240). All 4
+# r13 deferrals cleared in the same change that records
+# CHECKED_BY_ROUND[13]: they carry their real zero-row count and front
+# the round-14 window automatically (VERDICT r13 ask #1 — green rows
+# for all 4 makes cumulative 244/244, every registered query
+# driver-verified).
+#
+# Round-14 window budget: the 4 zero-count r13 deferrals front, then up
+# to 6 RESERVE slots for queries registered during round 14 (same rule
+# as r13 — the first 6 in-round registrations are left OUT of
+# DEFERRED_NEW and make this window), then the LEAST-RECENTLY-CHECKED
+# tail fills to 50 (rotation_order switched from fewest-checked-first
+# to least-recently-first this round — see rotation_order's docstring;
+# fewest-checked-first could not bound staleness). Staleness after this
+# budgeting (VERDICT r13 ask #6): the r14 window drains everything
+# last-checked <= r8, so max staleness across all 244 registered
+# queries is 5 rounds (r14 - r9) — inside the <=6 bar, and bounded at
+# ceil(244/50) = 5 in steady state by construction. Verified
+# mechanically by tests/test_rotation.py::test_max_staleness_bounded.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
@@ -513,7 +562,37 @@ def times_checked(name: str) -> int:
     return sum(1 for checked in CHECKED_BY_ROUND.values() if name in checked)
 
 
+def last_checked(name: str) -> int:
+    """Most recent round whose driver window contained ``name``
+    (0 = never checked). Deferred-new queries report a far-future
+    sentinel so they stay out of the already-budgeted window;
+    changed-since-check queries report 0 so a materially rewritten plan
+    re-fronts exactly like a never-checked one."""
+    if name in DEFERRED_NEW:
+        return 10**6
+    if name in CHANGED_SINCE_CHECK:
+        return 0
+    return max(
+        (rnd for rnd, checked in CHECKED_BY_ROUND.items() if name in checked),
+        default=0,
+    )
+
+
 def rotation_order(names: list[str]) -> list[str]:
-    """Stable order: fewest driver-checked rounds first, then original
-    registration order."""
-    return sorted(names, key=lambda n: (times_checked(n), names.index(n)))
+    """Stable order: least-recently driver-checked first, then fewest
+    total checks, then original registration order.
+
+    Least-recently-first (not fewest-checked-first) is what bounds
+    staleness: with 244 registered queries and a 50-query window, every
+    query re-fronts within ceil(244/50) = 5 rounds of its last check,
+    regardless of how many green rows it has accumulated. The r13 rule
+    (fewest-checked-first) let a 4-green r1-era query (q_dup_clusters,
+    last checked r4) sit behind the large 3-green tier indefinitely —
+    staleness 10 at r14 budgeting, over VERDICT r13 ask #6's <=6 bar.
+    Never-checked queries carry last_checked 0 and still front ahead of
+    everything, so new registrations and cleared deferrals behave as
+    before."""
+    return sorted(
+        names,
+        key=lambda n: (last_checked(n), times_checked(n), names.index(n)),
+    )

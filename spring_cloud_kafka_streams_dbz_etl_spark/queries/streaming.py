@@ -1529,7 +1529,8 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two stores, both time-span-bound: 15-min level types x ~31d of
     # quarter-hours + hourly level types x hours. Sizing instances to
     # that state (not core count) measured 4.10 -> 2.15 s on this
-    # fixture — the per-instance fixed cost is the binding term.
+    # fixture (isolated repeat medians; see session.py) — the
+    # per-instance fixed cost is the binding term.
     stream_tune(spark, 5 * 24 * 31 * 4 + 5 * 24 * 31)
     name = f"chain_{uuid.uuid4().hex[:8]}"
     src = _tmp("chain_src")
@@ -3092,8 +3093,15 @@ def s_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("event_id")
     )
     buckets = sorted(r[0] for r in ev.select("bucket").distinct().collect())
+    # Each bucket lands as ONE file (ADVICE r13): the stream runs on a
+    # continuous trigger, so a micro-batch can fire mid-append; a
+    # multi-file append commits one rename at a time and a partial
+    # listing would split the bucket across two batches, shifting every
+    # later batch_id out from under the oracle's one-batch-per-bucket
+    # cumulative mapping. coalesce(1) makes each append a single atomic
+    # rename — the same reason s_late_data's live appends use it.
     first = ev.filter(F.col("bucket") == buckets[0]).drop("bucket")
-    first.write.mode("overwrite").parquet(src)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(first.schema).parquet(src)
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
@@ -3108,9 +3116,9 @@ def s_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()  # micro-batch 0 = first bucket
         for b in buckets[1:]:  # each append drains as exactly one batch
-            ev.filter(F.col("bucket") == b).drop("bucket").write.mode(
-                "append"
-            ).parquet(src)
+            ev.filter(F.col("bucket") == b).drop("bucket").coalesce(
+                1
+            ).write.mode("append").parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()

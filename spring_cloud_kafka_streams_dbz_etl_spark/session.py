@@ -59,7 +59,11 @@ def tune(spark: SparkSession) -> SparkSession:
 # (open/commit/snapshot of the instance's delta files), which AQE cannot
 # coalesce away because stateful exchanges are exempt from runtime
 # re-planning. Measured on this fixture: s_chained_agg 4.10 s -> 2.15 s
-# wall (32 -> 4 instances per store, local[32], sf0.1).
+# wall (ISOLATED repeat medians — fresh idle session per measurement;
+# 32 -> 4 instances per store, local[32], sf0.1). The same change read
+# 7.43 -> 2.17 s in the r13 in-session bench's INTERLEAVED rows
+# (tools/measure_watchlist.py) — same win, noisier context; the
+# isolated medians are the canonical number.
 STATE_KEYS_PER_PARTITION = 25_000
 
 

@@ -1841,9 +1841,17 @@ def test_runtime_bloom_filter_reduces_fact_scan_when_join_shuffles(spark, sf_smo
         )
         plan = j._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in plan, plan[:2000]
-        # the filter must land on the FACT (lineitem) side's key
-        assert "l_orderkey" in plan.split("might_contain")[0].rsplit("\n", 2)[-1] or \
-            "might_contain(scalar-subquery" in plan, plan[:2000]
+        # The filter must land on the FACT (lineitem) side's key: the
+        # probed column is an ARGUMENT of might_contain, so assert
+        # l_orderkey appears on the might_contain line AFTER the token
+        # (ADVICE r13: the old check looked before the token, where the
+        # key never appears, then fell through to a clause any bloom
+        # injection satisfied — fact side or not).
+        bloom_lines = [ln for ln in plan.splitlines() if "might_contain" in ln]
+        assert any(
+            "l_orderkey" in ln.split("might_contain", 1)[1]
+            for ln in bloom_lines
+        ), "bloom filter did not land on the fact key:\n" + "\n".join(bloom_lines)
     finally:
         for k in touched:  # back to session defaults (tune() owns the rest)
             spark.conf.unset(k)

@@ -101,7 +101,9 @@ absolute scale; nothing to adjudicate further.
 Finding (r13 session 2, idle machine, sf0.1, local[32]) — adjudicating
 the residual 1.10x core gap vs BENCH_r10 (the best round) after the
 stream_tune state-sizing change landed (core 73.3 -> 71.6 s in-session;
-s_chained_agg 7.43 -> 2.17 s). The two remaining movers, isolated
+s_chained_agg 7.43 -> 2.17 s — INTERLEAVED bench rows; the isolated
+repeat medians for the same change are 4.10 -> 2.15 s, the canonical
+number quoted in session.py/SCALE.md). The two remaining movers, isolated
 (fresh session, warmup, 3 repeats):
 
     s_minhash_incremental  [6.54, 6.65, 7.58]  (r10 bench 6.51 / session bench 8.99)
