@@ -61,6 +61,16 @@ ISOLATED_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MAX", "6"))
 # consecutive rounds — one jump is usually interleave noise, two is a
 # trend the next verdict should adjudicate.
 DRIFT_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_RATIO", "1.25"))
+# self-adjudication trigger (VERDICT r13 ask #3): any CORE member whose
+# interleaved median exceeds PRIOR_RATIO x its previous-round artifact
+# value gets an automatic isolated re-measure stamped into "isolated" —
+# BENCH_r13's four big movers (s_kafka_txn_sink 1.36x, ...) were all
+# below the 1.5x vs-best-pass suspect gate, so the exculpatory isolated
+# medians lived outside the artifact and the verdict had to hunt for
+# them. Movers are stamped, not substituted: substitution still needs
+# the stronger SUSPECT_RATIO interleave evidence.
+PRIOR_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_PRIOR_RATIO", "1.2"))
+PRIOR_MOVER_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_PRIOR_MOVER_MAX", "12"))
 
 # Frozen round-over-round comparison core (VERDICT r12 ask #4): the
 # headline set grew 33 -> 37 members across r10-r12, so the headline
@@ -87,11 +97,10 @@ BENCH_CORE = frozenset(
 )
 
 
-def _drift_flags(timings: dict[str, float]) -> list[str]:
-    """Names whose median exceeded DRIFT_RATIO x the prior round's value
-    AND whose prior round already exceeded DRIFT_RATIO x the round before
-    it — read from the two most recent BENCH_r*.json artifacts next to
-    this script (missing/unparseable artifacts degrade to no flags)."""
+def _prior_artifacts(k: int) -> list[dict[str, float]]:
+    """Per-query timing maps of the k most recent BENCH_r*.json
+    artifacts next to this script, oldest first (missing/unparseable
+    artifacts degrade to empty maps)."""
     import glob
     import re
 
@@ -105,8 +114,8 @@ def _drift_flags(timings: dict[str, float]) -> list[str]:
     arts = [p for p, m in sorted(
         ((p, m) for p, m in matched if m), key=lambda pm: int(pm[1].group(1))
     )]
-    prevs = []
-    for p in arts[-2:]:
+    prevs: list[dict[str, float]] = []
+    for p in arts[-k:]:
         try:
             with open(p) as f:
                 d = json.load(f)
@@ -116,6 +125,14 @@ def _drift_flags(timings: dict[str, float]) -> list[str]:
             )
         except (OSError, ValueError):
             prevs.append({})
+    return prevs
+
+
+def _drift_flags(timings: dict[str, float]) -> list[str]:
+    """Names whose median exceeded DRIFT_RATIO x the prior round's value
+    AND whose prior round already exceeded DRIFT_RATIO x the round before
+    it (one jump is usually interleave noise, two is a trend)."""
+    prevs = _prior_artifacts(2)
     if len(prevs) < 2:
         return []
     older, prev = prevs
@@ -221,20 +238,40 @@ def main() -> None:
     isolated: dict[str, float] = {}
     flagged: list[str] = []
     interleaved_median: dict[str, float] = {}
+    prior_movers: list[str] = []
     if passes > 1:
         suspects = sorted(
             (n for n, ts in raw.items() if timings[n] > SUSPECT_RATIO * min(ts)),
             key=lambda n: timings[n] / min(raw[n]),
             reverse=True,
         )[:ISOLATED_MAX]
-        for name in suspects:
+        # Self-adjudication (VERDICT r13 ask #3): every CORE member whose
+        # interleaved median moved past PRIOR_RATIO x its previous-round
+        # artifact value also gets an isolated re-measure, so the
+        # artifact itself carries the evidence that distinguishes
+        # interleave inflation from a real plan regression. Stamp-only:
+        # the headline median is substituted only under the stronger
+        # SUSPECT_RATIO interleave rule below.
+        prior = (_prior_artifacts(1) or [{}])[-1]
+        prior_movers = sorted(
+            (
+                n
+                for n in timings
+                if n in BENCH_CORE
+                and prior.get(n, 0) > 0
+                and timings[n] > PRIOR_RATIO * prior[n]
+            ),
+            key=lambda n: timings[n] / prior[n],
+            reverse=True,
+        )[:PRIOR_MOVER_MAX]
+        for name in dict.fromkeys(list(suspects) + prior_movers):
             ts = []
             for _ in range(ISOLATED_REPEATS):
                 t0 = time.perf_counter()
                 materialize(specs[name].fn(spark, SF_DIR))
                 ts.append(round(time.perf_counter() - t0, 3))
             isolated[name] = sorted(ts)[len(ts) // 2]
-            if timings[name] > SUSPECT_RATIO * isolated[name]:
+            if name in suspects and timings[name] > SUSPECT_RATIO * isolated[name]:
                 flagged.append(name)
                 interleaved_median[name] = timings[name]
                 timings[name] = isolated[name]
@@ -258,6 +295,9 @@ def main() -> None:
         "isolated": isolated,
         "interleave_flagged": flagged,
         "interleaved_median": interleaved_median,
+        # core members whose interleaved median moved >PRIOR_RATIO x the
+        # previous artifact; each carries its isolated median above
+        "prior_movers": prior_movers,
         "drift_flagged": _drift_flags(timings),
     }
     # The driver captures only a stdout TAIL: keep the printed line COMPACT

@@ -115,11 +115,10 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # The driver's correctness harness checks only the FIRST 50 entries of
     # queries() per round, so registration order doubles as the
-    # verification rotation: queries with the fewest driver-green rounds
-    # sort first (ties broken by original registration order). A new query
-    # therefore always enters the next round's checked window, and
-    # previously-checked ones cycle back in as slots allow. The per-round
-    # checked sets live in rotation.py (appended each round from
-    # CORRECTNESS_r{N}.json).
+    # verification rotation: least-recently-driver-checked queries sort
+    # first (never-checked ones front; ties broken by fewest total checks,
+    # then original registration order), bounding staleness at
+    # ceil(N/50) rounds. The per-round checked sets live in rotation.py
+    # (appended each round from CORRECTNESS_r{N}.json).
     names = rotation_order(list(_REGISTRY))
     return {name: _REGISTRY[name] for name in names}

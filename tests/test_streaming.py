@@ -782,3 +782,78 @@ def test_state_metadata_pins_frozen_instance_count(spark, sf_smoke):
     n_batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
     assert n_state == n_batch  # no watermark -> nothing evicted, state == aggregate
     tune(spark)  # restore the batch default for later tests
+
+
+def test_state_sources_partition_parallel_at_1e5_keys(spark):
+    """Adversarial-scale pin for the offline state sources (VERDICT r13
+    ask #5): build a checkpoint holding 1.2e5 distinct state keys, then
+    confirm the two SCALE.md claims structurally —
+
+    1. the `statestore` read is PARTITION-PARALLEL over the store's own
+       frozen instances: one scan partition per instance, zero Exchange
+       in the bare read's physical plan (the read never reshuffles the
+       store to look at it);
+    2. the `readChangeFeed` read scoped to a batch costs the CHANGES in
+       that batch, not the store size: scoping to the 1k-key update
+       batch yields exactly the 1k changed rows even though the store
+       holds 120x that.
+
+    tools/measure_state.py carries the wall-clock version of claim 2 at
+    1e6 keys (time per changefeed batch tracks change count while the
+    store size is constant)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.session import stream_tune, tune
+
+    keys = 120_000
+    touched = 1_000
+    stream_tune(spark, keys)
+    planned = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert planned == 5  # ceil(120k / 25k)
+    name = f"big_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix="bigstate_src")
+    ckpt = tempfile.mkdtemp(prefix="bigstate_ckpt")
+    base = spark.range(keys).select(F.col("id").alias("k"))
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(base.schema)
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: all 120k keys enter state
+        spark.range(touched).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 1: only 1k keys update
+    finally:
+        q.stop()
+
+    state = spark.read.format("statestore").load(ckpt)
+    # one scan partition per store instance, and no shuffle to read it
+    assert state.rdd.getNumPartitions() == planned
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert state.count() == keys  # watermark-less: nothing evicted
+
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "1")
+        .option("changeEndBatchId", "1")
+        .load(ckpt)
+    )
+    assert feed.rdd.getNumPartitions() == planned
+    assert "Exchange" not in feed._jdf.queryExecution().executedPlan().toString()
+    # the scoped feed carries exactly the batch's changes, not the store
+    assert feed.count() == touched
+    tune(spark)  # restore the batch default for later tests

@@ -125,6 +125,92 @@ def ops(spark, docs):
     bands.unpersist()
 
 
+# The r12/r13 heavy REGISTERED queries (VERDICT r13 ask #4): measured
+# end-to-end through their registry callables against a synthesized K×
+# sf dir, so the curve covers exactly what the driver runs — candidate
+# generation, training, and the oracle-shaped output projection.
+HEAVY_QUERIES = (
+    "q_dedup_threshold_sweep",
+    "q_dup_cluster_stats",
+    "q_vocab_growth",
+    "q_ann_coverage_curve",
+    "q_index_health",
+)
+
+
+def scaled_embeddings(spark, k_replicas: int):
+    """K× embeddings with workload shape held constant: replica k's
+    vectors are cyclically rotated by k dimensions — norms and every
+    intra-replica pairwise distance are preserved exactly (so cluster
+    structure grows linearly with K), while cross-replica similarity is
+    scrambled."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = base.selectExpr("max(vec_id)").collect()[0][0] + 1
+    dim = len(base.first()["embedding"])
+    parts = []
+    for k in range(k_replicas):
+        rot = F.concat(
+            F.slice(F.col("embedding"), k % dim + 1, dim - k % dim),
+            F.slice(F.col("embedding"), 1, k % dim),
+        ) if k % dim else F.col("embedding")
+        parts.append(
+            base.select(
+                (F.col("vec_id") + k * n).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_sf_dir(spark, k_replicas: int) -> str:
+    """Materialize a K× sf directory: scaled documents + embeddings,
+    every other table symlinked from the base SF (the heavy queries
+    only read these two, but the registry callables resolve the whole
+    dir through catalog.table)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=f"scaleup_k{k_replicas}_")
+    docs = scaled_docs(spark, k_replicas)
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    docs.unpersist()
+    scaled_embeddings(spark, k_replicas).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return tmp
+
+
+def heavy_query_curve(spark, max_k: int) -> None:
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    specs = all_queries()
+    results: dict[str, list[tuple[int, float]]] = {}
+    k = 1
+    while k <= max_k:
+        sf_dir = scaled_sf_dir(spark, k)
+        print(f"-- heavy registered queries, K={k} ({sf_dir})")
+        for name in HEAVY_QUERIES:
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            secs = time.time() - t0
+            results.setdefault(name, []).append((k, secs))
+            print(f"   {name:26s} {secs:6.2f}s", flush=True)
+        k *= 2
+    print("\nheavy-query scaling factors (time_K / time_1 vs K):")
+    for name, rows in results.items():
+        base = rows[0][1]
+        curve = ", ".join(f"K={kk}: {secs/base:.2f}x" for kk, secs in rows)
+        print(f"  {name:26s} {curve}")
+
+
 def main() -> int:
     from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark, tune
 
@@ -147,6 +233,7 @@ def main() -> int:
         base = rows[0][1]
         curve = ", ".join(f"K={k}: {secs/base:.2f}x" for k, secs, _ in rows)
         print(f"  {label:22s} {curve}")
+    heavy_query_curve(spark, max_k)
     return 0
 
 
