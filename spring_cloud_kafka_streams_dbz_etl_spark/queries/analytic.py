@@ -1645,3 +1645,108 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+), med AS (
+  SELECT lang, source, MAX(n) AS n,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                  THEN n_chars END) AS med_chars
+  FROM ranked GROUP BY lang, source
+), dev AS (
+  SELECT d.lang, d.source, d.doc_id,
+         ABS(d.n_chars - m.med_chars) AS absdev,
+         ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+                            ORDER BY ABS(d.n_chars - m.med_chars), d.doc_id)
+             AS rn,
+         m.n, m.med_chars
+  FROM documents d JOIN med m ON d.lang = m.lang AND d.source = m.source
+), mad AS (
+  SELECT lang, source, MAX(n) AS n, MAX(med_chars) AS med_chars,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                  THEN absdev END) AS mad_chars
+  FROM dev GROUP BY lang, source
+)
+SELECT v.lang, v.source,
+       CAST(MAX(v.n) AS BIGINT) AS n_docs,
+       CAST(MAX(v.med_chars) AS BIGINT) AS med_chars,
+       CAST(MAX(m.mad_chars) AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN v.absdev > 3 * m.mad_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev v JOIN mad m ON v.lang = m.lang AND v.source = m.source
+GROUP BY v.lang, v.source
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation) of document length per (lang, source), flagging docs whose
+    deviation exceeds 3x MAD — the length-anomaly screen that survives the
+    heavy-tailed corpora where mean/stddev z-scores (q_anomaly_zscore)
+    saturate on the outliers themselves. Both medians are DISCRETE
+    nearest-rank values over a total integer order (n_chars/absdev, then
+    doc_id), so every output column is an integer actually present in the
+    data — no interpolation, engine-exact end-to-end.
+
+    Scale: both rank windows and the final rollup share ONE shuffle key
+    (lang, source) — Catalyst reuses the exchange, and group cardinality
+    (|langs| x |sources|) is planner-sized, never data-sized. At 100 TB
+    you'd swap the exact medians for approx_percentile(0.5) sketches
+    (combinable, one pass) and keep the identical 3-sigma-equivalent
+    gate; the exact rank form here is the oracle-checkable ground truth
+    for that sketch, the same pairing q_approx_stats pins.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    grp = ["lang", "source"]
+    w = Window.partitionBy(*grp).orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy(*grp)
+    ranked = d.select(
+        *grp, "doc_id", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy(*grp).agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("med_chars"),
+    )
+    dev = d.join(F.broadcast(med), grp).select(
+        *grp, "doc_id", "n", "med_chars",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("absdev"),
+    )
+    wd = Window.partitionBy(*grp).orderBy("absdev", "doc_id")
+    rdev = dev.select(
+        *grp, "absdev", "n", "med_chars", F.row_number().over(wd).alias("rn")
+    )
+    mad = rdev.groupBy(*grp).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("absdev"),
+            )
+        ).alias("mad_chars"),
+    )
+    return (
+        dev.join(F.broadcast(mad), grp)
+        .groupBy(*grp)
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("med_chars").cast("bigint").alias("med_chars"),
+            F.max("mad_chars").cast("bigint").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad_chars"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

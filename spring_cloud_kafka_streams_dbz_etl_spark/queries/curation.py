@@ -627,3 +627,192 @@ def q_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (packed * F.col("ctx_len") - F.col("kept_tokens"))
         .cast("long").alias("packed_tail_waste"),
     )
+
+
+@query(
+    "q_temporal_split_embargo",
+    oracle="""
+WITH ranked AS (
+  SELECT ts, event_id, event_type,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+), cut AS (
+  SELECT MAX(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT) THEN ts END) AS cut_ts
+  FROM ranked
+)
+SELECT
+  CASE WHEN e.ts < c.cut_ts - INTERVAL 1 DAY THEN 'train'
+       WHEN e.ts >= c.cut_ts THEN 'test'
+       ELSE 'embargo' END AS split,
+  e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(e.ts) AS min_ts,
+  MAX(e.ts) AS max_ts
+FROM events e CROSS JOIN cut c
+GROUP BY 1, 2
+""",
+)
+def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap: the cut
+    is the discrete 80th-percentile event time (nearest-rank over the total
+    order ts, event_id — an actual data timestamp, no interpolation), test
+    is everything at or after the cut, and the day before the cut is
+    EMBARGOED — excluded from train so that models with lagged/windowed
+    features cannot see information that overlaps the test period (the
+    standard purged/embargoed split from financial ML, the temporal
+    counterpart of the hash-based q_leakage_split). Output is the per
+    (split, event_type) audit: counts and actual time spans, which is also
+    the check that train.max_ts < embargo.min_ts <= cut <= test.min_ts.
+
+    Scale: the exact rank-k timestamp is found WITHOUT a global sort via
+    the two-phase distributed quantile shape — (1) a combinable
+    groupBy(hour) count rolls the corpus down to a planner-sized |hours|
+    relation, (2) a cumulative sum over that rollup locates the bucket
+    containing rank k, (3) a rank window PARTITIONED by hour resolves the
+    exact row inside the one ~1/|hours|-sized bucket. Nothing data-sized
+    is ever sorted on one partition. The cut then broadcasts back as a
+    1-row relation, the split label is a pure map, and the audit one
+    combinable rollup. At 100 TB steps 1-3 are unchanged (the rollup is
+    |hours| rows regardless of volume) — or the cut is simply a policy
+    date — and it's the gate the curation pipeline applies before
+    q_pack_sequences shards each split.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hourly.select(
+        "h",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.ceil(F.lit(0.8) * F.sum("c").over(wall)).cast("long").alias("k"),
+    )
+    target = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .orderBy("h")
+        .limit(1)
+        .select("h", (F.col("k") - (F.col("cum") - F.col("c"))).alias("j"))
+    )
+    wtie = Window.partitionBy("h").orderBy("ts", "event_id")
+    cut = (
+        ev.select("ts", "event_id", hour.alias("h"))
+        .join(F.broadcast(target), "h")
+        .select("ts", "j", F.row_number().over(wtie).alias("rn"))
+        .filter(F.col("rn") == F.col("j"))
+        .agg(F.max("ts").alias("cut_ts"))
+    )
+    labeled = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(
+            F.col("ts") < F.col("cut_ts") - F.expr("INTERVAL 1 DAY"), "train"
+        )
+        .when(F.col("ts") >= F.col("cut_ts"), "test")
+        .otherwise("embargo")
+        .alias("split"),
+        "event_type",
+        "ts",
+    )
+    return labeled.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+# Epoch-repeat cap heuristic for q_epoch_plan: past ~4 epochs over the
+# same data, additional repeats return sharply diminishing value
+# (public data-constrained-scaling results), so the plan flags any
+# source whose target demands more.
+EPOCH_REPEAT_CAP = 4
+
+
+@query(
+    "q_epoch_plan",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_int,
+         SUM(tokens) OVER () AS budget,
+         SUM(CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT))
+             OVER () AS sw
+  FROM per_src
+), plan AS (
+  SELECT source, tokens,
+         CAST(FLOOR(CAST(budget AS DOUBLE) * w_int / sw) AS BIGINT)
+             AS target_tokens
+  FROM w
+)
+SELECT source, tokens, target_tokens,
+       CAST(target_tokens // tokens AS BIGINT) AS full_epochs,
+       CAST(FLOOR(1000000.0 * (target_tokens % tokens) / tokens) AS BIGINT)
+           AS tail_keep_ppm,
+       (target_tokens + tokens - 1) // tokens > 4 AS repeat_risk
+FROM plan
+""",
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repeat plan under a fixed token budget — the
+    upsampling half that q_temperature_sample's downsample-only pass
+    explicitly leaves to "the loader's repeat-epoch job". The budget is
+    the corpus' own token total (the plan REDISTRIBUTES the same mass to
+    the temperature-alpha=0.5 mixture); each source's target splits into
+    full_epochs = target DIV tokens complete passes plus a fractional
+    tail expressed as a deterministic keep-rate (ppm — fed to the same
+    md5-bucket membership q_temperature_sample uses, so the tail sample
+    is reproducible across runs and engines). repeat_risk flags sources
+    whose CEILING epoch count exceeds EPOCH_REPEAT_CAP — the
+    data-constrained-scaling regime where more repeats stop helping and
+    the mixture should be re-weighted instead.
+
+    Determinism: token counts and the w_int temperature weights are
+    exact BIGINTs before any global sum (q_mixture_weights' trick);
+    target_tokens is then ONE double multiply + ONE divide + floor on
+    identical integer operands — each a single correctly-rounded IEEE op,
+    bit-identical on both engines (the q_temperature_sample keep_ppm
+    pattern). Everything downstream is pure integer arithmetic.
+
+    Scale: one map-side-combinable groupBy(source) over the scan; the
+    global-window arithmetic runs on ONE row per source (planner-sized —
+    mixtures have dozens of sources). The output IS the loader manifest:
+    full_epochs repeat passes + one tail_keep_ppm-filtered pass per
+    source, so a 100 TB pretraining run plans its entire sampling
+    schedule from a table the size of its source list."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    per_src = fan_out(d, spark).groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
+    )
+    w_int = F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast("long")
+    win = Window.partitionBy()
+    planned = per_src.withColumn("w_int", w_int).select(
+        "source",
+        "tokens",
+        F.floor(
+            F.sum("tokens").over(win).cast("double")
+            * F.col("w_int")
+            / F.sum("w_int").over(win)
+        )
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    return planned.select(
+        "source",
+        "tokens",
+        "target_tokens",
+        F.expr("target_tokens DIV tokens").cast("bigint").alias("full_epochs"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("target_tokens") % F.col("tokens"))
+            / F.col("tokens")
+        )
+        .cast("bigint")
+        .alias("tail_keep_ppm"),
+        F.expr(
+            f"(target_tokens + tokens - 1) DIV tokens > {EPOCH_REPEAT_CAP}"
+        ).alias("repeat_risk"),
+    )

@@ -258,3 +258,144 @@ def q_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id", "n_rows", "min_cust", "max_cust", "min_price", "max_price",
         (~overlaps).alias("can_skip"),
     )
+
+
+# Target shard size for q_shard_plan, in characters (the fixture's byte
+# proxy: documents are ASCII-ish synthetic text). Sized so sf0.1 sources
+# plan a handful of shards each; at 100 TB you'd pass real bytes and a
+# 256-1024 MB target.
+SHARD_TARGET_CHARS = 32_768
+
+
+@query(
+    "q_shard_plan",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_doc_chars,
+       CAST((SUM(n_chars) + {SHARD_TARGET_CHARS} - 1) // {SHARD_TARGET_CHARS}
+            AS BIGINT) AS n_shards,
+       CAST((COUNT(*) + ((SUM(n_chars) + {SHARD_TARGET_CHARS} - 1)
+                         // {SHARD_TARGET_CHARS}) - 1)
+            // ((SUM(n_chars) + {SHARD_TARGET_CHARS} - 1) // {SHARD_TARGET_CHARS})
+            AS BIGINT) AS docs_per_shard,
+       CAST(SUM(n_chars) // ((SUM(n_chars) + {SHARD_TARGET_CHARS} - 1)
+                             // {SHARD_TARGET_CHARS})
+            AS BIGINT) AS avg_shard_chars,
+       CAST(SUM(CASE WHEN n_chars > {SHARD_TARGET_CHARS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oversize_docs
+FROM documents
+GROUP BY source
+""",
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout plan per source: how many output shards a
+    target shard size implies, the docs-per-shard write fan-in, the
+    realized average shard size, and the count of docs too large for one
+    shard (which must be chunked by q_doc_chunks before packing). This is
+    the sizing sheet that turns a curated corpus into the fixed-size
+    `.tar`/parquet shards a training loader streams — the writer-side
+    counterpart of q_compaction_plan (which sizes reads) and
+    q_corpus_shuffle (which orders them). Integer-exact end-to-end:
+    ceilings are (a + b - 1) DIV b on BIGINT sums, no doubles anywhere.
+
+    Scale: one combinable groupBy(source) over the scan — counts, sums,
+    max fold map-side; output is |sources| rows of planner metadata. At
+    100 TB the same rollup runs on real byte lengths, and the plan's
+    n_shards column IS the repartitionByRange fan-out the writer uses.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    t = F.lit(SHARD_TARGET_CHARS)
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_chars").cast("bigint").alias("max_doc_chars"),
+        F.sum(F.when(F.col("n_chars") > t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversize_docs"),
+    )
+    shards = F.expr(
+        f"(total_chars + {SHARD_TARGET_CHARS} - 1) DIV {SHARD_TARGET_CHARS}"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "max_doc_chars",
+        shards.cast("bigint").alias("n_shards"),
+        F.expr(
+            f"(n_docs + (total_chars + {SHARD_TARGET_CHARS} - 1) DIV {SHARD_TARGET_CHARS} - 1) "
+            f"DIV ((total_chars + {SHARD_TARGET_CHARS} - 1) DIV {SHARD_TARGET_CHARS})"
+        ).cast("bigint").alias("docs_per_shard"),
+        F.expr(
+            f"total_chars DIV ((total_chars + {SHARD_TARGET_CHARS} - 1) DIV {SHARD_TARGET_CHARS})"
+        ).cast("bigint").alias("avg_shard_chars"),
+        "n_oversize_docs",
+    )
+
+
+# Deterministic probe set for q_bloom_skip: every ~211th doc (a prime
+# stride -> a handful of probes at every SF).
+BLOOM_PROBE_STRIDE = 211
+
+
+@query(
+    "q_bloom_skip",
+    oracle=f"""
+SELECT doc_id, md5(text) AS digest, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE md5(text) IN (SELECT DISTINCT md5(text) FROM documents
+                    WHERE doc_id % {BLOOM_PROBE_STRIDE} = 0)
+""",
+)
+def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup over a digest-keyed layout: write the
+    corpus as parquet with a column-level bloom filter on the content
+    digest, then resolve a set of point probes through it. Zone maps
+    (q_zone_map_skip) prune RANGE predicates; high-cardinality equality
+    probes — "is this exact content already in the corpus?", the serving
+    half of exact dedup — need the bloom filter, which rejects a
+    non-member row group from the footer alone with no data pages read.
+    The probe digests are collected first (a bounded control-plane
+    collect, |probes| ~ n/{BLOOM_PROBE_STRIDE} rows) so the scan sees
+    LITERAL In() predicates it can push into the parquet reader;
+    tests/test_plans.py pins PushedFilters and the footer's bloom offsets.
+
+    Scale: the write is one pass (the bloom filter is built streaming per
+    row group at ~10 bits/distinct value); each probe batch then costs
+    footer reads + the few row groups whose filters claim membership —
+    at 100 TB with 128 MB row groups that is ~1e-4 of the data touched
+    per hit, the difference between a dedup-lookup service and a full
+    scan. The fixture keeps row groups small so multiple groups exist to
+    skip."""
+    import tempfile
+
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bloomskip_")
+    (
+        d.select("doc_id", F.md5("text").alias("digest"), "n_chars")
+        # several row groups per file so bloom skipping has groups to skip
+        .coalesce(4)
+        .sortWithinPartitions("doc_id")
+        .write.option("parquet.bloom.filter.enabled#digest", "true")
+        .option("parquet.bloom.filter.expected.ndv#digest", "100000")
+        # 8 KB row groups: even the sf0.001 file (500 rows x ~48 B) splits
+        # into several groups, so bloom skipping has groups to reject at
+        # every fixture SF (production uses the 128 MB default).
+        .option("parquet.block.size", str(8 * 1024))
+        .mode("overwrite")
+        .parquet(path)
+    )
+    probes = [
+        r["digest"]
+        for r in d.filter(F.col("doc_id") % BLOOM_PROBE_STRIDE == 0)
+        .select(F.md5("text").alias("digest"))
+        .collect()
+    ]
+    back = spark.read.parquet(path)
+    return back.filter(F.col("digest").isin(probes)).select(
+        "doc_id", "digest", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

@@ -448,7 +448,15 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # across micro-batches) changes that stream's ingestion plan; it has no
 # green driver row yet (it is a DEFERRED_NEW fronting this window), so
 # no re-front entry is needed — listed here for the audit trail only.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+# s_stateful_count re-fronts: the GroupState.get property fix
+# (streaming/stateful.py — `state.get()` called the returned tuple and
+# crashed any key whose state spanned micro-batches; latent because the
+# single-file fixture source yields one batch) changes
+# running_user_counters' closure. Fixture results are value-identical
+# (re-verified at sf0.01/sf0.1 in-session) and the cross-batch path is
+# now pinned by tests/test_rocksdb_state.py::
+# test_stateful_counters_accumulate_across_micro_batches.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -539,11 +547,31 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 # to least-recently-first this round — see rotation_order's docstring;
 # fewest-checked-first could not bound staleness). Staleness after this
 # budgeting (VERDICT r13 ask #6): the r14 window drains everything
-# last-checked <= r8, so max staleness across all 244 registered
-# queries is 5 rounds (r14 - r9) — inside the <=6 bar, and bounded at
-# ceil(244/50) = 5 in steady state by construction. Verified
-# mechanically by tests/test_rotation.py::test_max_staleness_bounded.
-DEFERRED_NEW: frozenset[str] = frozenset()
+# last-checked <= r8, so max staleness across all registered queries
+# is 5 rounds (r14 - r9) — inside the <=6 bar. Steady-state bound:
+# ceil(N/50) rounds; r14's additions took N past 250, so the bound is
+# now 6 — AT the bar (the next 50 registrations are free before the
+# window must grow). Verified mechanically by
+# tests/test_rotation.py::test_max_staleness_bounded and
+# test_steady_state_staleness_bound_holds.
+# Reserve slots used in r14 (registered early, oracle-green at
+# sf0.001/0.01/0.1 before registration counted): 1. q_mad_outliers,
+# 2. q_temporal_split_embargo, 3. q_shard_plan, 4. q_bloom_skip,
+# 5. q_quality_calibration, 6. s_shard_assign — whose multi-batch run
+# exposed the GroupState.get property bug in streaming/stateful.py
+# (state.get is a property; calling it called the returned tuple). The
+# fix also touches running_user_counters' closure, so s_stateful_count
+# re-fronts via CHANGED_SINCE_CHECK below despite its green r13 row
+# (fixture values identical — single-file source = one micro-batch, so
+# the fixed branch never runs there — but the policy is a fresh driver
+# row after any material operator change).
+# The reserve is exhausted; additions beyond it defer per the process
+# rule (<=5 deferred at round end): q_epoch_plan (per-source
+# epoch/repeat + tail-keep-ppm loader manifest under a fixed token
+# budget — the upsampling half q_temperature_sample leaves to the
+# loader). Oracle-green at sf0.001/0.01/0.1; it fronts the round-15
+# window.
+DEFERRED_NEW: frozenset[str] = frozenset({"q_epoch_plan"})
 
 
 def times_checked(name: str) -> int:

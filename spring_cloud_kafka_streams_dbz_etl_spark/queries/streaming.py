@@ -3135,3 +3135,79 @@ def s_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n_events"),
         "change_type",
     )
+
+
+@query(
+    "s_shard_assign",
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id % 3, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_chars AS cum_before
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(cum_before // 32768 AS BIGINT) AS shard_id
+FROM ordered
+""",
+)
+def s_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard assignment (applyInPandasWithState, per-ROW
+    state-dependent output): documents arrive in three deterministic
+    id-bucket micro-batches; each source carries ONE bigint of state —
+    its running character total — and every arriving doc is stamped with
+    shard_id = floor(chars_before_it / target), the online version of
+    q_shard_plan's batch sizing (same 32768-char target,
+    queries/layout.py::SHARD_TARGET_CHARS). This is the contract the
+    counter operators don't exercise: the emitted rows READ the state
+    mid-batch (each doc's shard depends on all docs before it, across
+    batches), not just fold it — the shape of streaming writers that
+    roll output files by size.
+
+    The oracle replays the same arrival order (bucket = doc_id % 3, then
+    doc_id) as a per-source cumulative window: streaming assignments
+    must equal the batch plan exactly, which also proves the operator is
+    restart-reproducible (the state is a pure function of the prefix).
+
+    Scale: state is 16 B/source regardless of volume; the only shuffle
+    is the groupBy(source) routing that any per-source writer pays, and
+    output files roll at target size by construction — no post-hoc
+    compaction pass (q_compaction_plan) needed for the streaming path."""
+    from ..streaming.stateful import running_shard_assign
+    from .layout import SHARD_TARGET_CHARS
+
+    from ..catalog import table as load_table
+
+    stream_tune(spark, 32)  # |sources| state keys, one bigint each
+    name = f"shard_{uuid.uuid4().hex[:8]}"
+    src = _tmp("shard_src")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", (F.col("doc_id") % 3).alias("bucket")
+    )
+    buckets = sorted(r[0] for r in d.select("bucket").distinct().collect())
+    first = d.filter(F.col("bucket") == buckets[0]).drop("bucket")
+    # one file per append -> one micro-batch per bucket (atomic rename;
+    # same reasoning as s_state_changefeed)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    assigned = running_shard_assign(stream, SHARD_TARGET_CHARS)
+    q = (
+        assigned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tmp("shard_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in buckets[1:]:
+            d.filter(F.col("bucket") == b).drop("bucket").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        result = spark.table(name).cache()
+        result.count()  # materialize before the query stops
+        return result
+    finally:
+        q.stop()

@@ -2258,3 +2258,82 @@ def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang_share"
         ),
     )
+
+
+@query(
+    "q_quality_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars, md5(text) AS fp,
+         0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                            / len(string_split(text, ' '))) / 8.0, 1.0) AS score
+  FROM documents
+), flagged AS (
+  SELECT CAST(LEAST(9, CAST(FLOOR(score * 10) AS BIGINT)) AS INT) AS score_band,
+         n_chars, score,
+         COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup
+  FROM scored
+)
+SELECT score_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM flagged
+GROUP BY score_band
+""",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration against exact-duplicate rate: band every
+    document by its composite quality score (the q_quality_score
+    expression, bands = floor(score*10) clamped to 9) and report, per
+    band, the population, how many docs are exact duplicates (md5 group
+    size > 1), and the character mass. This is the validation table a
+    curation pipeline reads before trusting a score threshold: if the
+    duplicate rate does NOT fall as the band rises, the score is not
+    measuring quality and the q_curation_pipeline gate is miscalibrated.
+    Banding is a pure per-row map (no global quantile window — the band
+    edges are fixed, not data-dependent); min/max score per band are raw
+    per-row doubles with no cross-row arithmetic, so both engines agree
+    bit-for-bit.
+
+    Scale: one shuffle on the 16-byte digest scores the duplicate flag
+    (the q_dedup_exact shape), one combinable groupBy over 10 bands folds
+    the rest map-side; output is <= 10 rows. At 100 TB both shuffles
+    carry only (digest, band, n_chars, score) — never text.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    avg_len = token_total_len(toks).cast("double") / n_tok
+    score = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * ttr
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    scored = d.select(
+        "n_chars", F.md5("text").alias("fp"), score.alias("score")
+    )
+    wfp = Window.partitionBy("fp")
+    flagged = scored.select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10))
+        .cast("int")
+        .alias("score_band"),
+        "n_chars",
+        "score",
+        (F.count(F.lit(1)).over(wfp) > 1).alias("is_dup"),
+    )
+    return flagged.groupBy("score_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

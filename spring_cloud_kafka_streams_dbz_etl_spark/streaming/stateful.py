@@ -44,7 +44,9 @@ def running_user_counters(events: DataFrame) -> DataFrame:
     def update(key: tuple[Any, ...], pdfs: Iterator, state) -> Iterator:
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0)
+        # GroupState.get is a PROPERTY (raises when absent) — calling it
+        # would call the returned tuple. Guarded by exists, access is lazy.
+        n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
             # exact integer accumulation (value has <= 2 true decimals)
@@ -134,4 +136,62 @@ def per_type_counters_tws(events: DataFrame) -> DataFrame:
         outputStructType=TWS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+SHARD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("shard_id", T.LongType(), False),
+    ]
+)
+
+SHARD_STATE_SCHEMA = T.StructType(
+    [T.StructField("cum_chars", T.LongType(), False)]
+)
+
+
+def running_shard_assign(docs: DataFrame, target_chars: int) -> DataFrame:
+    """Per-source streaming shard assignment: every arriving document is
+    appended to the source's current shard, and a new shard opens when the
+    running character total crosses ``target_chars`` — shard_id =
+    floor(chars_before_this_doc / target). Unlike the counter operators
+    above (one row per KEY per batch), this emits one state-DEPENDENT row
+    per INPUT row, so the state is read mid-batch, not just folded: the
+    assignment each doc gets depends on every doc that preceded it across
+    all earlier micro-batches.
+
+    Determinism: docs are ordered by doc_id within each batch (Arrow group
+    order is not guaranteed), so the running total is a pure function of
+    (arrival batch, doc_id) — exactly the order the oracle's cumulative
+    window reproduces. State per source is ONE bigint, ~16 B/key."""
+
+    def assign(key: tuple[Any, ...], pdfs: Iterator, state) -> Iterator:
+        import pandas as pd
+
+        (cum,) = state.get if state.exists else (0,)
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if frames else None
+        if pdf is None or pdf.empty:
+            state.update((cum,))
+            return
+        pdf = pdf.sort_values("doc_id")
+        chars = pdf["n_chars"].astype("int64")
+        cum_before = cum + chars.cumsum() - chars
+        state.update((cum + int(chars.sum()),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "source": key[0],
+                "shard_id": (cum_before // target_chars).to_numpy(),
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        assign,
+        outputStructType=SHARD_OUTPUT_SCHEMA,
+        stateStructType=SHARD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )

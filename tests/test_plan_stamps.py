@@ -40,6 +40,95 @@ def test_normalizer_strips_volatile_tokens():
     assert norm == plan_stamps.normalize(raw2)
 
 
+def test_normalizer_strips_plan_id_counter():
+    """[plan_id=N] comes from a global monotonic counter in physical
+    fragments embedded by cache builders / executed subqueries — it
+    differed on two back-to-back builds of q_tpch_q2 in one session
+    (caught r14), so it must normalize away."""
+    a = plan_stamps.normalize("BroadcastExchange Mode(List(x)), [plan_id=66]")
+    b = plan_stamps.normalize("BroadcastExchange Mode(List(x)), [plan_id=144]")
+    assert a == b
+    assert "[plan_id=x]" in a
+
+
+def test_stamp_deterministic_for_cache_embedding_plan(spark, sf_smoke):
+    """q_tpch_q2 embeds an InMemoryRelation whose cached physical plan
+    carries plan_id counters — the regression case for the normalizer."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    spec = all_queries()["q_tpch_q2"]
+    a = plan_stamps.stamp_one(spark, "q_tpch_q2", spec, sf_smoke)
+    b = plan_stamps.stamp_one(spark, "q_tpch_q2", spec, sf_smoke)
+    assert a == b
+
+
+def test_normalizer_collapses_uuid_guard_both_orders():
+    """The no_pushdown guard's uuid() carries a fresh random seed per
+    expression instance, and canonicalized() orders the comparison by
+    child hash — so the SAME guard prints as `length(uuid(Some(N))) > -1`
+    or `-1 < length(uuid(Some(-N)))` run to run (caught r14 on
+    q_cdc_envelope_parse / s_dlq_split). Both forms must normalize to one
+    token."""
+    a = plan_stamps.normalize("Filter CASE WHEN (length(uuid(Some(1234567))) > -1) THEN x")
+    b = plan_stamps.normalize("Filter CASE WHEN (-1 < length(uuid(Some(-987654321012)))) THEN x")
+    assert a == b
+    assert "(uuid_guard)" in a
+
+
+def test_stamp_immune_to_cache_contamination(spark, sf_smoke):
+    """Cache substitution is global and canonicalized-plan-matched: once
+    any stamped query .cache()s a scan, later queries over the same
+    relation optimize to InMemoryRelation and their stamps shift with
+    stamping ORDER (caught r14 on q_tpch_q21). stamp_one must clear the
+    cache so the stamp is position-independent."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    spec = all_queries()["q_agg_group"]
+    clean = plan_stamps.stamp_one(spark, "q_agg_group", spec, sf_smoke)
+    cached = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").cache()
+    cached.count()
+    try:
+        assert plan_stamps.stamp_one(spark, "q_agg_group", spec, sf_smoke) == clean
+    finally:
+        cached.unpersist()
+
+
+def test_normalizer_collapses_hof_lambda_counter():
+    """HOF lambda variables are named from a JVM-global counter
+    (lambda x_1 / x_6 ...) that depends on how many HOF plans the session
+    built before this one (caught r14 on q_curation_near_dup)."""
+    a = plan_stamps.normalize("transform(t, lambdafunction(f(lambda x_1#33 + 1), lambda x_1#33))")
+    b = plan_stamps.normalize("transform(t, lambdafunction(f(lambda x_6#99 + 1), lambda x_6#99))")
+    assert a == b
+
+
+def test_normalizer_sorts_commutative_operands():
+    """canonicalized() orders AND/OR operands by expression hashCode,
+    which incorporates raw exprIds from the session-global counter — so
+    operand ORDER depends on how many expressions the session allocated
+    before this plan (caught r14: q_tpch_q2's bloom conjuncts swapped
+    after ~200 queries were stamped first). The normalizer re-sorts each
+    multicommutativeop operand list, nested lists bottom-up."""
+    a = plan_stamps.normalize(
+        "Filter multicommutativeop(isnotnull(none#7), isnotnull(none#9),"
+        " might_contain(scalar-subquery#3 [], xxhash64(none#7, 42)),"
+        " class org.apache.spark.sql.catalyst.expressions.And, None)"
+    )
+    b = plan_stamps.normalize(
+        "Filter multicommutativeop(isnotnull(none#2),"
+        " might_contain(scalar-subquery#8 [], xxhash64(none#2, 42)),"
+        " isnotnull(none#4), class org.apache.spark.sql.catalyst.expressions.And, None)"
+    )
+    assert a == b
+    n1 = plan_stamps.normalize(
+        "multicommutativeop(z#1, multicommutativeop(q#2, p#3, class Or, None), class And, None)"
+    )
+    n2 = plan_stamps.normalize(
+        "multicommutativeop(multicommutativeop(p#9, q#8, class Or, None), z#7, class And, None)"
+    )
+    assert n1 == n2
+
+
 def test_normalizer_keeps_semantic_tokens():
     raw = "Aggregate [l_returnflag], [sum(l_quantity) AS sum_qty], numPartitions=32"
     norm = plan_stamps.normalize(raw)
@@ -97,3 +186,22 @@ def test_diff_classifies_changes(tmp_path, monkeypatch, capsys):
     assert "REMOVED gone" in out
     # identical stamps -> clean exit
     assert plan_stamps.diff(old) == 0
+
+
+def test_diff_classifies_known_process_variant(tmp_path, monkeypatch, capsys):
+    """A plan-only hash move on a PROCESS_VARIANT member (Spark's
+    RewriteDistinctAggregates gid ordering is JVM-dependent) reports as
+    VARIANT, not CHANGED — but a src change still reports CHANGED."""
+    name = next(iter(plan_stamps.PROCESS_VARIANT))
+    old = {name: {"plan": "p1", "src": "s1"}}
+    stamp_file = tmp_path / "PLAN_STAMPS.json"
+    stamp_file.write_text(json.dumps(old))
+    monkeypatch.setattr(plan_stamps, "STAMP_FILE", str(stamp_file))
+    rc = plan_stamps.diff({name: {"plan": "pX", "src": "s1"}})
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"VARIANT {name}" in out and "CHANGED" not in out
+    rc = plan_stamps.diff({name: {"plan": "pX", "src": "sX"}})
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert f"CHANGED {name}  [plan+src]" in out

@@ -97,3 +97,61 @@ def test_stateful_pandas_operator_under_rocksdb(spark, sf_smoke, rocksdb_conf):
         assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
     finally:
         q.stop()
+
+
+def test_stateful_counters_accumulate_across_micro_batches(spark, sf_smoke):
+    """Cross-batch state accumulation (the path single-batch runs never hit).
+
+    Regression pin: GroupState.get is a PROPERTY — `state.get()` called the
+    returned tuple and crashed the stream on the first batch where
+    `state.exists` was true. The sf fixtures arrive as ONE file -> one
+    micro-batch, so every key's state was fresh and the bug sat latent
+    until the first multi-batch operator (s_shard_assign) fired it. This
+    feeds the same events in TWO appends and asserts the final per-key
+    counters equal the whole-input batch aggregate.
+    """
+    import shutil
+
+    name = f"multibatch_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"scksde_mb_src_{uuid.uuid4().hex[:6]}_")
+    ev_all = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    half = ev_all.filter(F.col("event_id") % 2 == 0)
+    rest = ev_all.filter(F.col("event_id") % 2 == 1)
+    # one file per append -> one micro-batch each (atomic rename)
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev_all.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        running_user_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rest.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value_micros").alias("total_value_micros"),
+            )
+        )
+        exp = ev_all.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("total_value_micros"),
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in exp.collect()
+        }
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
