@@ -569,9 +569,15 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # rule (<=5 deferred at round end): q_epoch_plan (per-source
 # epoch/repeat + tail-keep-ppm loader manifest under a fixed token
 # budget — the upsampling half q_temperature_sample leaves to the
-# loader). Oracle-green at sf0.001/0.01/0.1; it fronts the round-15
-# window.
-DEFERRED_NEW: frozenset[str] = frozenset({"q_epoch_plan"})
+# loader), q_freq_spectrum (Zipf/Heaps octave spectrum of the word
+# histogram, libm-safe integer binning), and q_ngram_novelty (marginal
+# new-phrase rate of the newest crawl half vs everything before it —
+# the continued-pretraining planning number). All oracle-green at
+# sf0.001/0.01/0.1; they front the round-15 window. 3 deferred, inside
+# the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {"q_epoch_plan", "q_freq_spectrum", "q_ngram_novelty"}
+)
 
 
 def times_checked(name: str) -> int:

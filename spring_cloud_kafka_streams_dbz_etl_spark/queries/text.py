@@ -2337,3 +2337,170 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+@query(
+    "q_freq_spectrum",
+    oracle="""
+WITH words AS (
+  SELECT d.source, w.word
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS w(word)
+  WHERE w.word <> ''
+), freqs AS (
+  SELECT source, word, COUNT(*) AS f
+  FROM words GROUP BY source, word
+), octaves AS (
+  SELECT source,
+         CAST(FLOOR(LOG2(CAST(f AS DOUBLE))) AS INT) AS octave,
+         f
+  FROM freqs
+)
+SELECT source, octave,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(f) AS BIGINT) AS n_tokens
+FROM octaves
+GROUP BY source, octave
+""",
+)
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency spectrum per source in OCTAVE buckets — types and
+    token mass with frequency in [2^k, 2^(k+1)) — the Zipf/Heaps corpus
+    diagnostic WITHOUT fitting a slope: a healthy natural-language source
+    shows type counts decaying roughly geometrically across octaves
+    (hapaxes dominating types, high octaves dominating tokens); a scraped
+    or template-generated source shows a hole in the low octaves or a
+    spike at one high frequency. Octave = floor(log2(f)) is exact integer
+    binning despite the log: f is a BIGINT count and log2 of an integer
+    is correctly-rounded IEEE on both engines at every non-power boundary,
+    with exact powers of two landing exactly (2^k maps to octave k) — no
+    fractional frequencies exist, so no half-way rounding ties can.
+
+    Scale: ONE corpus-sized combinable groupBy(source, word) builds the
+    frequency relation (the q_vocab_growth shuffle, word histograms are
+    the cheapest corpus rollup there is), then the octave fold is a
+    map-only expression and the closing rollup runs on |sources| x
+    |octaves| (~20 x ~20) keys, map-side combined. At 100 TB the word
+    histogram is ~1e7 rows against 1e11 corpus words and the spectrum is
+    planner-sized — the same one-pass shape the BPE trainer reads.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    words = fan_out(d, spark).select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    freqs = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("f"))
+    octed = freqs.select(
+        "source",
+        F.floor(F.log2(F.col("f").cast("double"))).cast("int").alias("octave"),
+        "f",
+    )
+    return octed.groupBy("source", "octave").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+    )
+
+
+# q_ngram_novelty shingle width: 5-grams, the q_boilerplate_phrases
+# grain — long enough that reuse means real phrase reuse, short enough
+# that every doc yields shingles.
+NOVELTY_N = 5
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH bounds AS (
+  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+), w AS (
+  SELECT d.doc_id, d.source, d.doc_id >= b.cut AS is_new,
+         string_split(d.text, ' ') AS t
+  FROM documents d CROSS JOIN bounds b
+  WHERE len(string_split(d.text, ' ')) >= {NOVELTY_N}
+), g AS (
+  SELECT source, is_new,
+         md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {NOVELTY_N - 1}], ' '))
+           AS gh
+  FROM w, UNNEST(range(1, len(t) - {NOVELTY_N - 2})) AS u(i)
+), old_set AS (
+  SELECT DISTINCT gh FROM g WHERE NOT is_new
+), new_grams AS (
+  SELECT source, gh FROM g WHERE is_new GROUP BY source, gh
+)
+SELECT n.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new_grams,
+       CAST(SUM(CASE WHEN o.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen_before,
+       CAST(FLOOR(1000000.0
+            * (COUNT(*) - SUM(CASE WHEN o.gh IS NOT NULL THEN 1 ELSE 0 END))
+            / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM new_grams n LEFT JOIN old_set o ON n.gh = o.gh
+GROUP BY n.source
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice NOVELTY: how much genuinely new phrase content the
+    second half of the crawl (doc_id >= (min+max) DIV 2, id as crawl
+    order) adds over the first — per source, the distinct {NOVELTY_N}-gram
+    digests of the new half, how many were already present anywhere in
+    the old half, and the novelty rate in ppm. This is the
+    continued-pretraining planning number: a source whose novelty decays
+    toward zero across crawl slices is exhausted (more epochs of the old
+    data, q_epoch_plan), while q_boilerplate_phrases counts repetition
+    within one corpus and q_decontaminate checks a SPLIT boundary —
+    neither measures marginal new content per slice.
+
+    Determinism: the cut is pure integer arithmetic on ids; membership
+    is md5-digest equality; the rate is one double divide of exact
+    integers floored to ppm (single-IEEE-op policy).
+
+    Scale (the q_decontaminate hash-first policy): shingles are md5'd at
+    the scan — only 16-byte digests ever shuffle, text never does. One
+    digest-keyed distinct per half (combinable), then a digest equi-join
+    of the new half's distinct grams against the old-half set (both
+    sides hash-partitioned on the digest, no broadcast of anything
+    corpus-sized), and a |sources|-row closing rollup. At 100 TB each
+    half's distinct-shingle relation is the dedup family's banded-join
+    scale, and the join carries no skew by construction (md5 keys are
+    uniform)."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bounds = d.agg(
+        F.expr("(min(doc_id) + max(doc_id)) DIV 2").cast("long").alias("cut")
+    )
+    w = (
+        fan_out(d.filter(F.size(t) >= NOVELTY_N), spark)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            (F.col("doc_id") >= F.col("cut")).alias("is_new"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - NOVELTY_N),
+                    lambda i: F.md5(F.array_join(F.slice(t, i + 1, NOVELTY_N), " ")),
+                )
+            ).alias("gh"),
+        )
+    )
+    w = cache_scoped(w)
+    old_set = w.filter(~F.col("is_new")).select("gh").distinct()
+    new_grams = w.filter(F.col("is_new")).select("source", "gh").distinct()
+    joined = new_grams.join(
+        old_set.withColumn("seen", F.lit(1)), "gh", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_grams"),
+        F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seen_before"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
