@@ -120,6 +120,15 @@ stream_tune state-sizing change) came back total 70.97 s / core
 across all rounds (r10 65.09 / r11 75.13 / r12 72.71), i.e. the
 state-sizing win more than covers the residual interleave pressure.
 
+Finding (r14 session, sf0.1, local[32], loadavg 0.22 at start) — the
+round's mid-session bench after the GroupState fix and the 7 new
+registrations (none of which are headliners, so headline composition is
+unchanged at 37): total 74.35 s / core 67.66 s — INTERLEAVED rows, zero
+drift flags, every mover <=1.07x vs the BENCH_r13 artifact, and the
+PRIOR_RATIO self-adjudication trigger stamped only q_agg_group
+(isolated 1.04 s, at its historical value). Consistent with the r13
+adjudicated 64-68 s core band; nothing to adjudicate.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
