@@ -155,3 +155,86 @@ def test_stateful_counters_accumulate_across_micro_batches(spark, sf_smoke):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_shard_assign_state_survives_query_restart(spark, sf_smoke):
+    """s_shard_assign's docstring claims restart-reproducibility; this
+    pins the stronger operational property: the running character total
+    is RECOVERED FROM THE CHECKPOINT across a full stop/start — docs
+    arriving after the restart continue the same shard sequence, equal
+    to the batch cumulative-window plan over all arrivals."""
+    import shutil
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.stateful import (
+        running_shard_assign,
+    )
+
+    target = 4096  # small target so shards roll even at sf0.001
+    src = tempfile.mkdtemp(prefix=f"scksde_rs_src_{uuid.uuid4().hex[:6]}_")
+    ckpt = tempfile.mkdtemp(prefix=f"scksde_rs_ckpt_{uuid.uuid4().hex[:6]}_")
+    out = tempfile.mkdtemp(prefix=f"scksde_rs_out_{uuid.uuid4().hex[:6]}_")
+    d = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("bucket", F.col("doc_id") % 3)
+    )
+    first = d.filter(F.col("bucket") == 0).drop("bucket")
+
+    def start():
+        # file sink, not memory: the memory sink is not fault-tolerant
+        # and REFUSES checkpoint recovery — recovery is the point here
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        return (
+            running_shard_assign(stream, target)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        d.filter(F.col("bucket") == 1).drop("bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart from the same checkpoint; bucket 2 arrives only after
+    q = start()
+    try:
+        q.processAllAvailable()
+        d.filter(F.col("bucket") == 2).drop("bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: r.shard_id for r in spark.read.parquet(out).collect()
+    }
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy((F.col("doc_id") % 3), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = {
+        r.doc_id: r.shard_id
+        for r in d.select(
+            "doc_id",
+            ((F.sum("n_chars").over(w) - F.col("n_chars")) / target)
+            .cast("long")
+            .alias("shard_id"),
+        ).collect()
+    }
+    assert got == exp
+    assert max(exp.values()) >= 1, "target too large: no shard ever rolled"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
