@@ -1568,3 +1568,80 @@ def test_survivor_manifest_matches_argmax_model(spark, cases, data):
         for r in survivor_manifest(comp, docs).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 500)),  # (doc_id, n_chars)
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),  # number of micro-batches to split arrivals into
+    st.integers(1, 1000),  # target chars per shard
+)
+@settings(max_examples=60, deadline=None)
+def test_shard_assign_state_function_matches_cumulative_model(
+    rows, n_batches, target
+):
+    """The applyInPandasWithState kernel behind s_shard_assign, driven
+    directly (no Spark): arbitrary docs split across arbitrary batch
+    boundaries must produce shard_id = floor(chars_before/target) exactly
+    as the single-pass cumulative model does — the assignment is a pure
+    function of the (batch, doc_id)-ordered prefix, independent of WHERE
+    the batch boundaries fall. (The Spark-side twin is the
+    s_shard_assign oracle + the checkpoint-restart pin.)"""
+    import pandas as pd
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.stateful import (
+        running_shard_assign,
+    )
+
+    assign = None
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            assert self.exists
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    # extract the closure the operator hands to applyInPandasWithState
+    class Capture:
+        def groupBy(self, *_):
+            return self
+
+        def applyInPandasWithState(self, fn, **_):
+            nonlocal assign
+            assign = fn
+            return None
+
+    running_shard_assign(Capture(), target)
+    assert assign is not None
+
+    # replay: batches are doc_id-striped (doc_id % n_batches), matching
+    # the arrival rule the registered query uses
+    state = FakeState()
+    got = {}
+    for b in range(n_batches):
+        batch = [(i, c) for i, c in rows if i % n_batches == b]
+        pdf = pd.DataFrame(
+            {"doc_id": [i for i, _ in batch], "n_chars": [c for _, c in batch]}
+        )
+        for out in assign(("src",), iter([pdf] if len(pdf) else []), state):
+            for r in out.itertuples():
+                got[r.doc_id] = r.shard_id
+    # model: one pass in (batch, doc_id) order
+    cum, exp = 0, {}
+    for b in range(n_batches):
+        for i, c in sorted((t for t in rows if t[0] % n_batches == b)):
+            exp[i] = cum // target
+            cum += c
+    assert got == exp
