@@ -100,6 +100,11 @@ def test_normalizer_collapses_hof_lambda_counter():
     a = plan_stamps.normalize("transform(t, lambdafunction(f(lambda x_1#33 + 1), lambda x_1#33))")
     b = plan_stamps.normalize("transform(t, lambdafunction(f(lambda x_6#99 + 1), lambda x_6#99))")
     assert a == b
+    # binary lambdas (aggregate's merge fn) draw y_/z_ names from the
+    # same counter — caught a second time on q_quality_score's y_N
+    c = plan_stamps.normalize("aggregate(t, 0, lambdafunction((lambda x_2#1 + lambda y_3#2), lambda x_2#1, lambda y_3#2))")
+    d = plan_stamps.normalize("aggregate(t, 0, lambdafunction((lambda x_8#5 + lambda y_9#6), lambda x_8#5, lambda y_9#6))")
+    assert c == d
 
 
 def test_normalizer_sorts_commutative_operands():
@@ -127,6 +132,23 @@ def test_normalizer_sorts_commutative_operands():
         "multicommutativeop(multicommutativeop(p#9, q#8, class Or, None), z#7, class And, None)"
     )
     assert n1 == n2
+
+
+def test_normalizer_strips_runtime_stage_numbering():
+    """Embedded EXECUTED fragments (cached relations, executed
+    subqueries) print AQE query-stage ids and whole-stage-codegen span
+    labels numbered by runtime materialization order, which races across
+    runs (caught r14 on q_perplexity_filter: BroadcastQueryStage 6 vs 5,
+    *(4) vs *(3) for the identical stages)."""
+    a = plan_stamps.normalize(
+        "+- BroadcastQueryStage 6\n+- *(4) HashAggregate(keys=[t#1])\n"
+        "+- ShuffleQueryStage 2\nWholeStageCodegen (7)"
+    )
+    b = plan_stamps.normalize(
+        "+- BroadcastQueryStage 5\n+- *(3) HashAggregate(keys=[t#9])\n"
+        "+- ShuffleQueryStage 4\nWholeStageCodegen (2)"
+    )
+    assert a == b
 
 
 def test_normalizer_keeps_semantic_tokens():

@@ -79,10 +79,12 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\(-1 < length\(uuid\(<SEED>\)\)\)"), "(uuid_guard)"),
     (re.compile(r"\(length\(uuid\(<SEED>\)\) > -1\)"), "(uuid_guard)"),
     # higher-order-function lambda variables are named from a global
-    # JVM-wide counter (lambda x_1, x_6, ...) that depends on how many
-    # HOF plans the session built before this one — pure stamping order,
-    # not plan shape (caught r14 on q_curation_near_dup).
-    (re.compile(r"\blambda x_\d+"), "lambda x_N"),
+    # JVM-wide counter (lambda x_1, x_6, ..., and y_/z_ for the extra
+    # args of binary lambdas like aggregate's merge fn) that depends on
+    # how many HOF plans the session built before this one — pure
+    # stamping order, not plan shape (caught r14 on q_curation_near_dup,
+    # then again on q_quality_score's y_N).
+    (re.compile(r"\blambda ([a-z]+)_\d+"), r"lambda \1_N"),
     # temp checkpoint/source dirs (tempfile.mkdtemp) and anything under
     # the system temp root, including when suffixed with [...] or quoted
     (re.compile(r"(?:file:)?/(?:tmp|var/folders)/[^\s\],)]+"), "<TMP>"),
@@ -103,6 +105,18 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # builds in ONE session, and 30+ cache-using queries false-diffed
     # against the committed stamps.
     (re.compile(r"\[plan_id=\d+\]"), "[plan_id=x]"),
+    # AQE stage ids inside embedded executed fragments (cached relations
+    # / executed subqueries): Broadcast/Shuffle/TableCache QueryStage
+    # numbers follow runtime MATERIALIZATION order, which races across
+    # runs (caught r14 on q_perplexity_filter: BroadcastQueryStage 6 vs
+    # 5 for the identical stage).
+    (re.compile(r"\b(\w*QueryStage)[ -]\d+"), r"\1 N"),
+    # ... and the whole-stage-codegen ids on the same embedded physical
+    # fragments (`*(4) HashAggregate` vs `*(3)`) — numbered by the same
+    # racing materialization order. Span COUNT still distinguishes plans
+    # (a lost codegen span changes the text); only the label is noise.
+    (re.compile(r"\*\(\d+\) "), "*(N) "),
+    (re.compile(r"WholeStageCodegen \(\d+\)"), "WholeStageCodegen (N)"),
 ]
 
 
