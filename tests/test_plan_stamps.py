@@ -183,6 +183,33 @@ def test_committed_stamps_cover_registry():
     assert not errors, f"stamp errors: {errors}"
 
 
+def test_committed_stamps_match_live_plans_sample(spark, sf_smoke):
+    """The committed PLAN_STAMPS.json must describe the plans at HEAD,
+    not a stale snapshot: spot-stamp three stable anchor queries and
+    compare against the file. If this fails after an intentional plan
+    change, rerun tools/plan_stamps.py (and re-front consumers via
+    CHANGED_SINCE_CHECK) — that is the workflow, not a flake: the
+    normalizer suite makes these stamps process-deterministic."""
+    stamp_file = os.path.join(os.path.dirname(__file__), "..", "PLAN_STAMPS.json")
+    if not os.path.exists(stamp_file):
+        pytest.skip("no committed stamp file yet")
+    with open(stamp_file) as f:
+        committed = json.load(f)
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    specs = all_queries()
+    # anchors must be PARALLELISM-INDEPENDENT: the test session runs at
+    # SPARK_GRAFT_CPUS=8 while the stamp tool runs at the machine width,
+    # and fan_out()-using plans embed the width as a repartition literal
+    # (q_agg_group mismatches here for exactly that reason — correctly,
+    # since the stamp describes the tool's environment)
+    for name in ("q_filter_predicate", "q_tpch_q6", "q_tpch_q1", "q_window_rank"):
+        live = plan_stamps.stamp_one(spark, name, specs[name], sf_smoke)
+        assert live == committed[name], (
+            f"{name}: committed stamp is stale — rerun tools/plan_stamps.py"
+        )
+
+
 def test_diff_classifies_changes(tmp_path, monkeypatch, capsys):
     old = {
         "a": {"plan": "p1", "src": "s1"},
