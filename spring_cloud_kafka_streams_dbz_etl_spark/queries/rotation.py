@@ -355,6 +355,37 @@ _ROUND_13 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r14.json (all 50 green — rows+schema+hash, zero
+# errors): the 4 r13 deferrals' first rows (q_dedup_survivors,
+# q_context_length_plan, s_state_inspect, s_state_changefeed), the 6 r14
+# reserve-slot additions (q_mad_outliers, q_temporal_split_embargo,
+# q_shard_plan, q_bloom_skip, q_quality_calibration, s_shard_assign),
+# and the least-recently-checked tail (everything last checked <= r8).
+# Cumulative 250/250 after this round. Note: s_stateful_count's green
+# row here predates the GroupState.get fix — it stays in
+# CHANGED_SINCE_CHECK and re-fronts in r15.
+_ROUND_14 = frozenset(
+    {
+        "q_ann_ivf", "q_ann_ivfpq", "q_approx_stats",
+        "q_avro_registry_dlq", "q_avro_roundtrip", "q_binary_source",
+        "q_bloom_skip", "q_context_length_plan", "q_cosine_topk",
+        "q_dedup_survivors", "q_dup_clusters", "q_embedding_cosine_dup",
+        "q_hash_split", "q_lsh_cosine", "q_mad_outliers",
+        "q_ngram_jaccard", "q_orc_source", "q_perplexity_filter",
+        "q_pq_adc_topk", "q_pq_encode", "q_quality_calibration",
+        "q_schema_evolution", "q_semantic_clusters", "q_sessionize",
+        "q_shard_plan", "q_simhash_near_dup", "q_stats_moments",
+        "q_temporal_split_embargo", "q_text_log_source", "q_udtf_tokens",
+        "q_variant_json", "q_vector_quantize", "q_xml_source",
+        "s_cdc_pipeline", "s_cdc_pipeline_orders", "s_dedup_stream",
+        "s_dedup_within_watermark", "s_dlq_reprocess", "s_dlq_split",
+        "s_idempotent_sink", "s_kafka_replay", "s_kafka_sink_replay",
+        "s_kafka_txn_sink", "s_offset_reset", "s_schema_drift",
+        "s_shard_assign", "s_state_changefeed", "s_state_inspect",
+        "s_stateful_count", "s_stream_stream_join",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -369,6 +400,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     11: _ROUND_11,
     12: _ROUND_12,
     13: _ROUND_13,
+    14: _ROUND_14,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -456,6 +488,11 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # (re-verified at sf0.01/sf0.1 in-session) and the cross-batch path is
 # now pinned by tests/test_rocksdb_state.py::
 # test_stateful_counters_accumulate_across_micro_batches.
+# s_stateful_count DID earn a green r14 row, but the GroupState fix
+# landed after that row was recorded (VERDICT r14 "what's wrong" #2), so
+# the green row certifies the OLD closure; it stays here and re-fronts
+# in r15 for a row at head. Cleared when CHECKED_BY_ROUND[15] records
+# its fresh green row.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 
 # Queries added AFTER the current round's 50-query window was budgeted.
@@ -575,9 +612,21 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # the continued-pretraining planning number). All oracle-green at
 # sf0.001/0.01/0.1; they front the round-15 window. 3 deferred, inside
 # the <=5 budget.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {"q_epoch_plan", "q_freq_spectrum", "q_ngram_novelty"}
-)
+# Round 14's window verified (50/50 green, cumulative 250/250). All 3
+# r14 deferrals cleared in the same change that records
+# CHECKED_BY_ROUND[14]: they carry their real zero-row count and front
+# the round-15 window automatically (VERDICT r14 ask #1 — green rows
+# for all 3 plus the s_stateful_count re-front makes every registered
+# query driver-verified at head).
+#
+# Round-15 window budget: the 3 zero-count r14 deferrals front, then
+# the s_stateful_count CHANGED_SINCE_CHECK re-front, then up to 6
+# RESERVE slots for queries registered during round 15 (same rule as
+# r13/r14 — the first 6 in-round registrations are left OUT of
+# DEFERRED_NEW and make this window), then the LEAST-RECENTLY-CHECKED
+# tail fills to 50 (drains the r9-checked tier). Additions beyond the
+# reserve land in DEFERRED_NEW per the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:

@@ -5,7 +5,7 @@ The external driver evaluates the first 50 entries of
 budget mechanically so the guarantees stated in rotation.py's comments
 are enforced, not just asserted in prose:
 
-- the r13 deferrals front the r14 window (ask #1);
+- the prior round's deferrals front the current window (ask #1);
 - max staleness (rounds since a query's last driver check) stays <= 6
   across ALL registered queries once the current window lands (ask #6);
 - the bookkeeping sets stay consistent with the registry.
@@ -18,7 +18,7 @@ import pytest
 from spring_cloud_kafka_streams_dbz_etl_spark.queries import rotation
 
 
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 WINDOW = 50
 STALENESS_BAR = 6
 
@@ -30,16 +30,16 @@ def registered() -> list[str]:
     return list(entry.queries().keys())
 
 
-def test_r13_deferrals_front_the_window(registered):
+def test_prior_round_deferrals_front_the_window(registered):
     order = rotation.rotation_order(registered)
     fronted = set(order[:WINDOW])
     for name in (
-        "q_dedup_survivors",
-        "q_context_length_plan",
-        "s_state_inspect",
-        "s_state_changefeed",
+        "q_epoch_plan",
+        "q_freq_spectrum",
+        "q_ngram_novelty",
+        "s_stateful_count",  # CHANGED_SINCE_CHECK re-front (GroupState fix)
     ):
-        assert name in fronted, f"{name} must front the r14 window"
+        assert name in fronted, f"{name} must front the r15 window"
         assert name not in rotation.DEFERRED_NEW
 
 
