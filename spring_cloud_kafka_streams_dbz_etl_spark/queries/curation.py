@@ -730,7 +730,10 @@ EPOCH_REPEAT_CAP = 4
 
 @query(
     "q_epoch_plan",
-    oracle="""
+    # f-string so repeat_risk's threshold tracks EPOCH_REPEAT_CAP — a
+    # hardcoded 4 would silently desync oracle vs operator if the cap
+    # ever moved (ADVICE r14)
+    oracle=f"""
 WITH per_src AS (
   SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
   FROM documents GROUP BY source
@@ -751,7 +754,8 @@ SELECT source, tokens, target_tokens,
        CAST(target_tokens // tokens AS BIGINT) AS full_epochs,
        CAST(FLOOR(1000000.0 * (target_tokens % tokens) / tokens) AS BIGINT)
            AS tail_keep_ppm,
-       (target_tokens + tokens - 1) // tokens > 4 AS repeat_risk
+       (target_tokens + tokens - 1) // tokens > {EPOCH_REPEAT_CAP}
+           AS repeat_risk
 FROM plan
 """,
 )

@@ -27,6 +27,7 @@ from ..streaming.pipeline import (
     build_dlq_reprocess,
 )
 from ..streaming.registry import StreamRegistry
+from . import layout as _layout
 from . import query, round_half_up6
 
 # Shared filter of valid change records after envelope parsing (tombstone /
@@ -3139,7 +3140,9 @@ def s_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_shard_assign",
-    oracle="""
+    # interpolating SHARD_TARGET_CHARS (not a literal) keeps the oracle
+    # in lockstep with the operator if the knob ever moves (ADVICE r14)
+    oracle=f"""
 WITH ordered AS (
   SELECT doc_id, source, n_chars,
          SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id % 3, doc_id
@@ -3148,7 +3151,7 @@ WITH ordered AS (
   FROM documents
 )
 SELECT doc_id, source,
-       CAST(cum_before // 32768 AS BIGINT) AS shard_id
+       CAST(cum_before // {_layout.SHARD_TARGET_CHARS} AS BIGINT) AS shard_id
 FROM ordered
 """,
 )

@@ -2351,7 +2351,7 @@ WITH words AS (
   FROM words GROUP BY source, word
 ), octaves AS (
   SELECT source,
-         CAST(FLOOR(LOG2(CAST(f AS DOUBLE))) AS INT) AS octave,
+         CAST(length(bin(f)) - 1 AS INT) AS octave,
          f
   FROM freqs
 )
@@ -2369,11 +2369,13 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows type counts decaying roughly geometrically across octaves
     (hapaxes dominating types, high octaves dominating tokens); a scraped
     or template-generated source shows a hole in the low octaves or a
-    spike at one high frequency. Octave = floor(log2(f)) is exact integer
-    binning despite the log: f is a BIGINT count and log2 of an integer
-    is correctly-rounded IEEE on both engines at every non-power boundary,
-    with exact powers of two landing exactly (2^k maps to octave k) — no
-    fractional frequencies exist, so no half-way rounding ties can.
+    spike at one high frequency. Octave = bit_length(f) - 1 (== the
+    mathematical floor(log2(f)) for f >= 1) is computed INTEGER-exactly
+    on both engines — Spark `length(conv(f, 10, 2)) - 1`, DuckDB
+    `length(bin(f)) - 1` — rather than via floating log2: Spark's LOG2
+    lowers to ln(x)/ln(2) (two libm ops, not a correctly-rounded log2),
+    so exactness at power-of-two boundaries would be platform luck, not
+    a guarantee (ADVICE r14).
 
     Scale: ONE corpus-sized combinable groupBy(source, word) builds the
     frequency relation (the q_vocab_growth shuffle, word histograms are
@@ -2391,7 +2393,9 @@ def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     freqs = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("f"))
     octed = freqs.select(
         "source",
-        F.floor(F.log2(F.col("f").cast("double"))).cast("int").alias("octave"),
+        (F.length(F.conv(F.col("f").cast("string"), 10, 2)) - 1)
+        .cast("int")
+        .alias("octave"),
         "f",
     )
     return octed.groupBy("source", "octave").agg(

@@ -217,20 +217,19 @@ def test_shard_assign_state_survives_query_restart(spark, sf_smoke):
     got = {
         r.doc_id: r.shard_id for r in spark.read.parquet(out).collect()
     }
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy((F.col("doc_id") % 3), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     exp = {
         r.doc_id: r.shard_id
         for r in d.select(
             "doc_id",
-            ((F.sum("n_chars").over(w) - F.col("n_chars")) / target)
-            .cast("long")
-            .alias("shard_id"),
+            # integer floor-division, matching the kernel's `//` — a
+            # double divide truncated via cast can misround once the
+            # cumulative sum exceeds 2^53 (ADVICE r14)
+            F.expr(
+                f"(sum(n_chars) OVER (PARTITION BY source "
+                f"ORDER BY doc_id % 3, doc_id "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"- n_chars) DIV {target}"
+            ).alias("shard_id"),
         ).collect()
     }
     assert got == exp
