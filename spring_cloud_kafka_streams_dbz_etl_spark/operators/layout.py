@@ -19,7 +19,7 @@ single shuffle a plain sort-write costs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,115 @@ def z_file_id(zcol: Column, total_bits: int, n_files: int) -> Column:
     if shift < 0:
         raise ValueError(f"n_files={n_files} needs more than {total_bits} z bits")
     return F.shiftright(zcol, shift).cast("int")
+
+
+def _assign_shards_parted(
+    df: DataFrame, target_chars: int, n_parts: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Core of assign_shards; also returns the persisted intermediate
+    so write_shards can release it after its action completes."""
+    spark = df.sparkSession
+    n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(n, "source", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # pass 1: control-plane-sized per-(partition, source) mass
+    sums = (
+        parted.groupBy("_pid", "source")
+        .agg(F.sum("n_chars").cast("bigint").alias("chars"))
+        .collect()
+    )
+    offsets: dict[str, int] = {}
+    rows = []
+    for r in sorted(sums, key=lambda r: (r["source"], r["_pid"])):
+        rows.append((r["_pid"], r["source"], offsets.get(r["source"], 0)))
+        offsets[r["source"]] = offsets.get(r["source"], 0) + r["chars"]
+    odf = spark.createDataFrame(rows, "_pid int, source string, _offset long")
+    w = (
+        Window.partitionBy("_pid", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        parted.join(F.broadcast(odf), ["_pid", "source"])
+        .withColumn(
+            "_cum_before",
+            (F.col("_offset") + F.sum("n_chars").over(w) - F.col("n_chars"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "shard_id", F.expr(f"_cum_before DIV {int(target_chars)}")
+        )
+        .drop("_pid", "_offset", "_cum_before")
+    )
+    return assigned, parted
+
+
+def assign_shards(
+    df: DataFrame,
+    target_chars: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Batch shard assignment: stamp every document with
+    ``shard_id = chars_before_it_in_(source, doc_id)_order DIV target``
+    — the batch twin of the streaming assigner
+    (streaming/stateful.py::running_shard_assign), realizing the file
+    fan-out q_shard_plan prices (queries/layout.py::q_shard_plan).
+
+    The naive plan — ``Window.partitionBy("source")`` over the whole
+    corpus — funnels EVERY row of a source through one reducer (a 5 TB
+    task per source at 100 TB). This is instead a two-pass distributed
+    prefix scan:
+
+    1. range-repartition by (source, doc_id) — each task holds a
+       contiguous slice of one-or-more sources — and persist, freezing
+       the (sampled, hence otherwise job-unstable) partition boundaries;
+    2. aggregate per-(partition, source) char sums and collect them —
+       CONTROL-PLANE-sized: n_partitions x |sources| rows, a few KB at
+       any corpus size;
+    3. prefix-sum those on the driver into per-(partition, source)
+       offsets, broadcast-join them back, and close with a window keyed
+       on (partition, source) — every window group is at most one
+       partition's slice of one source, so reducer load stays bounded
+       by the shuffle partition size regardless of source skew.
+
+    The result is deterministic even though range boundaries are
+    sampled: offset + local-cumsum is boundary-independent. Callers that
+    run multiple actions over the result benefit from the persisted
+    intermediate; one-shot callers should prefer write_shards, which
+    releases it."""
+    assigned, _ = _assign_shards_parted(df, target_chars, n_parts)
+    return assigned
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    target_chars: int,
+    n_parts: int | None = None,
+) -> None:
+    """Execute the shard plan end-to-end: assign shard ids, then write
+    ONE file per (source, shard_id). The write repartitions by the
+    shard key — all rows of a shard land in exactly one task, and
+    partitionBy emits one file per key-directory per task, so
+    |files| == |distinct (source, shard_id)|. Each shard holds
+    ~target_chars of text by construction (a shard's char mass is
+    < target + the largest doc that crosses its boundary; docs larger
+    than the target leave EMPTY ids behind them — q_shard_plan's
+    n_oversize_docs prices exactly those, chunk them upstream via
+    q_doc_chunks). Balanced by design: every write task carries
+    ~target_chars, so the write shuffle cannot skew no matter how
+    skewed the sources are."""
+    assigned, parted = _assign_shards_parted(df, target_chars, n_parts)
+    try:
+        (
+            assigned.repartition("source", "shard_id")
+            .sortWithinPartitions("source", "shard_id", "doc_id")
+            .write.partitionBy("source", "shard_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        parted.unpersist()

@@ -1937,3 +1937,110 @@ def test_temporal_split_embargo_has_no_global_sort(spark, sf_smoke):
     for line in text.splitlines():
         if "rangepartitioning" in line and "ts#" in line:
             raise AssertionError(f"global sort over raw events: {line}")
+
+
+def test_write_shards_one_file_per_shard_and_bounded(spark):
+    """VERDICT r14 ask #3's acceptance: execute the shard plan and
+    verify the REALIZED layout — |files| == sum of q_shard_plan's
+    n_shards (exact, since the fixture has no oversize docs) and every
+    file's char mass stays under target + max_doc_chars (the greedy
+    boundary-crossing bound)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        write_shards,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.layout import (
+        SHARD_TARGET_CHARS,
+    )
+
+    d = table(spark, SF_SCALE, "documents")
+    plan = d.groupBy("source").agg(
+        F.expr(
+            f"(sum(n_chars) + {SHARD_TARGET_CHARS} - 1) DIV {SHARD_TARGET_CHARS}"
+        ).alias("n_shards"),
+        F.max("n_chars").alias("max_doc"),
+        F.sum(
+            F.when(F.col("n_chars") > SHARD_TARGET_CHARS, 1).otherwise(0)
+        ).alias("oversize"),
+    )
+    rows = plan.collect()
+    assert all(r["oversize"] == 0 for r in rows), "fixture grew oversize docs"
+    planned_total = sum(r["n_shards"] for r in rows)
+    max_doc = max(r["max_doc"] for r in rows)
+    assert planned_total > len(rows), "target too large: nothing rolls over"
+
+    path = tempfile.mkdtemp(prefix="write_shards_test_")
+    try:
+        write_shards(
+            d.select("doc_id", "source", "n_chars", "text"),
+            path,
+            SHARD_TARGET_CHARS,
+        )
+        files = glob.glob(f"{path}/source=*/shard_id=*/*.parquet")
+        assert len(files) == planned_total, (
+            f"{len(files)} files != {planned_total} planned shards"
+        )
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.sum("n_chars").alias("chars"))
+            .collect()
+        )
+        assert len(per_file) == planned_total
+        bound = SHARD_TARGET_CHARS + max_doc
+        worst = max(r["chars"] for r in per_file)
+        assert worst < bound, f"file of {worst} chars breaches bound {bound}"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_assign_shards_matches_naive_window_and_avoids_per_source_reducer(
+    spark,
+):
+    """The two-pass distributed prefix scan must (a) compute exactly the
+    naive per-source window's answer and (b) carry NO window partitioned
+    by source alone — the per-source single-reducer shape it exists to
+    avoid (a 5 TB task per source at 100 TB)."""
+    import re
+
+    from pyspark.sql import Window, functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        assign_shards,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    d = table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    got = assign_shards(d, 32_768, n_parts=7)
+    text = explain_str(got)
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^,]+), ([^,]+),", text):
+        first, second = m.group(1), m.group(2)
+        assert "_pid" in first or "_pid" in second, (
+            f"window keyed without _pid: {m.group(0)[:120]}"
+        )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = d.select(
+        "doc_id",
+        F.expr(
+            "(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) "
+            "DIV 32768"
+        ).alias("shard_id"),
+    )
+    got_m = {r["doc_id"]: r["shard_id"] for r in got.collect()}
+    exp_m = {r["doc_id"]: r["shard_id"] for r in exp.collect()}
+    assert got_m == exp_m
