@@ -626,6 +626,17 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # DEFERRED_NEW and make this window), then the LEAST-RECENTLY-CHECKED
 # tail fills to 50 (drains the r9-checked tier). Additions beyond the
 # reserve land in DEFERRED_NEW per the <=5 budget.
+# Reserve slots used in r15 (registered early, oracle-green at
+# sf0.001/0.01/0.1 before registration counted): 1. q_shard_write_audit
+# (VERDICT r14 ask #3 — write_shards executed + realized-layout audit).
+# Plan-stamp note (r15): the ADVICE-r14 hex-normalizer tightening
+# (pure-digit runs are no longer swallowed as <HEX>) moved 13 committed
+# stamp HASHES (q_minhash_near_dup and friends — their plans embed
+# >=8-digit hash moduli / micros / scaled-double literals that now
+# survive normalization). The underlying optimized plans are untouched
+# this round and fresh-vs-fresh process determinism re-verified, so the
+# change is the hashing scheme, not any plan: non-material, no
+# re-fronts. PLAN_STAMPS.json regenerated in the same change.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -254,3 +254,103 @@ def test_diff_classifies_known_process_variant(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert f"CHANGED {name}  [plan+src]" in out
+
+
+# ---------------------------------------------------------------------------
+# Closure digests (VERDICT r14 ask #2): edits inside Python kernel/helper
+# BODIES move neither the optimized plan nor the query's own source —
+# the class the r14 GroupState.get fix fell in. The closure digest must
+# catch them mechanically.
+# ---------------------------------------------------------------------------
+
+_HELPER_V1 = '''
+def kernel(rows):
+    """Doc v1."""
+    # a comment
+    return [r + 1 for r in rows]
+
+
+def caller(xs):
+    return kernel(xs)
+'''
+
+# logic edit inside the kernel body only — caller untouched
+_HELPER_V2 = _HELPER_V1.replace("r + 1", "r + 2")
+
+# prose-only edit: docstring and comment change, logic identical
+_HELPER_V3 = _HELPER_V1.replace("Doc v1.", "Doc v2 rewritten.").replace(
+    "# a comment", "# another comment"
+)
+
+
+def _load_temp_module(tmp_path, body, name):
+    import importlib.util
+
+    path = tmp_path / f"{name}.py"
+    path.write_text(body)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # make it look package-local so the walk keeps it
+    for fn in (mod.kernel, mod.caller):
+        fn.__module__ = "spring_cloud_kafka_streams_dbz_etl_spark._closure_fixture"
+    return mod
+
+
+def test_closure_digest_moves_on_kernel_body_edit(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    m1 = _load_temp_module(tmp_path / "a", _HELPER_V1, "closure_mod")
+    m2 = _load_temp_module(tmp_path / "b", _HELPER_V2, "closure_mod")
+    d1 = plan_stamps.closure_digest(m1.caller)
+    d2 = plan_stamps.closure_digest(m2.caller)
+    # caller's own source is identical in both versions; only the
+    # referenced kernel's body changed — the digest must still move
+    assert d1 != d2
+
+
+def test_closure_digest_ignores_prose_edits(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    m1 = _load_temp_module(tmp_path / "a", _HELPER_V1, "closure_mod")
+    m3 = _load_temp_module(tmp_path / "b", _HELPER_V3, "closure_mod")
+    assert plan_stamps.closure_digest(m1.caller) == plan_stamps.closure_digest(
+        m3.caller
+    )
+
+
+def test_closure_walk_reaches_stateful_kernels():
+    """The exact r14 blind-spot instances: both applyInPandasWithState
+    consumers must transitively reach their kernel-bearing builders in
+    streaming/stateful.py, including through an in-function relative
+    import (s_shard_assign does `from ..streaming.stateful import ...`
+    inside the query body)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    ent = plan_stamps.closure_entries(qs["s_shard_assign"].fn)
+    assert any(k.endswith("stateful.running_shard_assign") for k in ent)
+    ent = plan_stamps.closure_entries(qs["s_stateful_count"].fn)
+    assert any(k.endswith("stateful.running_user_counters") for k in ent)
+
+
+def test_diff_flags_closure_only_change(tmp_path, monkeypatch, capsys):
+    old = {
+        "a": {"plan": "p1", "src": "s1", "closures": "c1"},
+        "legacy": {"plan": "p2", "src": "s2"},  # pre-closure-digest stamp
+    }
+    stamp_file = tmp_path / "PLAN_STAMPS.json"
+    stamp_file.write_text(json.dumps(old))
+    monkeypatch.setattr(plan_stamps, "STAMP_FILE", str(stamp_file))
+    # closure digest moved, plan+src identical -> flagged
+    rc = plan_stamps.diff(
+        {"a": {"plan": "p1", "src": "s1", "closures": "cX"}}
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "CHANGED a  [closure-only (Python kernel/helper body change!)]" in out
+    # a legacy stamp with no closures key compares as unchanged
+    rc = plan_stamps.diff(
+        {"legacy": {"plan": "p2", "src": "s2", "closures": "c9"}}
+    )
+    assert rc == 0

@@ -30,13 +30,19 @@ function's own source. ``src`` changing without ``plan`` changing is a
 comment/doc edit; ``plan`` changing without ``src`` changing is exactly
 the transitive-helper case this tool exists to catch.
 
-Known blind spot: the BODY of a Python stateful/UDF closure
-(applyInPandasWithState functions, pandas UDF kernels) is not part of
-the plan string — the plan shows only the function's name and
-signature. An edit inside such a closure (r14's GroupState.get fix in
-streaming/stateful.py) moves neither ``plan`` nor the consumer query's
-``src``; those still require a manual CHANGED_SINCE_CHECK entry, which
-is why the rotation comments keep the audit trail for them.
+Closure digests (VERDICT r14 ask #2) close the tool's former blind
+spot: the BODY of a Python stateful/UDF closure (applyInPandasWithState
+functions, pandas UDF kernels) is not part of the plan string — the
+plan shows only the function's name and signature, so an edit inside
+such a closure (r14's GroupState.get fix in streaming/stateful.py)
+moved neither ``plan`` nor the consumer query's ``src`` and re-fronting
+relied on builder discipline. Each stamp now carries a third hash,
+``closures``: the digest of every PACKAGE function the query's builder
+references, transitively (bytecode-level reference walk, AST-level
+hashing so comment/docstring edits don't churn). ``--diff`` reports a
+query whose plan and src are unchanged but whose closure digest moved
+as ``closure-only`` — the exact class the GroupState fix fell in — and
+exits non-zero so it lands in CHANGED_SINCE_CHECK mechanically.
 
 Cost note: batch queries stamp lazily (no job runs — plan-only, ~0.1 s
 each). Streaming queries EXECUTE on call (their returned DataFrame is the
@@ -91,8 +97,15 @@ _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # spark-warehouse / derby side paths embedded by some sinks
     (re.compile(re.escape(REPO) + r"/[^\s\],)]+"), "<REPO>"),
     # uuid-suffixed memory-sink / stream names (chain_ab12cd34, cfeed_...)
-    # and any >=8-char hex run (uuids, digest literals in temp names)
-    (re.compile(r"[0-9a-f]{8,}", re.IGNORECASE), "<HEX>"),
+    # and any >=8-char hex run (uuids, digest literals in temp names).
+    # The run must contain at least one letter: a pure-digit run is a
+    # decimal literal (e.g. a knob constant like 100000000), and
+    # swallowing those would hide exactly the plan-literal changes this
+    # tool exists to detect (ADVICE r14).
+    (
+        re.compile(r"(?=[0-9a-fA-F]*[a-fA-F])[0-9a-fA-F]{8,}"),
+        "<HEX>",
+    ),
     # expression ids survive canonicalization in some fallback paths
     (re.compile(r"#\d+L?"), "#x"),
     # cached-plan internals: RDD ids / storage-level object addresses
@@ -166,6 +179,169 @@ def _sha(text: str) -> str:
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
+# ---------------------------------------------------------------------------
+# Closure digests (VERDICT r14 ask #2)
+#
+# A query's optimized plan shows a Python kernel only as an opaque
+# reference (FlatMapGroupsInPandasWithState <func>, ArrowEvalPython ...),
+# so edits INSIDE the kernel body change results without changing the
+# plan stamp or the query function's own source. The closure digest
+# hashes every package-local function the query's builder can reach:
+# starting from the query function, walk its bytecode for references
+# (module-level names, module.attr chains, in-function imports, default
+# args, closure cells), keep the ones that are functions or classes
+# defined in this package, and recurse. Each reached function is hashed
+# at the AST level (docstrings stripped, comments already absent) so
+# prose edits don't churn 253 stamps, but ANY logic edit — including one
+# inside a nested kernel, which is part of its enclosing function's AST —
+# moves every transitive consumer's digest.
+# ---------------------------------------------------------------------------
+
+_PKG_PREFIXES = ("spring_cloud_kafka_streams_dbz_etl_spark",)
+
+
+def _in_package(obj) -> bool:
+    mod = getattr(obj, "__module__", None) or ""
+    return mod.split(".")[0] in _PKG_PREFIXES
+
+
+def _ast_hash(fn) -> str:
+    """Semantic hash of one function: AST dump with docstrings stripped.
+    Falls back to bytecode for source-less functions (C impls, REPL)."""
+    import ast
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(inspect.unwrap(fn)))
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(body, list)
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+        return _sha(ast.dump(tree))
+    except (OSError, TypeError, SyntaxError):
+        code = getattr(fn, "__code__", None)
+        return _sha(code.co_code.hex() if code else repr(fn))
+
+
+def _iter_codes(code):
+    yield code
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            yield from _iter_codes(const)
+
+
+def _resolve_module(name: str, from_module: str, level: int):
+    """Resolve an IMPORT_NAME target. ``level`` is the relative-import
+    depth (the LOAD_CONST preceding IMPORT_NAME): 0 = absolute,
+    1 = `from .x`, 2 = `from ..x`, ..."""
+    import importlib
+
+    try:
+        if level == 0:
+            return importlib.import_module(name)
+        pkg = from_module.rsplit(".", 1)[0] if "." in from_module else ""
+        return importlib.import_module("." * level + name, pkg)
+    except Exception:
+        return None
+
+
+def _referenced(fn) -> list:
+    """Objects a function's bytecode can statically reach: globals,
+    module.attr chains, `from x import y` inside the body, defaults,
+    and closure cells."""
+    import dis
+    import types
+
+    objs: list = []
+    if getattr(fn, "__defaults__", None):
+        objs.extend(fn.__defaults__)
+    if getattr(fn, "__closure__", None):
+        for cell in fn.__closure__:
+            try:
+                objs.append(cell.cell_contents)
+            except ValueError:
+                pass
+    g = getattr(fn, "__globals__", {})
+    missing = object()
+    for code in _iter_codes(fn.__code__):
+        chain = missing  # value of the attribute chain being walked
+        last_import = None
+        last_const = None  # IMPORT_NAME's level operand rides in a const
+        for ins in dis.get_instructions(code):
+            op = ins.opname
+            if op in ("LOAD_GLOBAL", "LOAD_NAME"):
+                chain = g.get(ins.argval, missing)
+                if chain is not missing:
+                    objs.append(chain)
+            elif op in ("LOAD_ATTR", "LOAD_METHOD") and chain is not missing:
+                chain = getattr(chain, ins.argval, missing)
+                if chain is not missing:
+                    objs.append(chain)
+            elif op == "IMPORT_NAME":
+                level = last_const if isinstance(last_const, int) else 0
+                last_import = _resolve_module(
+                    ins.argval, fn.__module__, level
+                )
+                if last_import is not None:
+                    chain = last_import
+            elif op == "IMPORT_FROM" and last_import is not None:
+                got = getattr(last_import, ins.argval, missing)
+                if got is not missing:
+                    objs.append(got)
+            elif op == "LOAD_CONST":
+                # remember it for IMPORT_NAME's level operand, two
+                # instructions later (level, fromlist, IMPORT_NAME)
+                if isinstance(ins.argval, int):
+                    last_const = ins.argval
+                chain = missing
+            else:
+                chain = missing
+    return [o for o in objs if isinstance(o, (types.FunctionType, type))]
+
+
+def closure_entries(root_fn) -> dict[str, str]:
+    """{module.qualname: ast_hash} for every package function reachable
+    from ``root_fn`` (the root itself excluded — its source is already
+    stamped as ``src``)."""
+    import types
+
+    root = inspect.unwrap(root_fn)
+    entries: dict[str, str] = {}
+    seen: set[str] = set()
+    work: list = [root]
+    root_key = f"{root.__module__}.{root.__qualname__}"
+    while work:
+        fn = work.pop()
+        key = f"{fn.__module__}.{fn.__qualname__}"
+        if key in seen:
+            continue
+        seen.add(key)
+        if key != root_key:
+            entries[key] = _ast_hash(fn)
+        for obj in _referenced(fn):
+            if isinstance(obj, types.FunctionType) and _in_package(obj):
+                work.append(obj)
+            elif isinstance(obj, type) and _in_package(obj):
+                for member in vars(obj).values():
+                    if isinstance(member, (staticmethod, classmethod)):
+                        member = member.__func__
+                    if isinstance(member, types.FunctionType):
+                        work.append(member)
+    return entries
+
+
+def closure_digest(root_fn) -> str:
+    entries = closure_entries(root_fn)
+    return _sha("\n".join(f"{k}:{v}" for k, v in sorted(entries.items())))
+
+
 # Queries whose OPTIMIZED PLAN is legitimately process-dependent inside
 # Spark itself: RewriteDistinctAggregates assigns the Expand gid of each
 # distinct-argument group by iterating a hash-ordered Scala collection
@@ -212,7 +388,11 @@ def stamp_one(spark, name: str, spec, sf_dir: str) -> dict[str, str]:
     if dump_dir:  # debugging aid: inspect the normalized text behind a hash
         with open(os.path.join(dump_dir, f"{name}.plan.txt"), "w") as f:
             f.write(text)
-    return {"plan": _sha(text), "src": _sha(src)}
+    return {
+        "plan": _sha(text),
+        "src": _sha(src),
+        "closures": closure_digest(spec.fn),
+    }
 
 
 def run(sf_dir: str, only: set[str] | None) -> dict[str, dict[str, str]]:
@@ -256,6 +436,16 @@ def diff(new: dict[str, dict[str, str]]) -> int:
                 else "plan-only (transitive helper change!)"
             )
             changed.append((name, kind))
+        elif old[name].get("closures", st.get("closures")) != st.get(
+            "closures"
+        ):
+            # plan and src unchanged but a reachable Python function body
+            # moved — the stateful-kernel/UDF class the plan can't see
+            # (the r14 GroupState.get fix). Missing key in the old file
+            # (pre-closure-digest stamps) compares as unchanged.
+            changed.append(
+                (name, "closure-only (Python kernel/helper body change!)")
+            )
     for name, kind in changed:
         print(f"CHANGED {name}  [{kind}]")
     for name in variants:
