@@ -628,7 +628,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # reserve land in DEFERRED_NEW per the <=5 budget.
 # Reserve slots used in r15 (registered early, oracle-green at
 # sf0.001/0.01/0.1 before registration counted): 1. q_shard_write_audit
-# (VERDICT r14 ask #3 — write_shards executed + realized-layout audit).
+# (VERDICT r14 ask #3 — write_shards executed + realized-layout audit),
+# 2. q_langid_confusion (language-gate confusion matrix vs ground-truth
+# lang), 3. q_curation_funnel (stage-by-stage loss accounting for the
+# flagship pipeline, shared gate fragments).
 # Plan-stamp note (r15): the ADVICE-r14 hex-normalizer tightening
 # (pure-digit runs are no longer swallowed as <HEX>) moved 13 committed
 # stamp HASHES (q_minhash_near_dup and friends — their plans embed

@@ -2508,3 +2508,156 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({_STOP_SQL})))
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'und' END AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       CAST((1000000 * n_docs) //
+            SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS ppm_of_lang
+FROM cells
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QUALITY AUDIT: the confusion matrix of q_lang_id's
+    stopword heuristic against the corpus' ground-truth ``lang`` label —
+    per (truth, prediction) cell counts plus each cell's share of its
+    truth row in ppm. This is the calibration table a curation owner
+    reads before trusting the language gate: the en row's 'en' cell is
+    the gate's recall, the non-en rows' 'en' cells are the contamination
+    it lets through (q_quality_calibration plays the same role for the
+    quality score). Integer-exact: the threshold decision is one
+    int/int-division compare (engine-identical IEEE, the q_lang_id
+    invariant) and the ppm share is bigint DIV.
+
+    Scale: map-only flagging on the scan, then a combinable groupBy on
+    |langs| x 2 keys; the window runs over the CELL relation (~10
+    rows). The 100 TB cost is one corpus pass — the same pass the gate
+    itself costs.
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    ratio = en_stopword_count(toks) / F.size(toks)
+    cells = (
+        d.select(
+            "lang",
+            F.when(ratio >= 0.05, "en").otherwise("und").alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("1000000 * n_docs").alias("_scaled"),
+        F.sum("n_docs").over(w).alias("_row_total"),
+    ).select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("_scaled DIV _row_total").cast("bigint").alias("ppm_of_lang"),
+    )
+
+
+@query(
+    "q_curation_funnel",
+    oracle="WITH " + _CURATION_STAGES_SQL + f""",
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+k1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM scored
+       WHERE en_ratio >= 0.05),
+k2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM kept),
+k3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM deduped)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'ingest' AS stage, tot.c AS n_docs,
+         CAST(0 AS BIGINT) AS n_dropped,
+         CAST(1000000 AS BIGINT) AS retained_ppm
+  FROM tot
+  UNION ALL
+  SELECT 1, 'lang_gate', k1.c, tot.c - k1.c,
+         CAST((1000000 * k1.c) // tot.c AS BIGINT)
+  FROM k1, tot
+  UNION ALL
+  SELECT 2, 'quality_gate', k2.c, k1.c - k2.c,
+         CAST((1000000 * k2.c) // k1.c AS BIGINT)
+  FROM k2, k1
+  UNION ALL
+  SELECT 3, 'exact_dedup', k3.c, k2.c - k3.c,
+         CAST((1000000 * k3.c) // k2.c AS BIGINT)
+  FROM k3, k2)
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSS ACCOUNTING for the flagship curation pipeline: how many docs
+    each successive stage of q_curation_pipeline keeps (ingest ->
+    language gate -> quality gate -> exact dedup), what each stage
+    dropped, and the stage-over-stage retention in ppm. This is the
+    funnel a pipeline owner watches across crawls — a retention step
+    change at one stage localizes a corpus regression (crawler drift, a
+    gate threshold gone wrong, a duplicate storm) without diffing the
+    output corpus. The gate expressions are the SHARED stage fragments
+    of q_curation_pipeline (one copy — thresholds cannot drift between
+    the pipeline and its audit).
+
+    Integer-exact: counts are bigint, retention is bigint DIV.
+    Scale: ONE corpus pass computes all flags map-only; stages 0-2 fold
+    into a single combinable aggregate (conditional sums) and the dedup
+    stage is the same 16-byte-digest distinct-count the pipeline itself
+    shuffles — approx_count_distinct is the knob to pull at 100 TB if
+    the exact count stops being worth its shuffle.
+    """
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    en_ratio = en_stopword_count(toks) / F.size(toks)
+    flags = d.select(
+        (en_ratio >= 0.05).alias("lang_ok"),
+        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        F.md5("text").alias("h"),
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k2"),
+        F.count_distinct(
+            F.when(F.col("lang_ok") & F.col("q_ok"), F.col("h"))
+        )
+        .cast("bigint")
+        .alias("k3"),
+    )
+    return one.selectExpr(
+        """stack(4,
+             0, 'ingest',       total, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT),
+             1, 'lang_gate',    k1,    total - k1,        (1000000 * k1) DIV total,
+             2, 'quality_gate', k2,    k1 - k2,           (1000000 * k2) DIV k1,
+             3, 'exact_dedup',  k3,    k2 - k3,           (1000000 * k3) DIV k2
+           ) AS (stage_idx, stage, n_docs, n_dropped, retained_ppm)"""
+    ).selectExpr(
+        "CAST(stage_idx AS INT) AS stage_idx",
+        "stage",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_dropped AS BIGINT) AS n_dropped",
+        "CAST(retained_ppm AS BIGINT) AS retained_ppm",
+    )

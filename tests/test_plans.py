@@ -2044,3 +2044,50 @@ def test_assign_shards_matches_naive_window_and_avoids_per_source_reducer(
     got_m = {r["doc_id"]: r["shard_id"] for r in got.collect()}
     exp_m = {r["doc_id"]: r["shard_id"] for r in exp.collect()}
     assert got_m == exp_m
+
+
+def test_langid_confusion_single_corpus_shuffle_pruned_scan(spark, sf_smoke):
+    """q_langid_confusion's scale claim: the corpus is shuffled ONCE (the
+    (lang, predicted_lang) aggregate; the ppm window runs over the ~10-row
+    cell relation) and the scan reads only the two columns the flagging
+    needs."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_langid_confusion"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"lang", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    # formatted mode puts exchange keys in the details section; the
+    # corpus-sized shuffle is the one keyed on predicted_lang (the cell
+    # aggregate); the ppm window's exchange re-keys the ~10-row cell
+    # relation on lang alone.
+    corpus_shuffles = re.findall(
+        r"hashpartitioning\([^)]*predicted_lang[^)]*\)", text
+    )
+    assert len(corpus_shuffles) == 1, text[:1500]
+    # hash exchanges: the cell aggregate + the ~10-row cell window,
+    # nothing else (fan_out's round-robin fixture spreader is exempt —
+    # it exists only to split the single-file fixture across cores)
+    assert len(re.findall(r"hashpartitioning\(", text)) == 2, text[:1500]
+
+
+def test_curation_funnel_one_scan_combinable(spark, sf_smoke):
+    """q_curation_funnel folds all four stages out of ONE documents scan
+    (no per-stage rescans, no self-joins): exactly one parquet scan of
+    documents in the plan, and the only corpus-sized exchange is the
+    distinct-count's digest repartition."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_curation_funnel"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    scans = [
+        line
+        for line in text.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    ]
+    assert len(scans) <= 2, f"documents scanned {len(scans)}x:\n{text[:1500]}"

@@ -135,6 +135,18 @@ HEAVY_QUERIES = (
     "q_vocab_growth",
     "q_ann_coverage_curve",
     "q_index_health",
+    # r14 batch additions (VERDICT r14 ask #4). q_bloom_skip WRITES the
+    # corpus inside the query (bloom-filtered parquet + probe read-back),
+    # so its row is write+read combined — the split is measured
+    # separately below (bloom_write_read_split).
+    "q_mad_outliers",
+    "q_temporal_split_embargo",
+    "q_shard_plan",
+    "q_quality_calibration",
+    "q_bloom_skip",
+    # r15 addition: executes write_shards end-to-end (two-pass prefix
+    # scan + one-file-per-shard write) before the read-back audit.
+    "q_shard_write_audit",
 )
 
 
@@ -166,11 +178,40 @@ def scaled_embeddings(spark, k_replicas: int):
     return out
 
 
+def scaled_events(spark, k_replicas: int):
+    """K× events with workload shape held constant: replica k offsets
+    event_id and user_id by k×N (per-user session structure preserved,
+    user count grows linearly) and keeps ts UNCHANGED — the hour
+    histogram keeps its shape with K× the mass per hour, so rank-based
+    temporal queries (q_temporal_split_embargo) see linear data growth
+    over a constant number of rank buckets."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table as _t
+
+    base = _t(spark, SF_DIR, "events")
+    n_ev = base.selectExpr("max(event_id)").collect()[0][0] + 1
+    n_us = base.selectExpr("max(user_id)").collect()[0][0] + 1
+    parts = [
+        base.select(
+            (F.col("event_id") + k * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * n_us).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(k_replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def scaled_sf_dir(spark, k_replicas: int) -> str:
-    """Materialize a K× sf directory: scaled documents + embeddings,
-    every other table symlinked from the base SF (the heavy queries
-    only read these two, but the registry callables resolve the whole
-    dir through catalog.table)."""
+    """Materialize a K× sf directory: scaled documents + embeddings +
+    events, every other table symlinked from the base SF (the heavy
+    queries only read these three, but the registry callables resolve
+    the whole dir through catalog.table)."""
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix=f"scaleup_k{k_replicas}_")
@@ -180,10 +221,54 @@ def scaled_sf_dir(spark, k_replicas: int) -> str:
     scaled_embeddings(spark, k_replicas).repartition(32).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/embeddings.parquet")
+    scaled_events(spark, k_replicas).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/events.parquet")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         os.symlink(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
     return tmp
+
+
+def bloom_write_read_split(spark, sf_dir: str) -> tuple[float, float]:
+    """q_bloom_skip's cost decomposed (VERDICT r14 ask #4): the query
+    WRITES the bloom-filtered corpus and then probes it, so its
+    end-to-end row carries write amplification. Time the phases apart
+    with the query's exact options: at 100 TB the write runs once at
+    ingest and the probe is the recurring serving cost."""
+    import tempfile
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.layout import (
+        BLOOM_PROBE_STRIDE,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bloomsplit_")
+    t0 = time.time()
+    (
+        d.select("doc_id", F.md5("text").alias("digest"), "n_chars")
+        .coalesce(4)
+        .sortWithinPartitions("doc_id")
+        .write.option("parquet.bloom.filter.enabled#digest", "true")
+        .option("parquet.bloom.filter.expected.ndv#digest", "100000")
+        .option("parquet.block.size", str(8 * 1024))
+        .mode("overwrite")
+        .parquet(path)
+    )
+    t_write = time.time() - t0
+    t0 = time.time()
+    probes = [
+        r["digest"]
+        for r in d.filter(F.col("doc_id") % BLOOM_PROBE_STRIDE == 0)
+        .select(F.md5("text").alias("digest"))
+        .collect()
+    ]
+    spark.read.parquet(path).filter(
+        F.col("digest").isin(probes)
+    ).write.format("noop").mode("overwrite").save()
+    t_read = time.time() - t0
+    return t_write, t_read
 
 
 def heavy_query_curve(spark, max_k: int) -> None:
@@ -195,6 +280,10 @@ def heavy_query_curve(spark, max_k: int) -> None:
     while k <= max_k:
         sf_dir = scaled_sf_dir(spark, k)
         print(f"-- heavy registered queries, K={k} ({sf_dir})")
+        tw, tr = bloom_write_read_split(spark, sf_dir)
+        results.setdefault("bloom_skip[write]", []).append((k, tw))
+        results.setdefault("bloom_skip[probe]", []).append((k, tr))
+        print(f"   bloom split: write {tw:.2f}s / probe {tr:.2f}s", flush=True)
         for name in HEAVY_QUERIES:
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode(
