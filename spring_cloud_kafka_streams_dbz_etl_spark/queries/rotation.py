@@ -631,7 +631,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # (VERDICT r14 ask #3 — write_shards executed + realized-layout audit),
 # 2. q_langid_confusion (language-gate confusion matrix vs ground-truth
 # lang), 3. q_curation_funnel (stage-by-stage loss accounting for the
-# flagship pipeline, shared gate fragments).
+# flagship pipeline, shared gate fragments), 4. s_curation_funnel (the
+# funnel maintained incrementally — per-batch partials + sink-as-state
+# dedup, equal to the batch funnel under the shared oracle).
 # Plan-stamp note (r15): the ADVICE-r14 hex-normalizer tightening
 # (pure-digit runs are no longer swallowed as <HEX>) moved 13 committed
 # stamp HASHES (q_minhash_near_dup and friends — their plans embed

@@ -29,6 +29,7 @@ from ..streaming.pipeline import (
 from ..streaming.registry import StreamRegistry
 from . import layout as _layout
 from . import query, round_half_up6
+from . import text as _text
 
 # Shared filter of valid change records after envelope parsing (tombstone /
 # delete / id sentinel rules, sources/cdc.py).
@@ -3214,3 +3215,115 @@ def s_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         q.stop()
+
+
+@query("s_curation_funnel", oracle=_text.CURATION_FUNNEL_ORACLE)
+def s_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_curation_funnel's STREAMING half: loss accounting maintained
+    incrementally as crawl shards arrive. Documents stream in three
+    deterministic id-bucket micro-batches; each batch appends ONE
+    partial-counts row (rows seen, lang-gate survivors, quality-gate
+    survivors, NEWLY-admitted distinct digests) to a rollup store, with
+    the dedup stage counted against the SINK's accumulated digest set
+    (the s_curation_incremental sink-as-state pattern — an anti-join on
+    the store's pruned 16-byte digest column, no unbounded stream
+    state). The final funnel re-aggregates the partials and must equal
+    the batch funnel EXACTLY — first-writer-wins makes each distinct
+    digest count once at first arrival, so the per-batch new-digest
+    counts telescope to the corpus-wide distinct count. Both halves
+    verify against the SAME oracle text (text.py::CURATION_FUNNEL_ORACLE
+    — thresholds cannot drift between batch, stream, and audit).
+
+    Scale: per batch, gates are map-only, the partial row is one
+    combinable aggregate, and dedup state is the digest store itself —
+    corrections are APPENDS (the q_time_rollup partial-merge invariant),
+    never recounts of prior batches.
+    """
+    from ..operators.curation import quality_score
+    from ..functions.textfns import en_stopword_count, tokens
+
+    tune(spark)
+    src = _tmp("funnel_src")
+    digest_store = _tmp("funnel_digests")
+    rollup = _tmp("funnel_rollup")
+    ckpt = _tmp("funnel_ckpt")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("bucket")
+    )
+    buckets = sorted(r[0] for r in d.select("bucket").distinct().collect())
+    first = d.filter(F.col("bucket") == buckets[0]).drop("bucket")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        s = batch.sparkSession
+        toks = tokens(F.col("text"))
+        en_ratio = en_stopword_count(toks) / F.size(toks)
+        flags = batch.select(
+            (en_ratio >= 0.05).alias("lang_ok"),
+            (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+            F.md5("text").alias("h"),
+        ).persist()
+        counts = flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k1"),
+            F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k2"),
+        ).collect()[0]
+        kept = flags.filter(F.col("lang_ok") & F.col("q_ok")).select(
+            "h"
+        ).distinct()
+        try:
+            seen = s.read.parquet(digest_store)
+            new = kept.join(seen, "h", "left_anti")
+        except Exception:  # first batch: empty store
+            new = kept
+        new = new.persist()
+        n_new = new.count()
+        new.coalesce(1).write.mode("append").parquet(digest_store)
+        s.createDataFrame(
+            [(int(counts["total"]), int(counts["k1"]),
+              int(counts["k2"]), int(n_new))],
+            "total long, k1 long, k2 long, k3 long",
+        ).coalesce(1).write.mode("append").parquet(rollup)
+        new.unpersist()
+        flags.unpersist()
+
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in buckets[1:]:
+            d.filter(F.col("bucket") == b).drop("bucket").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    one = spark.read.parquet(rollup).agg(
+        F.sum("total").cast("bigint").alias("total"),
+        F.sum("k1").cast("bigint").alias("k1"),
+        F.sum("k2").cast("bigint").alias("k2"),
+        F.sum("k3").cast("bigint").alias("k3"),
+    )
+    return one.selectExpr(
+        """stack(4,
+             0, 'ingest',       total, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT),
+             1, 'lang_gate',    k1,    total - k1,        (1000000 * k1) DIV total,
+             2, 'quality_gate', k2,    k1 - k2,           (1000000 * k2) DIV k1,
+             3, 'exact_dedup',  k3,    k2 - k3,           (1000000 * k3) DIV k2
+           ) AS (stage_idx, stage, n_docs, n_dropped, retained_ppm)"""
+    ).selectExpr(
+        "CAST(stage_idx AS INT) AS stage_idx",
+        "stage",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_dropped AS BIGINT) AS n_dropped",
+        "CAST(retained_ppm AS BIGINT) AS retained_ppm",
+    )

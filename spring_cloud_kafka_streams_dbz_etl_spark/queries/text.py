@@ -2576,9 +2576,10 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_curation_funnel",
-    oracle="WITH " + _CURATION_STAGES_SQL + f""",
+# Shared by q_curation_funnel and s_curation_funnel (streaming.py): the
+# stream's per-batch partial counts must re-aggregate to EXACTLY this
+# batch funnel, so both sides verify against one oracle text.
+CURATION_FUNNEL_ORACLE = "WITH " + _CURATION_STAGES_SQL + f""",
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
 k1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM scored
        WHERE en_ratio >= 0.05),
@@ -2601,8 +2602,10 @@ SELECT * FROM (
   SELECT 3, 'exact_dedup', k3.c, k2.c - k3.c,
          CAST((1000000 * k3.c) // k2.c AS BIGINT)
   FROM k3, k2)
-""",
-)
+"""
+
+
+@query("q_curation_funnel", oracle=CURATION_FUNNEL_ORACLE)
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSS ACCOUNTING for the flagship curation pipeline: how many docs
     each successive stage of q_curation_pipeline keeps (ingest ->
