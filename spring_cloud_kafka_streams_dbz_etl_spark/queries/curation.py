@@ -820,3 +820,101 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(target_tokens + tokens - 1) DIV tokens > {EPOCH_REPEAT_CAP}"
         ).alias("repeat_risk"),
     )
+
+
+# Crawl-order slices for q_source_mix_drift: ten id-deciles, the
+# coarse-grained "when was it crawled" axis doc_id provides.
+MIX_DRIFT_SLICES = 10
+
+
+@query(
+    "q_source_mix_drift",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MAX(doc_id) + 1 AS n FROM documents
+), sliced AS (
+  SELECT CAST((d.doc_id * {MIX_DRIFT_SLICES}) // b.n AS INT) AS slice_id,
+         d.source
+  FROM documents d CROSS JOIN bounds b
+), cells AS (
+  SELECT slice_id, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sliced GROUP BY slice_id, source
+), shares AS (
+  SELECT slice_id, source, n_docs,
+         CAST((1000000 * n_docs) //
+              SUM(n_docs) OVER (PARTITION BY slice_id) AS BIGINT)
+             AS slice_share_ppm,
+         CAST((1000000 * SUM(n_docs) OVER (PARTITION BY source)) //
+              SUM(n_docs) OVER () AS BIGINT) AS corpus_share_ppm
+  FROM cells
+)
+SELECT slice_id, source, n_docs, slice_share_ppm, corpus_share_ppm,
+       CAST(ABS(slice_share_ppm - corpus_share_ppm) AS BIGINT)
+           AS drift_ppm
+FROM shares
+""",
+)
+def q_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-MIXTURE drift across crawl order: the corpus split into
+    {MIX_DRIFT_SLICES} id-deciles (doc_id as crawl sequence, the
+    q_ngram_novelty convention), each slice's source composition in ppm
+    against the corpus-wide composition, and the absolute drift per
+    cell. This is the crawler-health monitor q_term_drift (vocabulary)
+    and q_ngram_novelty (phrase novelty) don't cover: a feed that died
+    mid-crawl, a scraper that started flooding, or a re-crawl that
+    shifted the mix shows up as a drift spike in its slice — the signal
+    to re-run q_mixture_weights before the next training cut. All
+    integer: slice assignment is (doc_id * {MIX_DRIFT_SLICES}) DIV
+    (max_id + 1), shares are bigint-DIV ppm.
+
+    Scale: the corpus-sized work is ONE combinable groupBy(slice_id,
+    source) over the scan (two pruned columns read); every window runs
+    on the |slices| x |sources| ~ 200-row cell relation. The max_id
+    bound is a 1-row broadcast aggregate, not a collect.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bounds = d.agg((F.max("doc_id") + 1).alias("n"))
+    cells = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"(doc_id * {MIX_DRIFT_SLICES}) DIV n")
+            .cast("int")
+            .alias("slice_id"),
+            "source",
+        )
+        .groupBy("slice_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w_slice = Window.partitionBy("slice_id")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    shares = cells.select(
+        "slice_id",
+        "source",
+        "n_docs",
+        F.expr("1000000 * n_docs").alias("_sc"),
+        F.sum("n_docs").over(w_slice).alias("_slice_total"),
+        (F.lit(1_000_000) * F.sum("n_docs").over(w_src)).alias("_src_sc"),
+        F.sum("n_docs").over(w_all).alias("_corpus_total"),
+    ).select(
+        "slice_id",
+        "source",
+        "n_docs",
+        F.expr("_sc DIV _slice_total").cast("bigint").alias(
+            "slice_share_ppm"
+        ),
+        F.expr("_src_sc DIV _corpus_total").cast("bigint").alias(
+            "corpus_share_ppm"
+        ),
+    )
+    return shares.select(
+        "slice_id",
+        "source",
+        "n_docs",
+        "slice_share_ppm",
+        "corpus_share_ppm",
+        F.abs(F.col("slice_share_ppm") - F.col("corpus_share_ppm"))
+        .cast("bigint")
+        .alias("drift_ppm"),
+    )

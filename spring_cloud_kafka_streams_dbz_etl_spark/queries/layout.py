@@ -501,3 +501,125 @@ def q_shard_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(SHARD_TARGET_CHARS) + F.col("max_doc_chars")
         ).alias("within_bound"),
     )
+
+
+# Loader fan-in for q_shard_read_plan: how many parallel reader workers
+# the training job runs. Fixture-sized so several shards land on each
+# worker at sf0.1; production passes the real data-parallel world size.
+READ_PLAN_WORKERS = 8
+
+
+@query(
+    "q_shard_read_plan",
+    oracle=f"""
+WITH ordered AS (
+  SELECT source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS cum_before
+  FROM documents
+), shards AS (
+  SELECT source, cum_before // {SHARD_TARGET_CHARS} AS shard_id,
+         SUM(n_chars) AS chars
+  FROM ordered GROUP BY source, shard_id
+), ranked AS (
+  SELECT source, shard_id, chars,
+         ROW_NUMBER() OVER (ORDER BY chars DESC, source, shard_id) - 1 AS rk
+  FROM shards
+), assigned AS (
+  SELECT source, shard_id, chars,
+         CASE WHEN (rk // {READ_PLAN_WORKERS}) % 2 = 0
+              THEN rk % {READ_PLAN_WORKERS}
+              ELSE {READ_PLAN_WORKERS} - 1 - (rk % {READ_PLAN_WORKERS})
+         END AS worker_id
+  FROM ranked
+)
+SELECT CAST(worker_id AS INT) AS worker_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(MAX(chars) AS BIGINT) AS max_shard_chars,
+       CAST((1000000 * SUM(chars)) // SUM(SUM(chars)) OVER ()
+            AS BIGINT) AS share_ppm
+FROM assigned
+GROUP BY worker_id
+""",
+)
+def q_shard_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side that closes the shard family (plan: q_shard_plan ->
+    assign: s_shard_assign -> write: q_shard_write_audit -> READ): which
+    of the training loader's parallel workers reads which shards. Shards
+    are ranked by char mass descending and dealt SERPENTINE
+    (boustrophedon) across the workers — row r of the deal reverses
+    direction on every pass, the deterministic relational stand-in for
+    greedy LPT balancing: the heaviest and lightest shards of each pass
+    pair up, so worker char masses stay within one shard of each other
+    without any sequential least-loaded scan (which is not a relational
+    operator). Output is the per-worker load sheet: shard count, char
+    mass, heaviest shard, and corpus share in ppm (bigint DIV —
+    integer-exact).
+
+    The rank is a TOTAL integer order (chars DESC, source, shard_id) so
+    both engines deal identically. Everything downstream of the shard
+    relation is SHARD-sized (corpus_chars / target, ~1e5 rows at 100 TB
+    with 512 MB shards), so the single-partition row_number window is
+    planner-sized, not corpus-sized. The shard masses themselves are
+    REBUILT here from documents with the per-source cumulative window
+    the oracle states (fixture-honest: both engines restate the same
+    greedy assignment); a production loader feeds the REALIZED manifest
+    instead — q_shard_write_audit's per-file rollup or the table
+    format's file statistics — so the read planner never touches the
+    corpus at all. If it ever must recompute assignments at corpus
+    scale, operators/layout.py::assign_shards is the two-pass shape.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    shards = (
+        d.select(
+            "source",
+            "n_chars",
+            (F.sum("n_chars").over(w) - F.col("n_chars")).alias("cum_before"),
+        )
+        .withColumn(
+            "shard_id", F.expr(f"cum_before DIV {SHARD_TARGET_CHARS}")
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.sum("n_chars").alias("chars"))
+    )
+    rk = (
+        F.row_number().over(
+            Window.orderBy(F.col("chars").desc(), "source", "shard_id")
+        )
+        - 1
+    )
+    assigned = shards.withColumn("rk", rk).withColumn(
+        "worker_id",
+        F.expr(
+            f"CASE WHEN (rk DIV {READ_PLAN_WORKERS}) % 2 = 0 "
+            f"THEN rk % {READ_PLAN_WORKERS} "
+            f"ELSE {READ_PLAN_WORKERS} - 1 - (rk % {READ_PLAN_WORKERS}) END"
+        ).cast("int"),
+    )
+    wall = Window.partitionBy()
+    return assigned.groupBy("worker_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.max("chars").cast("bigint").alias("max_shard_chars"),
+    ).select(
+        "worker_id",
+        "n_shards",
+        "total_chars",
+        "max_shard_chars",
+        F.expr("1000000 * total_chars").alias("_scaled"),
+        F.sum("total_chars").over(wall).alias("_corpus"),
+    ).select(
+        "worker_id",
+        "n_shards",
+        "total_chars",
+        "max_shard_chars",
+        F.expr("_scaled DIV _corpus").cast("bigint").alias("share_ppm"),
+    )

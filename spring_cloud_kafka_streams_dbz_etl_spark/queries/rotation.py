@@ -633,7 +633,12 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # lang), 3. q_curation_funnel (stage-by-stage loss accounting for the
 # flagship pipeline, shared gate fragments), 4. s_curation_funnel (the
 # funnel maintained incrementally — per-batch partials + sink-as-state
-# dedup, equal to the batch funnel under the shared oracle).
+# dedup, equal to the batch funnel under the shared oracle),
+# 5. q_shard_read_plan (loader-side serpentine LPT read assignment —
+# closes plan -> assign -> write -> READ), 6. q_source_mix_drift
+# (crawl-slice source-mixture drift monitor). The reserve is exhausted;
+# additions beyond it defer per the process rule (<=5 deferred at round
+# end).
 # Plan-stamp note (r15): the ADVICE-r14 hex-normalizer tightening
 # (pure-digit runs are no longer swallowed as <HEX>) moved 13 committed
 # stamp HASHES (q_minhash_near_dup and friends — their plans embed

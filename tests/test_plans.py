@@ -2091,3 +2091,41 @@ def test_curation_funnel_one_scan_combinable(spark, sf_smoke):
         if "Scan parquet" in line and "documents" in line
     ]
     assert len(scans) <= 2, f"documents scanned {len(scans)}x:\n{text[:1500]}"
+
+
+def test_shard_read_plan_rank_window_is_shard_sized(spark, sf_smoke):
+    """q_shard_read_plan's scale claim: the only single-partition window
+    (the serpentine rank) runs over the SHARD relation, i.e. strictly
+    after the (source, shard_id) rollup — never over document rows."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["q_shard_read_plan"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    # the global rank must consume the aggregated `chars` column — a
+    # rank over raw docs would reference n_chars directly
+    assert "row_number" in text
+    seen_agg_before_rank = text.index("HashAggregate") < text.index(
+        "row_number"
+    ) or "chars" in text[text.index("row_number") - 400 : text.index("row_number")]
+    assert seen_agg_before_rank, text[:2000]
+
+
+def test_source_mix_drift_single_corpus_shuffle(spark, sf_smoke):
+    """q_source_mix_drift's scale claim: the corpus shuffles once (the
+    (slice_id, source) aggregate); every window exchange re-keys the
+    ~200-row cell relation; the scan reads only (doc_id, source)."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_source_mix_drift"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "source"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    corpus_shuffles = re.findall(
+        r"hashpartitioning\([^)]*slice_id[^)]*source[^)]*\)", text
+    )
+    assert len(corpus_shuffles) == 1, text[:2000]
