@@ -133,6 +133,18 @@ and test additions — none of which touch query plans): total 75.48 s /
 core 68.91 s, isolated stamp q_tpch_q5 0.71 s (historical value) —
 both runs inside the band, plan set unchanged.
 
+Finding (r15 session, sf0.1, local[32], loadavg 0.04 at start) — the
+session's FINAL idle bench after the 6 new registrations (none are
+headliners; headline composition unchanged at 37) and the advisory
+oracle fixes (no headliner plan touched): total 72.89 s / core
+66.70 s, zero interleave flags, zero drift flags, and ZERO movers
+beyond 1.2x/0.7x against the BENCH_r14 artifact — inside the
+adjudicated 64-68 s core band, 0.95x round-over-round. An earlier
+same-session bench on a still-cooling machine (5-min loadavg 4.0)
+read core 86.5 s with 4 interleave-flagged members whose isolated
+re-measures all sat at historical values — reconfirming the
+loadavg-gate rule rather than any plan movement.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
