@@ -3234,13 +3234,20 @@ def s_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify against the SAME oracle text (text.py::CURATION_FUNNEL_ORACLE
     — thresholds cannot drift between batch, stream, and audit).
 
+    EXACTLY-ONCE on replay: both stores are keyed by batch_id and
+    written through dynamic partition overwrite (the s_idempotent_sink
+    mechanism), and the anti-join's seen-set EXCLUDES the current
+    epoch's own partition — so a checkpoint-recovery replay of a
+    half-committed batch recomputes the same counts and rewrites its
+    own partitions in place instead of double-appending (pinned by
+    test_streaming.py::test_curation_funnel_batch_replay_idempotent).
+
     Scale: per batch, gates are map-only, the partial row is one
     combinable aggregate, and dedup state is the digest store itself —
-    corrections are APPENDS (the q_time_rollup partial-merge invariant),
-    never recounts of prior batches.
+    corrections are per-epoch partition overwrites, never recounts of
+    prior batches.
     """
-    from ..operators.curation import quality_score
-    from ..functions.textfns import en_stopword_count, tokens
+    from ..streaming.curation import funnel_partials
 
     tune(spark)
     src = _tmp("funnel_src")
@@ -3254,42 +3261,8 @@ def s_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = d.filter(F.col("bucket") == buckets[0]).drop("bucket")
     first.coalesce(1).write.mode("overwrite").parquet(src)
 
-    def process(batch: DataFrame, _epoch: int) -> None:
-        s = batch.sparkSession
-        toks = tokens(F.col("text"))
-        en_ratio = en_stopword_count(toks) / F.size(toks)
-        flags = batch.select(
-            (en_ratio >= 0.05).alias("lang_ok"),
-            (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
-            F.md5("text").alias("h"),
-        ).persist()
-        counts = flags.agg(
-            F.count(F.lit(1)).cast("bigint").alias("total"),
-            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("k1"),
-            F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("k2"),
-        ).collect()[0]
-        kept = flags.filter(F.col("lang_ok") & F.col("q_ok")).select(
-            "h"
-        ).distinct()
-        try:
-            seen = s.read.parquet(digest_store)
-            new = kept.join(seen, "h", "left_anti")
-        except Exception:  # first batch: empty store
-            new = kept
-        new = new.persist()
-        n_new = new.count()
-        new.coalesce(1).write.mode("append").parquet(digest_store)
-        s.createDataFrame(
-            [(int(counts["total"]), int(counts["k1"]),
-              int(counts["k2"]), int(n_new))],
-            "total long, k1 long, k2 long, k3 long",
-        ).coalesce(1).write.mode("append").parquet(rollup)
-        new.unpersist()
-        flags.unpersist()
+    def process(batch: DataFrame, epoch: int) -> None:
+        funnel_partials(batch, epoch, digest_store, rollup)
 
     stream = spark.readStream.schema(first.schema).parquet(src)
     q = (

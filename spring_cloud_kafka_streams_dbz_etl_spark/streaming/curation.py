@@ -120,3 +120,66 @@ def build_curation_stream(spark: SparkSession, cfg: CurationStreamConfig):
 
 def read_curated(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.schema(CURATED_SCHEMA).parquet(out_path)
+
+
+def funnel_partials(
+    batch: DataFrame, epoch: int, digest_store: str, rollup: str
+) -> None:
+    """Per-micro-batch kernel of s_curation_funnel (queries/streaming.py):
+    compute the batch's stage-survival partials (rows, lang-gate
+    survivors, quality-gate survivors, NEWLY-admitted distinct digests
+    vs the accumulated digest store) and commit both the digests and the
+    1-row partial through batch-id-keyed DYNAMIC PARTITION OVERWRITE —
+    so a checkpoint-recovery replay of a half-committed epoch recomputes
+    the same counts (the seen-set excludes the epoch's own partition)
+    and rewrites its own partitions in place. Module-level so the
+    replay-idempotency contract is directly testable."""
+    s = batch.sparkSession
+    toks = tokens(F.col("text"))
+    en_ratio = en_stopword_count(toks) / F.size(toks)
+    flags = batch.select(
+        (en_ratio >= 0.05).alias("lang_ok"),
+        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        F.md5("text").alias("h"),
+    ).persist()
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k2"),
+    ).collect()[0]
+    kept = flags.filter(F.col("lang_ok") & F.col("q_ok")).select("h").distinct()
+    try:
+        # exclude THIS epoch's partition: a replay of a half-committed
+        # batch must not see its own prior attempt
+        seen = s.read.parquet(digest_store).filter(F.col("batch_id") != epoch)
+        new = kept.join(seen.select("h"), "h", "left_anti")
+    except Exception:  # first batch: empty store
+        new = kept
+    new = new.persist()
+    n_new = new.count()
+    (
+        new.withColumn("batch_id", F.lit(epoch).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(digest_store)
+    )
+    (
+        s.createDataFrame(
+            [(int(counts["total"]), int(counts["k1"]),
+              int(counts["k2"]), int(n_new), int(epoch))],
+            "total long, k1 long, k2 long, k3 long, batch_id long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(rollup)
+    )
+    new.unpersist()
+    flags.unpersist()

@@ -857,3 +857,45 @@ def test_state_sources_partition_parallel_at_1e5_keys(spark):
     # the scoped feed carries exactly the batch's changes, not the store
     assert feed.count() == touched
     tune(spark)  # restore the batch default for later tests
+
+
+def test_curation_funnel_batch_replay_idempotent(spark, sf_dir):
+    """s_curation_funnel's exactly-once contract: re-running an epoch's
+    kernel (a checkpoint-recovery replay of a half-committed batch) must
+    leave both stores byte-identical — same partial counts, same digest
+    partitions — because writes are batch-id-keyed dynamic partition
+    overwrites and the seen-set excludes the epoch's own partition."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        funnel_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    digest_store = tempfile.mkdtemp(prefix="funnel_dg_")
+    rollup = tempfile.mkdtemp(prefix="funnel_ru_")
+
+    def snapshot():
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(rollup).collect()
+        )
+        digs = sorted(
+            tuple(r) for r in spark.read.parquet(digest_store).collect()
+        )
+        return rows, digs
+
+    funnel_partials(b0, 0, digest_store, rollup)
+    funnel_partials(b1, 1, digest_store, rollup)
+    after_clean = snapshot()
+    # replay epoch 1 (crash-after-commit recovery) -> identical stores
+    funnel_partials(b1, 1, digest_store, rollup)
+    assert snapshot() == after_clean
+    # replay epoch 0 too (out-of-order recovery of an older epoch)
+    funnel_partials(b0, 0, digest_store, rollup)
+    assert snapshot() == after_clean
