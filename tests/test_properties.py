@@ -1645,3 +1645,46 @@ def test_shard_assign_state_function_matches_cumulative_model(
             exp[i] = cum // target
             cum += c
     assert got == exp
+
+
+# --- assign_shards: the two-pass distributed prefix scan must equal the
+# naive per-source cumulative window on ANY input, including the edges
+# the sf fixtures never produce: zero-char docs, docs far beyond the
+# target (which leave empty shard ids behind them), single-doc sources,
+# and more range partitions than rows.
+shard_case = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # source index
+        st.integers(0, 200_000),  # n_chars (oversize >> target below)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(shard_case, st.integers(1, 40))
+@settings(**SETTINGS)
+def test_assign_shards_matches_naive_window_property(spark, docs, n_parts):
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        assign_shards,
+    )
+
+    target = 4_096
+    rows = [(i, f"s{src}", chars) for i, (src, chars) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shards(df, target, n_parts=n_parts).collect()
+    }
+    exp = {
+        r["doc_id"]: r["shard_id"]
+        for r in df.select(
+            "doc_id",
+            F.expr(
+                f"(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"- n_chars) DIV {target}"
+            ).alias("shard_id"),
+        ).collect()
+    }
+    assert got == exp

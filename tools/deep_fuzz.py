@@ -440,6 +440,49 @@ def fuzz_ts_windows(spark) -> None:
     print(f"ts windows: {cases} cases OK")
 
 
+def fuzz_shard_assign(spark) -> None:
+    """assign_shards (two-pass distributed prefix scan) == the naive
+    per-source cumulative window on random corpora: skewed sources,
+    zero-char docs, oversize docs that skip shard ids, and partition
+    counts both above and below the row count (r15)."""
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
+        assign_shards,
+    )
+
+    cases = max(1, N // 6)
+    for _ in range(cases):
+        n_rows = rng.randrange(1, 120)
+        n_src = rng.randrange(1, 5)
+        target = rng.choice([512, 4_096, 32_768])
+        rows = [
+            (i, f"s{rng.randrange(n_src)}", rng.randrange(0, target * 8))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+        n_parts = rng.randrange(1, 50)
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards(df, target, n_parts=n_parts).collect()
+        }
+        exp = {
+            r["doc_id"]: r["shard_id"]
+            for r in df.select(
+                "doc_id",
+                F.expr(
+                    f"(sum(n_chars) OVER (PARTITION BY source ORDER BY "
+                    f"doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+                    f"ROW) - n_chars) DIV {target}"
+                ).alias("shard_id"),
+            ).collect()
+        }
+        assert got == exp, (target, n_parts, rows[:5])
+    print(f"shard assign twins: {cases} cases OK")
+
+
 def main() -> None:
     spark = get_spark("deep-fuzz", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -453,6 +496,7 @@ def main() -> None:
     fuzz_pq_train(spark)
     fuzz_event_pattern(spark)
     fuzz_ts_windows(spark)
+    fuzz_shard_assign(spark)
     print("deep fuzz: ALL OK")
 
 
