@@ -899,3 +899,89 @@ def test_curation_funnel_batch_replay_idempotent(spark, sf_dir):
     # replay epoch 0 too (out-of-order recovery of an older epoch)
     funnel_partials(b0, 0, digest_store, rollup)
     assert snapshot() == after_clean
+
+
+def test_curation_funnel_checkpoint_restart(spark, sf_dir):
+    """s_curation_funnel's recovery path through Spark's OWN checkpoint:
+    stop the stream after the first shard, start a NEW query from the
+    same checkpoint for the remaining shards, and the re-aggregated
+    funnel must equal the single-run batch funnel — the partials commit
+    idempotently even when the engine decides which epochs replay."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        funnel_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("bucket")
+    )
+    src = tempfile.mkdtemp(prefix="fnl_src_")
+    digest_store = tempfile.mkdtemp(prefix="fnl_dg_")
+    rollup = tempfile.mkdtemp(prefix="fnl_ru_")
+    ckpt = tempfile.mkdtemp(prefix="fnl_ck_")
+    first = d.filter(F.col("bucket") == 0).drop("bucket")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        return (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, e: funnel_partials(b, e, digest_store, rollup)
+            )
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart from the same checkpoint; shards 1 and 2 arrive after
+    q = start()
+    try:
+        q.processAllAvailable()
+        for b in (1, 2):
+            d.filter(F.col("bucket") == b).drop("bucket").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(rollup).agg(
+        F.sum("total").alias("total"),
+        F.sum("k1").alias("k1"),
+        F.sum("k2").alias("k2"),
+        F.sum("k3").alias("k3"),
+    ).collect()[0]
+    # single-pass batch reference over the same corpus
+    from spring_cloud_kafka_streams_dbz_etl_spark.functions.textfns import (
+        en_stopword_count,
+        tokens,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.curation import (
+        quality_score,
+    )
+
+    toks = tokens(F.col("text"))
+    en_ratio = en_stopword_count(toks) / F.size(toks)
+    flags = d.select(
+        (en_ratio >= 0.05).alias("lang_ok"),
+        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        F.md5("text").alias("h"),
+    )
+    exp = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0)).alias(
+            "k2"
+        ),
+        F.count_distinct(
+            F.when(F.col("lang_ok") & F.col("q_ok"), F.col("h"))
+        ).alias("k3"),
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)
