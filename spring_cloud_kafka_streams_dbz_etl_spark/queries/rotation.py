@@ -647,7 +647,13 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # this round and fresh-vs-fresh process determinism re-verified, so the
 # change is the hashing scheme, not any plan: non-material, no
 # re-fronts. PLAN_STAMPS.json regenerated in the same change.
-DEFERRED_NEW: frozenset[str] = frozenset()
+# The r15 reserve is exhausted; additions beyond it defer per the
+# process rule (<=5 deferred at round end): q_vocab_coverage
+# (per-source OOV rate under a fixed top-V vocabulary budget — the
+# which-feed-does-a-fixed-vocab-underserve table next to
+# q_bpe_capacity / q_bpe_fertility). Oracle-green at sf0.001/0.01/0.1;
+# it fronts the round-16 window. 1 deferred, inside the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset({"q_vocab_coverage"})
 
 
 def times_checked(name: str) -> int:

@@ -2664,3 +2664,88 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_dropped AS BIGINT) AS n_dropped",
         "CAST(retained_ppm AS BIGINT) AS retained_ppm",
     )
+
+
+# Vocabulary budget for q_vocab_coverage: the fixture corpus draws from
+# a ~40-word vocabulary, so a 16-entry budget leaves a meaningful OOV
+# tail at every SF; production uses the tokenizer's real vocab size.
+VOCAB_BUDGET = 16
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT d.source, w.word
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS w(word)
+  WHERE w.word <> ''
+), hist AS (
+  SELECT word, COUNT(*) AS c FROM words GROUP BY word
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk FROM hist
+  ) WHERE rk <= {VOCAB_BUDGET}
+)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST((1000000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_ppm,
+       CAST(COUNT(DISTINCT CASE WHEN v.word IS NULL THEN w.word END)
+            AS BIGINT) AS n_distinct_oov
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY w.source
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE under a fixed budget: take the corpus' top
+    {VOCAB_BUDGET} words by frequency as the vocabulary and report, per
+    source, total tokens, out-of-vocabulary occurrences, the OOV rate in
+    ppm, and how many distinct words fall outside the budget. This is
+    the table a tokenizer owner reads next to q_bpe_capacity (how deep
+    can the vocab go) and q_bpe_fertility (what each language pays):
+    which FEEDS a fixed vocabulary underserves — a source whose OOV rate
+    is an outlier either needs vocab budget or is noise. The vocab cut
+    is a TOTAL integer order (count DESC, word ASC), so both engines
+    pick identical boundary words; shares are bigint-DIV ppm.
+
+    Scale: one combinable word-histogram groupBy (the q_vocab_growth /
+    BPE shuffle), a row_number over the VOCABULARY-sized relation (~1e7
+    rows at 100 TB — planner-sized next to the corpus), the vocab
+    (budget rows) BROADCAST back onto the token stream, then one
+    combinable per-source rollup. The corpus never shuffles for the
+    membership test.
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        hist.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "word")),
+        )
+        .filter(F.col("rk") <= VOCAB_BUDGET)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    tagged = words.join(F.broadcast(vocab), "word", "left")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)) "
+            "DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("oov_ppm"),
+        F.count_distinct(
+            F.when(F.col("in_vocab").isNull(), F.col("word"))
+        )
+        .cast("bigint")
+        .alias("n_distinct_oov"),
+    )

@@ -2129,3 +2129,19 @@ def test_source_mix_drift_single_corpus_shuffle(spark, sf_smoke):
         r"hashpartitioning\([^)]*slice_id[^)]*source[^)]*\)", text
     )
     assert len(corpus_shuffles) == 1, text[:2000]
+
+
+def test_vocab_coverage_broadcasts_vocab_not_corpus(spark, sf_smoke):
+    """q_vocab_coverage's scale claim: the membership test broadcasts
+    the budget-row vocabulary onto the token stream — the corpus-sized
+    relation never shuffles for the join (its only shuffles are the word
+    histogram and the per-source rollup)."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        has_broadcast_join,
+    )
+
+    df = SPECS["q_vocab_coverage"].fn(spark, sf_smoke)
+    assert has_broadcast_join(df)
+    text = explain_str(df)
+    assert "SortMergeJoin" not in text, text[:1500]
