@@ -29,13 +29,21 @@ from pyspark.sql import functions as F
 from ..functions.textfns import en_stopword_count, token_total_len, tokens
 from .pii import redact_pii
 
+# Canonical curation gate thresholds — the SINGLE source for the batch
+# pipeline (q_curation_pipeline / q_curation_funnel), the streaming
+# funnel kernel (streaming/curation.py::funnel_partials), and the shared
+# DuckDB oracle fragments (queries/text.py::_CURATION_STAGES_SQL), so a
+# threshold change on any one side desyncs nothing (ADVICE r15).
+LANG_GATE_RATIO = 0.05  # English stopword-ratio gate
+QUALITY_GATE = 0.5  # composite quality-score gate
+
 
 @dataclass(frozen=True)
 class CurationConfig:
     """Stage toggles. ``None`` disables a stage entirely."""
 
-    lang_stopword_min: float | None = 0.05  # English stopword-ratio gate
-    quality_min: float | None = 0.5  # composite quality-score gate
+    lang_stopword_min: float | None = LANG_GATE_RATIO
+    quality_min: float | None = QUALITY_GATE
     redact: bool = False  # PII redaction (operators.pii)
     dedup_exact: bool = True  # content-hash keep-first dedup
     decontaminate_ngram: int = 4  # n for the benchmark-overlap gate

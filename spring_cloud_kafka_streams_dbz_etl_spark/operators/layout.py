@@ -78,11 +78,18 @@ def z_file_id(zcol: Column, total_bits: int, n_files: int) -> Column:
     return F.shiftright(zcol, shift).cast("int")
 
 
-def _assign_shards_parted(
-    df: DataFrame, target_chars: int, n_parts: int | None
+def assign_shards_handle(
+    df: DataFrame, target_chars: int, n_parts: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """Core of assign_shards; also returns the persisted intermediate
-    so write_shards can release it after its action completes."""
+    """assign_shards plus the persisted range-partitioned intermediate as
+    an explicit release handle: ``(assigned, parted)``. The intermediate
+    MUST stay cached until the caller's last action over ``assigned``
+    (the pass-1 offsets are keyed by its frozen partition ids — see
+    assign_shards), after which the caller releases it with
+    ``parted.unpersist()`` (write_shards' try/finally is the model).
+    Loop callers (fuzzers, property tests, measurement sweeps) use this
+    form so repeated calls don't accumulate cached blocks for the
+    session (ADVICE r15)."""
     spark = df.sparkSession
     n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parted = (
@@ -153,9 +160,10 @@ def assign_shards(
     The result is deterministic even though range boundaries are
     sampled: offset + local-cumsum is boundary-independent. Callers that
     run multiple actions over the result benefit from the persisted
-    intermediate; one-shot callers should prefer write_shards, which
-    releases it."""
-    assigned, _ = _assign_shards_parted(df, target_chars, n_parts)
+    intermediate; it stays cached for the session, so one-shot callers
+    should prefer write_shards (which releases it in a try/finally) and
+    loop callers assign_shards_handle (explicit unpersist handle)."""
+    assigned, _ = assign_shards_handle(df, target_chars, n_parts)
     return assigned
 
 
@@ -177,7 +185,7 @@ def write_shards(
     q_doc_chunks). Balanced by design: every write task carries
     ~target_chars, so the write shuffle cannot skew no matter how
     skewed the sources are."""
-    assigned, parted = _assign_shards_parted(df, target_chars, n_parts)
+    assigned, parted = assign_shards_handle(df, target_chars, n_parts)
     try:
         (
             assigned.repartition("source", "shard_id")

@@ -41,12 +41,39 @@ def cache_scoped(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-query scratch trees (bloom-filtered corpora, realized shard
+# layouts). Same lifetime rule as _SCOPED_CACHE: the returned DataFrame
+# reads its scratch files lazily, so a query's tree must outlive its own
+# materialization — each query sweeps the PREVIOUS query's trees on
+# entry, and an atexit backstop removes whatever the last query of the
+# process left (ADVICE r15: bloomskip_/shardwrite_ leaked a corpus-sized
+# tree in /tmp per parity/bench run).
+_SCOPED_SCRATCH: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with query-scoped lifetime (removed when the next
+    registered query starts, or at interpreter exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCOPED_SCRATCH.append(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def release_scoped() -> None:
+    import shutil
+
     while _SCOPED_CACHE:
         try:
             _SCOPED_CACHE.pop().unpersist()
         except Exception:
             pass
+    while _SCOPED_SCRATCH:
+        shutil.rmtree(_SCOPED_SCRATCH.pop(), ignore_errors=True)
 
 
 def round_half_up6(x: float) -> float:

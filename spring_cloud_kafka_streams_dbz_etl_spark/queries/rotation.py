@@ -386,6 +386,37 @@ _ROUND_14 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r15.json (all 50 green — rows+schema+hash, zero
+# errors): the 3 r14 deferrals' first rows (q_epoch_plan, q_freq_spectrum,
+# q_ngram_novelty), the s_stateful_count re-front at head after the
+# GroupState.get fix (clears its CHANGED_SINCE_CHECK entry), the 6 r15
+# reserve-slot additions (q_shard_write_audit, q_langid_confusion,
+# q_curation_funnel, s_curation_funnel, q_shard_read_plan,
+# q_source_mix_drift), and the least-recently-checked tail (drains the
+# r9-checked tier). Cumulative 259/260 after this round — only
+# q_vocab_coverage (registered after the r15 window was budgeted)
+# awaits its first row.
+_ROUND_15 = frozenset(
+    {
+        "q_asof_join", "q_bitmap_distinct", "q_conditional_agg",
+        "q_cube", "q_curation_funnel", "q_date_funcs", "q_epoch_plan",
+        "q_explode_array", "q_freq_spectrum", "q_funnel",
+        "q_grouping_sets", "q_histogram", "q_hop_distance",
+        "q_interval_join", "q_langid_confusion", "q_multiset_ops",
+        "q_ngram_novelty", "q_nullsafe_join", "q_outer_join",
+        "q_pagerank", "q_percentiles", "q_pivot", "q_range_bounds",
+        "q_range_join", "q_retention_cohorts", "q_salted_agg",
+        "q_salted_join", "q_scalar_subquery", "q_sequence_gaps",
+        "q_shard_read_plan", "q_shard_write_audit", "q_skew_diagnose",
+        "q_source_mix_drift", "q_string_funcs", "q_time_rollup",
+        "q_unpivot", "q_window_ranks", "s_available_now",
+        "s_backfill_then_tail", "s_cdc_multiplex", "s_curation_funnel",
+        "s_curation_incremental", "s_dim_delete", "s_dim_upsert",
+        "s_minhash_incremental", "s_python_sink", "s_python_source",
+        "s_scd2_stream", "s_stateful_count", "s_stream_outer_join",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -401,6 +432,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     12: _ROUND_12,
     13: _ROUND_13,
     14: _ROUND_14,
+    15: _ROUND_15,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -493,7 +525,18 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # the green row certifies the OLD closure; it stays here and re-fronts
 # in r15 for a row at head. Cleared when CHECKED_BY_ROUND[15] records
 # its fresh green row.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
+# Round 15's s_stateful_count re-verified green AT HEAD in r15 and is
+# cleared in the same change that records CHECKED_BY_ROUND[15].
+# Round-16 entries: q_shard_read_plan — VERDICT r15 "what's wrong" #1:
+# its data path rebuilt shard masses with the naive per-source
+# cumulative window (the single-reducer shape measure_shard_assign
+# proved 6x slower at 20.5M rows/source); r16 rebuilds the shard
+# relation via operators/layout.py::assign_shards' two-pass distributed
+# prefix scan + groupBy. The property fuzz (tests/test_properties.py)
+# already proves the two-pass assignment identical to the naive window,
+# so the oracle stands unchanged — but the registered plan changed
+# materially after its green r15 row, so it re-fronts for a fresh row.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_shard_read_plan"})
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -653,7 +696,22 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"s_stateful_count"})
 # which-feed-does-a-fixed-vocab-underserve table next to
 # q_bpe_capacity / q_bpe_fertility). Oracle-green at sf0.001/0.01/0.1;
 # it fronts the round-16 window. 1 deferred, inside the <=5 budget.
-DEFERRED_NEW: frozenset[str] = frozenset({"q_vocab_coverage"})
+# Round 15's window verified (50/50 green, cumulative 259/260). The r15
+# deferral q_vocab_coverage is cleared in the same change that records
+# CHECKED_BY_ROUND[15]: it carries its real zero-row count and fronts
+# the round-16 window automatically (VERDICT r15 ask #1 — its green row
+# makes every registered query driver-verified at head).
+#
+# Round-16 window budget: q_vocab_coverage (zero rows) fronts, then the
+# q_shard_read_plan CHANGED_SINCE_CHECK re-front (two-pass data path,
+# VERDICT r15 ask #2), then up to 6 RESERVE slots for queries
+# registered during round 16 (same rule as r13/r14/r15 — the first 6
+# in-round registrations are left OUT of DEFERRED_NEW and make this
+# window), then the LEAST-RECENTLY-CHECKED tail fills to 50 (drains the
+# r10-checked tier — VERDICT r15 ask #3: the histogram's oldest bucket
+# moves to r11). Additions beyond the reserve land in DEFERRED_NEW per
+# the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:

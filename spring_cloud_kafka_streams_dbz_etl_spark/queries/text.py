@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
 from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
+from ..operators.curation import LANG_GATE_RATIO, QUALITY_GATE
 from ..session import tune
 from . import cache_scoped, query, round_half_up6
 
@@ -628,7 +629,7 @@ _CURATION_STAGES_SQL = f"""scored AS (
   FROM documents),
 kept AS (
   SELECT doc_id, text, quality FROM scored
-  WHERE en_ratio >= 0.05 AND quality >= 0.5),
+  WHERE en_ratio >= {LANG_GATE_RATIO} AND quality >= {QUALITY_GATE}),
 deduped AS (
   SELECT MIN(doc_id) AS doc_id, ANY_VALUE(quality) AS quality
   FROM kept GROUP BY md5(text))"""
@@ -670,7 +671,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             en_ratio.alias("en_ratio"),
             quality_score(F.col("text")).alias("quality"),
         )
-        .filter((F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+        .filter(
+            (F.col("en_ratio") >= LANG_GATE_RATIO)
+            & (F.col("quality") >= QUALITY_GATE)
+        )
     )
     deduped = (
         kept.groupBy(F.md5("text").alias("__h"))
@@ -1100,7 +1104,10 @@ def q_curation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             en_ratio.alias("en_ratio"),
             quality_score(F.col("text")).alias("quality"),
         )
-        .filter((F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5))
+        .filter(
+            (F.col("en_ratio") >= LANG_GATE_RATIO)
+            & (F.col("quality") >= QUALITY_GATE)
+        )
     )
     deduped = (
         kept.groupBy(F.md5("text").alias("__h"))
@@ -2582,7 +2589,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_FUNNEL_ORACLE = "WITH " + _CURATION_STAGES_SQL + f""",
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
 k1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM scored
-       WHERE en_ratio >= 0.05),
+       WHERE en_ratio >= {LANG_GATE_RATIO}),
 k2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM kept),
 k3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM deduped)
 SELECT * FROM (
@@ -2632,8 +2639,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     en_ratio = en_stopword_count(toks) / F.size(toks)
     flags = d.select(
-        (en_ratio >= 0.05).alias("lang_ok"),
-        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        (en_ratio >= LANG_GATE_RATIO).alias("lang_ok"),
+        (quality_score(F.col("text")) >= QUALITY_GATE).alias("q_ok"),
         F.md5("text").alias("h"),
     )
     one = flags.agg(

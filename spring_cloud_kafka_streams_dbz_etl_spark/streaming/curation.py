@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.curation import CurationConfig, quality_score
+from ..operators.curation import (
+    LANG_GATE_RATIO,
+    QUALITY_GATE,
+    CurationConfig,
+    quality_score,
+)
 from ..operators.pii import redact_pii
 from ..functions.textfns import en_stopword_count, tokens
 
@@ -138,8 +143,8 @@ def funnel_partials(
     toks = tokens(F.col("text"))
     en_ratio = en_stopword_count(toks) / F.size(toks)
     flags = batch.select(
-        (en_ratio >= 0.05).alias("lang_ok"),
-        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        (en_ratio >= LANG_GATE_RATIO).alias("lang_ok"),
+        (quality_score(F.col("text")) >= QUALITY_GATE).alias("q_ok"),
         F.md5("text").alias("h"),
     ).persist()
     counts = flags.agg(
@@ -154,10 +159,22 @@ def funnel_partials(
     kept = flags.filter(F.col("lang_ok") & F.col("q_ok")).select("h").distinct()
     try:
         # exclude THIS epoch's partition: a replay of a half-committed
-        # batch must not see its own prior attempt
-        seen = s.read.parquet(digest_store).filter(F.col("batch_id") != epoch)
+        # batch must not see its own prior attempt. Explicit schema: an
+        # EXISTING-but-empty store (pre-created dir) reads as zero rows
+        # instead of failing schema inference.
+        seen = (
+            s.read.schema("h string, batch_id long")
+            .parquet(digest_store)
+            .filter(F.col("batch_id") != epoch)
+        )
         new = kept.join(seen.select("h"), "h", "left_anti")
-    except Exception:  # first batch: empty store
+    except Exception as exc:
+        # ONLY path-not-found means "first batch: no store yet". Any other
+        # read failure (corrupt store, permissions) must surface — treating
+        # it as empty would skip the seen-set and silently overcount k3
+        # (ADVICE r15; mirrors build_curation_stream's narrowed guard).
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         new = kept
     new = new.persist()
     n_new = new.count()

@@ -2014,14 +2014,14 @@ def test_assign_shards_matches_naive_window_and_avoids_per_source_reducer(
 
     from spring_cloud_kafka_streams_dbz_etl_spark.catalog import table
     from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
-        assign_shards,
+        assign_shards_handle,
     )
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
     d = table(spark, SF_ORACLE, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    got = assign_shards(d, 32_768, n_parts=7)
+    got, parted = assign_shards_handle(d, 32_768, n_parts=7)
     text = explain_str(got)
     for m in re.finditer(r"Window .*?windowspecdefinition\(([^,]+), ([^,]+),", text):
         first, second = m.group(1), m.group(2)
@@ -2043,6 +2043,7 @@ def test_assign_shards_matches_naive_window_and_avoids_per_source_reducer(
     )
     got_m = {r["doc_id"]: r["shard_id"] for r in got.collect()}
     exp_m = {r["doc_id"]: r["shard_id"] for r in exp.collect()}
+    parted.unpersist()
     assert got_m == exp_m
 
 
@@ -2094,20 +2095,31 @@ def test_curation_funnel_one_scan_combinable(spark, sf_smoke):
 
 
 def test_shard_read_plan_rank_window_is_shard_sized(spark, sf_smoke):
-    """q_shard_read_plan's scale claim: the only single-partition window
-    (the serpentine rank) runs over the SHARD relation, i.e. strictly
-    after the (source, shard_id) rollup — never over document rows."""
+    """q_shard_read_plan's scale claims after the r16 rebuild (VERDICT
+    r15 ask #2): (a) the shard masses come from assign_shards' two-pass
+    prefix scan, executed inside the builder and localCheckpointed — so
+    the REGISTERED plan contains no corpus scan at all, only the
+    shard-sized checkpointed relation; (b) in particular it carries NO
+    window partitioned by `source` alone (the per-source single-reducer
+    shape tools/measure_shard_assign.py measured 6x slower and
+    super-linear at 20.5 M rows/source); (c) the serpentine rank
+    (row_number) survives, consuming the aggregated `chars` column."""
+    import re
+
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
     df = SPECS["q_shard_read_plan"].fn(spark, sf_smoke)
     text = explain_str(df)
-    # the global rank must consume the aggregated `chars` column — a
-    # rank over raw docs would reference n_chars directly
     assert "row_number" in text
-    seen_agg_before_rank = text.index("HashAggregate") < text.index(
-        "row_number"
-    ) or "chars" in text[text.index("row_number") - 400 : text.index("row_number")]
-    assert seen_agg_before_rank, text[:2000]
+    assert "Scan parquet" not in text, (
+        f"registered plan still scans the corpus:\n{text[:2000]}"
+    )
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", text):
+        assert "source" not in m.group(1), (
+            f"window partitioned by source alone: {m.group(0)[:120]}"
+        )
+    # the rank consumes the rolled-up `chars` column, not raw n_chars
+    assert "chars" in text
 
 
 def test_source_mix_drift_single_corpus_shuffle(spark, sf_smoke):

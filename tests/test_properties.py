@@ -1666,16 +1666,17 @@ shard_case = st.lists(
 @settings(**SETTINGS)
 def test_assign_shards_matches_naive_window_property(spark, docs, n_parts):
     from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
-        assign_shards,
+        assign_shards_handle,
     )
 
     target = 4_096
     rows = [(i, f"s{src}", chars) for i, (src, chars) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
-    got = {
-        r["doc_id"]: r["shard_id"]
-        for r in assign_shards(df, target, n_parts=n_parts).collect()
-    }
+    a, parted = assign_shards_handle(df, target, n_parts=n_parts)
+    try:
+        got = {r["doc_id"]: r["shard_id"] for r in a.collect()}
+    finally:
+        parted.unpersist()
     exp = {
         r["doc_id"]: r["shard_id"]
         for r in df.select(

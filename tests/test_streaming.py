@@ -901,6 +901,37 @@ def test_curation_funnel_batch_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
 
 
+def test_curation_funnel_corrupt_digest_store_raises(spark, sf_dir):
+    """funnel_partials' first-batch guard is ONLY for path-not-found
+    (ADVICE r15): a digest store that EXISTS but cannot be read (corrupt
+    footer) must fail the batch loudly — silently treating it as empty
+    would skip the seen-set and overcount newly-admitted digests (k3),
+    quietly re-admitting duplicates."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        funnel_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = d.filter(F.col("doc_id") % 7 == 0)
+    digest_store = tempfile.mkdtemp(prefix="funnel_corrupt_")
+    rollup = tempfile.mkdtemp(prefix="funnel_corrupt_ru_")
+    with open(os.path.join(digest_store, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"not a parquet footer")
+    with pytest.raises(Exception) as exc_info:
+        funnel_partials(b0, 1, digest_store, rollup)
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+    # the batch failed before committing its partial: rollup stays absent
+    assert not os.listdir(rollup)
+
+
 def test_curation_funnel_checkpoint_restart(spark, sf_dir):
     """s_curation_funnel's recovery path through Spark's OWN checkpoint:
     stop the stream after the first shard, start a NEW query from the

@@ -448,7 +448,7 @@ def fuzz_shard_assign(spark) -> None:
     from pyspark.sql import functions as F
 
     from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
-        assign_shards,
+        assign_shards_handle,
     )
 
     cases = max(1, N // 6)
@@ -464,10 +464,11 @@ def fuzz_shard_assign(spark) -> None:
             rows, "doc_id long, source string, n_chars long"
         )
         n_parts = rng.randrange(1, 50)
-        got = {
-            r["doc_id"]: r["shard_id"]
-            for r in assign_shards(df, target, n_parts=n_parts).collect()
-        }
+        a, parted = assign_shards_handle(df, target, n_parts=n_parts)
+        try:
+            got = {r["doc_id"]: r["shard_id"] for r in a.collect()}
+        finally:
+            parted.unpersist()
         exp = {
             r["doc_id"]: r["shard_id"]
             for r in df.select(

@@ -76,7 +76,7 @@ def naive(df):
 
 def main() -> int:
     from spring_cloud_kafka_streams_dbz_etl_spark.operators.layout import (
-        assign_shards,
+        assign_shards_handle,
     )
     from spring_cloud_kafka_streams_dbz_etl_spark.session import get_spark, tune
 
@@ -88,7 +88,7 @@ def main() -> int:
         docs = one_source_docs(spark, k)
         n = docs.count()
         t0 = time.time()
-        a = assign_shards(docs, TARGET, n_parts=32)
+        a, parted = assign_shards_handle(docs, TARGET, n_parts=32)
         a.write.format("noop").mode("overwrite").save()
         t_two = time.time() - t0
         t0 = time.time()
@@ -101,6 +101,7 @@ def main() -> int:
             .filter(F.col("s2") != F.col("shard_id"))
             .count()
         )
+        parted.unpersist()
         print(
             f"K={k} rows={n:,} two-pass {t_two:6.2f}s  "
             f"naive-window {t_naive:6.2f}s  mismatches={mism}",
