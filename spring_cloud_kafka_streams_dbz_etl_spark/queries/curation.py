@@ -216,6 +216,94 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_eval_gram_coverage",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                                   i -> array_to_string(t[i:i+{DECON_N - 1}], ' ')))) AS gh
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT doc_id AS bench_doc, gh FROM grams
+          WHERE doc_id < {DECON_BENCH_DOCS}),
+corpus AS (SELECT DISTINCT gh FROM grams WHERE doc_id >= {DECON_BENCH_DOCS})
+SELECT b.bench_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST((1000000 * SUM(CASE WHEN c.gh IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM bench b LEFT JOIN corpus c ON b.gh = c.gh
+GROUP BY b.bench_doc
+""",
+)
+def q_eval_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-suite REPRESENTATIVITY — the inverse direction of
+    q_decontaminate: for each benchmark document (docs 0..24, the same
+    DECON_BENCH_DOCS convention), what fraction of its distinct token
+    4-grams appears anywhere in the training corpus. Decontamination
+    asks "did eval leak into train?"; this asks "does train even speak
+    eval's language?" — a benchmark whose grams the corpus barely covers
+    is testing out-of-distribution by accident, and a coverage step
+    change across crawl cuts flags domain loss before a training run is
+    wasted on it. Integer-exact: counts are bigint, coverage is
+    bigint-DIV ppm.
+
+    Scale: grams are md5-hashed before anything joins (16-byte digests,
+    never gram text). The bench gram set is eval-suite-sized at any
+    corpus scale, so it BROADCASTS; the corpus side is a map-side
+    semi-join probe against it, and the only shuffle is the distinct
+    over the MATCHED digests — bounded by |bench grams|, not the
+    corpus. The per-bench-doc rollup then joins that covered set (also
+    broadcast-sized) back. The corpus is read once, shuffles never.
+    """
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - DECON_N),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, DECON_N)),
+    )
+    g = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= DECON_N)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5(F.col("gram")).alias("gh"))
+    )
+    bench = (
+        g.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select(F.col("doc_id").alias("bench_doc"), "gh")
+        .distinct()
+    )
+    covered = (
+        g.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .join(F.broadcast(bench.select("gh").distinct()), "gh")
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bench.join(F.broadcast(covered), "gh", "left")
+        .groupBy("bench_doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "bench_doc",
+            "n_grams",
+            "n_covered",
+            F.expr("(1000000 * n_covered) DIV n_grams")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+@query(
     "q_mixture_weights",
     oracle="""
 WITH per_src AS (
@@ -826,10 +914,10 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse-grained "when was it crawled" axis doc_id provides.
 MIX_DRIFT_SLICES = 10
 
-
-@query(
-    "q_source_mix_drift",
-    oracle=f"""
+# Shared by q_source_mix_drift and s_source_mix_drift (streaming.py):
+# the stream's per-batch cell partials must re-aggregate to EXACTLY
+# this batch monitor, so both sides verify against one oracle text.
+SOURCE_MIX_DRIFT_ORACLE = f"""
 WITH bounds AS (
   SELECT MAX(doc_id) + 1 AS n FROM documents
 ), sliced AS (
@@ -852,8 +940,10 @@ SELECT slice_id, source, n_docs, slice_share_ppm, corpus_share_ppm,
        CAST(ABS(slice_share_ppm - corpus_share_ppm) AS BIGINT)
            AS drift_ppm
 FROM shares
-""",
-)
+"""
+
+
+@query("q_source_mix_drift", oracle=SOURCE_MIX_DRIFT_ORACLE)
 def q_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-MIXTURE drift across crawl order: the corpus split into
     {MIX_DRIFT_SLICES} id-deciles (doc_id as crawl sequence, the
@@ -886,6 +976,15 @@ def q_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("slice_id", "source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+    return mix_drift_shares(cells)
+
+
+def mix_drift_shares(cells: DataFrame) -> DataFrame:
+    """The share/drift tail over a (slice_id, source, n_docs) cell
+    relation — SHARED by q_source_mix_drift and its streaming twin
+    s_source_mix_drift (one copy, so the ppm arithmetic cannot drift
+    between batch monitor and incremental monitor). All windows run on
+    the |slices| x |sources| cell relation (planner-sized)."""
     w_slice = Window.partitionBy("slice_id")
     w_src = Window.partitionBy("source")
     w_all = Window.partitionBy()

@@ -711,6 +711,16 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_shard_read_plan"})
 # r10-checked tier — VERDICT r15 ask #3: the histogram's oldest bucket
 # moves to r11). Additions beyond the reserve land in DEFERRED_NEW per
 # the <=5 budget.
+# Reserve slots used in r16 (registered early, oracle-green at
+# sf0.001/0.01/0.1 before registration counted): 1. q_eval_gram_coverage
+# (eval-suite 4-gram representativity — the inverse of q_decontaminate),
+# 2. q_chunk_langid_mix (32-token-chunk code-switching audit, array-expr
+# chunk loop, no explode), 3. q_quality_length_corr (per-source Pearson
+# corr of length vs quality from exact integer sufficient statistics),
+# 4. s_source_mix_drift (the mixture monitor maintained incrementally —
+# per-batch cell partials via dynamic partition overwrite, shared
+# mix_drift_shares tail + shared oracle with the batch half). 2 reserve
+# slots remain for later r16 registrations.
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -27,6 +27,7 @@ from ..streaming.pipeline import (
     build_dlq_reprocess,
 )
 from ..streaming.registry import StreamRegistry
+from . import curation as _curation
 from . import layout as _layout
 from . import query, round_half_up6
 from . import text as _text
@@ -3300,3 +3301,69 @@ def s_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_dropped AS BIGINT) AS n_dropped",
         "CAST(retained_ppm AS BIGINT) AS retained_ppm",
     )
+
+
+@query("s_source_mix_drift", oracle=_curation.SOURCE_MIX_DRIFT_ORACLE)
+def s_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_source_mix_drift's STREAMING half: the source-mixture monitor
+    maintained incrementally as crawl slices land. The corpus' ten
+    id-decile slices arrive as ten micro-batches IN CRAWL ORDER; each
+    batch commits ONE (source, n_docs) cell partial keyed by its batch
+    id (streaming/curation.py::mix_partials — a pure function of the
+    batch through dynamic partition overwrite, so checkpoint-recovery
+    replays rewrite their own partition in place instead of
+    double-appending, the funnel_partials contract without a cross-batch
+    seen-set). The final monitor re-aggregates the partials through the
+    SAME share/drift tail as the batch query
+    (queries/curation.py::mix_drift_shares) and verifies against the
+    SAME oracle text — slice identity holds because a crawl slice IS a
+    micro-batch, so batch_id == slice_id by construction.
+
+    Scale: per batch the corpus-sized work is one combinable
+    groupBy(source) over the arriving slice; the cells store grows by
+    |sources| rows per slice and every window in the final monitor runs
+    on that planner-sized relation. Corrections never recount prior
+    slices — each slice owns its partition.
+    """
+    from ..streaming.curation import mix_partials
+
+    tune(spark)
+    src = _tmp("mixdrift_src")
+    cells_store = _tmp("mixdrift_cells")
+    ckpt = _tmp("mixdrift_ckpt")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    n = d.agg(F.max("doc_id") + 1).collect()[0][0]  # 1-row control plane
+    sliced = d.withColumn(
+        "slice_id",
+        F.expr(f"(doc_id * {_curation.MIX_DRIFT_SLICES}) DIV {int(n)}").cast(
+            "int"
+        ),
+    )
+    slices = sorted(r[0] for r in sliced.select("slice_id").distinct().collect())
+    first = sliced.filter(F.col("slice_id") == slices[0]).drop("slice_id")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, e: mix_partials(b, e, cells_store))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for sl in slices[1:]:
+            sliced.filter(F.col("slice_id") == sl).drop("slice_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    cells = spark.read.parquet(cells_store).select(
+        F.col("batch_id").cast("int").alias("slice_id"),
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+    return _curation.mix_drift_shares(cells)

@@ -2583,6 +2583,208 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chunk width (tokens) for the code-switching audit: wide enough that a
+# genuinely-English chunk clears the stopword gate, narrow enough that a
+# pasted foreign block dominates its own chunks.
+CHUNK_TOKENS = 32
+
+
+@query(
+    "q_chunk_langid_mix",
+    oracle=f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+per_doc AS (
+  SELECT source,
+         (len(t) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS} AS n_chunks,
+         len(list_filter(range(0, (len(t) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS}),
+             ci -> len(list_filter(t[ci*{CHUNK_TOKENS}+1 : ci*{CHUNK_TOKENS}+{CHUNK_TOKENS}],
+                                   w -> w IN ({_STOP_SQL})))
+                   / len(t[ci*{CHUNK_TOKENS}+1 : ci*{CHUNK_TOKENS}+{CHUNK_TOKENS}])
+                   >= {LANG_GATE_RATIO})) AS n_en
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_en = n_chunks THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_all_en,
+       CAST(SUM(CASE WHEN n_en = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_all_und,
+       CAST(SUM(CASE WHEN n_en > 0 AND n_en < n_chunks THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mixed,
+       CAST((1000000 * SUM(CASE WHEN n_en > 0 AND n_en < n_chunks
+                                THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+           AS mixed_ppm
+FROM per_doc
+GROUP BY source
+""",
+)
+def q_chunk_langid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-SWITCHING audit — the within-document blind spot of
+    q_lang_id's whole-doc ratio: a doc that is 80% English with a pasted
+    foreign block still clears the doc-level gate, but its non-English
+    chunks poison the training mix. Each document is split into
+    {CHUNK_TOKENS}-token chunks, each chunk classified by the SAME
+    stopword-ratio rule as the doc-level gate (LANG_GATE_RATIO — one
+    constant, cannot drift), and per source the corpus reports how many
+    docs are chunk-uniformly English, uniformly non-English, or MIXED
+    (some chunks each way — the code-switching candidates a curation
+    pass should segment rather than keep or drop whole). Integer-exact:
+    chunk flags are int compares on one int/int IEEE division, rollups
+    are bigint, mixed share is bigint-DIV ppm.
+
+    Scale: the chunk loop is an ARRAY expression (sequence + filter +
+    slice inside whole-stage codegen) — per-doc work proportional to
+    doc length with NO explode, no per-chunk rows, nothing leaves the
+    row until the per-source combinable groupBy. One corpus pass, one
+    |sources|-key shuffle; the same shape at 100 TB.
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    t = tokens(F.col("text"))
+    base = d.select("source", t.alias("t")).withColumn(
+        "n_chunks",
+        F.expr(f"(size(t) + {CHUNK_TOKENS - 1}) DIV {CHUNK_TOKENS}"),
+    )
+    chunk_ids = F.sequence(F.lit(0), F.col("n_chunks") - 1)
+
+    def _chunk_is_en(ci):
+        chunk = F.slice(F.col("t"), ci * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+        return en_stopword_count(chunk) / F.size(chunk) >= LANG_GATE_RATIO
+
+    per_doc = base.select(
+        "source",
+        "n_chunks",
+        F.size(F.filter(chunk_ids, _chunk_is_en)).alias("n_en"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_en") == F.col("n_chunks"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_all_en"),
+        F.sum(F.when(F.col("n_en") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_all_und"),
+        F.sum(
+            F.when(
+                (F.col("n_en") > 0) & (F.col("n_en") < F.col("n_chunks")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mixed"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_all_en",
+        "n_all_und",
+        "n_mixed",
+        F.expr("(1000000 * n_mixed) DIV n_docs")
+        .cast("bigint")
+        .alias("mixed_ppm"),
+    )
+
+
+@query(
+    "q_quality_length_corr",
+    # quality comes from the SHARED scored CTE (_CURATION_STAGES_SQL) so
+    # the score weights cannot drift between the gate and this audit.
+    oracle="WITH "
+    + _CURATION_STAGES_SQL
+    + """,
+per_doc AS (
+  SELECT d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS x,
+         CAST(FLOOR(1000000.0 * s.quality) AS BIGINT) AS y
+  FROM scored s JOIN documents d USING (doc_id)
+), sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM per_doc GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST((1000 * sx) // n AS BIGINT) AS mean_tokens_milli,
+       CAST(sy // n AS BIGINT) AS mean_quality_micros,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr_lq
+FROM sums
+""",
+)
+def q_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOES THE QUALITY SCORE JUST PROXY LENGTH? Per source, the Pearson
+    correlation between a document's token count and its composite
+    quality score (scaled to exact integer micros), plus the per-source
+    means. A source whose correlation sits near 1.0 tells the curation
+    owner the quality gate is re-implementing a length filter there —
+    its diversity/token-length terms add nothing — while a near-zero or
+    negative source says the gate carries real signal; that's the check
+    to run before tightening QUALITY_GATE corpus-wide.
+
+    Cross-engine exactness: the inputs are integers (token count; quality
+    floored to micros — one identical per-row IEEE expression), all six
+    sufficient statistics are EXACT integer sums (Spark DECIMAL(38,0)
+    accumulators == DuckDB HUGEINT), and the final r is computed from
+    those exact integers with one correctly-rounded cast each and single
+    IEEE multiply/sqrt/divide ops — bit-identical on both engines with
+    no decimal .5-boundary exposure. Zero-variance sources return NULL
+    on both sides.
+
+    Scale: one corpus pass, map-only scoring, ONE combinable
+    groupBy(source) carrying six numeric accumulators — the same
+    shuffle q_mixture_weights costs. The decimal accumulators hold to
+    ~1e38, far past 100 TB token masses (sum of y^2 at 1e11 docs is
+    ~1e23).
+    """
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    t = tokens(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.size(t).cast("long").alias("x"),
+        F.floor(F.lit(1000000.0) * quality_score(F.col("text")))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    sums = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n").cast(dec)
+    sx_d = F.col("sx").cast(dec)
+    sy_d = F.col("sy").cast(dec)
+    cov = n_d * F.col("sxy") - sx_d * sy_d
+    varx = n_d * F.col("sxx") - sx_d * sx_d
+    vary = n_d * F.col("syy") - sy_d * sy_d
+    return sums.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr("(1000 * sx) DIV n").cast("bigint").alias("mean_tokens_milli"),
+        F.expr("sy DIV n").cast("bigint").alias("mean_quality_micros"),
+        F.when(
+            (varx == F.lit(0)) | (vary == F.lit(0)),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            cov.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double"))
+        )
+        .alias("corr_lq"),
+    )
+
+
 # Shared by q_curation_funnel and s_curation_funnel (streaming.py): the
 # stream's per-batch partial counts must re-aggregate to EXACTLY this
 # batch funnel, so both sides verify against one oracle text.

@@ -200,3 +200,25 @@ def funnel_partials(
     )
     new.unpersist()
     flags.unpersist()
+
+
+def mix_partials(batch: DataFrame, epoch: int, cells_store: str) -> None:
+    """Per-micro-batch kernel of s_source_mix_drift
+    (queries/streaming.py): one combinable groupBy(source) count of the
+    arriving crawl slice, committed batch-id-keyed through dynamic
+    partition overwrite. A pure function of the batch, so a
+    checkpoint-recovery replay recomputes identical counts and rewrites
+    its own partition in place (the funnel_partials contract, without
+    the cross-batch seen-set — mixture cells are independent per slice).
+    Module-level so the replay contract is directly testable."""
+    counts = batch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    (
+        counts.withColumn("batch_id", F.lit(epoch).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(cells_store)
+    )

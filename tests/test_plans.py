@@ -2157,3 +2157,84 @@ def test_vocab_coverage_broadcasts_vocab_not_corpus(spark, sf_smoke):
     assert has_broadcast_join(df)
     text = explain_str(df)
     assert "SortMergeJoin" not in text, text[:1500]
+
+
+def test_eval_gram_coverage_broadcast_only_joins(spark, sf_smoke):
+    """q_eval_gram_coverage's scale claim: the bench gram set broadcasts
+    (eval-suite-sized at any corpus scale), the corpus side is a
+    map-side probe against it, and no join ever sort-merges — the only
+    shuffles are the distincts over digest-sized relations bounded by
+    the bench set."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        has_broadcast_join,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_eval_gram_coverage"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, f"scan reads too much: {cols}"
+    assert has_broadcast_join(df)
+    text = explain_str(df)
+    assert "SortMergeJoin" not in text, text[:1500]
+
+
+def test_chunk_langid_mix_no_explode_one_shuffle(spark, sf_smoke):
+    """q_chunk_langid_mix's scale claim: the per-chunk language flags are
+    ARRAY expressions inside the row (sequence + filter + slice) — no
+    Generate/explode, no per-chunk rows — and the only exchange keyed on
+    corpus data is the per-source combinable aggregate."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_chunk_langid_mix"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"source", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    assert "Generate" not in text, f"chunk loop exploded into rows:\n{text[:1500]}"
+    assert len(re.findall(r"hashpartitioning\([^)]*source[^)]*\)", text)) == 1, (
+        text[:1500]
+    )
+
+
+def test_quality_length_corr_single_combinable_aggregate(spark, sf_smoke):
+    """q_quality_length_corr's scale claim: one corpus pass, map-only
+    scoring, ONE combinable per-source aggregate carrying the six exact
+    sufficient statistics — no window over corpus rows, no self-join."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_quality_length_corr"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"source", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    assert "Window" not in text, text[:1500]
+    assert "Join" not in text, text[:1500]
+    assert len(re.findall(r"hashpartitioning\([^)]*source[^)]*\)", text)) == 1, (
+        text[:1500]
+    )
+
+
+def test_source_mix_drift_stream_reads_cells_not_corpus(spark, sf_smoke):
+    """s_source_mix_drift's scale claim: the registered final plan runs
+    entirely over the (slice, source) CELLS store the micro-batches
+    committed — it never rescans the corpus (documents parquet) for the
+    monitor itself."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["s_source_mix_drift"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    scans = [
+        line
+        for line in text.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    ]
+    assert not scans, f"monitor rescans the corpus:\n{text[:1500]}"

@@ -901,6 +901,40 @@ def test_curation_funnel_batch_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
 
 
+def test_mix_partials_replay_idempotent(spark, sf_dir):
+    """s_source_mix_drift's exactly-once contract: replaying an epoch's
+    kernel (checkpoint-recovery of a half-committed batch) leaves the
+    cells store byte-identical — partials are a pure function of the
+    batch committed through batch-id-keyed dynamic partition overwrite."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        mix_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    cells_store = tempfile.mkdtemp(prefix="mix_cells_")
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(cells_store).collect()
+        )
+
+    mix_partials(b0, 0, cells_store)
+    mix_partials(b1, 1, cells_store)
+    after_clean = snapshot()
+    mix_partials(b1, 1, cells_store)  # replay newest epoch
+    assert snapshot() == after_clean
+    mix_partials(b0, 0, cells_store)  # out-of-order replay of older epoch
+    assert snapshot() == after_clean
+
+
 def test_curation_funnel_corrupt_digest_store_raises(spark, sf_dir):
     """funnel_partials' first-batch guard is ONLY for path-not-found
     (ADVICE r15): a digest store that EXISTS but cannot be read (corrupt

@@ -147,6 +147,23 @@ HEAVY_QUERIES = (
     # r15 addition: executes write_shards end-to-end (two-pass prefix
     # scan + one-file-per-shard write) before the read-back audit.
     "q_shard_write_audit",
+    # r15 window additions + the r16 rebuild (VERDICT r15 ask #5).
+    # q_vocab_coverage's single-partition row_number runs over the WORD
+    # HISTOGRAM (vocabulary-sized): under the "~k"-suffix replica rule
+    # the vocabulary ALSO grows ~linearly with K, so this curve is the
+    # worst case for that rank term — if it bends super-linear, the
+    # range-bucketed rank from q_perplexity_filter is the drop-in.
+    # q_shard_read_plan runs the two-pass assign_shards inside the
+    # builder (r16 rebuild) — its curve prices the registered data path.
+    "q_curation_funnel",
+    "q_langid_confusion",
+    "q_source_mix_drift",
+    "q_shard_read_plan",
+    "q_vocab_coverage",
+    # r16 reserve additions.
+    "q_eval_gram_coverage",
+    "q_chunk_langid_mix",
+    "q_quality_length_corr",
 )
 
 
