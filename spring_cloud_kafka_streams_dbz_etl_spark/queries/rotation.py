@@ -536,7 +536,30 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # already proves the two-pass assignment identical to the naive window,
 # so the oracle stands unchanged — but the registered plan changed
 # materially after its green r15 row, so it re-fronts for a fresh row.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset({"q_shard_read_plan"})
+# The r16 restamp (--diff fresh-vs-fresh deterministic; stamps diffed
+# against the committed r15 set) adjudicated the rest of the round's
+# edits: CLOSURE-ONLY flags on q_bloom_skip + q_shard_write_audit
+# (scratch trees now query-scoped via scratch_dir — runtime cleanup
+# behavior, plan hash identical), q_source_mix_drift (share/drift tail
+# extracted to mix_drift_shares for the streaming twin — pure refactor,
+# plan hash identical), and s_curation_funnel (funnel_partials'
+# first-batch guard narrowed to path-not-found + explicit digest-store
+# schema — a REAL kernel behavior change) — all four have green r15
+# rows under the old closures and re-front for rows at head. SRC-ONLY
+# flags on q_curation_pipeline / q_curation_near_dup / q_curation_funnel
+# (gate literals replaced by the hoisted LANG_GATE_RATIO/QUALITY_GATE
+# constants): plan hashes AND closure digests identical, oracle text
+# byte-identical — non-material, no re-front (the constants fold to the
+# same literals).
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {
+        "q_shard_read_plan",
+        "q_bloom_skip",
+        "q_shard_write_audit",
+        "q_source_mix_drift",
+        "s_curation_funnel",
+    }
+)
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).

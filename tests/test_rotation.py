@@ -34,12 +34,16 @@ def test_prior_round_deferrals_front_the_window(registered):
     order = rotation.rotation_order(registered)
     fronted = set(order[:WINDOW])
     for name in (
-        "q_epoch_plan",
-        "q_freq_spectrum",
-        "q_ngram_novelty",
-        "s_stateful_count",  # CHANGED_SINCE_CHECK re-front (GroupState fix)
+        "q_vocab_coverage",  # r15 deferral — first driver row in r16
+        # CHANGED_SINCE_CHECK re-fronts (r16): two-pass read-plan rebuild
+        # + the restamp's closure-only flags
+        "q_shard_read_plan",
+        "q_bloom_skip",
+        "q_shard_write_audit",
+        "q_source_mix_drift",
+        "s_curation_funnel",
     ):
-        assert name in fronted, f"{name} must front the r15 window"
+        assert name in fronted, f"{name} must front the r16 window"
         assert name not in rotation.DEFERRED_NEW
 
 
