@@ -914,6 +914,87 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse-grained "when was it crawled" axis doc_id provides.
 MIX_DRIFT_SLICES = 10
 
+@query(
+    "q_dup_timeline",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MAX(doc_id) + 1 AS n FROM documents
+), sliced AS (
+  SELECT CAST((d.doc_id * {MIX_DRIFT_SLICES}) // b.n AS INT) AS slice_id,
+         d.doc_id, md5(d.text) AS h, b.n
+  FROM documents d CROSS JOIN bounds b
+), cells AS (
+  SELECT h, slice_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(slice_id * n + doc_id) AS key
+  FROM sliced GROUP BY h, slice_id
+), attributed AS (
+  SELECT slice_id, cnt,
+         CASE WHEN key = MIN(key) OVER (PARTITION BY h)
+              THEN cnt - 1 ELSE cnt END AS n_dup
+  FROM cells
+)
+SELECT slice_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup,
+       CAST((1000000 * SUM(n_dup)) // SUM(cnt) AS BIGINT) AS dup_ppm
+FROM attributed
+GROUP BY slice_id
+""",
+)
+def q_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-STORM localization across crawl order — the exact-dup
+    axis q_source_mix_drift's mixture monitor doesn't see: the corpus
+    split into the same {MIX_DRIFT_SLICES} id-decile slices, and per
+    slice the count of documents that are NOT the first occurrence of
+    their content digest in (slice, doc_id) order. A re-crawl that
+    re-fetches old pages, a mirror that joined the feed, or a scraper
+    loop shows up as a dup_ppm spike in its slice — telling the owner
+    WHEN the duplication started, which q_dedup_exact's corpus-wide
+    count cannot. First-occurrence attribution is a TOTAL integer
+    order: key = slice_id * (max_id+1) + min_doc_id, so both engines
+    attribute every duplicate to the same slice; counts are bigint,
+    rates bigint-DIV ppm.
+
+    Scale: ONE corpus-sized shuffle — the (digest, slice) groupBy on
+    16-byte digests; the first-occurrence window partitions by digest
+    over that pre-aggregated relation (at most {MIX_DRIFT_SLICES} rows
+    per digest group, never a corpus partition), and the closing rollup
+    is {MIX_DRIFT_SLICES} keys."""
+    tune(spark)
+    d = table(spark, sf_dir, "documents")
+    bounds = d.agg((F.max("doc_id") + 1).alias("n"))
+    sliced = d.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"(doc_id * {MIX_DRIFT_SLICES}) DIV n")
+        .cast("int")
+        .alias("slice_id"),
+        "doc_id",
+        F.md5("text").alias("h"),
+        "n",
+    )
+    cells = sliced.groupBy("h", "slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.col("slice_id") * F.col("n") + F.col("doc_id")).alias("key"),
+    )
+    w_h = Window.partitionBy("h")
+    attributed = cells.select(
+        "slice_id",
+        "cnt",
+        F.when(F.col("key") == F.min("key").over(w_h), F.col("cnt") - 1)
+        .otherwise(F.col("cnt"))
+        .alias("n_dup"),
+    )
+    return attributed.groupBy("slice_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum("n_dup").cast("bigint").alias("n_dup"),
+    ).select(
+        "slice_id",
+        "n_docs",
+        "n_dup",
+        F.expr("(1000000 * n_dup) DIV n_docs").cast("bigint").alias("dup_ppm"),
+    )
+
+
 # Shared by q_source_mix_drift and s_source_mix_drift (streaming.py):
 # the stream's per-batch cell partials must re-aggregate to EXACTLY
 # this batch monitor, so both sides verify against one oracle text.

@@ -742,8 +742,13 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # corr of length vs quality from exact integer sufficient statistics),
 # 4. s_source_mix_drift (the mixture monitor maintained incrementally —
 # per-batch cell partials via dynamic partition overwrite, shared
-# mix_drift_shares tail + shared oracle with the batch half). 2 reserve
-# slots remain for later r16 registrations.
+# mix_drift_shares tail + shared oracle with the batch half),
+# 5. q_knn_hubness (k-occurrence histogram of the kNN graph — the
+# hub/antihub audit that distorts SemDeDup pruning and kNN-ANN recall),
+# 6. q_dup_timeline (exact-duplicate rate per crawl slice with
+# first-occurrence attribution on a total integer order — duplicate-
+# storm localization). The r16 reserve is exhausted; additions beyond
+# it defer per the process rule (<=5 deferred at round end).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -906,6 +906,95 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_knn_hubness",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_COS.format(a='a.v', b='b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+    FROM pairs)
+  WHERE rank <= {KNN_K}
+), indeg AS (
+  SELECT v.vec_id, CAST(COUNT(k.src) AS BIGINT) AS in_degree
+  FROM e v LEFT JOIN knn k ON v.vec_id = k.dst
+  GROUP BY v.vec_id
+)
+SELECT in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST((1000000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS BIGINT)
+           AS share_ppm
+FROM indeg GROUP BY in_degree
+""",
+)
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS audit of the k-NN graph — the k-occurrence histogram: how
+    many vectors appear as someone's neighbour 0, 1, 2, ... times. High-
+    dimensional embedding spaces grow HUBS (vectors that are everyone's
+    neighbour — a right tail far past k) and ANTIHUBS (in-degree 0 —
+    unreachable by any kNN walk); both distort SemDeDup-style pruning
+    (hubs over-deduplicate their whole neighbourhood) and kNN-graph ANN
+    recall (antihubs become unreachable islands). A skewed histogram is
+    the signal to re-normalize, re-project (q_embedding_pca), or switch
+    the index to a reciprocal-kNN construction. Integer-exact: counts
+    are bigint, shares bigint-DIV ppm.
+
+    Scale: reuses q_knn_graph's edge plan (blocked self-join —
+    sum(|cell|^2) pairs, IVF cells at 100 TB) and adds one in-degree
+    groupBy on the 8-byte dst id plus a histogram rollup whose key
+    cardinality is bounded by the max in-degree — the window runs on
+    that ~|distinct degrees|-row relation, never the corpus."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .transform(cache_scoped)  # self-join sides + the vector universe
+    )
+    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    knn = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst")
+    )
+    indeg = (
+        e.select("vec_id")
+        .join(knn, e.vec_id == knn.dst, "left")
+        .groupBy("vec_id")
+        .agg(F.count("src").cast("bigint").alias("in_degree"))
+    )
+    hist = indeg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        "in_degree",
+        "n_vectors",
+        F.expr("1000000 * n_vectors").alias("_sc"),
+        F.sum("n_vectors").over(w_all).alias("_total"),
+    ).select(
+        "in_degree",
+        "n_vectors",
+        F.expr("_sc DIV _total").cast("bigint").alias("share_ppm"),
+    )
+
+
 SEM_DECON_MIN = 0.35
 
 

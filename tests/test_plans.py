@@ -2238,3 +2238,48 @@ def test_source_mix_drift_stream_reads_cells_not_corpus(spark, sf_smoke):
         if "Scan parquet" in line and "documents" in line
     ]
     assert not scans, f"monitor rescans the corpus:\n{text[:1500]}"
+
+
+def test_knn_hubness_blocked_join_no_cartesian(spark, sf_smoke):
+    """q_knn_hubness's scale claim: candidate edges come from the blocked
+    (label-keyed) equi self-join — never a cartesian pair space — the
+    in-degree aggregate keys on the 8-byte dst id, and the share window
+    runs over the degree histogram, not the corpus."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_knn_hubness"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "label", "embedding"}, (
+            f"scan reads too much: {cols}"
+        )
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:1500]
+    assert "BroadcastNestedLoopJoin" not in text, text[:1500]
+
+
+def test_dup_timeline_digest_window_never_corpus_partition(spark, sf_smoke):
+    """q_dup_timeline's scale claim: the corpus shuffles once into the
+    (digest, slice) cells; the first-occurrence window partitions by the
+    digest over that pre-aggregated relation (<= |slices| rows per
+    group) — no single-partition window and no window partitioned by a
+    low-cardinality key like slice or source."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_dup_timeline"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", text)
+    assert specs, "expected the digest-partitioned first-occurrence window"
+    for first in specs:
+        assert "h#" in first or first.strip().startswith("h"), (
+            f"window not partitioned by digest: {first}"
+        )

@@ -164,6 +164,8 @@ HEAVY_QUERIES = (
     "q_eval_gram_coverage",
     "q_chunk_langid_mix",
     "q_quality_length_corr",
+    "q_knn_hubness",
+    "q_dup_timeline",
 )
 
 
