@@ -110,6 +110,7 @@ EMBEDDING_QUERIES = [
     "q_lsh_cosine",  # zero-norm pair inside a colliding bucket -> NULL, dropped
     "q_embedding_cosine_dup",  # Arrow NaN -> NULL handoff == oracle x/0.0
     "q_knn_graph",
+    "q_knn_hubness",  # NULL/NaN cosines rank identically inside the kNN cut
     "q_triangle_count",
     "q_semantic_clusters",  # corrupt vector = singleton cluster, both sides
 ]
@@ -139,6 +140,12 @@ DIRTY_DOCUMENTS = [
     (4, "héllo wörld héllo wörld", "de", "webB", 23),
     (5, "a a a a a a a a", "en", "webC", 15),
     (6, "the quick brown fox jumps over the lazy dog", "en", "webC", 43),
+    # single-doc source: zero variance -> q_quality_length_corr must
+    # return NULL corr on BOTH engines, never a DIVIDE_BY_ZERO abort
+    (7, "solo source document here", "en", "webD", 25),
+    # exact duplicate of doc 6 in a LATER id-decile: q_dup_timeline must
+    # attribute it to its own slice, first occurrence stays clean
+    (8, "the quick brown fox jumps over the lazy dog", "en", "webC", 43),
 ]
 
 TEXT_QUERIES = [
@@ -164,3 +171,31 @@ def dirty_docs_sf(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", TEXT_QUERIES)
 def test_dirty_documents_parity(spark, dirty_docs_sf, name):
     dirty_compare(spark, dirty_docs_sf, name, ("documents",))
+
+
+# r16 additions over documents: NULL text must NULL-propagate through
+# the chunk loop / correlation inputs / gram builders identically, the
+# single-doc source must yield NULL correlation (zero variance) instead
+# of aborting, and the exact duplicate must attribute to its own slice.
+R16_DOC_QUERIES = [
+    "q_chunk_langid_mix",
+    "q_quality_length_corr",
+    "q_dup_timeline",
+    "q_source_mix_drift",
+    "q_eval_gram_coverage",  # every dirty doc is bench-id'd: corpus side empty
+]
+
+
+@pytest.mark.parametrize("name", R16_DOC_QUERIES)
+def test_dirty_documents_r16_parity(spark, dirty_docs_sf, name):
+    dirty_compare(spark, dirty_docs_sf, name, ("documents",))
+
+
+def test_dirty_quality_length_corr_null_variance(spark, dirty_docs_sf):
+    """The zero-variance guard fires on the single-doc source: corr is
+    NULL (not NaN, not an abort) for webD."""
+    got = {
+        r["source"]: r["corr_lq"]
+        for r in SPECS["q_quality_length_corr"].fn(spark, dirty_docs_sf).collect()
+    }
+    assert got["webD"] is None
