@@ -914,9 +914,10 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse-grained "when was it crawled" axis doc_id provides.
 MIX_DRIFT_SLICES = 10
 
-@query(
-    "q_dup_timeline",
-    oracle=f"""
+# Shared by q_dup_timeline and s_dup_timeline (streaming.py): the
+# stream's per-batch digest partials must re-aggregate to EXACTLY this
+# batch timeline, so both sides verify against one oracle text.
+DUP_TIMELINE_ORACLE = f"""
 WITH bounds AS (
   SELECT MAX(doc_id) + 1 AS n FROM documents
 ), sliced AS (
@@ -940,8 +941,10 @@ SELECT slice_id,
        CAST((1000000 * SUM(n_dup)) // SUM(cnt) AS BIGINT) AS dup_ppm
 FROM attributed
 GROUP BY slice_id
-""",
-)
+"""
+
+
+@query("q_dup_timeline", oracle=DUP_TIMELINE_ORACLE)
 def q_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUPLICATE-STORM localization across crawl order — the exact-dup
     axis q_source_mix_drift's mixture monitor doesn't see: the corpus
@@ -976,6 +979,15 @@ def q_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.min(F.col("slice_id") * F.col("n") + F.col("doc_id")).alias("key"),
     )
+    return dup_timeline_rollup(cells)
+
+
+def dup_timeline_rollup(cells: DataFrame) -> DataFrame:
+    """First-occurrence attribution + per-slice rollup over a
+    (h, slice_id, cnt, key) cell relation — SHARED by q_dup_timeline and
+    its streaming twin s_dup_timeline (one copy, so the attribution rule
+    cannot drift between batch and stream). The window partitions by the
+    digest over pre-aggregated cells (<= |slices| rows per group)."""
     w_h = Window.partitionBy("h")
     attributed = cells.select(
         "slice_id",

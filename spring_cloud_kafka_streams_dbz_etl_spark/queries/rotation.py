@@ -748,8 +748,14 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # 6. q_dup_timeline (exact-duplicate rate per crawl slice with
 # first-occurrence attribution on a total integer order — duplicate-
 # storm localization). The r16 reserve is exhausted; additions beyond
-# it defer per the process rule (<=5 deferred at round end).
-DEFERRED_NEW: frozenset[str] = frozenset()
+# it defer per the process rule (<=5 deferred at round end):
+# s_dup_timeline (q_dup_timeline's streaming half — per-slice digest
+# partials with globally-comparable attribution keys, replay-idempotent
+# dynamic partition overwrite, read-time first-occurrence attribution
+# through the shared dup_timeline_rollup tail and the SHARED oracle).
+# Oracle-green at sf0.001/0.01/0.1; it fronts the round-17 window.
+# 1 deferred, inside the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset({"s_dup_timeline"})
 
 
 def times_checked(name: str) -> int:

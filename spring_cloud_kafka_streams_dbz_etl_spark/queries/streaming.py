@@ -3367,3 +3367,70 @@ def s_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
     return _curation.mix_drift_shares(cells)
+
+
+@query("s_dup_timeline", oracle=_curation.DUP_TIMELINE_ORACLE)
+def s_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_timeline's STREAMING half: duplicate-storm localization
+    maintained incrementally as crawl slices land. Each micro-batch
+    commits its per-digest partial — occurrence count plus the minimum
+    attribution key ``slice * (max_id+1) + doc_id``, the SAME total
+    integer order the batch query states — keyed by batch id through
+    dynamic partition overwrite
+    (streaming/curation.py::dup_timeline_partials, replay-idempotent,
+    no cross-batch state: first-occurrence attribution happens at READ
+    time over all partials). The final monitor re-aggregates through
+    the batch query's shared attribution/rollup tail
+    (queries/curation.py::dup_timeline_rollup) and verifies against the
+    SAME oracle text — a digest first seen in slice 3 stays attributed
+    to slice 3 no matter how many later slices re-fetch it, because the
+    partial keys are globally comparable integers.
+
+    Scale: per batch the corpus-sized work is one combinable
+    groupBy(digest) over the arriving slice (16-byte keys); the cells
+    store grows by |batch distinct digests| rows per slice and the
+    read-time attribution window partitions by digest over those
+    pre-aggregated partials (<= |slices| rows per group). Corrections
+    never recount prior slices — each slice owns its partition.
+    """
+    from ..streaming.curation import dup_timeline_partials
+
+    tune(spark)
+    src = _tmp("duptl_src")
+    cells_store = _tmp("duptl_cells")
+    ckpt = _tmp("duptl_ckpt")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = int(d.agg(F.max("doc_id") + 1).collect()[0][0])  # 1-row control plane
+    sliced = d.withColumn(
+        "slice_id",
+        F.expr(f"(doc_id * {_curation.MIX_DRIFT_SLICES}) DIV {n}").cast("int"),
+    )
+    slices = sorted(r[0] for r in sliced.select("slice_id").distinct().collect())
+    first = sliced.filter(F.col("slice_id") == slices[0]).drop("slice_id")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, e: dup_timeline_partials(b, e, cells_store, n))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for sl in slices[1:]:
+            sliced.filter(F.col("slice_id") == sl).drop("slice_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    cells = spark.read.parquet(cells_store).select(
+        "h",
+        F.col("batch_id").cast("int").alias("slice_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("key").cast("bigint").alias("key"),
+    )
+    return _curation.dup_timeline_rollup(cells)

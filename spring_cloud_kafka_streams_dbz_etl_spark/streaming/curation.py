@@ -202,6 +202,34 @@ def funnel_partials(
     flags.unpersist()
 
 
+def dup_timeline_partials(
+    batch: DataFrame, epoch: int, cells_store: str, n: int
+) -> None:
+    """Per-micro-batch kernel of s_dup_timeline (queries/streaming.py):
+    the arriving crawl slice's per-digest partial — occurrence count and
+    the slice-global minimum attribution key ``epoch * n + doc_id``
+    (``n`` = corpus max_id + 1, the same total order the batch query
+    states) — committed batch-id-keyed through dynamic partition
+    overwrite. A pure function of the batch, so checkpoint-recovery
+    replays rewrite their own partition in place (the mix_partials
+    contract); first-occurrence attribution happens at READ time over
+    all partials, so no cross-batch state is carried here at all."""
+    cells = batch.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.lit(int(epoch)) * F.lit(int(n)) + F.col("doc_id"))
+        .cast("bigint")
+        .alias("key"),
+    )
+    (
+        cells.withColumn("batch_id", F.lit(epoch).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(cells_store)
+    )
+
+
 def mix_partials(batch: DataFrame, epoch: int, cells_store: str) -> None:
     """Per-micro-batch kernel of s_source_mix_drift
     (queries/streaming.py): one combinable groupBy(source) count of the

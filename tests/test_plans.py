@@ -2283,3 +2283,26 @@ def test_dup_timeline_digest_window_never_corpus_partition(spark, sf_smoke):
         assert "h#" in first or first.strip().startswith("h"), (
             f"window not partitioned by digest: {first}"
         )
+
+
+def test_dup_timeline_stream_reads_partials_not_corpus(spark, sf_smoke):
+    """s_dup_timeline's scale claim: the registered final plan runs over
+    the per-slice digest partials the micro-batches committed — it never
+    rescans the corpus, and its only window partitions by digest over
+    those pre-aggregated cells."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["s_dup_timeline"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    scans = [
+        line
+        for line in text.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    ]
+    assert not scans, f"monitor rescans the corpus:\n{text[:1500]}"
+    for first in re.findall(r"windowspecdefinition\(([^,]+),", text):
+        assert "h#" in first or first.strip().startswith("h"), (
+            f"window not partitioned by digest: {first}"
+        )

@@ -935,6 +935,42 @@ def test_mix_partials_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
 
 
+def test_dup_timeline_partials_replay_idempotent(spark, sf_dir):
+    """s_dup_timeline's exactly-once contract: replaying an epoch's
+    kernel leaves the cells store byte-identical — partials are a pure
+    function of the batch committed through batch-id-keyed dynamic
+    partition overwrite, and first-occurrence attribution happens at
+    read time so no cross-batch state can double-count."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        dup_timeline_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = int(d.agg(F.max("doc_id") + 1).collect()[0][0])
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    cells_store = tempfile.mkdtemp(prefix="duptl_cells_")
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(cells_store).collect()
+        )
+
+    dup_timeline_partials(b0, 0, cells_store, n)
+    dup_timeline_partials(b1, 1, cells_store, n)
+    after_clean = snapshot()
+    dup_timeline_partials(b1, 1, cells_store, n)  # replay newest epoch
+    assert snapshot() == after_clean
+    dup_timeline_partials(b0, 0, cells_store, n)  # out-of-order replay
+    assert snapshot() == after_clean
+
+
 def test_curation_funnel_corrupt_digest_store_raises(spark, sf_dir):
     """funnel_partials' first-batch guard is ONLY for path-not-found
     (ADVICE r15): a digest store that EXISTS but cannot be read (corrupt
