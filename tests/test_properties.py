@@ -1689,3 +1689,62 @@ def test_assign_shards_matches_naive_window_property(spark, docs, n_parts):
         ).collect()
     }
     assert got == exp
+
+
+# --- dup-timeline: streaming per-slice partials re-aggregated through the
+# shared rollup must equal the batch cells on ANY input — duplicate digests
+# within one slice, across slices, singleton digests, and slice counts both
+# above and below the distinct-digest count. The attribution key is the
+# total integer order slice*(max_id+1)+doc_id, so first-occurrence must be
+# unambiguous no matter how docs interleave.
+dup_case = st.lists(
+    st.tuples(
+        st.integers(0, 5),   # text index (small space -> forced duplicates)
+        st.integers(0, 3),   # slice id
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(dup_case)
+@settings(**SETTINGS)
+def test_dup_timeline_stream_partials_equal_batch_cells(spark, docs):
+    import tempfile
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.curation import (
+        dup_timeline_rollup,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        dup_timeline_partials,
+    )
+
+    rows = [(i, f"text body {t}", sl) for i, (t, sl) in enumerate(docs)]
+    n = len(rows)  # max doc_id + 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, slice_id int")
+    store = tempfile.mkdtemp(prefix="duptl_prop_")
+    for sl in sorted({r[2] for r in rows}):
+        batch = df.filter(F.col("slice_id") == sl).drop("slice_id")
+        dup_timeline_partials(batch, sl, store, n)
+        # replay immediately: must not change the store's logical content
+        dup_timeline_partials(batch, sl, store, n)
+    partials = spark.read.parquet(store).select(
+        "h",
+        F.col("batch_id").cast("int").alias("slice_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("key").cast("bigint").alias("key"),
+    )
+    got = {
+        r["slice_id"]: (r["n_docs"], r["n_dup"], r["dup_ppm"])
+        for r in dup_timeline_rollup(partials).collect()
+    }
+    # batch reference: same cells computed in one pass
+    cells = df.groupBy(F.md5("text").alias("h"), "slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.col("slice_id").cast("long") * n + F.col("doc_id")).alias("key"),
+    )
+    exp = {
+        r["slice_id"]: (r["n_docs"], r["n_dup"], r["dup_ppm"])
+        for r in dup_timeline_rollup(cells).collect()
+    }
+    assert got == exp
