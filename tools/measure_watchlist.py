@@ -145,6 +145,19 @@ read core 86.5 s with 4 interleave-flagged members whose isolated
 re-measures all sat at historical values — reconfirming the
 loadavg-gate rule rather than any plan movement.
 
+Finding (r16 session, sf0.1, local[32], loadavg 0.08 at start) — the
+session's FINAL idle bench after the 7 new registrations (none are
+headliners; headline composition unchanged at 37), the two-pass
+q_shard_read_plan rebuild, and the advisory fixes: total 60.08 s /
+core 53.62 s, zero interleave flags, zero drift flags, and ZERO movers
+beyond 1.2x/0.7x against the BENCH_r15 artifact — a new all-time-best
+core (prior best 64.43 s, r13; a mid-session idle run read 58.35 s).
+Nothing in this round touched a headliner plan, so the step change is
+environmental headroom (cooler machine + the query-scoped scratch/cache
+releases shrinking JVM pressure across the sweep), not a plan win —
+treat 53-58 s as the new observed band, keep the 2x rule anchored to
+the artifact history.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
