@@ -753,9 +753,14 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # partials with globally-comparable attribution keys, replay-idempotent
 # dynamic partition overwrite, read-time first-occurrence attribution
 # through the shared dup_timeline_rollup tail and the SHARED oracle).
-# Oracle-green at sf0.001/0.01/0.1; it fronts the round-17 window.
-# 1 deferred, inside the <=5 budget.
-DEFERRED_NEW: frozenset[str] = frozenset({"s_dup_timeline"})
+# q_quality_gate_sweep joins it (retention-vs-threshold curve for the
+# quality gate — |thresholds|x2 conditional sums folded into ONE
+# combinable 1-row aggregate, grid unpivoted via stack; grid-driven
+# oracle so an all-non-English corpus degrades to zero counts + NULL
+# shares on both engines instead of aborting or emptying).
+# Both oracle-green at sf0.001/0.01/0.1; they front the round-17
+# window. 2 deferred, inside the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset({"s_dup_timeline", "q_quality_gate_sweep"})
 
 
 def times_checked(name: str) -> int:

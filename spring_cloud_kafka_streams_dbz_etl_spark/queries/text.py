@@ -2683,6 +2683,117 @@ def q_chunk_langid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate quality-gate thresholds (micros) for q_quality_gate_sweep:
+# brackets the production QUALITY_GATE (0.5 -> 500000) symmetrically.
+QUALITY_SWEEP_MICROS = (300000, 400000, 500000, 600000, 700000)
+
+
+@query(
+    "q_quality_gate_sweep",
+    # scored comes from the SHARED stage fragment so the sweep prices the
+    # same score the pipeline gates on.
+    oracle="WITH "
+    + _CURATION_STAGES_SQL
+    + f""",
+lang_passed AS (
+  SELECT CAST(FLOOR(1000000.0 * quality) AS BIGINT) AS q_micros,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM scored WHERE en_ratio >= {LANG_GATE_RATIO}
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t
+  FROM lang_passed
+)
+SELECT CAST(g.thr AS INT) AS threshold_micros,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lang_passed p
+        WHERE p.q_micros >= g.thr) AS n_docs,
+       (SELECT CAST(COALESCE(SUM(p.n_tokens), 0) AS BIGINT)
+        FROM lang_passed p WHERE p.q_micros >= g.thr) AS n_tokens,
+       CAST((1000000 * (SELECT COUNT(*) FROM lang_passed p
+                        WHERE p.q_micros >= g.thr))
+            // NULLIF(tot.d, 0) AS BIGINT) AS docs_kept_ppm,
+       CAST((1000000 * (SELECT COALESCE(SUM(p.n_tokens), 0)
+                        FROM lang_passed p WHERE p.q_micros >= g.thr))
+            // NULLIF(tot.t, 0) AS BIGINT) AS tokens_kept_ppm
+FROM (SELECT UNNEST({list(QUALITY_SWEEP_MICROS)}) AS thr) g
+CROSS JOIN tot
+""",
+)
+def q_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE SHOULD THE QUALITY GATE SIT? The retention-vs-threshold
+    curve for the flagship pipeline's quality stage: for each candidate
+    threshold (micros, bracketing the production QUALITY_GATE), the
+    documents and token mass the gate would keep out of the
+    lang-gate-passed population, in absolute counts and ppm. Read next
+    to q_quality_calibration (is the score trustworthy?) — this table
+    answers the follow-up: what does each notch of the knob COST in
+    training tokens. A cliff between two notches means the score is
+    bimodal there (gate safely); a linear slope means every tightening
+    buys quality linearly with data loss. Integer-exact: the score is
+    floored to micros (one identical per-row IEEE expression), counts
+    and token sums are bigint, shares bigint-DIV ppm.
+
+    Scale: ONE corpus pass — map-only scoring, then all
+    |thresholds| x 2 conditional sums fold into a SINGLE combinable
+    1-row aggregate (no per-threshold rescans, no explode: the grid
+    unpivots from that one row via stack). The same pass shape at
+    100 TB costs exactly one scan + one 1-row exchange.
+    """
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    en_ratio = en_stopword_count(toks) / F.size(toks)
+    p = d.select(
+        en_ratio.alias("en_ratio"),
+        F.floor(F.lit(1000000.0) * quality_score(F.col("text")))
+        .cast("long")
+        .alias("q_micros"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("en_ratio") >= LANG_GATE_RATIO)
+    # coalesce(sum, 0): an all-non-English corpus must yield the full
+    # 5-row grid with zero counts (and NULL shares), matching the
+    # grid-driven oracle — a global agg over zero rows sums to NULL
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("d_tot"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("t_tot"),
+    ]
+    for thr in QUALITY_SWEEP_MICROS:
+        kept = F.col("q_micros") >= thr
+        aggs.append(
+            F.coalesce(F.sum(F.when(kept, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"d_{thr}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"t_{thr}")
+        )
+    one = p.agg(*aggs)
+    stack_args = ", ".join(
+        f"{thr}, d_{thr}, t_{thr}" for thr in QUALITY_SWEEP_MICROS
+    )
+    return one.selectExpr(
+        f"stack({len(QUALITY_SWEEP_MICROS)}, {stack_args}) "
+        "AS (threshold_micros, n_docs, n_tokens)",
+        "d_tot",
+        "t_tot",
+    ).selectExpr(
+        "CAST(threshold_micros AS INT) AS threshold_micros",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        # NULLIF: an all-non-English corpus yields NULL shares on both
+        # engines instead of an ANSI divide-by-zero abort
+        "CAST((1000000 * n_docs) DIV NULLIF(d_tot, 0) AS BIGINT) AS docs_kept_ppm",
+        "CAST((1000000 * n_tokens) DIV NULLIF(t_tot, 0) AS BIGINT)"
+        " AS tokens_kept_ppm",
+    )
+
+
 @query(
     "q_quality_length_corr",
     # quality comes from the SHARED scored CTE (_CURATION_STAGES_SQL) so

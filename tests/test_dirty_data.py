@@ -191,6 +191,37 @@ def test_dirty_documents_r16_parity(spark, dirty_docs_sf, name):
     dirty_compare(spark, dirty_docs_sf, name, ("documents",))
 
 
+def test_dirty_quality_gate_sweep_parity(spark, dirty_docs_sf):
+    """q_quality_gate_sweep on the dirty corpus — parity including the
+    NULL-text drop and the coalesced token sums."""
+    dirty_compare(spark, dirty_docs_sf, "q_quality_gate_sweep", ("documents",))
+
+
+def test_quality_gate_sweep_all_und_corpus_degrades(spark, tmp_path):
+    """An all-non-English corpus (lang gate keeps nothing) must yield the
+    FULL threshold grid with zero counts and NULL shares on both engines
+    — never a divide-by-zero abort, never an empty result."""
+    import duckdb
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(0, "xyzzy plugh grue", "und", "webX", 16),
+         (1, "foo bar baz qux", "und", "webX", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    spec = SPECS["q_quality_gate_sweep"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf).collect())
+    assert len(got) == 5
+    assert all(r[1] == 0 and r[2] == 0 and r[3] is None and r[4] is None
+               for r in got)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    exp = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == exp
+
+
 def test_dirty_quality_length_corr_null_variance(spark, dirty_docs_sf):
     """The zero-variance guard fires on the single-doc source: corr is
     NULL (not NaN, not an abort) for webD."""

@@ -2306,3 +2306,30 @@ def test_dup_timeline_stream_reads_partials_not_corpus(spark, sf_smoke):
         assert "h#" in first or first.strip().startswith("h"), (
             f"window not partitioned by digest: {first}"
         )
+
+
+def test_quality_gate_sweep_single_pass_one_row_agg(spark, sf_smoke):
+    """q_quality_gate_sweep's scale claim: one corpus scan, map-only
+    scoring, ALL |thresholds| x 2 conditional sums folded into a SINGLE
+    combinable 1-row aggregate (no per-threshold rescans, no explode,
+    no join) — the grid unpivots from that one row via stack."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_quality_gate_sweep"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    # formatted mode lists each scan twice (tree node + details section)
+    scans = [line for line in text.splitlines() if "Scan parquet" in line]
+    assert len(scans) <= 2, f"corpus scanned {len(scans)}x:\n{text[:1500]}"
+    assert "Join" not in text, text[:1500]
+    assert "Window" not in text, text[:1500]
+    # the only Generate is stack's grid unpivot, and it must sit ABOVE
+    # the global aggregate (a 1-row input), never against corpus rows
+    gens = [l for l in text.splitlines() if "Generate" in l]
+    assert len(gens) <= 2, f"unexpected explodes:\n{text[:1500]}"
+    tree = text[: text.index("(1) Scan parquet")]
+    assert tree.index("Generate") < tree.index("HashAggregate"), tree[:800]
