@@ -758,9 +758,15 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # combinable 1-row aggregate, grid unpivoted via stack; grid-driven
 # oracle so an all-non-English corpus degrades to zero counts + NULL
 # shares on both engines instead of aborting or emptying).
-# Both oracle-green at sf0.001/0.01/0.1; they front the round-17
-# window. 2 deferred, inside the <=5 budget.
-DEFERRED_NEW: frozenset[str] = frozenset({"s_dup_timeline", "q_quality_gate_sweep"})
+# q_langid_gate_sweep completes the gate-knob pair (recall/contamination
+# curve for the stopword gate vs ground truth — the gate decision is the
+# pure-integer compare 1e6*stopwords >= thr*tokens, zero float anywhere;
+# same one-pass stack shape).
+# All oracle-green at sf0.001/0.01/0.1; they front the round-17
+# window. 3 deferred, inside the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset(
+    {"s_dup_timeline", "q_quality_gate_sweep", "q_langid_gate_sweep"}
+)
 
 
 def times_checked(name: str) -> int:

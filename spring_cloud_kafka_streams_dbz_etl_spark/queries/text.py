@@ -2687,6 +2687,107 @@ def q_chunk_langid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brackets the production QUALITY_GATE (0.5 -> 500000) symmetrically.
 QUALITY_SWEEP_MICROS = (300000, 400000, 500000, 600000, 700000)
 
+# Candidate language-gate stopword-ratio thresholds (ppm) for
+# q_langid_gate_sweep: brackets the production LANG_GATE_RATIO
+# (0.05 -> 50000).
+LANG_SWEEP_PPM = (20000, 50000, 100000, 150000, 200000)
+
+
+@query(
+    "q_langid_gate_sweep",
+    oracle=f"""
+WITH flags AS (
+  SELECT CAST(lang = 'en' AS INT) AS true_en,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ({_STOP_SQL}))) AS BIGINT) AS stop_cnt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), tot AS (
+  SELECT CAST(COALESCE(SUM(true_en), 0) AS BIGINT) AS true_en_total
+  FROM flags
+)
+SELECT CAST(g.thr AS INT) AS threshold_ppm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM flags f
+        WHERE 1000000 * f.stop_cnt >= g.thr * f.n_toks) AS n_kept,
+       (SELECT CAST(COALESCE(SUM(f.true_en), 0) AS BIGINT) FROM flags f
+        WHERE 1000000 * f.stop_cnt >= g.thr * f.n_toks) AS n_true_en_kept,
+       CAST((1000000 * (SELECT COALESCE(SUM(f.true_en), 0) FROM flags f
+                        WHERE 1000000 * f.stop_cnt >= g.thr * f.n_toks))
+            // NULLIF(tot.true_en_total, 0) AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (SELECT COUNT(*) - COALESCE(SUM(f.true_en), 0)
+                        FROM flags f
+                        WHERE 1000000 * f.stop_cnt >= g.thr * f.n_toks))
+            // NULLIF((SELECT COUNT(*) FROM flags f
+                       WHERE 1000000 * f.stop_cnt >= g.thr * f.n_toks), 0)
+            AS BIGINT) AS contamination_ppm
+FROM (SELECT UNNEST({list(LANG_SWEEP_PPM)}) AS thr) g
+CROSS JOIN tot
+""",
+)
+def q_langid_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE SHOULD THE LANGUAGE GATE SIT? The recall/contamination
+    curve for the stopword-ratio gate against the ground-truth ``lang``
+    label: for each candidate threshold (ppm, bracketing the production
+    LANG_GATE_RATIO), how many docs the gate keeps, how many of those
+    are truly English (recall against the true-English population), and
+    what fraction of the kept set is contamination. q_langid_confusion
+    audits the production threshold; this table prices MOVING it — the
+    ROC-style evidence read before trading recall for purity. ZERO
+    float arithmetic anywhere: the gate decision is the pure-integer
+    compare ``1e6 * stopwords >= thr * tokens`` (no division at all),
+    counts are bigint, shares bigint-DIV ppm with NULLIF degradation on
+    empty populations.
+
+    Scale: ONE corpus pass — map-only token counting, all
+    |thresholds| x 2 conditional sums folded into a SINGLE combinable
+    1-row aggregate, grid unpivoted from that row via stack (the
+    q_quality_gate_sweep shape).
+    """
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    flags = d.select(
+        (F.col("lang") == "en").cast("int").alias("true_en"),
+        en_stopword_count(toks).cast("long").alias("stop_cnt"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    aggs = [
+        F.coalesce(F.sum("true_en"), F.lit(0))
+        .cast("bigint")
+        .alias("true_en_total")
+    ]
+    for thr in LANG_SWEEP_PPM:
+        kept = F.lit(1000000) * F.col("stop_cnt") >= F.lit(thr) * F.col(
+            "n_toks"
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(kept, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"k_{thr}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(kept, F.col("true_en")).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"e_{thr}")
+        )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(f"{thr}, k_{thr}, e_{thr}" for thr in LANG_SWEEP_PPM)
+    return one.selectExpr(
+        f"stack({len(LANG_SWEEP_PPM)}, {stack_args}) "
+        "AS (threshold_ppm, n_kept, n_true_en_kept)",
+        "true_en_total",
+    ).selectExpr(
+        "CAST(threshold_ppm AS INT) AS threshold_ppm",
+        "CAST(n_kept AS BIGINT) AS n_kept",
+        "CAST(n_true_en_kept AS BIGINT) AS n_true_en_kept",
+        "CAST((1000000 * n_true_en_kept) DIV NULLIF(true_en_total, 0)"
+        " AS BIGINT) AS recall_ppm",
+        "CAST((1000000 * (n_kept - n_true_en_kept)) DIV NULLIF(n_kept, 0)"
+        " AS BIGINT) AS contamination_ppm",
+    )
+
 
 @query(
     "q_quality_gate_sweep",

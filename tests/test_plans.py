@@ -2333,3 +2333,25 @@ def test_quality_gate_sweep_single_pass_one_row_agg(spark, sf_smoke):
     assert len(gens) <= 2, f"unexpected explodes:\n{text[:1500]}"
     tree = text[: text.index("(1) Scan parquet")]
     assert tree.index("Generate") < tree.index("HashAggregate"), tree[:800]
+
+
+def test_langid_gate_sweep_single_pass_one_row_agg(spark, sf_smoke):
+    """q_langid_gate_sweep's scale claim: one corpus scan, map-only
+    integer flagging (no division anywhere in the gate decision), all
+    thresholds folded into a single combinable 1-row aggregate, grid
+    unpivoted above the aggregate."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_langid_gate_sweep"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"lang", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    scans = [line for line in text.splitlines() if "Scan parquet" in line]
+    assert len(scans) <= 2, f"corpus scanned {len(scans)}x:\n{text[:1500]}"
+    assert "Join" not in text, text[:1500]
+    assert "Window" not in text, text[:1500]
+    tree = text[: text.index("(1) Scan parquet")]
+    assert tree.index("Generate") < tree.index("HashAggregate"), tree[:800]
