@@ -166,6 +166,8 @@ HEAVY_QUERIES = (
     "q_quality_length_corr",
     "q_knn_hubness",
     "q_dup_timeline",
+    "q_quality_gate_sweep",
+    "q_langid_gate_sweep",
 )
 
 
