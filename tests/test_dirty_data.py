@@ -183,6 +183,7 @@ R16_DOC_QUERIES = [
     "q_dup_timeline",
     "q_source_mix_drift",
     "q_eval_gram_coverage",  # every dirty doc is bench-id'd: corpus side empty
+    "q_langid_gate_sweep",  # NULL text: integer gate compare NULL-propagates
 ]
 
 
