@@ -551,6 +551,16 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # constants): plan hashes AND closure digests identical, oracle text
 # byte-identical — non-material, no re-front (the constants fold to the
 # same literals).
+# Late-r16 restamp adjudications: (a) q_nullsafe_join's stamp HASH moved
+# when the r16 _common_expr_N renumbering landed in the normalizer — the
+# session-global common-subexpression counter had given the SAME raw
+# plan two stable hashes (isolated process vs full sweep); the raw plan
+# is unchanged (texts verified convergent), so like the r15 bare-hex
+# change this is hashing-scheme-only: non-material, no re-front.
+# (b) q_dup_timeline's closure digest refreshed after the
+# dup_timeline_rollup extraction — it is a zero-row query already
+# fronting this window, so it earns its first driver row at head with
+# no CHANGED_SINCE_CHECK entry needed.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
         "q_shard_read_plan",

@@ -169,10 +169,35 @@ def _sort_multicommutative(plan: str) -> str:
     return plan[:body_at] + body + ")" + _sort_multicommutative(plan[i:])
 
 
+_COMMON_EXPR = re.compile(r"_common_expr_\d+")
+
+
+def _renumber_common_exprs(plan: str) -> str:
+    """Catalyst's common-subexpression rewrite (e.g. NULLIF ->
+    ``if (x = 0) null else x`` under a With) names its aliases
+    ``_common_expr_N`` from a SESSION-GLOBAL counter — the suffix
+    depends on how many such rewrites the session performed before this
+    plan, pure stamping order rather than plan shape (caught r16 on
+    q_nullsafe_join: isolated processes stamp _common_expr_0/1, a full
+    sweep stamps _common_expr_1/2 — two stable hashes for one plan).
+    Renumber by order of FIRST APPEARANCE, not a global collapse, so
+    distinct common exprs within one plan stay distinguishable and a
+    real rewiring still changes the stamp."""
+    seen: dict[str, str] = {}
+
+    def sub(m: re.Match[str]) -> str:
+        tok = m.group(0)
+        if tok not in seen:
+            seen[tok] = f"_common_expr_<{len(seen)}>"
+        return seen[tok]
+
+    return _COMMON_EXPR.sub(sub, plan)
+
+
 def normalize(plan: str) -> str:
     for pat, repl in _NORMALIZERS:
         plan = pat.sub(repl, plan)
-    return _sort_multicommutative(plan)
+    return _sort_multicommutative(_renumber_common_exprs(plan))
 
 
 def _sha(text: str) -> str:
