@@ -155,10 +155,10 @@ DECON_BENCH_DOCS = 25
 DECON_N = 4
 
 
-@query(
-    "q_decontaminate",
-    bench=True,
-    oracle=f"""
+# Shared by q_decontaminate and s_decontaminate (streaming.py): the
+# stream's per-batch contaminated-doc partials must re-aggregate to
+# EXACTLY this batch pass, so both sides verify against one oracle text.
+DECONTAMINATE_ORACLE = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT doc_id,
@@ -173,8 +173,10 @@ SELECT c.doc_id,
        CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
 FROM corpus c JOIN bench b ON c.gh = b.gh
 GROUP BY c.doc_id
-""",
-)
+"""
+
+
+@query("q_decontaminate", bench=True, oracle=DECONTAMINATE_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: flag training documents sharing any token
     4-gram with the benchmark set (docs 0..24), with how many distinct

@@ -772,10 +772,19 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # curve for the stopword gate vs ground truth — the gate decision is the
 # pure-integer compare 1e6*stopwords >= thr*tokens, zero float anywhere;
 # same one-pass stack shape).
+# s_decontaminate joins them (q_decontaminate's streaming half —
+# frozen benchmark gram store probed per arriving slice, batch-id-keyed
+# replay-idempotent partials that ARE the batch answer since a doc's
+# grams never cross batches; SHARED oracle).
 # All oracle-green at sf0.001/0.01/0.1; they front the round-17
-# window. 3 deferred, inside the <=5 budget.
+# window. 4 deferred, inside the <=5 budget.
 DEFERRED_NEW: frozenset[str] = frozenset(
-    {"s_dup_timeline", "q_quality_gate_sweep", "q_langid_gate_sweep"}
+    {
+        "s_dup_timeline",
+        "q_quality_gate_sweep",
+        "q_langid_gate_sweep",
+        "s_decontaminate",
+    }
 )
 
 

@@ -230,6 +230,45 @@ def dup_timeline_partials(
     )
 
 
+def decon_partials(
+    batch: DataFrame, epoch: int, bench_store: str, out_store: str
+) -> None:
+    """Per-micro-batch kernel of s_decontaminate (queries/streaming.py):
+    flag the arriving crawl slice's documents that share any token
+    n-gram with the FROZEN benchmark gram store (the eval suite is
+    fixed up front — the store is written once, read back per batch
+    with an explicit schema and broadcast onto the batch's md5'd
+    grams), and commit each batch's contaminated-doc rows keyed by
+    batch id through dynamic partition overwrite. A pure function of
+    (batch, frozen bench store), so checkpoint-recovery replays rewrite
+    their own partition in place; a document's grams all live in its
+    own batch, so per-doc counts never need cross-batch state."""
+    from ..operators.curation import _gram_hashes
+    from ..queries.curation import DECON_N
+
+    s = batch.sparkSession
+    bench = s.read.schema("gh string, bench_doc long").parquet(bench_store)
+    grams = _gram_hashes(batch, DECON_N, "doc_id", "text").withColumnRenamed(
+        "__gh", "gh"
+    )
+    contaminated = (
+        grams.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").cast("bigint").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").cast("bigint").alias("n_bench_docs"),
+        )
+    )
+    (
+        contaminated.withColumn("batch_id", F.lit(epoch).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_store)
+    )
+
+
 def mix_partials(batch: DataFrame, epoch: int, cells_store: str) -> None:
     """Per-micro-batch kernel of s_source_mix_drift
     (queries/streaming.py): one combinable groupBy(source) count of the

@@ -2355,3 +2355,21 @@ def test_langid_gate_sweep_single_pass_one_row_agg(spark, sf_smoke):
     assert "Window" not in text, text[:1500]
     tree = text[: text.index("(1) Scan parquet")]
     assert tree.index("Generate") < tree.index("HashAggregate"), tree[:800]
+
+
+def test_decontaminate_stream_reads_partials_not_corpus(spark, sf_smoke):
+    """s_decontaminate's scale claim: the registered final plan reads
+    only the per-batch contaminated-doc partials — never the corpus or
+    the bench store — and carries no join or window at all."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["s_decontaminate"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    scans = [
+        line
+        for line in text.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    ]
+    assert not scans, f"monitor rescans the corpus:\n{text[:1500]}"
+    assert "Join" not in text, text[:1500]
+    assert "Window" not in text, text[:1500]

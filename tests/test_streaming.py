@@ -971,6 +971,57 @@ def test_dup_timeline_partials_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
 
 
+def test_decon_partials_replay_idempotent(spark, sf_dir):
+    """s_decontaminate's exactly-once contract: replaying an epoch's
+    kernel against the frozen bench store leaves the output store
+    byte-identical (pure function of batch + frozen store, batch-id-
+    keyed dynamic partition overwrite)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.curation import (
+        _gram_hashes,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.queries.curation import (
+        DECON_BENCH_DOCS,
+        DECON_N,
+    )
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        decon_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench_store = tempfile.mkdtemp(prefix="decon_bench_")
+    out_store = tempfile.mkdtemp(prefix="decon_out_")
+    (
+        _gram_hashes(
+            d.filter(F.col("doc_id") < DECON_BENCH_DOCS), DECON_N,
+            "doc_id", "text",
+        )
+        .select(F.col("__gh").alias("gh"), F.col("doc_id").alias("bench_doc"))
+        .distinct().coalesce(1).write.mode("overwrite").parquet(bench_store)
+    )
+    corpus = d.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out_store).collect()
+        )
+
+    decon_partials(b0, 0, bench_store, out_store)
+    decon_partials(b1, 1, bench_store, out_store)
+    after_clean = snapshot()
+    decon_partials(b1, 1, bench_store, out_store)
+    assert snapshot() == after_clean
+    decon_partials(b0, 0, bench_store, out_store)
+    assert snapshot() == after_clean
+
+
 def test_curation_funnel_corrupt_digest_store_raises(spark, sf_dir):
     """funnel_partials' first-batch guard is ONLY for path-not-found
     (ADVICE r15): a digest store that EXISTS but cannot be read (corrupt
