@@ -776,14 +776,20 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # frozen benchmark gram store probed per arriving slice, batch-id-keyed
 # replay-idempotent partials that ARE the batch answer since a doc's
 # grams never cross batches; SHARED oracle).
+# q_gate_interaction closes the knob story (the joint lang x quality
+# retention grid — 25x2 conditional sums in ONE combinable 1-row
+# aggregate, all-integer gate decisions, token share of the whole
+# corpus in bigint-DIV ppm).
 # All oracle-green at sf0.001/0.01/0.1; they front the round-17
-# window. 4 deferred, inside the <=5 budget.
+# window. 5 deferred — AT the <=5 budget; round-16 registrations stop
+# here.
 DEFERRED_NEW: frozenset[str] = frozenset(
     {
         "s_dup_timeline",
         "q_quality_gate_sweep",
         "q_langid_gate_sweep",
         "s_decontaminate",
+        "q_gate_interaction",
     }
 )
 

@@ -2896,6 +2896,115 @@ def q_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gate_interaction",
+    oracle=f"""
+WITH flags AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ({_STOP_SQL}))) AS BIGINT) AS stop_cnt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CAST(FLOOR(1000000.0 *
+           (0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+            + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+            + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                           / len(string_split(text, ' '))) / 8.0, 1.0)))
+           AS BIGINT) AS q_micros
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS t
+  FROM flags
+)
+SELECT CAST(g.lt AS INT) AS lang_thr_ppm,
+       CAST(g.qt AS INT) AS quality_thr_micros,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM flags f
+        WHERE 1000000 * f.stop_cnt >= g.lt * f.n_toks
+          AND f.q_micros >= g.qt) AS n_docs,
+       (SELECT CAST(COALESCE(SUM(f.n_toks), 0) AS BIGINT) FROM flags f
+        WHERE 1000000 * f.stop_cnt >= g.lt * f.n_toks
+          AND f.q_micros >= g.qt) AS n_tokens,
+       CAST((1000000 * (SELECT COALESCE(SUM(f.n_toks), 0) FROM flags f
+                        WHERE 1000000 * f.stop_cnt >= g.lt * f.n_toks
+                          AND f.q_micros >= g.qt))
+            // NULLIF(tot.t, 0) AS BIGINT) AS tokens_kept_ppm
+FROM (SELECT lt.lt, qt.qt
+      FROM (SELECT UNNEST({list(LANG_SWEEP_PPM)}) AS lt) lt
+      CROSS JOIN (SELECT UNNEST({list(QUALITY_SWEEP_MICROS)}) AS qt) qt) g
+CROSS JOIN tot
+""",
+)
+def q_gate_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOINT gate grid that completes the knob story: the two sweeps
+    (q_langid_gate_sweep, q_quality_gate_sweep) price each gate with the
+    other held at production, but the gates INTERACT — the quality
+    score's length and diversity terms correlate with stopword ratio —
+    so the pair that hits a token budget is not the pair the marginal
+    curves suggest. This is the |lang thresholds| x |quality thresholds|
+    retention surface (docs, tokens, token share of the WHOLE corpus in
+    ppm) a curation owner reads to place both knobs at once. Integer-
+    exact end to end: the language decision is the pure-integer compare
+    1e6*stopwords >= thr*tokens, quality is an integer-micros compare,
+    counts bigint, shares bigint-DIV ppm with NULLIF degradation.
+
+    Scale: ONE corpus pass — map-only integer flagging, all 25x2
+    conditional sums folded into a SINGLE combinable 1-row aggregate,
+    the grid unpivoted from that row via stack. Growing either grid
+    only widens the aggregate row, never adds a pass.
+    """
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.col("text"))
+    flags = d.select(
+        en_stopword_count(toks).cast("long").alias("stop_cnt"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.floor(F.lit(1000000.0) * quality_score(F.col("text")))
+        .cast("long")
+        .alias("q_micros"),
+    )
+    aggs = [
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("t_tot")
+    ]
+    cells = []
+    for lt in LANG_SWEEP_PPM:
+        for qt in QUALITY_SWEEP_MICROS:
+            kept = (
+                F.lit(1000000) * F.col("stop_cnt")
+                >= F.lit(lt) * F.col("n_toks")
+            ) & (F.col("q_micros") >= qt)
+            aggs.append(
+                F.coalesce(F.sum(F.when(kept, 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias(f"d_{lt}_{qt}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(kept, F.col("n_toks")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(f"t_{lt}_{qt}")
+            )
+            cells.append((lt, qt))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{lt}, {qt}, d_{lt}_{qt}, t_{lt}_{qt}" for lt, qt in cells
+    )
+    return one.selectExpr(
+        f"stack({len(cells)}, {stack_args}) "
+        "AS (lang_thr_ppm, quality_thr_micros, n_docs, n_tokens)",
+        "t_tot",
+    ).selectExpr(
+        "CAST(lang_thr_ppm AS INT) AS lang_thr_ppm",
+        "CAST(quality_thr_micros AS INT) AS quality_thr_micros",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST((1000000 * n_tokens) DIV NULLIF(t_tot, 0) AS BIGINT)"
+        " AS tokens_kept_ppm",
+    )
+
+
+@query(
     "q_quality_length_corr",
     # quality comes from the SHARED scored CTE (_CURATION_STAGES_SQL) so
     # the score weights cannot drift between the gate and this audit.

@@ -2373,3 +2373,25 @@ def test_decontaminate_stream_reads_partials_not_corpus(spark, sf_smoke):
     assert not scans, f"monitor rescans the corpus:\n{text[:1500]}"
     assert "Join" not in text, text[:1500]
     assert "Window" not in text, text[:1500]
+
+
+def test_gate_interaction_single_pass_one_row_agg(spark, sf_smoke):
+    """q_gate_interaction's scale claim: one corpus scan, map-only
+    integer flagging, all 25x2 conditional sums in a single combinable
+    1-row aggregate, grid unpivoted above the aggregate — growing the
+    grid widens the row, never adds a pass."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_gate_interaction"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    scans = [line for line in text.splitlines() if "Scan parquet" in line]
+    assert len(scans) <= 2, f"corpus scanned {len(scans)}x:\n{text[:1500]}"
+    assert "Join" not in text, text[:1500]
+    assert "Window" not in text, text[:1500]
+    tree = text[: text.index("(1) Scan parquet")]
+    assert tree.index("Generate") < tree.index("HashAggregate"), tree[:800]
