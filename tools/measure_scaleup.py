@@ -168,6 +168,7 @@ HEAVY_QUERIES = (
     "q_dup_timeline",
     "q_quality_gate_sweep",
     "q_langid_gate_sweep",
+    "q_gate_interaction",
 )
 
 
