@@ -417,6 +417,39 @@ _ROUND_15 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r16.json (all 50 green — rows+schema+hash, zero
+# errors): the r15 carry q_vocab_coverage's first row, the rebuilt
+# q_shard_read_plan (two-pass assign_shards data path) plus the other
+# four CHANGED_SINCE_CHECK re-fronts (q_bloom_skip, q_shard_write_audit,
+# q_source_mix_drift, s_curation_funnel) all re-green at head, the 6 r16
+# reserve-slot additions (q_eval_gram_coverage, q_chunk_langid_mix,
+# q_quality_length_corr, s_source_mix_drift, q_knn_hubness,
+# q_dup_timeline), and the least-recently-checked tail (drains the
+# r10-checked tier). Cumulative 266/271 after this round — only the five
+# DEFERRED_NEW registrations (budgeted out of the r16 window) await
+# their first rows and front r17.
+_ROUND_16 = frozenset(
+    {
+        "q_anomaly_zscore", "q_bloom_skip", "q_cdc_apply",
+        "q_cdc_envelope_parse", "q_chunk_langid_mix", "q_containment",
+        "q_cooccurrence", "q_corpus_shuffle", "q_dataset_card",
+        "q_decontaminate", "q_dedup_docs", "q_dedup_exact",
+        "q_dim_time_travel", "q_doc_chunks", "q_dup_hubs",
+        "q_dup_source_matrix", "q_dup_timeline", "q_eval_gram_coverage",
+        "q_event_pattern", "q_ewma", "q_gap_fill", "q_incremental_agg",
+        "q_knn_hubness", "q_leakage_split", "q_minhash_est_audit",
+        "q_minhash_near_dup", "q_mixture_weights", "q_pack_sequences",
+        "q_pareto_frontier", "q_pop_growth", "q_quality_length_corr",
+        "q_quantile_bins", "q_reservoir_sample", "q_rolling_window",
+        "q_running_distinct", "q_scd2", "q_scd2_enrich",
+        "q_shard_read_plan", "q_shard_write_audit", "q_simhash",
+        "q_snapshot_diff", "q_source_mix_drift", "q_stratified_sample",
+        "q_substring_runs", "q_temperature_sample", "q_udaf_grouped",
+        "q_udf_scalar", "q_vocab_coverage", "s_curation_funnel",
+        "s_source_mix_drift",
+    }
+)
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -433,6 +466,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     13: _ROUND_13,
     14: _ROUND_14,
     15: _ROUND_15,
+    16: _ROUND_16,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -561,15 +595,16 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # dup_timeline_rollup extraction — it is a zero-row query already
 # fronting this window, so it earns its first driver row at head with
 # no CHANGED_SINCE_CHECK entry needed.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
-    {
-        "q_shard_read_plan",
-        "q_bloom_skip",
-        "q_shard_write_audit",
-        "q_source_mix_drift",
-        "s_curation_funnel",
-    }
-)
+# Round 16's 5 entries (q_shard_read_plan two-pass rebuild plus the four
+# closure-flagged advisory-fix consumers) all re-verified green AT HEAD
+# in r16 (CORRECTNESS_r16.json 50/50) and are cleared in the same change
+# that records CHECKED_BY_ROUND[16] (ADVICE r8's process rule).
+# Round-17 entries: none yet — this round's edits so far are the
+# scratch-dir swap in queries/streaming.py (scratch paths are
+# volatile-normalized in stamps; src-only with identical plan+closures
+# is non-material) — any stamp --diff CHANGED/closure-only name from
+# the r17 restamp lands here.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).
@@ -783,15 +818,24 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # All oracle-green at sf0.001/0.01/0.1; they front the round-17
 # window. 5 deferred — AT the <=5 budget; round-16 registrations stop
 # here.
-DEFERRED_NEW: frozenset[str] = frozenset(
-    {
-        "s_dup_timeline",
-        "q_quality_gate_sweep",
-        "q_langid_gate_sweep",
-        "s_decontaminate",
-        "q_gate_interaction",
-    }
-)
+#
+# Round 16's window verified (50/50 green, cumulative 266/271). All 5
+# r16 deferrals cleared in the same change that records
+# CHECKED_BY_ROUND[16]: q_quality_gate_sweep, q_langid_gate_sweep,
+# q_gate_interaction, s_dup_timeline, and s_decontaminate carry their
+# real zero-row count and front the round-17 window automatically
+# (VERDICT r16 ask #1 — green rows for all 5 makes the surface
+# 271/271 driver-verified at head).
+#
+# Round-17 window budget: the 5 zero-count queries front, then up to 6
+# RESERVE slots for queries registered during round 17 (same rule as
+# r13-r16 — the first 6 in-round registrations are left OUT of
+# DEFERRED_NEW and make this window), then the LEAST-RECENTLY-CHECKED
+# tail fills to 50. With 5 + reserve taken, the tail covers the full
+# 32-query r11-checked cohort plus the oldest of r12 (VERDICT r16 ask
+# #2: the histogram's oldest bucket moves to r12). Additions beyond the
+# reserve land in DEFERRED_NEW per the <=5 budget.
+DEFERRED_NEW: frozenset[str] = frozenset()
 
 
 def times_checked(name: str) -> int:
