@@ -223,13 +223,13 @@ def q_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain immutable-parquet scan. Retention here is
     current+previous; production table formats make the window a
     config knob — the reader contract is identical."""
-    import tempfile
     import uuid as _uuid
 
     from ..sources.sinks import load_dimension, upsert_dimension
+    from . import scratch_dir
 
     tune(spark)
-    path = tempfile.mkdtemp(prefix=f"dimtt_{_uuid.uuid4().hex[:8]}_")
+    path = scratch_dir(f"dimtt_{_uuid.uuid4().hex[:8]}_")
     base = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )

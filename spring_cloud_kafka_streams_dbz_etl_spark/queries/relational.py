@@ -182,7 +182,6 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
     import uuid
 
     tune(spark)
@@ -198,7 +197,12 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _BUCKETED_RUNS.clear()
     n_buckets = 8
     run = uuid.uuid4().hex[:12]
-    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    # Query-scoped scratch: the whole tree is also swept on next query
+    # entry; _BUCKETED_RUNS stays for the catalog DROPs (an external-table
+    # DROP never removes files) and as an idempotent rmtree backstop.
+    from . import scratch_dir
+
+    tmp = scratch_dir("bucketed_join_")
     src = {
         "orders": ("o_orderkey", ["o_orderkey", "o_totalprice"]),
         "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity", "l_extendedprice"]),

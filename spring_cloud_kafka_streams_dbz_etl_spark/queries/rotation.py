@@ -599,11 +599,19 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # closure-flagged advisory-fix consumers) all re-verified green AT HEAD
 # in r16 (CORRECTNESS_r16.json 50/50) and are cleared in the same change
 # that records CHECKED_BY_ROUND[16] (ADVICE r8's process rule).
-# Round-17 entries: none yet — this round's edits so far are the
-# scratch-dir swap in queries/streaming.py (scratch paths are
-# volatile-normalized in stamps; src-only with identical plan+closures
-# is non-material) — any stamp --diff CHANGED/closure-only name from
-# the r17 restamp lands here.
+# Round-17 adjudication: the scratch-dir swap (queries/streaming.py::_tmp,
+# sourcefmt.py::_tmpdir, cdc.py dimtt, relational.py bucketed_join,
+# sourcefmt.py q_binary_source — zero bare mkdtemp left in queries/)
+# flips closure digests on every builder that reaches those helpers
+# (~50 queries), but the delta is confined to the scratch-ALLOCATION
+# helper: same mkdtemp prefix, added query-scoped rmtree lifetime —
+# driver-side tree cleanup only, no kernel or plan bytes (spot stamps:
+# plan hashes SAME on all seven representatives). VERDICT r16 ask #3
+# explicitly rules this class non-material ("queries whose plans don't
+# change ... need no re-front"), so unlike r16's two-query layout
+# precedent (affordable then, 50-wide now) these closure-only flags do
+# NOT re-front. Any OTHER r17 stamp CHANGED/closure-only name lands
+# here as usual.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
 
 # Queries added AFTER the current round's 50-query window was budgeted.

@@ -18,7 +18,6 @@ mapValues enrichment to one-in/N-out.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +32,11 @@ _EVENTS_ORACLE = "SELECT event_id, ts, user_id, event_type, value, props FROM ev
 
 
 def _tmpdir(kind: str) -> str:
-    return tempfile.mkdtemp(prefix=f"scksde_{kind}_{uuid.uuid4().hex[:8]}_")
+    # Query-scoped scratch (swept on next query entry + atexit backstop) —
+    # the ADVICE-r15 lifetime rule; bare mkdtemp leaked trees per sweep.
+    from . import scratch_dir
+
+    return scratch_dir(f"scksde_{kind}_{uuid.uuid4().hex[:8]}_")
 
 
 @query("q_json_source", oracle=_EVENTS_ORACLE)
@@ -543,8 +546,9 @@ def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, media belongs in object storage with a manifest table, the
     multimodal row shape unchanged."""
     import os as _os
-    import tempfile as _tf
     import uuid as _uuid
+
+    from . import scratch_dir
 
     tune(spark)
     d = (
@@ -552,7 +556,7 @@ def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text")
     )
-    base = _tf.mkdtemp(prefix=f"scksde_bin_{_uuid.uuid4().hex[:6]}_")
+    base = scratch_dir(f"scksde_bin_{_uuid.uuid4().hex[:6]}_")
     # stage blobs sharded by id-bucket (executor-side write via the same
     # Arrow batch path a media exporter uses)
     def write_blobs(batches):

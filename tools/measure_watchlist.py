@@ -158,6 +158,32 @@ releases shrinking JVM pressure across the sweep), not a plan win —
 treat 53-58 s as the new observed band, keep the 2x rule anchored to
 the artifact history.
 
+Finding (r17, idle machine — loadavg 0.5 — sf0.1, local[32], run FIRST
+in the session before any pytest warmed the machine) — adjudicating the
+two r16 driver movers VERDICT r16 #4 flagged as un-re-measured, code
+unchanged in both (stamps identical):
+
+    q_ann_pq_recall_trained_cb  median 6.07 s  [5.604 .. 14.707]
+                                (r15 bench 6.05 / r16 driver 7.93)
+    s_minhash_incremental       median 8.80-10.2 s  [6.62 .. 34.5]
+                                (r15 bench 6.68 / r16 driver 7.80)
+
+q_ann_pq_recall_trained_cb's isolated median sits AT the r15 value with
+the one ~2.4x GC outlier — interleave noise, no plan movement. Verdict:
+not a regression. s_minhash_incremental needed more digging: its
+isolated median today sits ABOVE both bench values, but (a) a
+chronological (unsorted) repeat run shows the FIRST sample is the
+outlier (cold state-store init) and steady-state is flat ~10 s — no
+in-session growth, so not the scratch-tree leak (fixed this round
+anyway: queries/streaming.py::_tmp now delegates to scratch_dir);
+(b) same-session calibration shows the inflation is shared by the
+OTHER CC-heavy query (q_dup_clusters isolated 2.98 vs its 1.83 r16
+isolated value) while scan-bound q_decontaminate sits at band (1.38 vs
+1.50) — i.e. today's environment prices shuffle-round-trip-heavy jobs
+high across the board. Verdict: environmental, no plan regression
+(plan + closures unchanged since the green r15 row); both stay on the
+watchlist for the round's final idle bench number.
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
