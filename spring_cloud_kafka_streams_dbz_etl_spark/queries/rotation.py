@@ -612,7 +612,21 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # precedent (affordable then, 50-wide now) these closure-only flags do
 # NOT re-front. Any OTHER r17 stamp CHANGED/closure-only name lands
 # here as usual.
-CHANGED_SINCE_CHECK: frozenset[str] = frozenset()
+# Round-17 entries: s_source_mix_drift — ADVICE r16 #1: its partials
+# kernel now attributes cells to the slice_id DATA column instead of
+# casting the micro-batch counter (mix_partials groupBy key changed,
+# the stream carries slice_id) — a real kernel/plan change after its
+# green r16 row, so it re-fronts. The same fix to dup_timeline_partials
+# re-lands via s_dup_timeline's first row (zero-row, already fronting),
+# and s_decontaminate's explicit-schema read likewise rides its first
+# row. s_curation_funnel / s_curation_incremental — ADVICE r16 #5: the
+# first-batch guard now classifies by AnalysisException error class
+# first (_is_path_missing), message substring only as the classless
+# fallback; same guard-narrowing class that re-fronted s_curation_funnel
+# in r16, so both re-front again.
+CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
+    {"s_source_mix_drift", "s_curation_funnel", "s_curation_incremental"}
+)
 
 # Queries added AFTER the current round's 50-query window was budgeted.
 # Round 9's window verified as budgeted (50/50 green, zero deferrals).

@@ -3326,8 +3326,12 @@ def s_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen-set). The final monitor re-aggregates the partials through the
     SAME share/drift tail as the batch query
     (queries/curation.py::mix_drift_shares) and verifies against the
-    SAME oracle text — slice identity holds because a crawl slice IS a
-    micro-batch, so batch_id == slice_id by construction.
+    SAME oracle text — slice identity rides the DATA as a ``slice_id``
+    column stamped when each slice is written (ADVICE r16: deriving it
+    from the micro-batch counter silently misattributes cells whenever
+    batch ids diverge from slice ids — id gaps, an empty decile, or two
+    landed slices merged into one trigger); batch_id is only the
+    replay-overwrite partition key.
 
     Scale: per batch the corpus-sized work is one combinable
     groupBy(source) over the arriving slice; the cells store grows by
@@ -3352,7 +3356,7 @@ def s_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     slices = sorted(r[0] for r in sliced.select("slice_id").distinct().collect())
-    first = sliced.filter(F.col("slice_id") == slices[0]).drop("slice_id")
+    first = sliced.filter(F.col("slice_id") == slices[0])
     first.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(first.schema).parquet(src)
@@ -3365,14 +3369,14 @@ def s_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
         for sl in slices[1:]:
-            sliced.filter(F.col("slice_id") == sl).drop("slice_id").coalesce(
+            sliced.filter(F.col("slice_id") == sl).coalesce(
                 1
             ).write.mode("append").parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()
     cells = spark.read.parquet(cells_store).select(
-        F.col("batch_id").cast("int").alias("slice_id"),
+        F.col("slice_id").cast("int").alias("slice_id"),
         "source",
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
@@ -3385,8 +3389,11 @@ def s_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained incrementally as crawl slices land. Each micro-batch
     commits its per-digest partial — occurrence count plus the minimum
     attribution key ``slice * (max_id+1) + doc_id``, the SAME total
-    integer order the batch query states — keyed by batch id through
-    dynamic partition overwrite
+    integer order the batch query states, with the slice taken from the
+    batch's own ``slice_id`` DATA column (stamped at write; ADVICE r16:
+    counter-derived slice ids misattribute under id gaps / empty
+    slices / merged triggers) — keyed by batch id through dynamic
+    partition overwrite
     (streaming/curation.py::dup_timeline_partials, replay-idempotent,
     no cross-batch state: first-occurrence attribution happens at READ
     time over all partials). The final monitor re-aggregates through
@@ -3418,7 +3425,7 @@ def s_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(doc_id * {_curation.MIX_DRIFT_SLICES}) DIV {n}").cast("int"),
     )
     slices = sorted(r[0] for r in sliced.select("slice_id").distinct().collect())
-    first = sliced.filter(F.col("slice_id") == slices[0]).drop("slice_id")
+    first = sliced.filter(F.col("slice_id") == slices[0])
     first.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(first.schema).parquet(src)
@@ -3431,7 +3438,7 @@ def s_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
         for sl in slices[1:]:
-            sliced.filter(F.col("slice_id") == sl).drop("slice_id").coalesce(
+            sliced.filter(F.col("slice_id") == sl).coalesce(
                 1
             ).write.mode("append").parquet(src)
             q.processAllAvailable()
@@ -3439,7 +3446,7 @@ def s_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     cells = spark.read.parquet(cells_store).select(
         "h",
-        F.col("batch_id").cast("int").alias("slice_id"),
+        F.col("slice_id").cast("int").alias("slice_id"),
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("key").cast("bigint").alias("key"),
     )
@@ -3515,8 +3522,17 @@ def s_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_store).select(
-        "doc_id",
-        F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams"),
-        F.col("n_bench_docs").cast("bigint").alias("n_bench_docs"),
+    # Explicit schema (ADVICE r16): on a fully clean corpus no batch
+    # commits any rows, the store holds no parquet files, and schema
+    # inference would fail where q_decontaminate returns empty.
+    return (
+        spark.read.schema(
+            "doc_id long, n_shared_ngrams long, n_bench_docs long, batch_id long"
+        )
+        .parquet(out_store)
+        .select(
+            "doc_id",
+            F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams"),
+            F.col("n_bench_docs").cast("bigint").alias("n_bench_docs"),
+        )
     )

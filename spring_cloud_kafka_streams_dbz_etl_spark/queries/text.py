@@ -2897,17 +2897,16 @@ def q_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gate_interaction",
+    # q_micros comes from the SHARED _QSCORE_SQL fragment (ADVICE r16:
+    # re-inlining the composite score here would silently desync this
+    # oracle from the gate the sweeps price if the weights ever move);
+    # only the integer stop_cnt/n_toks columns are stated inline.
     oracle=f"""
 WITH flags AS (
   SELECT CAST(len(list_filter(string_split(text, ' '),
                               t -> t IN ({_STOP_SQL}))) AS BIGINT) AS stop_cnt,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-         CAST(FLOOR(1000000.0 *
-           (0.4 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
-            + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-            + 0.3 * LEAST((CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
-                           / len(string_split(text, ' '))) / 8.0, 1.0)))
-           AS BIGINT) AS q_micros
+         CAST(FLOOR(1000000.0 * ({_QSCORE_SQL})) AS BIGINT) AS q_micros
   FROM documents
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS d,

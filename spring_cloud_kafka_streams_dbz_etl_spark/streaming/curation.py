@@ -32,6 +32,34 @@ from ..operators.curation import (
 from ..operators.pii import redact_pii
 from ..functions.textfns import en_stopword_count, tokens
 
+
+def _is_path_missing(exc: Exception) -> bool:
+    """True ONLY for Spark's path-not-found failure ("first batch: the
+    store/sink doesn't exist yet"). Classifies by the exception's stable
+    error class where it carries one (PySpark 4 AnalysisException:
+    getCondition, né getErrorClass) and falls back to the message check
+    only when no class is available — substring-matching the text alone
+    is brittle across Spark versions/locales AND would silently treat a
+    corrupt-store error that merely MENTIONS those words as empty
+    (ADVICE r16)."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - ancient pyspark
+        AnalysisException = ()  # type: ignore[assignment]
+    if isinstance(exc, AnalysisException):
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, getter, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
 DOCUMENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -106,7 +134,7 @@ def build_curation_stream(spark: SparkSession, cfg: CurationStreamConfig):
             )
             cur = cur.join(seen, "content_hash", "left_anti")
         except Exception as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            if not _is_path_missing(exc):
                 raise  # first batch: sink doesn't exist yet
         cur.select("doc_id", "text", "quality", "content_hash").write.mode(
             "append"
@@ -172,8 +200,8 @@ def funnel_partials(
         # ONLY path-not-found means "first batch: no store yet". Any other
         # read failure (corrupt store, permissions) must surface — treating
         # it as empty would skip the seen-set and silently overcount k3
-        # (ADVICE r15; mirrors build_curation_stream's narrowed guard).
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+        # (ADVICE r15; error-class-first classification per ADVICE r16).
+        if not _is_path_missing(exc):
             raise
         new = kept
     new = new.persist()
@@ -207,16 +235,23 @@ def dup_timeline_partials(
 ) -> None:
     """Per-micro-batch kernel of s_dup_timeline (queries/streaming.py):
     the arriving crawl slice's per-digest partial — occurrence count and
-    the slice-global minimum attribution key ``epoch * n + doc_id``
+    the slice-global minimum attribution key ``slice_id * n + doc_id``
     (``n`` = corpus max_id + 1, the same total order the batch query
     states) — committed batch-id-keyed through dynamic partition
-    overwrite. A pure function of the batch, so checkpoint-recovery
-    replays rewrite their own partition in place (the mix_partials
-    contract); first-occurrence attribution happens at READ time over
-    all partials, so no cross-batch state is carried here at all."""
-    cells = batch.groupBy(F.md5("text").alias("h")).agg(
+    overwrite. The slice identity comes from the batch's OWN
+    ``slice_id`` data column (stamped when the slice is written), never
+    from the micro-batch counter: with id gaps, an empty slice, or the
+    file source merging two landed slices into one trigger, batch ids
+    diverge from slice ids and counter-derived attribution keys would
+    silently misattribute (ADVICE r16). ``batch_id`` is ONLY the
+    replay-overwrite partition key. A pure function of the batch, so
+    checkpoint-recovery replays rewrite their own partition in place
+    (the mix_partials contract); first-occurrence attribution happens
+    at READ time over all partials, so no cross-batch state is carried
+    here at all."""
+    cells = batch.groupBy("slice_id", F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.min(F.lit(int(epoch)) * F.lit(int(n)) + F.col("doc_id"))
+        F.min(F.col("slice_id").cast("bigint") * F.lit(int(n)) + F.col("doc_id"))
         .cast("bigint")
         .alias("key"),
     )
@@ -271,14 +306,19 @@ def decon_partials(
 
 def mix_partials(batch: DataFrame, epoch: int, cells_store: str) -> None:
     """Per-micro-batch kernel of s_source_mix_drift
-    (queries/streaming.py): one combinable groupBy(source) count of the
-    arriving crawl slice, committed batch-id-keyed through dynamic
-    partition overwrite. A pure function of the batch, so a
-    checkpoint-recovery replay recomputes identical counts and rewrites
-    its own partition in place (the funnel_partials contract, without
-    the cross-batch seen-set — mixture cells are independent per slice).
-    Module-level so the replay contract is directly testable."""
-    counts = batch.groupBy("source").agg(
+    (queries/streaming.py): one combinable groupBy(slice_id, source)
+    count of the arriving crawl slice, committed batch-id-keyed through
+    dynamic partition overwrite. The slice identity comes from the
+    batch's OWN ``slice_id`` data column (stamped when the slice is
+    written) — never the micro-batch counter, which diverges from slice
+    ids under id gaps, empty slices, or multi-file triggers (ADVICE
+    r16); ``batch_id`` is ONLY the replay-overwrite partition key. A
+    pure function of the batch, so a checkpoint-recovery replay
+    recomputes identical counts and rewrites its own partition in place
+    (the funnel_partials contract, without the cross-batch seen-set —
+    mixture cells are independent per slice). Module-level so the
+    replay contract is directly testable."""
+    counts = batch.groupBy("slice_id", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     (

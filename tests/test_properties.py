@@ -1723,14 +1723,18 @@ def test_dup_timeline_stream_partials_equal_batch_cells(spark, docs):
     n = len(rows)  # max doc_id + 1
     df = spark.createDataFrame(rows, "doc_id long, text string, slice_id int")
     store = tempfile.mkdtemp(prefix="duptl_prop_")
-    for sl in sorted({r[2] for r in rows}):
-        batch = df.filter(F.col("slice_id") == sl).drop("slice_id")
-        dup_timeline_partials(batch, sl, store, n)
+    # epoch is a DENSE counter deliberately decoupled from the (possibly
+    # sparse) slice ids — the ADVICE-r16 divergence case: attribution
+    # must ride the slice_id data column, batch_id is only the
+    # replay-overwrite partition key.
+    for epoch, sl in enumerate(sorted({r[2] for r in rows})):
+        batch = df.filter(F.col("slice_id") == sl)
+        dup_timeline_partials(batch, epoch, store, n)
         # replay immediately: must not change the store's logical content
-        dup_timeline_partials(batch, sl, store, n)
+        dup_timeline_partials(batch, epoch, store, n)
     partials = spark.read.parquet(store).select(
         "h",
-        F.col("batch_id").cast("int").alias("slice_id"),
+        F.col("slice_id").cast("int").alias("slice_id"),
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("key").cast("bigint").alias("key"),
     )

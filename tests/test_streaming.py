@@ -914,11 +914,13 @@ def test_mix_partials_replay_idempotent(spark, sf_dir):
         mix_partials,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "source"
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .withColumn("slice_id", (F.col("doc_id") % 2).cast("int"))
     )
-    b0 = d.filter(F.col("doc_id") % 2 == 0)
-    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    b0 = d.filter(F.col("slice_id") == 0)
+    b1 = d.filter(F.col("slice_id") == 1)
     cells_store = tempfile.mkdtemp(prefix="mix_cells_")
 
     def snapshot():
@@ -949,12 +951,14 @@ def test_dup_timeline_partials_replay_idempotent(spark, sf_dir):
         dup_timeline_partials,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("slice_id", (F.col("doc_id") % 2).cast("int"))
     )
     n = int(d.agg(F.max("doc_id") + 1).collect()[0][0])
-    b0 = d.filter(F.col("doc_id") % 2 == 0)
-    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    b0 = d.filter(F.col("slice_id") == 0)
+    b1 = d.filter(F.col("slice_id") == 1)
     cells_store = tempfile.mkdtemp(prefix="duptl_cells_")
 
     def snapshot():
@@ -1020,6 +1024,39 @@ def test_decon_partials_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
     decon_partials(b0, 0, bench_store, out_store)
     assert snapshot() == after_clean
+
+
+def test_is_path_missing_classifies_by_error_class_first():
+    """The first-batch guard's classifier (ADVICE r16): when the
+    exception carries a Spark error class, that class DECIDES — a
+    corrupt-store error whose message merely mentions 'Path does not
+    exist' must NOT classify as missing; the message substring is only
+    the fallback for classless exceptions."""
+    from pyspark.errors import AnalysisException
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        _is_path_missing,
+    )
+
+    class _WithCond(AnalysisException):
+        def __init__(self, msg, cond):
+            self._m, self._c = msg, cond
+
+        def getCondition(self):
+            return self._c
+
+        def __str__(self):
+            return self._m
+
+    assert _is_path_missing(_WithCond("anything", "PATH_NOT_FOUND"))
+    # class wins over a misleading message
+    assert not _is_path_missing(
+        _WithCond("corrupt footer (Path does not exist marker in text)",
+                  "CANNOT_READ_FILE_FOOTER")
+    )
+    # classless AnalysisException falls back to the message check
+    assert _is_path_missing(AnalysisException("Path does not exist: /x"))
+    assert not _is_path_missing(RuntimeError("unrelated failure"))
 
 
 def test_curation_funnel_corrupt_digest_store_raises(spark, sf_dir):
