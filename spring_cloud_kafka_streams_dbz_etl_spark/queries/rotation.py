@@ -857,6 +857,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # 32-query r11-checked cohort plus the oldest of r12 (VERDICT r16 ask
 # #2: the histogram's oldest bucket moves to r12). Additions beyond the
 # reserve land in DEFERRED_NEW per the <=5 budget.
+# Reserve slots used in r17 (registered early, oracle-green at
+# sf0.001/0.01/0.1 before registration counted): 1. q_knn_graph_ivf
+# (the kNN build blocked on the TRAINED IVF cell id from kmeans_cells —
+# the production-blocking demonstration VERDICT r16 #5 asked for; the
+# K-replica curve collapse vs the label key is measured in SCALE.md).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 
