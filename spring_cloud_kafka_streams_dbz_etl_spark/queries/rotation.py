@@ -862,6 +862,8 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # (the kNN build blocked on the TRAINED IVF cell id from kmeans_cells —
 # the production-blocking demonstration VERDICT r16 #5 asked for; the
 # K-replica curve collapse vs the label key is measured in SCALE.md).
+# 2. q_knn_mutual (reciprocal kNN — the hub-resistant construction the
+# q_knn_hubness audit points to; edge-sized reciprocity self-join).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -1067,6 +1067,86 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_knn_mutual",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_COS.format(a='a.v', b='b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT src, dst, cos_sim, rank FROM (
+    SELECT src, dst, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS BIGINT) AS rank
+    FROM pairs)
+  WHERE rank <= {KNN_K}
+)
+SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim,
+       f.rank AS rank_ab, r.rank AS rank_ba
+FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+""",
+)
+def q_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL (reciprocal) k-NN graph — the hub-resistant construction
+    q_knn_hubness's audit points to: keep the edge (a, b) only when a
+    is in b's top-{KNN_K} AND b is in a's. Hubs fail the reciprocity
+    test by construction (they sit in thousands of top-k lists but have
+    only {KNN_K} slots of their own), so mutual edges stop a single hub
+    vector from fusing unrelated neighbourhoods under SemDeDup-style
+    pruning, and mutual-kNN components are the standard robust-cluster
+    primitive on skewed embedding spaces. One undirected edge per
+    reciprocal pair (vec_a < vec_b) with the cosine and both directed
+    ranks — rank asymmetry (1 vs {KNN_K}) is itself a borderline-pair
+    signal.
+
+    Scale: the kNN edge relation is built once (the q_knn_graph plan —
+    blocked candidates, rank window on the join's shuffle key; IVF
+    cells at 100 TB, demonstrated by q_knn_graph_ivf) and the
+    reciprocity test is a self-join of that k·n-row edge relation on
+    the reversed key — edge-sized, never corpus-squared. The canonical
+    a<b fold halves the output without a distinct pass."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    e = (
+        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .transform(cache_scoped)
+    )
+    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    knn = cache_scoped(
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        knn.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+            F.col("rank").alias("rank_ab"),
+            "rank_ba",
+        )
+    )
+
+
 SEM_DECON_MIN = 0.35
 
 

@@ -855,6 +855,27 @@ def test_knn_graph_ivf_blocks_on_cell_not_label(spark, sf_smoke):
     assert "row_number" in text
 
 
+def test_knn_mutual_reciprocity_join_is_edge_sized(spark, sf_smoke):
+    """q_knn_mutual's scale claim: the reciprocity test is an equi
+    self-join of the k-bounded edge relation on the reversed (src, dst)
+    key — never a cartesian pair space — and the scans read only the
+    columns the edge build needs."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_knn_mutual"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "label", "embedding"}, (
+            f"scan reads too much: {cols}"
+        )
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "BroadcastNestedLoopJoin" not in text, text[:2000]
+    assert "row_number" in text
+
+
 def test_snapshot_diff_full_outer_no_cartesian(spark, sf_smoke):
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
