@@ -864,6 +864,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # K-replica curve collapse vs the label key is measured in SCALE.md).
 # 2. q_knn_mutual (reciprocal kNN — the hub-resistant construction the
 # q_knn_hubness audit points to; edge-sized reciprocity self-join).
+# 3. q_hybrid_retrieval (lexical x dense reciprocal-rank fusion — the
+# RAG serving shape; inverted-index lexical candidates, broadcast-probe
+# dense pass, integer RRF).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -1147,6 +1147,172 @@ def q_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_PROBE_MOD = 50
+HYBRID_LIST_K = 20
+HYBRID_TOP = 10
+HYBRID_RRF_K = 60
+
+
+@query(
+    "q_hybrid_retrieval",
+    oracle=f"""
+WITH base AS (
+  SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS toks,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), p AS (
+  SELECT doc_id AS probe_id, toks AS ptoks, v AS pv
+  FROM base WHERE doc_id % {HYBRID_PROBE_MOD} = 0
+), lex AS (
+  SELECT p.probe_id, b.doc_id,
+         (1000000 * len(list_intersect(b.toks, p.ptoks)))
+           // (len(b.toks) + len(p.ptoks)
+               - len(list_intersect(b.toks, p.ptoks))) AS jac_micros
+  FROM base b JOIN p ON b.doc_id <> p.probe_id
+  WHERE len(list_intersect(b.toks, p.ptoks)) >= 1
+), lex_top AS (
+  SELECT probe_id, doc_id, r_lex FROM (
+    SELECT probe_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY jac_micros DESC, doc_id ASC) AS BIGINT) AS r_lex
+    FROM lex) WHERE r_lex <= {HYBRID_LIST_K}
+), dense AS (
+  SELECT p.probe_id, b.doc_id, {_COS.format(a='b.v', b='p.pv')} AS cos_sim
+  FROM base b JOIN p ON b.doc_id <> p.probe_id
+), dense_top AS (
+  SELECT probe_id, doc_id, r_dense FROM (
+    SELECT probe_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS r_dense
+    FROM dense) WHERE r_dense <= {HYBRID_LIST_K}
+), fused AS (
+  SELECT COALESCE(l.probe_id, x.probe_id) AS probe_id,
+         COALESCE(l.doc_id, x.doc_id) AS doc_id,
+         l.r_lex, x.r_dense,
+         CAST(COALESCE(1000000 // ({HYBRID_RRF_K} + l.r_lex), 0)
+            + COALESCE(1000000 // ({HYBRID_RRF_K} + x.r_dense), 0)
+            AS BIGINT) AS fused_micros
+  FROM lex_top l FULL OUTER JOIN dense_top x
+    ON l.probe_id = x.probe_id AND l.doc_id = x.doc_id
+)
+SELECT probe_id, doc_id, r_lex, r_dense, fused_micros, rank FROM (
+  SELECT probe_id, doc_id, r_lex, r_dense, fused_micros,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY fused_micros DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM fused) WHERE rank <= {HYBRID_TOP}
+""",
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion — the serving shape
+    behind modern RAG/search stacks: a lexical ranking (distinct-token
+    Jaccard — the BM25 stand-in whose candidates come from an inverted
+    index) and a dense ranking (cosine over the embedding column) are
+    fused per probe by RRF: score = Σ 1/(k + rank), k={HYBRID_RRF_K}.
+    RRF fuses RANKS, not scores, which is exactly why it's the
+    production default — Jaccard and cosine live on incomparable
+    scales and rank fusion needs no calibration. Integer-exact
+    cross-engine: contributions are 1000000 DIV (k + rank) integer
+    quotients, the lexical key is integer micro-Jaccard, and the dense
+    key is the proven ROUND(6) cosine; all ties break on doc_id. The
+    corpus is the INNER join of the two modalities (only docs with
+    embeddings can be densely ranked — the embedded-subset reality at
+    sf0.1 where 5000 docs carry 2000 vectors).
+
+    Scale: probes broadcast (a query batch, not a corpus). The lexical
+    side is an inverted-index equi-join on token — candidates bounded
+    by posting-list co-occurrence with the probe's tokens, never
+    all-pairs, and zero-overlap docs never materialize (both engines
+    state inter >= 1). The dense side is the broadcast-probe map-only
+    corpus pass (q_hard_negatives' shape); at 10⁹ docs it swaps for
+    the trained IVF-PQ shortlist above the rank window unchanged
+    (the q_knn_classify_served precedent). Fusion is a full-outer join
+    of two {HYBRID_LIST_K}-row-per-probe lists — probe-batch-sized."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    emb = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
+        F.col("vec_id").alias("doc_id"), to_double(F.col("embedding")).alias("v")
+    )
+    corpus = cache_scoped(
+        docs.join(emb, "doc_id").select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+            "v",
+        )
+    )
+    probes = corpus.filter(F.col("doc_id") % HYBRID_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("toks").alias("ptoks"),
+        F.col("v").alias("pv"),
+    )
+    # lexical: inverted-index candidates (explode tokens, token equi-join)
+    ptok = probes.select("probe_id", F.explode("ptoks").alias("tok"))
+    pn = probes.select("probe_id", F.size("ptoks").cast("long").alias("n_p"))
+    ctok = corpus.select(
+        "doc_id", F.size("toks").cast("long").alias("n_d"),
+        F.explode("toks").alias("tok"),
+    )
+    inter = (
+        ctok.join(F.broadcast(ptok), "tok")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "n_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    lex = inter.join(F.broadcast(pn), "probe_id").select(
+        "probe_id",
+        "doc_id",
+        F.expr("(1000000 * inter) DIV (n_d + n_p - inter)").alias("jac_micros"),
+    )
+    wl = Window.partitionBy("probe_id").orderBy(
+        F.col("jac_micros").desc(), F.col("doc_id").asc()
+    )
+    lex_top = (
+        lex.withColumn("r_lex", F.row_number().over(wl).cast("long"))
+        .filter(F.col("r_lex") <= HYBRID_LIST_K)
+        .select("probe_id", "doc_id", "r_lex")
+    )
+    # dense: broadcast-probe map-only corpus pass
+    dense = (
+        corpus.select("doc_id", "v")
+        .crossJoin(F.broadcast(probes.select("probe_id", "pv")))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "doc_id", cosine(F.col("v"), F.col("pv")).alias("cos_sim")
+        )
+    )
+    wd = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    dense_top = (
+        dense.withColumn("r_dense", F.row_number().over(wd).cast("long"))
+        .filter(F.col("r_dense") <= HYBRID_LIST_K)
+        .select("probe_id", "doc_id", "r_dense")
+    )
+    fused = lex_top.join(dense_top, ["probe_id", "doc_id"], "full_outer").select(
+        "probe_id",
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({HYBRID_RRF_K} + r_lex)"), F.lit(0))
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({HYBRID_RRF_K} + r_dense)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("fused_micros"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("fused_micros").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(wf).cast("long")).filter(
+        F.col("rank") <= HYBRID_TOP
+    )
+
+
 SEM_DECON_MIN = 0.35
 
 

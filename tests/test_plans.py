@@ -876,6 +876,33 @@ def test_knn_mutual_reciprocity_join_is_edge_sized(spark, sf_smoke):
     assert "row_number" in text
 
 
+def test_hybrid_retrieval_inverted_index_and_broadcast_probes(spark, sf_smoke):
+    """q_hybrid_retrieval's scale claims: the lexical side generates
+    candidates through a token equi-join (inverted index — zero-overlap
+    pairs never materialize), the dense side is the deliberate
+    broadcast-probe pass (BroadcastNestedLoopJoin of the probe batch,
+    q_hard_negatives' shape — the ONE sanctioned BNLJ form), there is
+    no CartesianProduct anywhere, and the scans read only the columns
+    the two modalities need."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_hybrid_retrieval"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text", "vec_id", "embedding"}, (
+            f"scan reads too much: {cols}"
+        )
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    # the probe broadcast is the only nested-loop join in the plan
+    # (formatted explain prints each node twice: tree line carries the
+    # "Cross" build type, the numbered detail line does not)
+    assert text.count("BroadcastNestedLoopJoin Cross") == 1, text[:2000]
+    assert "row_number" in text
+
+
 def test_snapshot_diff_full_outer_no_cartesian(spark, sf_smoke):
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
