@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
 from ..session import tune
-from . import query
+from . import cache_scoped, query
 
 
 @query(
@@ -302,6 +302,136 @@ def q_eval_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("coverage_ppm"),
         )
+    )
+
+
+DSIR_BUCKETS = 1024
+DSIR_TOP = 50
+
+
+@query(
+    "q_importance_select",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, u.tok,
+         CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM tok
+  WHERE doc_id < {DECON_BENCH_DOCS} GROUP BY b
+), cor AS (SELECT doc_id, b FROM tok WHERE doc_id >= {DECON_BENCH_DOCS}),
+tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(t_b), 0) AS BIGINT) FROM tgt) AS t_total,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cor) AS q_total
+), q_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS q_b FROM cor GROUP BY b
+), ratio AS (
+  SELECT q_b.b,
+         CAST((1000000 * (COALESCE(tgt.t_b, 0) + 1) * (tot.q_total + {DSIR_BUCKETS}))
+              // ((q_b.q_b + 1) * (tot.t_total + {DSIR_BUCKETS})) AS BIGINT)
+           AS ratio_micros
+  FROM q_b LEFT JOIN tgt ON q_b.b = tgt.b CROSS JOIN tot
+), scored AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(r.ratio_micros) AS BIGINT) AS score_micros
+  FROM cor c JOIN ratio r ON c.b = r.b
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_toks, score_micros, avg_micros, rank FROM (
+  SELECT doc_id, n_toks, score_micros,
+         CAST(score_micros // n_toks AS BIGINT) AS avg_micros,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY score_micros // n_toks DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {DSIR_TOP}
+""",
+)
+def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted DATA SELECTION by hashed n-gram importance weighting —
+    the DSIR shape (Xie et al. 2023): score every corpus document by
+    how much its token distribution looks like a fixed TARGET domain
+    sample (the first {DECON_BENCH_DOCS} docs, the bench-docs
+    convention) relative to the raw corpus, then keep the top
+    {DSIR_TOP}. Features are hashed token buckets (md5 → {DSIR_BUCKETS}
+    buckets — DSIR's hashed n-grams); each bucket gets an
+    add-one-smoothed target/corpus probability ratio, and a document's
+    score is the sum of its token occurrences' bucket ratios,
+    length-normalized for the selection key. Deliberately INTEGER
+    arithmetic end to end: the ratio is the micro-scaled integer
+    quotient (1e6·(t_b+1)·(Q+B)) DIV ((q_b+1)·(T+B)) and the per-doc
+    aggregate is a bigint sum — the same libm-free policy that turned
+    pow() into repeated multiplies in q_lsh_band_plan, here replacing
+    DSIR's log-ratio sum with a rational-ratio sum so both engines
+    hash-agree (the ranking intent — up-weight buckets the target
+    over-represents — is preserved; the docstring, not the oracle, is
+    where the log≈ratio substitution is owned). Completes the mixture
+    family: q_mixture_weights re-weights SOURCES, this selects
+    DOCUMENTS toward a domain.
+
+    Scale: the bucket tables are ≤{DSIR_BUCKETS} rows — broadcast by
+    construction at any corpus size; totals ride a 1-row broadcast. The
+    corpus-sized work is one token explode + map-side broadcast joins
+    folded into one combinable groupBy(doc_id). The top-{DSIR_TOP} cut
+    is a global sort-limit (TakeOrderedAndProject — distributed top-k,
+    no single-reducer corpus window); the rank column is computed on
+    the {DSIR_TOP}-row result."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    B = DSIR_BUCKETS
+    d = fan_out(table(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B).alias(
+            "b"
+        ),
+    )
+    tgt = (
+        tok.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+    )
+    cor = cache_scoped(tok.filter(F.col("doc_id") >= DECON_BENCH_DOCS))
+    q_b = cor.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("q_b"))
+    totals = tgt.agg(
+        F.coalesce(F.sum("t_b"), F.lit(0)).cast("long").alias("t_total")
+    ).crossJoin(cor.agg(F.count(F.lit(1)).cast("long").alias("q_total")))
+    ratio = (
+        q_b.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"(1000000 * (coalesce(t_b, 0) + 1) * (q_total + {B}))"
+                f" DIV ((q_b + 1) * (t_total + {B}))"
+            )
+            .cast("long")
+            .alias("ratio_micros"),
+        )
+    )
+    scored = (
+        cor.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("ratio_micros").cast("long").alias("score_micros"),
+        )
+        .withColumn(
+            "avg_micros", F.expr("score_micros DIV n_toks").cast("long")
+        )
+    )
+    top = scored.orderBy(
+        F.col("avg_micros").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_TOP)
+    w = Window.partitionBy().orderBy(
+        F.col("avg_micros").desc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_toks", "score_micros", "avg_micros", "rank"
     )
 
 

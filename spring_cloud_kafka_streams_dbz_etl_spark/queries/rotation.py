@@ -867,6 +867,9 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # 3. q_hybrid_retrieval (lexical x dense reciprocal-rank fusion — the
 # RAG serving shape; inverted-index lexical candidates, broadcast-probe
 # dense pass, integer RRF).
+# 4. q_importance_select (DSIR-shape targeted data selection: hashed
+# token buckets, integer add-one-smoothed target/corpus ratio score,
+# distributed top-k — completes the mixture family document-side).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

@@ -903,6 +903,28 @@ def test_hybrid_retrieval_inverted_index_and_broadcast_probes(spark, sf_smoke):
     assert "row_number" in text
 
 
+def test_importance_select_topk_is_distributed_and_tables_broadcast(spark, sf_smoke):
+    """q_importance_select's scale claims: the top-N cut is
+    TakeOrderedAndProject (distributed top-k — no corpus-sized
+    single-reducer window; the rank window runs on the N-row result),
+    the bucket ratio table reaches the corpus through a broadcast hash
+    join, the only nested-loop joins are the two sanctioned broadcasts
+    of planner-sized relations (1-row totals, bucket table), and the
+    scan reads only doc_id/text."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_importance_select"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, f"scan reads too much: {cols}"
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    assert "CartesianProduct" not in text, text[:2000]
+    assert text.count("BroadcastNestedLoopJoin Cross") == 2, text[:2000]
+
+
 def test_snapshot_diff_full_outer_no_cartesian(spark, sf_smoke):
     from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
 
