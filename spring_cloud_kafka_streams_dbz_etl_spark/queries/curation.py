@@ -309,9 +309,75 @@ DSIR_BUCKETS = 1024
 DSIR_TOP = 50
 
 
-@query(
-    "q_importance_select",
-    oracle=f"""
+def token_bucket(tok_col) -> "F.Column":
+    """The hashed-feature bucket both importance halves share (batch
+    query and streaming featurizer — one definition so the feature
+    space cannot drift): md5 leading 8 hex digits → bigint → mod
+    DSIR_BUCKETS. SQL twin: CAST(('0x' || substr(md5(tok),1,8)) AS
+    BIGINT) % DSIR_BUCKETS."""
+    return (
+        F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def importance_rank(cor_counts: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Shared scoring tail of q_importance_select / s_importance_select
+    (the mix_drift_shares / dup_timeline_rollup precedent — both halves
+    re-aggregate through ONE tail and verify against ONE oracle text).
+    ``cor_counts``: the featurized corpus (doc_id, b, cnt) — integer
+    bucket counts per document; ``tgt``: the frozen target bucket
+    counts (b, t_b). Everything downstream is bucket-table-sized or a
+    combinable groupBy(doc_id); the top cut is a distributed
+    sort-limit, the rank window runs on the DSIR_TOP-row result."""
+    B = DSIR_BUCKETS
+    totals = tgt.agg(
+        F.coalesce(F.sum("t_b"), F.lit(0)).cast("long").alias("t_total")
+    ).crossJoin(
+        cor_counts.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("q_total")
+        )
+    )
+    q_b = cor_counts.groupBy("b").agg(F.sum("cnt").cast("long").alias("q_b"))
+    ratio = (
+        q_b.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"(1000000 * (coalesce(t_b, 0) + 1) * (q_total + {B}))"
+                f" DIV ((q_b + 1) * (t_total + {B}))"
+            )
+            .cast("long")
+            .alias("ratio_micros"),
+        )
+    )
+    scored = (
+        cor_counts.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.col("ratio_micros"))
+            .cast("long")
+            .alias("score_micros"),
+        )
+        .withColumn("avg_micros", F.expr("score_micros DIV n_toks").cast("long"))
+    )
+    top = scored.orderBy(
+        F.col("avg_micros").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_TOP)
+    w = Window.partitionBy().orderBy(
+        F.col("avg_micros").desc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_toks", "score_micros", "avg_micros", "rank"
+    )
+
+
+# Shared by q_importance_select and s_importance_select (streaming.py):
+# the stream's featurized per-batch partials must re-aggregate to
+# EXACTLY this batch pass, so both halves verify against one oracle.
+IMPORTANCE_SELECT_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, u.tok,
          CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
@@ -346,8 +412,10 @@ SELECT doc_id, n_toks, score_micros, avg_micros, rank FROM (
            ORDER BY score_micros // n_toks DESC, doc_id ASC) AS BIGINT) AS rank
   FROM scored)
 WHERE rank <= {DSIR_TOP}
-""",
-)
+"""
+
+
+@query("q_importance_select", oracle=IMPORTANCE_SELECT_ORACLE)
 def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted DATA SELECTION by hashed n-gram importance weighting —
     the DSIR shape (Xie et al. 2023): score every corpus document by
@@ -376,63 +444,25 @@ def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded into one combinable groupBy(doc_id). The top-{DSIR_TOP} cut
     is a global sort-limit (TakeOrderedAndProject — distributed top-k,
     no single-reducer corpus window); the rank column is computed on
-    the {DSIR_TOP}-row result."""
+    the {DSIR_TOP}-row result. The featurize → score tail is shared
+    verbatim with s_importance_select (token_bucket /
+    importance_rank)."""
     tune(spark)
-    from pyspark.sql import Window
-
-    B = DSIR_BUCKETS
     d = fan_out(table(spark, sf_dir, "documents"), spark).select("doc_id", "text")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B).alias(
-            "b"
-        ),
-    )
+    ).select("doc_id", token_bucket(F.col("tok")).alias("b"))
     tgt = (
         tok.filter(F.col("doc_id") < DECON_BENCH_DOCS)
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
     )
-    cor = cache_scoped(tok.filter(F.col("doc_id") >= DECON_BENCH_DOCS))
-    q_b = cor.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("q_b"))
-    totals = tgt.agg(
-        F.coalesce(F.sum("t_b"), F.lit(0)).cast("long").alias("t_total")
-    ).crossJoin(cor.agg(F.count(F.lit(1)).cast("long").alias("q_total")))
-    ratio = (
-        q_b.join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.expr(
-                f"(1000000 * (coalesce(t_b, 0) + 1) * (q_total + {B}))"
-                f" DIV ((q_b + 1) * (t_total + {B}))"
-            )
-            .cast("long")
-            .alias("ratio_micros"),
-        )
+    cor_counts = cache_scoped(
+        tok.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    scored = (
-        cor.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum("ratio_micros").cast("long").alias("score_micros"),
-        )
-        .withColumn(
-            "avg_micros", F.expr("score_micros DIV n_toks").cast("long")
-        )
-    )
-    top = scored.orderBy(
-        F.col("avg_micros").desc(), F.col("doc_id").asc()
-    ).limit(DSIR_TOP)
-    w = Window.partitionBy().orderBy(
-        F.col("avg_micros").desc(), F.col("doc_id").asc()
-    )
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "doc_id", "n_toks", "score_micros", "avg_micros", "rank"
-    )
+    return importance_rank(cor_counts, tgt)
 
 
 @query(

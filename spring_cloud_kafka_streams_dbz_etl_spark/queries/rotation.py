@@ -870,6 +870,10 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # 4. q_importance_select (DSIR-shape targeted data selection: hashed
 # token buckets, integer add-one-smoothed target/corpus ratio score,
 # distributed top-k — completes the mixture family document-side).
+# 5. s_importance_select (its streaming half: frozen target store +
+# per-slice featurized partials via the shared token_bucket map,
+# read-time scoring through the shared importance_rank tail — the
+# ratios need full-corpus totals; SHARED oracle).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

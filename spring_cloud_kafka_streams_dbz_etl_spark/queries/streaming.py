@@ -3536,3 +3536,80 @@ def s_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bench_docs").cast("bigint").alias("n_bench_docs"),
         )
     )
+
+
+@query("s_importance_select", oracle=_curation.IMPORTANCE_SELECT_ORACLE)
+def s_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_importance_select's STREAMING half: DSIR-shape targeted data
+    selection maintained as crawl slices land. The TARGET domain sample
+    is fixed up front (docs 0..DECON_BENCH_DOCS, the bench-docs
+    convention), so its hashed-bucket counts are frozen ONCE to a
+    target store — the s_decontaminate train-once rule. Each arriving
+    corpus slice is FEATURIZED into (doc_id, bucket, cnt) integer
+    partials through the SHARED token_bucket feature map
+    (streaming/curation.py::importance_partials — batch-id-keyed
+    dynamic partition overwrite, replay-idempotent, no cross-batch
+    state: a doc's tokens all live in its own slice). Scoring happens
+    at READ time through the SHARED importance_rank tail because the
+    smoothed bucket ratios depend on full-corpus totals that only
+    exist once every slice has landed — per-batch scores would bake in
+    a partial denominator. Both halves verify against the SAME oracle.
+
+    Scale: per batch the corpus-sized work is one token explode folded
+    into one combinable groupBy(doc_id, bucket); the featurized store
+    grows by the slice's distinct (doc, bucket) pairs (~16 B each —
+    DSIR's sparse feature vectors as a table). Read-time work is
+    partial-store-sized: bucket totals are a ≤DSIR_BUCKETS-row
+    aggregate, scoring is one groupBy(doc_id) over the partials, and
+    the top cut is a distributed sort-limit. Corrections never recount
+    prior slices — each slice owns its partition."""
+    from ..streaming.curation import importance_partials
+
+    tune(spark)
+    src = _tmp("dsir_src")
+    tgt_store = _tmp("dsir_tgt")
+    feat_store = _tmp("dsir_feat")
+    ckpt = _tmp("dsir_ckpt")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # freeze the target bucket counts once (target-sample-sized)
+    (
+        d.filter(F.col("doc_id") < _curation.DECON_BENCH_DOCS)
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .select(_curation.token_bucket(F.col("tok")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tgt_store)
+    )
+    corpus = d.filter(F.col("doc_id") >= _curation.DECON_BENCH_DOCS)
+    sliced = corpus.withColumn("bucket", F.col("doc_id") % 3)
+    buckets = sorted(r[0] for r in sliced.select("bucket").distinct().collect())
+    first = sliced.filter(F.col("bucket") == buckets[0]).drop("bucket")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, e: importance_partials(b, e, feat_store))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for bk in buckets[1:]:
+            sliced.filter(F.col("bucket") == bk).drop("bucket").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    tgt = spark.read.schema("b long, t_b long").parquet(tgt_store)
+    feats = spark.read.schema("doc_id long, b long, cnt long, batch_id long").parquet(
+        feat_store
+    ).select("doc_id", "b", "cnt")
+    return _curation.importance_rank(feats, tgt)

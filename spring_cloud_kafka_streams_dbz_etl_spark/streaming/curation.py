@@ -304,6 +304,41 @@ def decon_partials(
     )
 
 
+def importance_partials(batch: DataFrame, epoch: int, feat_store: str) -> None:
+    """Per-micro-batch kernel of s_importance_select
+    (queries/streaming.py): FEATURIZE the arriving corpus slice into
+    hashed-bucket counts — one combinable groupBy(doc_id, bucket) over
+    the slice via the SHARED token_bucket feature map — and commit the
+    (doc_id, b, cnt) partial keyed by batch id through dynamic
+    partition overwrite. The featurized store IS DSIR's hashed-feature
+    representation of the corpus (sparse integer count vectors,
+    ~16 B/pair); scoring happens at READ time against the frozen
+    target store because the bucket ratios depend on FULL-corpus
+    totals, which only exist once all slices have landed — committing
+    scores per batch would bake in a partial denominator. A pure
+    function of the batch (a doc's tokens all live in its own slice),
+    so checkpoint-recovery replays rewrite their own partition in
+    place; no cross-batch state."""
+    from ..queries.curation import token_bucket
+
+    feats = (
+        batch.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .select("doc_id", token_bucket(F.col("tok")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    (
+        feats.withColumn("batch_id", F.lit(epoch).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(feat_store)
+    )
+
+
 def mix_partials(batch: DataFrame, epoch: int, cells_store: str) -> None:
     """Per-micro-batch kernel of s_source_mix_drift
     (queries/streaming.py): one combinable groupBy(slice_id, source)

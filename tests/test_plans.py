@@ -2311,6 +2311,23 @@ def test_quality_length_corr_single_combinable_aggregate(spark, sf_smoke):
     )
 
 
+def test_importance_select_stream_reads_features_not_corpus(spark, sf_smoke):
+    """s_importance_select's scale claim: the registered final plan
+    scores entirely over the FEATURIZED partials the micro-batches
+    committed plus the frozen target store — it never rescans the
+    corpus (documents parquet) for the selection itself."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import explain_str
+
+    df = SPECS["s_importance_select"].fn(spark, sf_smoke)
+    text = explain_str(df)
+    scans = [
+        line
+        for line in text.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    ]
+    assert not scans, f"selection rescans the corpus:\n{text[:1500]}"
+
+
 def test_source_mix_drift_stream_reads_cells_not_corpus(spark, sf_smoke):
     """s_source_mix_drift's scale claim: the registered final plan runs
     entirely over the (slice, source) CELLS store the micro-batches

@@ -1026,6 +1026,42 @@ def test_decon_partials_replay_idempotent(spark, sf_dir):
     assert snapshot() == after_clean
 
 
+def test_importance_partials_replay_idempotent(spark, sf_dir):
+    """s_importance_select's exactly-once contract: replaying an
+    epoch's featurizer kernel leaves the feature store byte-identical —
+    partials are a pure function of the batch committed through
+    batch-id-keyed dynamic partition overwrite, and scoring happens at
+    read time so no cross-batch state can bake in a partial
+    denominator."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.streaming.curation import (
+        importance_partials,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    feat_store = tempfile.mkdtemp(prefix="dsir_feat_")
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(feat_store).collect()
+        )
+
+    importance_partials(b0, 0, feat_store)
+    importance_partials(b1, 1, feat_store)
+    after_clean = snapshot()
+    importance_partials(b1, 1, feat_store)  # replay newest epoch
+    assert snapshot() == after_clean
+    importance_partials(b0, 0, feat_store)  # out-of-order replay
+    assert snapshot() == after_clean
+
+
 def test_is_path_missing_classifies_by_error_class_first():
     """The first-batch guard's classifier (ADVICE r16): when the
     exception carries a Spark error class, that class DECIDES — a
