@@ -874,6 +874,11 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
 # per-slice featurized partials via the shared token_bucket map,
 # read-time scoring through the shared importance_rank tail — the
 # ratios need full-corpus totals; SHARED oracle).
+# 6. q_budget_prune (budget-constrained quality pruning — exact greedy
+# knapsack on a total integer order, executed as the two-phase
+# bucket-quantile shape; per-doc windows confined to the boundary
+# bucket). The r17 reserve is exhausted; additions beyond it defer per
+# the process rule (<=5 deferred at round end).
 DEFERRED_NEW: frozenset[str] = frozenset()
 
 

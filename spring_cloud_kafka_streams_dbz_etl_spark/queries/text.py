@@ -3003,6 +3003,151 @@ def q_gate_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_BUDGET_PPM = 400_000  # keep the best 40% of corpus tokens
+
+
+@query(
+    "q_budget_prune",
+    # q_micros comes from the SHARED _QSCORE_SQL fragment (the ADVICE-r16
+    # rule: never re-inline the composite score in an oracle).
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CAST(FLOOR(1000000.0 * ({{qscore}})) AS BIGINT) AS q_micros
+  FROM documents
+), tot AS (
+  SELECT (SUM(n_toks) * {PRUNE_BUDGET_PPM}) // 1000000 AS budget FROM scored
+), ordered AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (ORDER BY q_micros DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN cum <= t.budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN cum <= t.budget THEN n_toks END), 0)
+           AS BIGINT) AS tokens_kept,
+       CAST((1000000 * COALESCE(SUM(CASE WHEN cum <= t.budget THEN n_toks END), 0))
+            // SUM(n_toks) AS BIGINT) AS kept_token_ppm
+FROM ordered CROSS JOIN tot t
+GROUP BY source
+""".format(qscore=_QSCORE_SQL),
+)
+def q_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-CONSTRAINED quality pruning — "keep the best 40% of
+    tokens" (PRUNE_BUDGET_PPM): rank the corpus by the
+    shared quality score (ties on doc_id) and keep documents while the
+    running token total fits the budget — the data-pruning move behind
+    quality-filtered pretraining cuts, stated as the exact greedy
+    knapsack on a TOTAL integer order so both engines keep the
+    identical document set. Output is the per-source audit (docs and
+    tokens kept vs present, kept share in ppm) — the view that shows
+    which feeds the budget squeezes out.
+
+    Scale: the oracle states a global running sum, but the registered
+    plan NEVER sorts the corpus on one partition — the
+    q_temporal_split_embargo two-phase quantile shape on the quality
+    axis: (1) one combinable groupBy(q_micros DIV 1000) rolls the
+    corpus to a ≤1001-row bucket relation, (2) a cumulative sum over
+    that planner-sized rollup locates the BOUNDARY bucket and its
+    remaining budget, (3) a rank window confined to that one
+    ~1/1000-of-the-corpus bucket resolves the exact per-doc cut.
+    Higher buckets keep wholesale, lower drop wholesale; the boundary
+    relation broadcasts back (1 row), the keep flag is a pure map, and
+    the audit one combinable groupBy(source). The boundary bucket's
+    per-doc keeps fold into a per-SOURCE tally that joins the wholesale
+    audit on the |sources|-row key — the boundary never joins back to
+    the corpus row-by-row (a corpus/1000-sized broadcast would not
+    survive 100 TB)."""
+    from ..operators.curation import quality_score
+
+    tune(spark)
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    scored = cache_scoped(
+        d.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+            F.floor(F.lit(1000000.0) * quality_score(F.col("text")))
+            .cast("long")
+            .alias("q_micros"),
+        ).withColumn("qb", F.expr("q_micros DIV 1000").cast("long"))
+    )
+    from pyspark.sql import Window
+
+    buckets = scored.groupBy("qb").agg(F.sum("n_toks").alias("c"))
+    wcum = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = buckets.select(
+        "qb",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.expr(f"(sum(c) OVER () * {PRUNE_BUDGET_PPM}) DIV 1000000")
+        .alias("budget"),
+    )
+    # the first bucket (quality-descending) that overflows the budget;
+    # .agg over the 1-row limit makes the relation ALWAYS 1 row (nulls
+    # when the whole corpus fits) so the broadcast never empties out
+    boundary = (
+        cum.filter(F.col("cum") > F.col("budget"))
+        .orderBy(F.col("qb").desc())
+        .limit(1)
+        .select("qb", (F.col("budget") - (F.col("cum") - F.col("c"))).alias("rem"))
+        .agg(F.max("qb").alias("b_star"), F.max("rem").alias("rem"))
+    )
+    wtie = Window.partitionBy("qb").orderBy(
+        F.col("q_micros").desc(), F.col("doc_id").asc()
+    )
+    boundary_audit = (
+        scored.join(F.broadcast(boundary), F.col("qb") == F.col("b_star"))
+        .withColumn("wcum", F.sum("n_toks").over(wtie))
+        .filter(F.col("wcum") <= F.col("rem"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("b_kept"),
+            F.sum("n_toks").cast("long").alias("b_tokens"),
+        )
+    )
+    base = (
+        scored.crossJoin(F.broadcast(boundary.select("b_star")))
+        .withColumn(
+            "high", F.col("b_star").isNull() | (F.col("qb") > F.col("b_star"))
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.sum(F.when(F.col("high"), 1).otherwise(0))
+            .cast("long")
+            .alias("h_kept"),
+            F.coalesce(F.sum(F.when(F.col("high"), F.col("n_toks"))), F.lit(0))
+            .cast("long")
+            .alias("h_tokens"),
+        )
+    )
+    return base.join(boundary_audit, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("h_kept") + F.coalesce(F.col("b_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+        (F.col("h_tokens") + F.coalesce(F.col("b_tokens"), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.expr(
+            "CAST((1000000 * (h_tokens + coalesce(b_tokens, 0)))"
+            " DIV tokens AS BIGINT)"
+        ).alias("kept_token_ppm"),
+    )
+
+
 @query(
     "q_quality_length_corr",
     # quality comes from the SHARED scored CTE (_CURATION_STAGES_SQL) so

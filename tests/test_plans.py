@@ -2311,6 +2311,37 @@ def test_quality_length_corr_single_combinable_aggregate(spark, sf_smoke):
     )
 
 
+def test_budget_prune_no_corpus_sized_global_sort(spark, sf_smoke):
+    """q_budget_prune's scale claim: the oracle's global running sum is
+    executed as the two-phase quantile shape — the only UNPARTITIONED
+    cumulative windows run over the ≤1001-row quality-bucket rollup,
+    and every per-DOC window (the one ordering by doc_id) is
+    partitioned by the bucket key, i.e. confined to the single boundary
+    bucket; the boundary scalar rides the plan's one sanctioned 1-row
+    broadcast nested-loop join."""
+    import re
+
+    from spring_cloud_kafka_streams_dbz_etl_spark.plans import (
+        explain_str,
+        read_schema_columns,
+    )
+
+    df = SPECS["q_budget_prune"].fn(spark, sf_smoke)
+    for cols in read_schema_columns(df):
+        assert cols <= {"doc_id", "source", "text"}, (
+            f"scan reads too much: {cols}"
+        )
+    text = explain_str(df)
+    assert "CartesianProduct" not in text, text[:2000]
+    assert text.count("BroadcastNestedLoopJoin Cross") == 1, text[:2000]
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", text):
+        spec = m.group(1)
+        if "doc_id" in spec:
+            assert spec.split(",")[0].startswith("qb"), (
+                f"per-doc window not bucket-partitioned: {m.group(0)[:160]}"
+            )
+
+
 def test_importance_select_stream_reads_features_not_corpus(spark, sf_smoke):
     """s_importance_select's scale claim: the registered final plan
     scores entirely over the FEATURIZED partials the micro-batches
