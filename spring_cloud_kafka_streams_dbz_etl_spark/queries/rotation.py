@@ -624,6 +624,18 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # first (_is_path_missing), message substring only as the classless
 # fallback; same guard-narrowing class that re-fronted s_curation_funnel
 # in r16, so both re-front again.
+# r17 full-restamp adjudication (fresh sweep diffed against
+# `git show HEAD:PLAN_STAMPS.json`): 4 plan-hash changes —
+# s_source_mix_drift + s_dup_timeline are the expected slice_id-kernel
+# rewrites (first is listed here; second is zero-row and fronts);
+# q_decontaminate + q_dataset_card are RewriteDistinctAggregates
+# gid-order JVM variance, newly evidence-backed into
+# tools/plan_stamps.py::PROCESS_VARIANT (A/B dumps show only the gid
+# swap; the r16-code worktree reproduces the r17 hash in isolation) —
+# no re-front. 45 closure-only flags: the adjudicated scratch-helper
+# class above plus the three _is_path_missing guard consumers already
+# re-fronting. 1 src-only (q_gate_interaction — oracle now built from
+# the shared _QSCORE_SQL; plan+closures identical, zero-row, fronts).
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {"s_source_mix_drift", "s_curation_funnel", "s_curation_incremental"}
 )

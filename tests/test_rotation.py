@@ -18,7 +18,7 @@ import pytest
 from spring_cloud_kafka_streams_dbz_etl_spark.queries import rotation
 
 
-CURRENT_ROUND = 15
+CURRENT_ROUND = 16
 WINDOW = 50
 STALENESS_BAR = 6
 
@@ -34,16 +34,26 @@ def test_prior_round_deferrals_front_the_window(registered):
     order = rotation.rotation_order(registered)
     fronted = set(order[:WINDOW])
     for name in (
-        "q_vocab_coverage",  # r15 deferral — first driver row in r16
-        # CHANGED_SINCE_CHECK re-fronts (r16): two-pass read-plan rebuild
-        # + the restamp's closure-only flags
-        "q_shard_read_plan",
-        "q_bloom_skip",
-        "q_shard_write_audit",
-        "q_source_mix_drift",
+        # r16 deferrals — first driver rows land in r17
+        "q_quality_gate_sweep",
+        "q_langid_gate_sweep",
+        "q_gate_interaction",
+        "s_dup_timeline",
+        "s_decontaminate",
+        # r17 reserve-slot registrations (zero rows, front automatically)
+        "q_knn_graph_ivf",
+        "q_knn_mutual",
+        "q_hybrid_retrieval",
+        "q_importance_select",
+        "s_importance_select",
+        "q_budget_prune",
+        # CHANGED_SINCE_CHECK re-fronts (r17): slice_id-kernel rewrite +
+        # the _is_path_missing guard consumers
+        "s_source_mix_drift",
         "s_curation_funnel",
+        "s_curation_incremental",
     ):
-        assert name in fronted, f"{name} must front the r16 window"
+        assert name in fronted, f"{name} must front the r17 window"
         assert name not in rotation.DEFERRED_NEW
 
 

@@ -169,6 +169,16 @@ HEAVY_QUERIES = (
     "q_quality_gate_sweep",
     "q_langid_gate_sweep",
     "q_gate_interaction",
+    # r17 reserve additions. q_knn_graph_ivf is the production-blocking
+    # demonstration (VERDICT r16 #5) — its curve should stay flat where
+    # q_knn_graph's label-blocked curve accelerates (x K^2 signature);
+    # measured side by side in SCALE.md (r17: 0.95x vs 3.0x per
+    # doubling at K=8).
+    "q_knn_graph_ivf",
+    "q_knn_mutual",
+    "q_hybrid_retrieval",
+    "q_importance_select",
+    "q_budget_prune",
 )
 
 

@@ -375,7 +375,17 @@ def closure_digest(root_fn) -> str:
 # semantically identical both ways. A plan-only diff on these is noise;
 # a plan+src diff still reports. Keep this list SHORT and evidence-backed
 # (A/B dumps in two fresh processes showing only the gid swap).
-PROCESS_VARIANT: frozenset[str] = frozenset({"q_tpch_q21"})
+# r17 additions, same mechanism each (A/B dumps on file for
+# q_decontaminate: the two contexts differ ONLY in gid labels 1<->2 and
+# the Expand projection order of its two COUNT(DISTINCT) groups;
+# q_dataset_card carries a THREE-group distinct Expand (gid 0/1/2) and
+# flipped between the r16 full sweep and every r17 context with src and
+# closures identical — the r16-code worktree reproduces the r17 hash in
+# isolation, proving the committed r16 stamp was the sweep-context
+# variant). Neither ever re-fronts on a plan-only diff.
+PROCESS_VARIANT: frozenset[str] = frozenset(
+    {"q_tpch_q21", "q_decontaminate", "q_dataset_card"}
+)
 
 
 def plan_text(df) -> str:
