@@ -50,6 +50,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small driver-local relation as ONE Arrow batch partition.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the collection
+    into ``defaultParallelism`` slices served to executors one socket
+    round-trip each; any downstream ``coalesce(1)`` (the single-file
+    commit idiom) then pays all 32 round-trips SEQUENTIALLY in one task —
+    measured ~6 s for a 4-row relation on local[32] (r17 optimization
+    round). The pandas path Arrow-serializes the same rows into a single
+    partition: the identical relation, one fetch, ~0.3 s including the
+    write. Use for every control-plane-sized local relation on a hot
+    path (txn range commits, per-batch rollup partials, knob grids).
+
+    ``schema`` is a DDL string or StructType; rows are tuples in schema
+    field order (the createDataFrame(list) convention, unchanged).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Decouple compute parallelism from source layout.
 

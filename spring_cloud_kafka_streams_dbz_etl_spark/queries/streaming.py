@@ -2163,7 +2163,7 @@ def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets -> durability."""
     from ..sources.kafka_replay import (
         decode_enriched_transcript,
-        enriched_record_producer,
+        encode_enriched,
         transcript_end_offsets,
     )
     from ..sources.pysource import register_kafka_transcript_source
@@ -2182,8 +2182,7 @@ def s_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
 
-    produce = enriched_record_producer(schema_id=9, n_partitions=4)
-    encoded = enriched.mapInPandas(produce, "key binary, value binary, partition int")
+    encoded = encode_enriched(enriched, schema_id=9, n_partitions=4)
     q = (
         encoded.writeStream.format("kafka_transcript")
         .option("path", topic_dir)

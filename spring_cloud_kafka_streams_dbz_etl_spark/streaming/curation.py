@@ -214,8 +214,11 @@ def funnel_partials(
         .partitionBy("batch_id")
         .parquet(digest_store)
     )
+    from ..catalog import local_rows
+
     (
-        s.createDataFrame(
+        local_rows(
+            s,
             [(int(counts["total"]), int(counts["k1"]),
               int(counts["k2"]), int(n_new), int(epoch))],
             "total long, k1 long, k2 long, k3 long, batch_id long",
