@@ -97,6 +97,41 @@ def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.repartition(par)
 
 
+def fan_out_vectorized(
+    df: DataFrame, spark: SparkSession, bytes_per_task: int = 8 << 20
+) -> DataFrame:
+    """Scale-adaptive fan-out for VECTORIZED Arrow kernels (~ns/row work:
+    the ANN argmin/encode family). :func:`fan_out` spreads to cluster
+    parallelism unconditionally — right for per-row-expensive kernels
+    (md5 shingling, codecs), but a tiny relation shatters into
+    per-task Python overhead that dwarfs the compute: at sf0.1 the
+    2000-row embeddings table became 32 ~60-row Arrow batches, and every
+    training/encode pass paid 32 worker round-trips for microseconds of
+    numpy (r17 job profile: 0.5-1.4 s per 32-task stage). Partition
+    count here derives from INPUT SIZE (guide §2: scale-adaptive, not a
+    core-count constant): ~8 MB of parquet per task, floored at 1,
+    capped at cluster parallelism. A 100 TB corpus saturates the cap (and
+    its scan parallelizes naturally, making the repartition a no-op); a
+    fixture-sized relation stays in one well-fed batch."""
+    import os as _os
+
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover
+        par = 8
+    try:
+        nbytes = sum(
+            _os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+        )
+    except Exception:
+        return fan_out(df, spark)
+    n = max(1, min(int(nbytes // bytes_per_task) + 1, par))
+    cur = df.rdd.getNumPartitions()
+    if cur == n or (1 < cur <= n):
+        return df
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -877,6 +877,101 @@ def _assign_arrow(
     return base.mapInPandas(go, "__id long, iv array<long>, cell int, dist double")
 
 
+def _lloyd_stats_arrow(
+    base: DataFrame, cents: list[list[float]], dim: int, int_scale: int
+) -> dict[int, tuple[int, list[int]]]:
+    """One Lloyd round's sufficient statistics, FUSED into the assignment
+    kernel (r17 optimization): the mapInPandas pass that argmin-routes each
+    batch also folds that batch's per-cell integer sums/counts in NumPy, so
+    what leaves Python is one ≤k-row partial per Arrow batch instead of the
+    dim-exploded corpus (the old posexplode path shuffled 64 rows per
+    vector into the hash aggregate every round). The tiny partials combine
+    in one map-side-combinable groupBy(cell); integer addition is
+    associative, so the global (sum, n) — and the centroid division — are
+    bit-identical to the exploded form. Returns {cell: (n, [s_d])}."""
+    C = [list(map(float, c)) for c in cents]
+
+    def go(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict[int, tuple[int, object]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            IV = np.array([np.asarray(x, dtype=np.int64) for x in pdf["iv"]])
+            cellv, _ = _argmin_cells(IV, C, dim, int_scale)
+            for c in np.unique(cellv):
+                m = cellv == c
+                n, s = int(m.sum()), IV[m].sum(axis=0)
+                if int(c) in acc:
+                    pn, ps = acc[int(c)]
+                    acc[int(c)] = (pn + n, ps + s)
+                else:
+                    acc[int(c)] = (n, s)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc.keys()),
+                    "n": [v[0] for v in acc.values()],
+                    "s": [v[1].tolist() for v in acc.values()],
+                }
+            )
+
+    partials = base.mapInPandas(go, "cell int, n long, s array<long>")
+    # Few-partition inputs (the usual case after catalog.fan_out_vectorized)
+    # collect the ≤k-rows-per-partition partials straight to the driver and
+    # reduce there — no exchange, no AQE stage job per round. Wide layouts
+    # keep the map-side-combinable groupBy so driver traffic stays bounded
+    # by k×dim, not partitions×k×dim. Both reduce the same integer sums in
+    # a different (associative) order — centroids are bit-identical.
+    if base.rdd.getNumPartitions() <= 64:
+        out: dict[int, tuple[int, list[int]]] = {}
+        for r in partials.collect():
+            cell, n, s = int(r["cell"]), int(r["n"]), [int(x) for x in r["s"]]
+            if cell in out:
+                pn, ps = out[cell]
+                out[cell] = (pn + n, [a + b for a, b in zip(ps, s)])
+            else:
+                out[cell] = (n, s)
+        return out
+    rows = (
+        partials.groupBy("cell")
+        .agg(
+            F.sum("n").alias("n"),
+            *[
+                F.sum(F.element_at("s", d + 1)).alias(f"s{d}")
+                for d in range(dim)
+            ],
+        )
+        .collect()
+    )
+    return {
+        int(r["cell"]): (int(r["n"]), [int(r[f"s{d}"]) for d in range(dim)])
+        for r in rows
+    }
+
+
+def _lloyd_stats_exploded(
+    assigned: DataFrame, dim: int
+) -> dict[int, tuple[int, list[int]]]:
+    """The original posexplode statistics path — retained for the
+    zero-Python ``assign_expr`` reference implementation."""
+    stats = (
+        assigned.select("cell", F.posexplode("iv").alias("d", "x"))
+        .groupBy("cell", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in stats:
+        by_cell.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
+    return {
+        cell: (ds[0][1], [ds[d][0] for d in range(dim)])
+        for cell, ds in by_cell.items()
+    }
+
+
 def _lloyd_train(
     base: DataFrame,
     k: int,
@@ -884,13 +979,15 @@ def _lloyd_train(
     dim: int,
     int_scale: int,
     assign_impl,
+    stats_impl=None,
 ) -> list[list[float]]:
     """The shared Lloyd loop (MLlib shape): seeds are the k first rows
     in :func:`_seed_hash` order (deterministic k-means++-style spread —
     no RNG, hash-decorrelated from id locality, tie-break on id; cell c
     is the c-th seed in that order on BOTH engines); each round is one
-    assignment pass (``assign_impl``) plus ONE groupBy(cell, d) shuffle
-    of k×dim partial sums — bytes independent of corpus size — and a
+    fused assignment+partial-sum pass (``stats_impl``, default the Arrow
+    kernel :func:`_lloyd_stats_arrow`) whose only shuffle is the ≤k-row-
+    per-Arrow-batch partials — bytes independent of corpus size — and a
     k×dim collect to rebuild the driver-side model. Empty cells keep
     their previous centroid. Returns the trained k×dim centroid list."""
     seeds = base.orderBy(_seed_hash(F.col("__id")), "__id").limit(k).collect()
@@ -898,21 +995,16 @@ def _lloyd_train(
         raise ValueError(f"corpus has fewer than k={k} vectors")
     # centroid c[cell][d] as exact double: sum_int / (n * int_scale)
     cents = [[float(r.iv[d]) / float(int_scale) for d in range(dim)] for r in seeds]
+    if stats_impl is None:
+        # generic fallback: run the caller's assignment and aggregate the
+        # exploded statistics (the expr-reference path keeps this shape)
+        stats_impl = lambda c: _lloyd_stats_exploded(assign_impl(c), dim)  # noqa: E731
     for _ in range(iters):
-        assigned = assign_impl(cents)
-        stats = (
-            assigned.select("cell", F.posexplode("iv").alias("d", "x"))
-            .groupBy("cell", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cell.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
+        by_cell = stats_impl(cents)
         cents = [
             [
-                float(by_cell[cell][d][0])
-                / (float(by_cell[cell][d][1]) * float(int_scale))
+                float(by_cell[cell][1][d])
+                / (float(by_cell[cell][0]) * float(int_scale))
                 if cell in by_cell
                 else cents[cell][d]  # empty cell keeps its centroid
                 for d in range(dim)
@@ -920,6 +1012,22 @@ def _lloyd_train(
             for cell in range(k)
         ]
     return cents
+
+
+def int_vectors_prepared(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    int_scale: int = 1_000_000,
+) -> DataFrame:
+    """The (__id, iv) integer projection as a caller-owned relation, for
+    sharing ONE persisted copy across a train+encode+serve pipeline
+    (r17: q_ann_pq_recall_trained_cb ran four independent fan_out scans
+    and two private persists of this same projection). Pass the
+    persisted result as ``prepared=`` to :func:`kmeans_fit`,
+    :func:`pq_train` and :func:`ivf_assign_encode`; values are identical
+    to each operator's private projection by construction."""
+    return _int_vectors(df, id_col, vec_col, int_scale)
 
 
 def kmeans_fit(
@@ -930,6 +1038,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     dim: int = 64,
     int_scale: int = 1_000_000,
+    prepared: DataFrame | None = None,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer and return only the centroid MODEL
     (k×dim doubles) — the artifact a real index build persists and ships
@@ -945,8 +1054,11 @@ def kmeans_fit(
     ``k=None`` (the default) sizes the quantizer from the training
     corpus via :func:`ivf_cells_for` — the count() runs on the already-
     persisted integer projection, so it costs one pass the Lloyd rounds
-    were about to pay for anyway."""
-    base = _int_vectors(df, id_col, vec_col, int_scale).persist()
+    were about to pay for anyway. ``prepared`` (a caller-persisted
+    :func:`int_vectors_prepared` relation) skips the private projection
+    and its persist/unpersist — identical training, shared scan."""
+    own = prepared is None
+    base = _int_vectors(df, id_col, vec_col, int_scale).persist() if own else prepared
     try:
         if k is None:
             k = ivf_cells_for(base.count())
@@ -957,9 +1069,11 @@ def kmeans_fit(
             dim,
             int_scale,
             lambda c: _assign_arrow(base, c, dim, int_scale),
+            stats_impl=lambda c: _lloyd_stats_arrow(base, c, dim, int_scale),
         )
     finally:
-        base.unpersist()
+        if own:
+            base.unpersist()
 
 
 def ivf_assign(
@@ -1033,6 +1147,46 @@ def ivf_probe(
     return base.mapInPandas(go, "__id long, cell int, probe_rank int").select(
         F.col("__id").alias(id_col), "cell", "probe_rank"
     )
+
+
+def ivf_probe_pd(
+    probes_pd,
+    cents: list[list[float]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+):
+    """Driver-side twin of :func:`ivf_probe` for a control-plane-sized
+    probe set that is ALREADY in pandas (r17: the serving queries ran a
+    full mapInPandas pass plus a shuffle join to route 8 probe rows).
+    Same integerization (floor(x·int_scale) on the double cast), same
+    :func:`_cell_dists` fold, same stable argsort tie-break — the
+    (probe × nprobe) frame is row-for-row the probes⋈ivf_probe join.
+    Appends a ``cell`` int32 column, one row per (probe, probe_rank)."""
+    import numpy as np
+
+    C = [list(map(float, c)) for c in cents]
+    npb = int(nprobe)
+    if not 1 <= npb <= len(C):
+        raise ValueError(f"nprobe must be in [1, {len(C)}], got {nprobe}")
+    if not len(probes_pd):
+        out = probes_pd.copy()
+        out["cell"] = np.array([], dtype="int32")
+        return out
+    IV = np.array(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * float(int_scale)).astype(
+                np.int64
+            )
+            for v in probes_pd[vec_col]
+        ]
+    )
+    dists = _cell_dists(IV, C, dim, int_scale)
+    order = np.argsort(dists, axis=1, kind="stable")[:, :npb]
+    rep = probes_pd.loc[probes_pd.index.repeat(npb)].reset_index(drop=True)
+    rep["cell"] = order.reshape(-1).astype("int32")
+    return rep
 
 
 def kmeans_cells(
@@ -1109,7 +1263,19 @@ def kmeans_cells(
         return _assign_arrow(base, cents_now, dim, int_scale)
 
     assign_impl = assign if use_arrow else assign_expr
-    cents = _lloyd_train(base, k, iters, dim, int_scale, assign_impl)
+    cents = _lloyd_train(
+        base,
+        k,
+        iters,
+        dim,
+        int_scale,
+        assign_impl,
+        stats_impl=(
+            (lambda c: _lloyd_stats_arrow(base, c, dim, int_scale))
+            if use_arrow
+            else None
+        ),
+    )
 
     out = assign_impl(cents).select(
         F.col("__id").alias(id_col),
@@ -1221,6 +1387,7 @@ def pq_train(
     iters: int = PQT_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepared: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train all ``subspaces`` PQ codebooks in ONE distributed Lloyd run
     — the step that separates a usable IVF-PQ index from the fixed
@@ -1244,7 +1411,9 @@ def pq_train(
     twin is the relational chain in queries/similarity._pq_train_cte_chain.
     """
     sub = dim // subspaces
-    base = _int_vectors(df, id_col, vec_col, int_scale)
+    base = (
+        _int_vectors(df, id_col, vec_col, int_scale) if prepared is None else prepared
+    )
     slices = F.array(
         *[
             F.struct(
@@ -1264,11 +1433,15 @@ def pq_train(
         # limit(k*subspaces) over (__id, m) rows assumed unique ids with
         # exactly `subspaces` rows each — a duplicate id could leave
         # None codebook slots). Ranks follow _seed_hash order, the same
-        # deterministic spread the cell trainer uses.
+        # deterministic spread the cell trainer uses. r17: both seed jobs
+        # run on the UNEXPLODED base (k full iv rows slice locally into
+        # the k×subspaces subvectors — identical values, 1/subspaces the
+        # scanned rows); the duplicate-id raise is preserved verbatim
+        # (base.filter(isin) yields >k rows iff a seed id repeats).
         # (Row.__id needs item access — PySpark blocks dunder attributes.)
         seed_ids = [
             r["__id"]
-            for r in sv.select("__id")
+            for r in base.select("__id")
             .distinct()
             .orderBy(_seed_hash(F.col("__id")), "__id")
             .limit(k)
@@ -1277,25 +1450,38 @@ def pq_train(
         if len(seed_ids) < k:
             raise ValueError(f"corpus has fewer than k={k} vectors")
         rank_of = {vid: i for i, vid in enumerate(seed_ids)}
-        seed_rows = sv.filter(F.col("__id").isin(seed_ids)).collect()
-        if len(seed_rows) != k * subspaces:
+        seed_rows = base.filter(F.col("__id").isin(seed_ids)).collect()
+        if len(seed_rows) != k:
             raise ValueError(
                 f"seed ids are not unique in the corpus: expected "
-                f"{k * subspaces} (id, m) rows, got {len(seed_rows)}"
+                f"{k * subspaces} (id, m) rows, got {len(seed_rows) * subspaces}"
             )
         cb: list[list[list[float]]] = [[None] * k for _ in range(subspaces)]
         for r in seed_rows:
-            cb[r.m][rank_of[r["__id"]]] = [
-                float(x) / float(int_scale) for x in r.siv
-            ]
+            rank = rank_of[r["__id"]]
+            for m in range(subspaces):
+                cb[m][rank] = [
+                    float(x) / float(int_scale)
+                    for x in r.iv[m * sub : (m + 1) * sub]
+                ]
 
-        def assign(cb_now: list[list[list[float]]]) -> DataFrame:
+        def stats_pass(
+            cb_now: list[list[list[float]]],
+        ) -> dict[tuple[int, int], tuple[int, list[int]]]:
+            """One PQ Lloyd round's sufficient statistics, fused into the
+            per-subspace argmin kernel (r17 optimization — the kmeans
+            `_lloyd_stats_arrow` shape over (m, code)): each Arrow batch
+            leaves Python as ≤subspaces×k partial-sum rows instead of the
+            sub-dim-exploded subvector relation; the combinable
+            groupBy(m, code) reduces them, and integer-sum associativity
+            keeps the centroid divisions bit-identical."""
             C = [[list(map(float, c)) for c in bk] for bk in cb_now]
 
             def go(batches):
                 import numpy as np
                 import pandas as pd
 
+                acc: dict[tuple[int, int], tuple[int, object]] = {}
                 for pdf in batches:
                     if not len(pdf):
                         continue
@@ -1303,40 +1489,68 @@ def pq_train(
                     IVS = np.array(
                         [np.asarray(x, dtype=np.int64) for x in pdf["siv"]]
                     )
-                    code = np.empty(len(pdf), dtype="int32")
                     for m in np.unique(mv):
                         mask = mv == m
-                        cm, _ = _argmin_cells(IVS[mask], C[int(m)], sub, int_scale)
-                        code[mask] = cm
+                        sub_iv = IVS[mask]
+                        cm, _ = _argmin_cells(sub_iv, C[int(m)], sub, int_scale)
+                        for code in np.unique(cm):
+                            mm = cm == code
+                            key = (int(m), int(code))
+                            n, s = int(mm.sum()), sub_iv[mm].sum(axis=0)
+                            if key in acc:
+                                pn, ps = acc[key]
+                                acc[key] = (pn + n, ps + s)
+                            else:
+                                acc[key] = (n, s)
+                if acc:
                     yield pd.DataFrame(
                         {
-                            "m": mv,
-                            "siv": pdf["siv"],
-                            "code": code,
+                            "m": [k_[0] for k_ in acc],
+                            "code": [k_[1] for k_ in acc],
+                            "n": [v[0] for v in acc.values()],
+                            "s": [v[1].tolist() for v in acc.values()],
                         }
                     )
 
-            return sv.mapInPandas(go, "m int, siv array<long>, code int")
-
-        for _ in range(iters):
-            stats = (
-                assign(cb)
-                .select("m", "code", F.posexplode("siv").alias("d", "x"))
-                .groupBy("m", "code", "d")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            partials = sv.mapInPandas(go, "m int, code int, n long, s array<long>")
+            # same few-partition driver reduction as _lloyd_stats_arrow
+            if sv.rdd.getNumPartitions() <= 64:
+                out: dict[tuple[int, int], tuple[int, list[int]]] = {}
+                for r in partials.collect():
+                    key = (int(r["m"]), int(r["code"]))
+                    n, s = int(r["n"]), [int(x) for x in r["s"]]
+                    if key in out:
+                        pn, ps = out[key]
+                        out[key] = (pn + n, [a + b for a, b in zip(ps, s)])
+                    else:
+                        out[key] = (n, s)
+                return out
+            rows = (
+                partials.groupBy("m", "code")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[
+                        F.sum(F.element_at("s", d + 1)).alias(f"s{d}")
+                        for d in range(sub)
+                    ],
+                )
                 .collect()
             )
-            by_mc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-            for r in stats:
-                by_mc.setdefault((int(r.m), int(r.code)), {})[int(r.d)] = (
-                    int(r.s),
-                    int(r.n),
+            return {
+                (int(r["m"]), int(r["code"])): (
+                    int(r["n"]),
+                    [int(r[f"s{d}"]) for d in range(sub)],
                 )
+                for r in rows
+            }
+
+        for _ in range(iters):
+            by_mc = stats_pass(cb)
             cb = [
                 [
                     [
-                        float(by_mc[(m, code)][d][0])
-                        / (float(by_mc[(m, code)][d][1]) * float(int_scale))
+                        float(by_mc[(m, code)][1][d])
+                        / (float(by_mc[(m, code)][0]) * float(int_scale))
                         if (m, code) in by_mc
                         else cb[m][code][d]  # empty code keeps its centroid
                         for d in range(sub)
@@ -1411,6 +1625,65 @@ def pq_encode_cb(
         *keep_cols,
         "pq_codes",
         F.round(F.col("recon_err"), 6).alias("recon_err"),
+    )
+
+
+def ivf_assign_encode(
+    df: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    int_scale: int = 1_000_000,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`ivf_assign` ⋈ :func:`pq_encode_cb` fused into ONE Arrow
+    pass (r17 optimization): the index build routes each vector to its
+    trained cell AND encodes it against the trained codebooks from the
+    same in-memory batch, emitting (id, cell, pq_codes) directly — the
+    join-on-id shuffle between the two former passes disappears (the id
+    is unique, so the join result is exactly this row set). Cell argmin
+    and per-subspace code argmin are the identical `_argmin_cells`
+    kernels the split operators use, so every value is unchanged. At
+    100 TB this is the difference between scanning the corpus twice plus
+    shuffling it once, and scanning it once."""
+    base = (
+        _int_vectors(df, id_col, vec_col, int_scale) if prepared is None else prepared
+    )
+    subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [list(map(float, c)) for c in cents]
+    CB = [[list(map(float, c)) for c in bk] for bk in codebooks]
+
+    def go(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            IV = np.array([np.asarray(x, dtype=np.int64) for x in pdf["iv"]])
+            cellv, _ = _argmin_cells(IV, C, dim, int_scale)
+            n = len(IV)
+            codes = np.empty((n, subspaces), dtype=np.int64)
+            for m in range(subspaces):
+                cm, _dm = _argmin_cells(
+                    IV[:, m * sub : (m + 1) * sub], CB[m], sub, int_scale
+                )
+                codes[:, m] = cm
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "cell": cellv.astype("int32"),
+                    "pq_codes": [
+                        ",".join(str(int(x)) for x in row) for row in codes
+                    ],
+                }
+            )
+
+    return base.mapInPandas(go, "__id long, cell int, pq_codes string").select(
+        F.col("__id").alias(id_col), "cell", "pq_codes"
     )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import fan_out, fan_out_vectorized, table
 from ..functions.vector import cosine, has_nan, safe_div, to_double
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
@@ -128,7 +128,7 @@ def q_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation must exclude corrupt embeddings — NaN compares largest,
     # so one NaN vector would near-dup-match its entire cell
     e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
+        fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark)
         .filter(~has_nan(F.col("embedding")))
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
     )
@@ -288,7 +288,7 @@ def q_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # way) — corrupt embeddings don't enter the LSH index on either side
     e = table(spark, sf_dir, "embeddings").filter(~has_nan(F.col("embedding")))
     return hyperplane_lsh_pairs(
-        fan_out(e, spark),
+        fan_out_vectorized(e, spark),
         signs=_SIGNS,
         bands=LSH_BANDS,
         threshold=LSH_COS_MIN,
@@ -374,7 +374,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_encode
 
     tune(spark)
-    return pq_encode(fan_out(table(spark, sf_dir, "embeddings"), spark))
+    return pq_encode(fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark))
 
 
 def _pq_adc_oracle() -> str:
@@ -433,7 +433,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES).toPandas()
-    codes = pq_encode(fan_out(e, spark)).select("vec_id", "pq_codes")
+    codes = pq_encode(fan_out_vectorized(e, spark)).select("vec_id", "pq_codes")
     return pq_adc_topk(probes, codes, k=TOPK)
 
 
@@ -489,7 +489,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES).toPandas()
-    codes = pq_encode(fan_out(e, spark), keep_cols=("label",)).select(
+    codes = pq_encode(fan_out_vectorized(e, spark), keep_cols=("label",)).select(
         "vec_id", "label", "pq_codes"
     )
     return pq_adc_topk(probes, codes, k=TOPK, cell_col="label")
@@ -724,7 +724,7 @@ def q_ann_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_cells
 
     tune(spark)
-    cells = kmeans_cells(fan_out(table(spark, sf_dir, "embeddings"), spark))
+    cells = kmeans_cells(fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark))
     d = F.col("dist").cast("decimal(18,6)")
     # corpus total via an all-rows window over the k-row aggregate (the
     # q_embedding_drift shape) — no extra driver action, no second
@@ -773,7 +773,7 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_cells
 
     tune(spark)
-    return kmeans_cells(fan_out(table(spark, sf_dir, "embeddings"), spark))
+    return kmeans_cells(fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark))
 
 
 
@@ -1051,7 +1051,7 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    emb = fan_out(table(spark, sf_dir, "embeddings"), spark)
+    emb = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark)
     e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
     cells = kmeans_cells(emb).select("vec_id", F.col("cell").cast("int").alias("cell"))
     blocked = cache_scoped(e.join(cells, "vec_id"))  # both self-join sides
@@ -1233,7 +1233,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"), spark).select(
         "doc_id", "text"
     )
-    emb = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
+    emb = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark).select(
         F.col("vec_id").alias("doc_id"), to_double(F.col("embedding")).alias("v")
     )
     corpus = cache_scoped(
@@ -1350,7 +1350,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. At extreme probe counts, pre-bucket both sides with the
     hyperplane LSH (q_lsh_cosine) and score only shared buckets."""
     tune(spark)
-    e = fan_out(table(spark, sf_dir, "embeddings"), spark).select(
+    e = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     probes = e.filter(F.col("vec_id") % 20 == 0).select(
@@ -1652,7 +1652,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = probes.select(
         F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
     )
-    c = fan_out(e, spark).select(
+    c = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         to_double(F.col("embedding")).alias("__cv"),
     )
@@ -1679,7 +1679,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the index under audit: q_ann_ivfpq's exact serving plan
     probes_pd = probes.toPandas()
-    codes = pq_encode(fan_out(e, spark), keep_cols=("label",)).select(
+    codes = pq_encode(fan_out_vectorized(e, spark), keep_cols=("label",)).select(
         "vec_id", "label", "pq_codes"
     )
     approx = pq_adc_topk(probes_pd, codes, k=TOPK, cell_col="label").select(
@@ -1862,16 +1862,16 @@ def q_ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
     # train the coarse quantizer; model is k×dim driver-side doubles
-    cents = kmeans_fit(fan_out(e, spark))
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
 
     # the index under audit: trained-cell-partitioned PQ codes, probes
     # routed at serving time through the SAME kernel training used.
     # Multi-probe routing: each probe scans its nprobe_for(k) nearest trained
     # cells (probe_rank 1 is ivf_assign's cell); corpus cells are
     # disjoint so the per-probe rank window never sees duplicate pairs.
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     codes = (
-        pq_encode(fan_out(e, spark))
+        pq_encode(fan_out_vectorized(e, spark))
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
@@ -1893,7 +1893,7 @@ def _exact_topk(e, probes, spark) -> DataFrame:
     q = probes.select(
         F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("__qv")
     )
-    c = fan_out(e, spark).select(
+    c = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         to_double(F.col("embedding")).alias("__cv"),
     )
@@ -1940,7 +1940,7 @@ def _serve_topk(e, probes, short, spark) -> DataFrame:
         ),
         6,
     )
-    rvec = fan_out(e, spark).select(
+    rvec = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         to_double(F.col("embedding")).alias("__rv"),
     )
@@ -2045,7 +2045,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("__ql"),
         to_double(F.col("embedding")).alias("__qv"),
     )
-    c = fan_out(e, spark).select(
+    c = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("__cl"),
         to_double(F.col("embedding")).alias("__cv"),
@@ -2171,10 +2171,10 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
-    cents = kmeans_fit(fan_out(e, spark))
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     codes = (
-        pq_encode(fan_out(e, spark))
+        pq_encode(fan_out_vectorized(e, spark))
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
@@ -2192,7 +2192,7 @@ def q_hard_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("__ql"),
         to_double(F.col("embedding")).alias("__qv"),
     )
-    c = fan_out(e, spark).select(
+    c = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("__cl"),
         to_double(F.col("embedding")).alias("__cv"),
@@ -2358,8 +2358,8 @@ def q_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
-    cb = pq_train(fan_out(e, spark))
-    return pq_encode_cb(fan_out(e, spark), cb)
+    cb = pq_train(fan_out_vectorized(e, spark))
+    return pq_encode_cb(fan_out_vectorized(e, spark), cb)
 
 
 def _trained_l2_sql() -> str:
@@ -2504,31 +2504,35 @@ def q_ann_pq_recall_trained_cb(spark: SparkSession, sf_dir: str) -> DataFrame:
     one constant-shuffle Lloyd over exploded subvectors at build
     time."""
     from ..operators.similarity import (
-        ivf_assign,
-        ivf_probe,
+        int_vectors_prepared,
+        ivf_assign_encode,
+        ivf_probe_pd,
         kmeans_fit,
         nprobe_for,
         pq_adc_topk_cb,
-        pq_encode_cb,
         pq_train,
     )
+    from . import cache_scoped
 
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
-    cents = kmeans_fit(fan_out(e, spark))
-    cb = pq_train(fan_out(e, spark))
+    # r17: ONE persisted integer projection feeds cell training, codebook
+    # training, and the fused route+encode pass (was: four independent
+    # fan_out scans, two private persists, and a corpus join-on-id between
+    # assignment and encode — see ivf_assign_encode); partitioning derives
+    # from input bytes, not core count (catalog.fan_out_vectorized).
+    base = cache_scoped(int_vectors_prepared(fan_out_vectorized(e, spark)))
+    cents = kmeans_fit(e, prepared=base)
+    cb = pq_train(e, prepared=base)
 
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
-    codes = (
-        pq_encode_cb(fan_out(e, spark), cb)
-        .select("vec_id", "pq_codes")
-        .join(cells, "vec_id")
-    )
+    codes = ivf_assign_encode(e, cents, cb, prepared=base)
     nprobe = nprobe_for(len(cents))
-    pcells = ivf_probe(probes, cents, nprobe).select("vec_id", "cell")
-    probes_pd = probes.join(pcells, "vec_id").toPandas()
+    # r17: the 8-row probe set routes driver-side through the identical
+    # kernel (ivf_probe_pd) — one toPandas instead of a mapInPandas pass
+    # plus a shuffle join to attach 8 rows.
+    probes_pd = ivf_probe_pd(probes.toPandas(), cents, nprobe)
     short = pq_adc_topk_cb(
         probes_pd, codes, cb, k=refine_depth_for(nprobe), cell_col="cell"
     ).select("query_id", "neighbor_id")
@@ -2587,8 +2591,8 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 2 == 0)
-    cents = kmeans_fit(fan_out(base, spark))
-    assigned = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cents = kmeans_fit(fan_out_vectorized(base, spark))
+    assigned = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     per_cell = assigned.groupBy("cell").agg(
         F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
         .cast("long")
@@ -2760,11 +2764,11 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
-    cents = kmeans_fit(fan_out(e, spark))
-    cb = pq_train(fan_out(e, spark))
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
+    cb = pq_train(fan_out_vectorized(e, spark))
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     codes = (
-        pq_encode_cb(fan_out(e, spark), cb)
+        pq_encode_cb(fan_out_vectorized(e, spark), cb)
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
@@ -3034,14 +3038,14 @@ def q_ann_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(fan_out(e, spark))
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
     k = len(cents)
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
     ranks = ivf_probe(probes, cents, k).select(
         F.col("vec_id").alias("query_id"), "cell",
         F.col("probe_rank").alias("cell_rank"),
     )
-    cells = ivf_assign(fan_out(e, spark), cents).select(
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
     nr = (
@@ -3193,11 +3197,11 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
-    cents = kmeans_fit(fan_out(e, spark))
-    cb = pq_train(fan_out(e, spark))
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
+    cb = pq_train(fan_out_vectorized(e, spark))
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     codes = (
-        pq_encode_cb(fan_out(e, spark), cb, keep_cols=("label",))
+        pq_encode_cb(fan_out_vectorized(e, spark), cb, keep_cols=("label",))
         .select("vec_id", "label", "pq_codes")
         .join(cells, "vec_id")
         .filter(ANN_FILTER)  # pre-filter: disallowed rows never reach ADC
@@ -3356,7 +3360,7 @@ def _pca_model(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * float(scale)).cast("long"),
     )
-    base = cache_scoped(fan_out(e, spark).select("vec_id", iv.alias("iv")))
+    base = cache_scoped(fan_out_vectorized(e, spark).select("vec_id", iv.alias("iv")))
     d_idx = F.explode(F.sequence(F.lit(1), F.lit(D))).alias("d")
     pairs = (
         base.select("iv", d_idx)
@@ -3829,14 +3833,14 @@ def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 2 == 0)
 
-    cents1 = kmeans_fit(fan_out(base, spark))
+    cents1 = kmeans_fit(fan_out_vectorized(base, spark))
     _commit_version(
-        spark, ivf_assign(fan_out(e, spark), cents1), store,
+        spark, ivf_assign(fan_out_vectorized(e, spark), cents1), store,
         partition_by=["cell"],
     )
-    cents2 = kmeans_fit(fan_out(e, spark))
+    cents2 = kmeans_fit(fan_out_vectorized(e, spark))
     _commit_version(
-        spark, ivf_assign(fan_out(e, spark), cents2), store,
+        spark, ivf_assign(fan_out_vectorized(e, spark), cents2), store,
         partition_by=["cell"],
     )
 
@@ -4033,11 +4037,11 @@ def q_knn_classify_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBE_QUERIES)
 
-    cents = kmeans_fit(fan_out(e, spark))
-    cb = pq_train(fan_out(e, spark))
-    cells = ivf_assign(fan_out(e, spark), cents).select("vec_id", "cell")
+    cents = kmeans_fit(fan_out_vectorized(e, spark))
+    cb = pq_train(fan_out_vectorized(e, spark))
+    cells = ivf_assign(fan_out_vectorized(e, spark), cents).select("vec_id", "cell")
     codes = (
-        pq_encode_cb(fan_out(e, spark), cb)
+        pq_encode_cb(fan_out_vectorized(e, spark), cb)
         .select("vec_id", "pq_codes")
         .join(cells, "vec_id")
     )
