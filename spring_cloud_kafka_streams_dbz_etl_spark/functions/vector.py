@@ -79,3 +79,19 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     rather than the ANSI DIVIDE_BY_ZERO job abort (see :func:`safe_div`).
     """
     return F.round(safe_div(dot(a, b), l2_norm(a) * l2_norm(b)), decimals)
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column, decimals: int = 6) -> Column:
+    """:func:`cosine` with caller-PRECOMPUTED norms.
+
+    The higher-order-function folds (zip_with + aggregate) run
+    interpreted, outside whole-stage codegen — three 64-element folds per
+    PAIR made the blocked self-join families (kNN graph / triangles)
+    fold-bound (r17 job profile: 60.9 s summed task time on
+    q_triangle_count at sf0.1). Computing ``l2_norm(v)`` once per VECTOR
+    on the cached side relation and carrying it through the join leaves
+    one fold per pair. ``na``/``nb`` must be ``l2_norm`` of ``a``/``b`` —
+    the same fold over the same array yields the same double, so
+    round/try_divide see bit-identical operands and every
+    threshold/rank decision is unchanged."""
+    return F.round(safe_div(dot(a, b), na * nb), decimals)

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, safe_div, to_double
+from ..functions.vector import cosine, cosine_pre, l2_norm, safe_div, to_double
 
 
 def brute_force_topk(
@@ -39,16 +39,20 @@ def brute_force_topk(
     excluded. With ``cell_col`` the search is IVF-style cell-restricted.
     Deterministic ranking: (rounded score desc, neighbor id asc).
     """
+    # Norms are computed ONCE per vector below the join (cosine_pre):
+    # with Q broadcast probes each corpus row otherwise re-folds its own
+    # norm Q times and every probe norm is re-folded per corpus row —
+    # 3 interpreted HOF folds per pair where 1 (the dot) suffices.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("__qv"),
         *([F.col(cell_col).alias("__qc")] if cell_col else []),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         to_double(F.col(vec_col)).alias("__cv"),
         *([F.col(cell_col).alias("__cc")] if cell_col else []),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     # Queries are the tiny side -> broadcast them; scoring is map-only.
     joined = (
         F.broadcast(q).join(c, F.col("__qc") == F.col("__cc"))
@@ -58,7 +62,9 @@ def brute_force_topk(
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        cosine_pre(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, fan_out_vectorized, table
-from ..functions.vector import cosine, has_nan, safe_div, to_double
+from ..functions.vector import cosine, cosine_pre, has_nan, l2_norm, safe_div, to_double
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
 from . import cache_scoped, query, round_half_up6
@@ -838,14 +838,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         fan_out(table(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        # norm computed ONCE per vector on the cached side (cosine_pre):
+        # the per-pair HOF folds were the dominant task time (guide §1.2
+        # step 2 — per-task work; 3 folds/pair -> 1)
+        .withColumn("n", l2_norm(F.col("v")))
         .transform(cache_scoped)
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
     pairs = cache_scoped(
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= TRI_COS_MIN)
+        .filter(
+            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= TRI_COS_MIN
+        )
         .select("vec_a", "vec_b")
     )
     return triangle_enumerate(pairs, src="vec_a", dst="vec_b")
@@ -890,17 +903,30 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         fan_out(table(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
         .transform(cache_scoped)  # both sides of the blocked self-join
     )
-    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("src"), "label",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"), "label",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
         a.join(b, "label")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "src",
+            "dst",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
@@ -958,17 +984,29 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         fan_out(table(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
         .transform(cache_scoped)  # self-join sides + the vector universe
     )
-    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("src"), "label",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"), "label",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     knn = (
         a.join(b, "label")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "src", "dst",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("src", "dst")
@@ -1054,14 +1092,27 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark)
     e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
     cells = kmeans_cells(emb).select("vec_id", F.col("cell").cast("int").alias("cell"))
-    blocked = cache_scoped(e.join(cells, "vec_id"))  # both self-join sides
-    a = blocked.select(F.col("vec_id").alias("src"), "cell", F.col("v").alias("va"))
-    b = blocked.select(F.col("vec_id").alias("dst"), "cell", F.col("v").alias("vb"))
+    blocked = cache_scoped(  # both self-join sides; norm once per vector
+        e.join(cells, "vec_id").withColumn("n", l2_norm(F.col("v")))
+    )
+    a = blocked.select(
+        F.col("vec_id").alias("src"), "cell",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("dst"), "cell",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
         a.join(b, "cell")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "src", "dst",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
@@ -1116,15 +1167,27 @@ def q_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         fan_out(table(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
         .transform(cache_scoped)
     )
-    a = e.select(F.col("vec_id").alias("src"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), "label", F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("src"), "label",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"), "label",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     knn = cache_scoped(
         a.join(b, "label")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "src", "dst",
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
         .select("src", "dst", "cos_sim", "rank")
@@ -1241,12 +1304,16 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
             "v",
+            # norm once per vector (cosine_pre): the dense pass otherwise
+            # re-folds each corpus norm once per broadcast probe
+            l2_norm(F.col("v")).alias("nv"),
         )
     )
     probes = corpus.filter(F.col("doc_id") % HYBRID_PROBE_MOD == 0).select(
         F.col("doc_id").alias("probe_id"),
         F.col("toks").alias("ptoks"),
         F.col("v").alias("pv"),
+        F.col("nv").alias("npv"),
     )
     # lexical: inverted-index candidates (explode tokens, token equi-join)
     ptok = probes.select("probe_id", F.explode("ptoks").alias("tok"))
@@ -1276,11 +1343,15 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dense: broadcast-probe map-only corpus pass
     dense = (
-        corpus.select("doc_id", "v")
-        .crossJoin(F.broadcast(probes.select("probe_id", "pv")))
+        corpus.select("doc_id", "v", "nv")
+        .crossJoin(F.broadcast(probes.select("probe_id", "pv", "npv")))
         .filter(F.col("doc_id") != F.col("probe_id"))
         .select(
-            "probe_id", "doc_id", cosine(F.col("v"), F.col("pv")).alias("cos_sim")
+            "probe_id",
+            "doc_id",
+            cosine_pre(
+                F.col("v"), F.col("pv"), F.col("nv"), F.col("npv")
+            ).alias("cos_sim"),
         )
     )
     wd = Window.partitionBy("probe_id").orderBy(
@@ -1351,10 +1422,13 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane LSH (q_lsh_cosine) and score only shared buckets."""
     tune(spark)
     e = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
-    )
+        "vec_id",
+        to_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
     probes = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("n").alias("pn"),
     )
     corpus = e.filter(F.col("vec_id") % 20 != 0)
     from pyspark.sql import Window
@@ -1364,7 +1438,13 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.crossJoin(F.broadcast(probes))
-        .select("vec_id", "probe_id", cosine(F.col("v"), F.col("pv")).alias("cos_sim"))
+        .select(
+            "vec_id",
+            "probe_id",
+            cosine_pre(
+                F.col("v"), F.col("pv"), F.col("n"), F.col("pn")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= SEM_DECON_MIN)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -2044,12 +2124,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("__ql"),
         to_double(F.col("embedding")).alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))  # once per vector (cosine_pre)
     c = fan_out_vectorized(e, spark).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("__cl"),
         to_double(F.col("embedding")).alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -2063,7 +2143,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") < COSINE_DUP_MIN)
         .withColumn("neg_rank", F.row_number().over(w).cast("long"))
