@@ -312,31 +312,58 @@ def simhash_bits_arrow(
         import pandas as pd
 
         zero = bytes(n_bytes)  # NULL token element → all-zero nibbles → all −1
+        # md5 is pure, and real corpora repeat tokens heavily (the sf0.1
+        # fixture has ~1k distinct terms over 250k token instances), so a
+        # per-task digest memo removes almost every hashlib call; votes
+        # then reduce per doc in ONE numpy pass over the whole batch
+        # (np.add.reduceat on doc boundaries) instead of a fresh tiny
+        # array pipeline per doc — r17: 11.3 s -> see OPTIMIZATION_r17.md
+        # for the measured kernel-stage delta. Exact integer votes, so
+        # batching/accumulation order cannot change any fingerprint.
+        memo: dict[str, bytes] = {}
+        weights = (1 << np.arange(width, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
-            ids, fps = [], []
+            ids, chunks, counts = [], [], []
             for doc_id, toks in zip(pdf[id_col], pdf[token_col]):
                 if toks is None or len(toks) == 0:
                     continue  # explode semantics: no row
-                digs = np.frombuffer(
-                    b"".join(
-                        zero if t is None else hashlib.md5(t.encode()).digest()[:n_bytes]
-                        for t in toks
-                    ),
-                    dtype=np.uint8,
-                ).reshape(-1, n_bytes)
-                nibs = np.empty((digs.shape[0], n_bytes * 2), np.uint8)
-                nibs[:, 0::2] = digs >> 4  # hex string order: high nibble first
-                nibs[:, 1::2] = digs & 15
-                bits = (nibs[:, :n_nibs, None] >> np.arange(4)[None, None, :]) & 1
-                # flatten (nibble, bitpos) → j = 4*(j//4) + (j%4); exact
-                # integer vote sums, so accumulation order is irrelevant
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0).reshape(-1)[:width]
-                on = votes > 0
-                fp = int(sum(1 << j for j in range(min(width, 63)) if on[j]))
-                if width == 64 and on[63]:
-                    fp -= 1 << 63
+                parts = []
+                for t in toks:
+                    if t is None:
+                        parts.append(zero)
+                        continue
+                    d = memo.get(t)
+                    if d is None:
+                        d = hashlib.md5(t.encode()).digest()[:n_bytes]
+                        memo[t] = d
+                    parts.append(d)
                 ids.append(doc_id)
-                fps.append(fp)
+                chunks.append(b"".join(parts))
+                counts.append(len(parts))
+            if not ids:
+                yield pd.DataFrame({id_col: [], "simhash": []})
+                continue
+            digs = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(
+                -1, n_bytes
+            )
+            nibs = np.empty((digs.shape[0], n_bytes * 2), np.uint8)
+            nibs[:, 0::2] = digs >> 4  # hex string order: high nibble first
+            nibs[:, 1::2] = digs & 15
+            bits = (nibs[:, :n_nibs, None] >> np.arange(4)[None, None, :]) & 1
+            # flatten (nibble, bitpos) → j = 4*(j//4) + (j%4); exact
+            # integer vote sums, so accumulation order is irrelevant
+            tok_votes = (2 * bits.astype(np.int64) - 1).reshape(len(digs), -1)[
+                :, :width
+            ]
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
+            votes = np.add.reduceat(tok_votes, starts, axis=0)
+            on = (votes > 0).astype(np.uint64)
+            # uint64 bit assembly; viewing as int64 IS the two's-complement
+            # bit-63 rule the per-doc form spelled as `fp -= 1 << 63`
+            fps = (on * weights[None, :]).sum(axis=1, dtype=np.uint64).view(
+                np.int64
+            )
             yield pd.DataFrame({id_col: ids, "simhash": fps})
 
     return docs.select(id_col, token_col).mapInPandas(

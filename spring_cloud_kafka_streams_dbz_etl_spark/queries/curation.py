@@ -187,9 +187,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (thousands of docs even for a big harness → millions of grams), small
     enough to BROADCAST against a corpus of any size, making the whole
     check a map-side hash probe + one groupBy on contaminated docs only.
+    fan_out spreads the gram explode + md5 across the cluster (r17: the
+    single-row-group fixture otherwise runs it in ONE task — the same
+    compute-heavy-stage rule as q_dedup_docs; a real multi-row-group
+    layout makes this a no-op) and lets both gram consumers (bench +
+    corpus) reuse one scan exchange instead of re-scanning the parquet.
     """
     tune(spark)
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(F.col("t")) - DECON_N),

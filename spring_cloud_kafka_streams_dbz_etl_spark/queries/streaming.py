@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import local_rows
 from ..functions.scalars import dec_sum
 from ..session import stream_tune, tune
 from ..sources.streams import stream_events
@@ -421,9 +422,11 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end advances the watermark past every real session; the automatic
     # no-data batch then flushes all of them). Its own open session is
     # dropped by the user_id >= 0 filter.
-    sentinel = spark.createDataFrame(
-        [(-1, _dt.datetime(2030, 1, 1))], schema=ev.schema
-    )
+    # local_rows (ONE Arrow partition), not createDataFrame(list): the
+    # list form parallelizes 1 row into defaultParallelism slices, so the
+    # union write pays 32 extra tasks each committing an empty parquet
+    # file (r17: measured as the dominant stage of the source-prep job).
+    sentinel = local_rows(spark, [(-1, _dt.datetime(2030, 1, 1))], ev.schema)
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -1448,12 +1451,18 @@ def s_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def flush_frame(days: int):
-        return spark.createDataFrame(
+        # local_rows, not createDataFrame(list): the list form shards 2
+        # rows into 32 slices, and the .coalesce(1) single-file commit
+        # below then pays all 32 driver socket fetches SEQUENTIALLY in
+        # one task (the measured ~6 s tiny-local-relation pathology —
+        # see catalog.local_rows). One Arrow partition, one fetch.
+        return local_rows(
+            spark,
             [
                 (-1, max_ts + _dt.timedelta(days=days), -1, "click", 0.0),
                 (-2, max_ts + _dt.timedelta(days=days), -2, "purchase", 0.0),
             ],
-            schema=ev.schema,
+            ev.schema,
         )
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -1552,8 +1561,11 @@ def s_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "event_type", "value")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    sentinel = spark.createDataFrame(
-        [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], schema=ev.schema
+    # local_rows, not createDataFrame(list): one Arrow partition instead
+    # of 32 near-empty slices -> the source-prep write drops from 33
+    # tasks (32 committing empty parquet files) to 2 (r17 measurement).
+    sentinel = local_rows(
+        spark, [(-1, _dt.datetime(2030, 1, 1), "sentinel", 0.0)], ev.schema
     )
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 

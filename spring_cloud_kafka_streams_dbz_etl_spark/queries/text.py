@@ -703,11 +703,27 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_nll_scores(spark, sf_dir):
     """Per-doc (doc_id, n_tokens agg-ready tok relation, avg surprisal
     inputs) for the unigram-LM scorers: corpus MLE p(w), per-token
-    -ln p rounded to 6 decimals and cast DECIMAL(18,6) so per-doc sums
-    are exact and order-independent (the cross-engine float policy —
-    see q_unigram_nll's docstring for the accepted libm-ulp residual).
+    -ln p rounded to 6 decimals and carried as EXACT integer MICROS
+    (``nll_mu`` = round6(-ln p) x 1e6, a LONG) so per-doc sums are exact
+    and order-independent (the cross-engine float policy — see
+    q_unigram_nll's docstring for the accepted libm-ulp residual).
     Shared by q_unigram_nll and q_perplexity_filter so the determinism
-    machinery exists in exactly one place."""
+    machinery exists in exactly one place.
+
+    Why micros, not DECIMAL(18,6) (r17 optimization): SUM over a
+    DECIMAL(18,6) column widens its buffer to precision 28, off Spark's
+    long-backed Decimal fast path — every add is a BigDecimal op.
+    round6(x) is by construction an exact multiple of 1e-6, so
+    round(round6(x) * 1e6) recovers the integer numerator EXACTLY (the
+    product sits within ~1e-9 of the integer, far inside the 0.5
+    half-up window) and SUM(long) is the same exact integer arithmetic
+    on the codegen fast path — measured 20.9 -> 17.7 s summed task time
+    on the unigram pipeline at sf0.1. Consumers reconstruct the double
+    as (SUM(nll_mu) as double) / 1e6, which equals the old
+    (SUM(decimal) as double) bit-for-bit: SUM(nll_mu) < 2^53 (per-doc
+    sums; a doc would need ~2e8 tokens to overflow that), so both are
+    the correctly-rounded double of the same rational S/1e6 — verified
+    bit-identical over all sf0.1 docs before the swap."""
     d = fan_out(table(spark, sf_dir, "documents"), spark)
     tok = cache_scoped(
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
@@ -716,13 +732,16 @@ def _unigram_nll_scores(spark, sf_dir):
     )
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.sum("c").alias("n"))
-    nll = F.round(
-        -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
-    ).cast("decimal(18,6)")
+    nll_mu = F.round(
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
     return (
         tok.join(F.broadcast(uni), "term")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", nll.alias("nll"))
+        .select("doc_id", nll_mu.alias("nll_mu"))
     )
 
 
@@ -757,13 +776,16 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate score high, typical prose scores low.
 
     Determinism: per-token -ln p is rounded to 6 decimals and summed as
-    DECIMAL(18,6), so the per-doc sum is EXACT and order-independent —
-    float summation order across engines/partitionings can never flip the
-    hash (the engine's cross-engine float policy; see q_tfidf). Residual
-    risk (accepted): ln itself is libm (JVM Math.log vs DuckDB's C log),
-    so a count whose -ln(c/N) lands within 1 ulp of a 0.5e-6 rounding
-    boundary could round differently across engines — probability
-    ~1e-10 per distinct count value, checked green at sf0.01 and sf0.1.
+    exact integer micros (see _unigram_nll_scores — LONG sum, the same
+    exact order-independent arithmetic the DECIMAL(18,6) form gave,
+    minus the BigDecimal per-row cost), so the per-doc sum is EXACT and
+    order-independent — float summation order across engines/
+    partitionings can never flip the hash (the engine's cross-engine
+    float policy; see q_tfidf). Residual risk (accepted): ln itself is
+    libm (JVM Math.log vs DuckDB's C log), so a count whose -ln(c/N)
+    lands within 1 ulp of a 0.5e-6 rounding boundary could round
+    differently across engines — probability ~1e-10 per distinct count
+    value, checked green at sf0.01 and sf0.1.
 
     Scale: one explode -> vocab groupBy (map-side combinable), the
     vocab-sized count relation broadcasts back onto the token stream, N is
@@ -774,7 +796,10 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _unigram_nll_scores(spark, sf_dir)
     return per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
+        (
+            (F.sum("nll_mu").cast("double") / F.lit(1000000.0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_nll"),
     )
 
 
@@ -951,10 +976,12 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal CCNet thresholds on, at n=2.
 
     Determinism: the unigram policy — per-bigram -ln p rounded to 6 and
-    summed as DECIMAL(18,6), order-independent across engines and
-    partitionings. The conditional denominator c(w1·) aggregates FROM
-    the bigram counts (not raw unigram counts), so first/last-token
-    boundary effects are identical in both engines by construction.
+    summed as exact integer micros (LONG; see _unigram_nll_scores for
+    why this replaced the DECIMAL(18,6) sum bit-identically),
+    order-independent across engines and partitionings. The conditional
+    denominator c(w1·) aggregates FROM the bigram counts (not raw
+    unigram counts), so first/last-token boundary effects are identical
+    in both engines by construction.
 
     Scale: explode with position -> self-join on (doc, idx+1) shares the
     doc_id shuffle; bigram vocab groupBy is map-side combinable; vocab
@@ -972,17 +999,23 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = cache_scoped(a.join(b, ["doc_id", "i"]).select("doc_id", "w1", "w2"))
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    nll = F.round(
-        -F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
-    ).cast("decimal(18,6)")
+    nll_mu = F.round(
+        F.round(
+            -F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
     per = (
         bg.join(F.broadcast(bc), ["w1", "w2"])
         .join(F.broadcast(uc), "w1")
-        .select("doc_id", nll.alias("nll"))
+        .select("doc_id", nll_mu.alias("nll_mu"))
     )
     return per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
+        (
+            (F.sum("nll_mu").cast("double") / F.lit(1000000.0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_nll"),
     )
 
 
@@ -1191,9 +1224,10 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 3.35 s → 2.7 s isolated median (tools/measure_watchlist)
     scores = cache_scoped(
         _unigram_nll_scores(spark, sf_dir).groupBy("doc_id").agg(
-            (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_nll"
-            )
+            (
+                (F.sum("nll_mu").cast("double") / F.lit(1000000.0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll")
         )
     )
     ranked = global_rank(
