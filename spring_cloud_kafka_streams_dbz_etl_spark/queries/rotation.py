@@ -688,7 +688,7 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         "q_ann_cell_stats", "q_ann_coverage_curve", "q_ann_filtered",
         "q_ann_ivf", "q_ann_ivfpq", "q_ann_nprobe_curve", "q_ann_pq_recall",
         "q_ann_pq_recall_trained", "q_ann_pq_recall_trained_cb",
-        "q_ann_recall", "q_cosine_topk", "q_embedding_cosine_dup",
+        "q_cosine_topk", "q_embedding_cosine_dup",
         "q_embedding_drift", "q_embedding_pca",
         "q_hard_negatives", "q_hard_negatives_served",
         "q_kmeans_cells", "q_knn_classify", "q_knn_classify_served",
@@ -702,6 +702,12 @@ CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
         "q_unigram_nll", "q_bigram_nll", "q_perplexity_filter",
         # fan_out plan change (359097c)
         "q_decontaminate",
+        # corpus-cache drop plan change (late r17; q_bm25's identical
+        # swap is deferred to r18 for exactly this budget reason, and
+        # q_ann_recall moved to the deferred tier to make room — its
+        # change is transitive-only through brute_force_topk, which
+        # q_cosine_topk/q_hard_negatives* already re-front)
+        "q_tfidf",
     }
 )
 

@@ -234,10 +234,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rank window, so no per-document relation is ever joined (the old
     broadcast of one-row-per-document would OOM at billions of docs).
     Document frequency comes from `tf` (one row per (doc,term), so
-    COUNT(*) per term == docs containing the term); `tf` is scope-cached
-    so the corpus is exploded and shuffled exactly once for both
-    consumers. The corpus size is a 1-row aggregate folded in as a
-    broadcast cross join (no separate count() action). Only
+    COUNT(*) per term == docs containing the term); `tf` recomputes per
+    consumer — the r17 cache A/B showed the columnar cache write of the
+    corpus-sized counts relation costs more than the second
+    explode+count pass. The corpus size is a 1-row aggregate folded in
+    as a broadcast cross join (no separate count() action). Only
     small-at-any-scale relations are broadcast: the 1-row count and the
     per-term vocab aggregate."""
     from pyspark.sql import Window
@@ -248,7 +249,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = fan_out(d, spark).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = cache_scoped(ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    # tf is NOT cached (r17): recomputing the explode+count for the
+    # per-term consumer beats the columnar cache write of a corpus-sized
+    # counts relation — measured 1.71 s (cached) vs 1.33 s
+    # warm-alternating medians at sf0.1 on q_tfidf; see
+    # _unigram_nll_scores for the rule.
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     total = F.sum("c").over(Window.partitionBy("doc_id"))
     score = F.round(
@@ -320,6 +326,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = fan_out(d, spark).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    # q_tfidf's r17 cache A/B (recompute beats the corpus-sized cache
+    # write) applies here too, but the swap is DEFERRED to r18: the r17
+    # re-front window is budgeted to exactly 50 and q_bm25's plan change
+    # would overflow it (see rotation.py's window-budget tiering note).
     tf = cache_scoped(ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     dl = F.sum("c").over(Window.partitionBy("doc_id"))
@@ -725,11 +735,18 @@ def _unigram_nll_scores(spark, sf_dir):
     the correctly-rounded double of the same rational S/1e6 — verified
     bit-identical over all sf0.1 docs before the swap."""
     d = fan_out(table(spark, sf_dir, "documents"), spark)
-    tok = cache_scoped(
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
-            F.col("term") != ""
-        )
-    )
+    # tok is deliberately NOT cached (r17): persisting an exploded
+    # corpus-sized token stream pays a columnar cache write that costs
+    # more than recomputing the split+explode for the second consumer —
+    # measured 1.40 s (cached) vs 0.97 s (recompute) warm-alternating
+    # medians at sf0.1. The same holds at 100 TB, where an exploded
+    # token cache would be larger than the source and disk-backed;
+    # scan-recompute is the standard form. Caching stays correct where
+    # the lineage is genuinely expensive per row (winnow md5, Python
+    # kernels — see q_containment / q_simhash_near_dup).
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.sum("c").alias("n"))
     nll_mu = F.round(
@@ -989,14 +1006,17 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     text bodies."""
     tune(spark)
     d = fan_out(table(spark, sf_dir, "documents"), spark)
-    tok = cache_scoped(
-        d.select(
-            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("idx", "term")
-        ).filter(F.col("term") != "")
-    )
+    # tok/bg are NOT cached (r17): both are corpus-sized streams on
+    # cheap explode/join lineage, and the columnar cache writes cost
+    # more than recomputing them per consumer — measured 1.94 s (both
+    # cached) vs 1.85 s (bg only) vs 1.43 s (neither), warm-alternating
+    # medians at sf0.1. See _unigram_nll_scores for the general rule.
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("idx", "term")
+    ).filter(F.col("term") != "")
     a = tok.select("doc_id", F.col("idx").alias("i"), F.col("term").alias("w1"))
     b = tok.select("doc_id", (F.col("idx") - 1).alias("i"), F.col("term").alias("w2"))
-    bg = cache_scoped(a.join(b, ["doc_id", "i"]).select("doc_id", "w1", "w2"))
+    bg = a.join(b, ["doc_id", "i"]).select("doc_id", "w1", "w2")
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     nll_mu = F.round(
