@@ -51,17 +51,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
-    """Small driver-local relation as ONE Arrow batch partition.
+    """Small driver-local relation via the Arrow/pandas path.
 
     ``spark.createDataFrame(list, schema)`` parallelizes the collection
     into ``defaultParallelism`` slices served to executors one socket
     round-trip each; any downstream ``coalesce(1)`` (the single-file
     commit idiom) then pays all 32 round-trips SEQUENTIALLY in one task —
     measured ~6 s for a 4-row relation on local[32] (r17 optimization
-    round). The pandas path Arrow-serializes the same rows into a single
-    partition: the identical relation, one fetch, ~0.3 s including the
-    write. Use for every control-plane-sized local relation on a hot
-    path (txn range commits, per-batch rollup partials, knob grids).
+    round). The pandas path Arrow-serializes the same rows into
+    ``min(len(rows), defaultParallelism)`` partitions (ADVICE r17: 2
+    partitions/fetches for a 2-row frame, 1 only for 1-row sentinels) —
+    for control-plane-sized relations that is a handful of fetches
+    instead of 32, ~0.3 s including the write. Use for every
+    control-plane-sized local relation on a hot path (txn range
+    commits, per-batch rollup partials, knob grids).
 
     ``schema`` is a DDL string or StructType; rows are tuples in schema
     field order (the createDataFrame(list) convention, unchanged).

@@ -279,7 +279,8 @@ def simhash_bits(
 
 
 def simhash_bits_arrow(
-    docs: DataFrame, id_col: str, token_col: str, width: int = 64
+    docs: DataFrame, id_col: str, token_col: str, width: int = 64,
+    memo_cap: int = 1 << 18,
 ) -> DataFrame:
     """Arrow ``mapInPandas`` twin of :func:`simhash_bits` — the whole
     fingerprint computed map-side, per doc, inside one Arrow batch pass:
@@ -320,6 +321,13 @@ def simhash_bits_arrow(
         # array pipeline per doc — r17: 11.3 s -> see OPTIMIZATION_r17.md
         # for the measured kernel-stage delta. Exact integer votes, so
         # batching/accumulation order cannot change any fingerprint.
+        # The memo is BOUNDED (VERDICT r17 #3 / ADVICE r17): past
+        # memo_cap distinct tokens, new tokens hash directly instead of
+        # inserting — a long-lived task over a high-cardinality token
+        # column (URLs, IDs) must not grow a per-task Python dict without
+        # limit. Memoization is a pure cache, so the cap cannot change
+        # any fingerprint; the within-batch repetition win survives
+        # because hot early tokens stay resident.
         memo: dict[str, bytes] = {}
         weights = (1 << np.arange(width, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
@@ -335,7 +343,8 @@ def simhash_bits_arrow(
                     d = memo.get(t)
                     if d is None:
                         d = hashlib.md5(t.encode()).digest()[:n_bytes]
-                        memo[t] = d
+                        if len(memo) < memo_cap:
+                            memo[t] = d
                     parts.append(d)
                 ids.append(doc_id)
                 chunks.append(b"".join(parts))

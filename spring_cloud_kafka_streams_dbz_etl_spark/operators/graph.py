@@ -37,59 +37,158 @@ def connected_components(
     Scale: each round is one shuffle join on the current labels plus a
     min-aggregate; labels are localCheckpointed per round so the plan
     doesn't grow with iteration count (lineage blowup is the classic
-    iterative-Spark failure mode). Crucially, the iterated label relation
+    iterative-Spark failure mode). Small graphs (cached edge list within
+    the broadcast threshold) run the loop with AQE/auto-broadcast pinned
+    off — per-job scheduling tax dominates at that size (r18; see the
+    in-body comment) — while large graphs keep the caller's adaptive
+    shape untouched. Crucially, the iterated label relation
     covers only EDGE ENDPOINTS, not all vertices: a vertex in no pair can
     never change label, and near-dup graphs are sparse — at corpus scale
     that's millions of endpoints iterated instead of billions of
     documents, with the full vertex set joined back exactly once at the
     end.
     """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+
     # Materialize the edge list ONCE: `edges` usually carries an expensive
     # lineage (e.g. the whole MinHash/LSH candidate pipeline), and every
     # round's join would otherwise re-execute it from the scan.
+    # MEMORY_AND_DISK persist, not an eager localCheckpoint (r18, guide
+    # §1.2/§2.4 via VERDICT r17 #4 — the wall of the streaming CC
+    # consumer is per-job overhead, so fewer jobs IS the optimization):
+    # the cache fills inside the seed-label checkpoint job below instead
+    # of costing its own materialization job, spills rather than
+    # recomputes under pressure, and is released right after the loop —
+    # the edge lineage is static, so nothing grows per round. Defined
+    # BEFORE the conf pinning below ON PURPOSE: persist() captures the
+    # cached plan under the session conf at call time, and the edge
+    # pipeline belongs to the CALLER (a corpus-scale banded-candidate
+    # pipeline in the batch dedup queries wants its AQE/broadcast shape;
+    # the streaming consumer pins its own micro-batch-scoped conf around
+    # this call instead — streaming/dedup_stream.py).
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Seed labels with min(id, min neighbor id): identical to the state
-    # after one propagation round from identity labels, but computed as a
-    # bare groupBy on the edge list (no join against a label relation) —
-    # one full join+checkpoint round saved on every graph.
-    labels = (
-        und.groupBy("a")  # both directions -> all endpoints
-        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
-        .select(F.col("a").alias("id"), "component")
-        .localCheckpoint(eager=True)
-    )
-    changed = 0
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # The convergence flag rides along in the SAME join that computes
-        # the new labels (nbr_min < component <=> this vertex improves), so
-        # the per-round termination check is a narrow scan of the
-        # checkpointed result — no extra join job per iteration.
-        stepped = (
-            labels.join(nbr_min, labels.id == nbr_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "__improved"
-                ),
-            )
+    aqe_key = "spark.sql.adaptive.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    shuf_key = "spark.sql.shuffle.partitions"
+    sc = spark.sparkContext
+    desc_before = sc.getLocalProperty("spark.job.description")
+    pinned = False
+    try:
+        # Seed labels with min(id, min neighbor id): identical to the
+        # state after one propagation round from identity labels, but
+        # computed as a bare groupBy on the edge list (no join against a
+        # label relation) — one full join+checkpoint round saved on
+        # every graph. Runs under the CALLER's conf (it also fills the
+        # edge cache, whose plan is the caller's pipeline).
+        sc.setJobDescription("cc: seed labels (+edge cache fill)")
+        labels = (
+            und.groupBy("a")  # both directions -> all endpoints
+            .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+            .select(F.col("a").alias("id"), "component")
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("__improved")).limit(1).count()
-        labels = stepped.drop("__improved")
-        if changed == 0:
-            break
+        # SIZE-AWARE loop confs (r18, guide §1.2 — fix the job shape
+        # first): for a SMALL graph (cached edge list within the
+        # session's broadcast threshold — the micro-batch CC of the
+        # streaming dedup, per-label blocks, test graphs) every AQE
+        # stage materialization and broadcast build the loop plans is
+        # its own Spark job, pure per-job scheduling tax at that size
+        # (r18 census: ~20 jobs per micro-batch CC, nearly all AQE
+        # sub-stages + per-round broadcast collects; 73 jobs/run on the
+        # streaming consumer, whose wall is 5 s of jobs + 3.7 s of
+        # inter-job gaps). Pinning AQE+broadcast off folds each round
+        # into checkpoint + probe, two plain jobs, and statically
+        # shuffling a <=10 MB relation costs microseconds. A LARGE
+        # graph keeps the caller's adaptive shape unchanged — broadcast
+        # demotion, skew splitting and partition coalescing are exactly
+        # right when the label relation has millions of rows (the r18
+        # first cut pinned unconditionally and regressed the
+        # corpus-sized q_semantic_clusters CC 2.5x; reverted to this
+        # gate). The measured cached size is read off the materialized
+        # InMemoryRelation, so the decision is data-driven, not a
+        # core-count constant.
+        try:
+            und_bytes = int(
+                und._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            threshold = int(spark.conf.get(bcast_key, "10485760"))
+            if threshold <= 0:
+                # caller disabled auto-broadcast (e.g. the streaming
+                # consumer's own micro-batch pin) — fall back to the
+                # stock 10 MB anchor for the small/large decision
+                threshold = 10 << 20
+        except Exception:  # estimation unavailable -> keep caller conf
+            und_bytes, threshold = None, 0
+        if und_bytes is not None and 0 < threshold and und_bytes <= threshold:
+            aqe_before = spark.conf.get(aqe_key, "true")
+            bcast_before = spark.conf.get(bcast_key, "10485760")
+            shuf_before = spark.conf.get(shuf_key, None)
+            spark.conf.set(aqe_key, "false")
+            spark.conf.set(bcast_key, "-1")
+            # Static partition count derived from the MEASURED edge
+            # bytes (~32 MB/partition, so <=10 MB graphs run 1-partition
+            # rounds) — the same tiny-shuffle shape AQE coalescing would
+            # reach, minus its per-stage materialization jobs. This is
+            # size-adaptive, not a core-count constant, and it revisits
+            # r17's "partition narrowing harmful" negative result with
+            # the cause removed: that measurement narrowed partitions
+            # UNDER AQE, whose re-planning dominated; here AQE is off in
+            # the same scope.
+            spark.conf.set(
+                shuf_key, str(max(1, -(-und_bytes // (32 << 20))))
+            )
+            pinned = True
+        changed = 0
+        for i in range(max_iter):
+            nbr_min = (
+                und.join(labels, und.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            # The convergence flag rides along in the SAME join that
+            # computes the new labels (nbr_min < component <=> this
+            # vertex improves), so the per-round termination check is a
+            # narrow scan of the checkpointed result — no extra join
+            # job per iteration. Labels stay localCheckpointed per
+            # round: a cached-chain variant (probe count doubling as
+            # the materialization) measured one job less per round but
+            # its nested-InMemoryRelation planning grew 0.5 -> 1.8 s
+            # across 4 rounds on the corpus-sized CC — flat lineage
+            # wins (r18).
+            stepped = (
+                labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", "component")
+                    ).alias("component"),
+                    (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                        "__improved"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            sc.setJobDescription(f"cc: round {i} probe")
+            changed = stepped.filter(F.col("__improved")).limit(1).count()
+            labels = stepped.drop("__improved")
+            if changed == 0:
+                break
+    finally:
+        sc.setJobDescription(desc_before)
+        if pinned:
+            spark.conf.set(aqe_key, aqe_before)
+            spark.conf.set(bcast_key, bcast_before)
+            if shuf_before is None:
+                spark.conf.unset(shuf_key)
+            else:
+                spark.conf.set(shuf_key, shuf_before)
+        und.unpersist()
     if changed != 0:
         # min-label propagation needs diameter rounds; exiting via
         # max_iter means a chain longer than max_iter hops exists and the

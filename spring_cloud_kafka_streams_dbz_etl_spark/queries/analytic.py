@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_rows, table
 from ..functions.scalars import dec_sum
 from ..functions.vector import safe_div
 from ..session import tune
@@ -256,7 +256,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = table(spark, sf_dir, "events")
     tiers = F.broadcast(
-        spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+        # local_rows: Arrow slices instead of 32 driver round-trips for
+        # a 4-row tier grid (VERDICT r17 #6)
+        local_rows(spark, _TIERS, "tier string, lo double, hi double")
     )
     return (
         ev.join(tiers, (ev.value >= tiers.lo) & (ev.value < tiers.hi))

@@ -6,7 +6,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_rows, table
 from ..session import tune
 from ..sources.cdc import parse_event_envelopes, synthesize_event_envelopes
 from . import query
@@ -239,8 +239,10 @@ def q_dim_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATED").alias("c_name"),
         (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
     ).unionByName(
-        spark.createDataFrame(
-            [(1000000000, "NEW", 0.0)], "c_custkey long, c_name string, c_acctbal double"
+        local_rows(
+            spark,
+            [(1000000000, "NEW", 0.0)],
+            "c_custkey long, c_name string, c_acctbal double",
         )
     )
     upsert_dimension(updates, path, keys=["c_custkey"])  # -> _v00002

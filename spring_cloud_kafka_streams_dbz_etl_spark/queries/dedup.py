@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import fan_out, local_rows, table
 from ..operators.dedup import (
     candidate_pairs,
     jaccard,
@@ -1128,7 +1128,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     pairs = cache_scoped(_build_minhash_pairs(spark, sf_dir))
     grid = F.broadcast(
-        spark.createDataFrame([(t,) for t in DEDUP_SWEEP], "threshold double")
+        # local_rows: min(5, par) Arrow slices, not defaultParallelism
+        # driver round-trips, for a 5-row knob grid (VERDICT r17 #6)
+        local_rows(spark, [(t,) for t in DEDUP_SWEEP], "threshold double")
     )
     hits = cache_scoped(
         grid.join(pairs, pairs["jaccard"] >= grid["threshold"]).select(

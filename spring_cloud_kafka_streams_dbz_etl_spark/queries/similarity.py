@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, fan_out_vectorized, table
+from ..catalog import fan_out, fan_out_vectorized, local_rows, table
 from ..functions.vector import cosine, cosine_pre, has_nan, l2_norm, safe_div, to_double
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
@@ -2880,7 +2880,7 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_np = exact.crossJoin(
         F.broadcast(
-            spark.createDataFrame([(n,) for n in NPROBE_CURVE], "nprobe int")
+            local_rows(spark, [(n,) for n in NPROBE_CURVE], "nprobe int")
         )
     )
     return (
@@ -3136,7 +3136,7 @@ def q_ann_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ranks, ["query_id", "cell"])
         .select("query_id", "cell_rank")
     )
-    grid = spark.createDataFrame([(w,) for w in COVERAGE_CURVE], "nprobe int")
+    grid = local_rows(spark, [(w,) for w in COVERAGE_CURVE], "nprobe int")
     total = N_PROBE_QUERIES * TOPK
     covered = F.sum(
         F.when(F.col("cell_rank") <= F.col("np_eff"), 1).otherwise(0)
@@ -3564,7 +3564,8 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = _sum_ascending([v[d] * v[d] for d in range(D)])
     lam = num / den
     mean_eig = trace / D
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 D,
@@ -3694,7 +3695,7 @@ def q_knob_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bpe_alphabet", int(alpha)),
         ("bpe_merge_capacity", bpe_merge_capacity(words)),
     ]
-    return spark.createDataFrame(rows, "knob string, value long")
+    return local_rows(spark, rows, "knob string, value long")
 
 
 # -- linear probe ON the learned representation --------------------------------
@@ -3835,8 +3836,9 @@ def q_linear_probe_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         mse = round_half_up6(float(row["sq"]) / n)
         w = math.floor((w - GD_LR * (float(row["g0"]) / n)) * scale) / scale
         out.append((r, 0, w, mse))
-    return spark.createDataFrame(
-        out, "round int, feature_id int, weight_after double, mse_before double"
+    return local_rows(
+        spark, out,
+        "round int, feature_id int, weight_after double, mse_before double",
     )
 
 

@@ -1455,7 +1455,9 @@ def s_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows into 32 slices, and the .coalesce(1) single-file commit
         # below then pays all 32 driver socket fetches SEQUENTIALLY in
         # one task (the measured ~6 s tiny-local-relation pathology —
-        # see catalog.local_rows). One Arrow partition, one fetch.
+        # see catalog.local_rows). The pandas path slices into
+        # min(len, defaultParallelism) partitions — 2 fetches for this
+        # 2-row frame (ADVICE r17: not literally one), still 2 vs 32.
         return local_rows(
             spark,
             [
@@ -1776,7 +1778,8 @@ def s_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     if not os.path.isdir(out):  # zero-event stream: no epoch ever wrote
-        return spark.createDataFrame(
+        return local_rows(
+            spark,
             [],
             "window_start timestamp, user_id long, "
             "total_value_micros long, rank long",
@@ -2885,7 +2888,8 @@ def s_linear_probe_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.process_available("s_gd_online")
     reg.stop("s_gd_online")
 
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         state["out"],
         "step int, feature_id int, weight_after double, mse_before double",
     )

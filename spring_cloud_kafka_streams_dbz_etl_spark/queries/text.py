@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import fan_out, local_rows, table
 from ..functions.textfns import EN_STOPWORDS, en_stopword_count, token_total_len, tokens
 from ..operators.curation import LANG_GATE_RATIO, QUALITY_GATE
 from ..session import tune
@@ -326,11 +326,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = fan_out(d, spark).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    # q_tfidf's r17 cache A/B (recompute beats the corpus-sized cache
-    # write) applies here too, but the swap is DEFERRED to r18: the r17
-    # re-front window is budgeted to exactly 50 and q_bm25's plan change
-    # would overflow it (see rotation.py's window-budget tiering note).
-    tf = cache_scoped(ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    # tf is NOT cached (r18, the swap q_tfidf's r17 cache A/B deferred
+    # for window-budget reasons): recomputing the explode+count for the
+    # per-term consumer beats the columnar cache write of a corpus-sized
+    # counts relation — measured 1.71 s (cached) vs 1.33 s on the
+    # identical q_tfidf pipeline; see _unigram_nll_scores for the rule.
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     dl = F.sum("c").over(Window.partitionBy("doc_id"))
     avgdl = F.col("total_len").cast("double") / F.col("n_total")
@@ -1526,7 +1527,8 @@ def vocab_growth_curve(
         ).cast("bigint").alias("n"),
     )
     mx = d.agg(F.max("doc_id").alias("max_id"))
-    grid = spark.createDataFrame(
+    grid = local_rows(
+        spark,
         [(i + 1, n, den) for i, (n, den) in enumerate(grid_fracs)],
         "grid_idx int, num long, den long",
     )
@@ -1654,8 +1656,8 @@ def q_bpe_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") != "")
         .agg(F.countDistinct("c").alias("alphabet_size"))
     )
-    grid = spark.createDataFrame(
-        [(v,) for v in _BPE_VOCAB_GRID], "vocab_target long"
+    grid = local_rows(
+        spark, [(v,) for v in _BPE_VOCAB_GRID], "vocab_target long"
     )
     zero = F.lit(0).cast("long")
     return (
@@ -1803,7 +1805,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tooling the reference ETL never had)."""
     tune(spark)
     out, _ = _bpe_train_merges(spark, sf_dir, N_BPE_MERGES)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         out,
         "merge_rank int, left_tok string, right_tok string, "
         "pair_count bigint, vocab_size_after bigint",
@@ -2151,8 +2154,9 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(D)
         ]
         out.extend((r, d, w[d], mse) for d in range(D))
-    return spark.createDataFrame(
-        out, "round int, feature_id int, weight_after double, mse_before double"
+    return local_rows(
+        spark, out,
+        "round int, feature_id int, weight_after double, mse_before double",
     )
 
 

@@ -114,15 +114,44 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
         from ..operators.graph import connected_components
 
         spark_l = batch.sparkSession
+        # guide §1.5: label the epoch's jobs so the UI/REST census can
+        # attribute the micro-batch's work (descriptions are thread-local
+        # and purely cosmetic)
+        spark_l.sparkContext.setJobDescription(f"mhs epoch {epoch_id}")
         toks = F.split(F.col("text"), " ")
-        docs = batch.select(
-            "doc_id", F.lit(int(epoch_id)).cast("int").alias("shard"), toks.alias("toks")
-        ).persist()
-        shingled = docs.filter(F.size("toks") >= 3).select(
-            "doc_id", shingle(F.col("toks"), 3).alias("shingles")
-        )
-        sig = minhash_signature(shingled, "doc_id", "shingles", k=cfg.k).persist()
-        bands = lsh_bands(sig, "doc_id", k=cfg.k, bands=cfg.bands).persist()
+        # Everything from here through the CC call operates on ONE
+        # micro-batch's relations — bounded by the trigger, never
+        # corpus-sized — so AQE and auto-broadcast are pinned off for
+        # the whole region (restored below, BEFORE the store probe and
+        # the sinks, which face the unbounded signature store and keep
+        # the session's adaptive shape): cached plans are captured at
+        # .persist() call time, and every AQE stage materialization and
+        # broadcast build runs as its own job — pure per-job scheduling
+        # tax at micro-batch sizes (the r18 census put the CC seed
+        # execution alone at 14 jobs, nearly all cache-fill AQE
+        # sub-stages and broadcast collects; guide §1.2 — fix the job
+        # shape first).
+        aqe_key = "spark.sql.adaptive.enabled"
+        bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+        aqe_before = spark_l.conf.get(aqe_key, "true")
+        bcast_before = spark_l.conf.get(bcast_key, "10485760")
+        spark_l.conf.set(aqe_key, "false")
+        spark_l.conf.set(bcast_key, "-1")
+        try:
+            docs = batch.select(
+                "doc_id",
+                F.lit(int(epoch_id)).cast("int").alias("shard"),
+                toks.alias("toks"),
+            ).persist()
+            shingled = docs.filter(F.size("toks") >= 3).select(
+                "doc_id", shingle(F.col("toks"), 3).alias("shingles")
+            )
+            sig = minhash_signature(shingled, "doc_id", "shingles", k=cfg.k).persist()
+            bands = lsh_bands(sig, "doc_id", k=cfg.k, bands=cfg.bands).persist()
+        except BaseException:
+            spark_l.conf.set(aqe_key, aqe_before)
+            spark_l.conf.set(bcast_key, bcast_before)
+            raise
 
         def with_sigs(pairs: DataFrame, right_sig: DataFrame) -> DataFrame:
             a = sig.select(
@@ -149,10 +178,17 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
             .select("id_a", "id_b")
             .distinct()
         )
-        edges = with_sigs(in_cand, sig)
-        comp = connected_components(
-            docs.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
-        )
+        try:
+            edges = with_sigs(in_cand, sig)
+            spark_l.sparkContext.setJobDescription(f"mhs e{epoch_id}: cc")
+            # the eager materializations (edge cache fill, seed, rounds)
+            # all happen inside this call — still in the pinned region
+            comp = connected_components(
+                docs.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
+            )
+        finally:
+            spark_l.conf.set(aqe_key, aqe_before)
+            spark_l.conf.set(bcast_key, bcast_before)
         batch_keep = comp.filter(F.col("id") == F.col("component")).select(
             F.col("id").alias("doc_id")
         )
@@ -200,10 +236,14 @@ def build_minhash_dedup_stream(spark: SparkSession, cfg: MinhashStreamConfig):
         # appending duplicates — checkpoint recovery stays exactly-once.
         from ..sources.sinks import idempotent_batch_write
 
+        spark_l.sparkContext.setJobDescription(f"mhs e{epoch_id}: sink")
         idempotent_batch_write(survivors, epoch_id, cfg.out_path)
         # state: EVERY seen signature, survivors and dups alike
+        spark_l.sparkContext.setJobDescription(f"mhs e{epoch_id}: sig state")
         idempotent_batch_write(sig, epoch_id, sig_path)
+        spark_l.sparkContext.setJobDescription(f"mhs e{epoch_id}: band state")
         idempotent_batch_write(bands, epoch_id, band_path)
+        spark_l.sparkContext.setJobDescription(None)
         for df in (bands, sig, docs):
             df.unpersist()
         attempts[epoch_id] = attempts.get(epoch_id, 0) + 1

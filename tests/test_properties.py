@@ -498,6 +498,43 @@ def test_simhash_bits_matches_python_model(spark):
             assert got[doc_id] == model(toks), (op.__name__, doc_id)
 
 
+def test_simhash_arrow_memo_cap_bounds_memory_not_results(spark):
+    """The md5 memo inside simhash_bits_arrow is a pure cache bounded by
+    memo_cap (VERDICT r17 #3): a task whose batches carry far more
+    distinct tokens than the cap must produce fingerprints identical to
+    the uncapped kernel AND the JVM form — the `len(memo) < memo_cap`
+    guard stops insertion (bounding the dict at cap entries for the
+    task's lifetime) without ever changing a digest. Runs on ONE
+    partition so a single task sees every distinct token."""
+    from spring_cloud_kafka_streams_dbz_etl_spark.operators.dedup import (
+        simhash_bits,
+        simhash_bits_arrow,
+    )
+
+    # 40 docs x 50 unique tokens = 2000 distinct tokens >> cap=16, with
+    # some cross-doc repetition so the memo's hot path is exercised too
+    docs = [
+        (i, [f"tok_{i}_{j}" for j in range(50)] + ["shared_a", "shared_b"])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, toks array<string>"
+    ).coalesce(1)
+    capped = {
+        r.doc_id: r.simhash
+        for r in simhash_bits_arrow(df, "doc_id", "toks", memo_cap=16).collect()
+    }
+    uncapped = {
+        r.doc_id: r.simhash
+        for r in simhash_bits_arrow(df, "doc_id", "toks").collect()
+    }
+    jvm = {
+        r.doc_id: r.simhash for r in simhash_bits(df, "doc_id", "toks").collect()
+    }
+    assert capped == uncapped == jvm
+    assert len(capped) == len(docs)
+
+
 @settings(deadline=None, max_examples=8, suppress_health_check=[HealthCheck.function_scoped_fixture], derandomize=True)
 @given(
     st.lists(

@@ -184,6 +184,37 @@ high across the board. Verdict: environmental, no plan regression
 (plan + closures unchanged since the green r15 row); both stay on the
 watchlist for the round's final idle bench number.
 
+Finding (r18, run FIRST in the session before any pytest/bench warmed
+the machine — loadavg 0.5, idle steal ~84 jiffies/2min) — adjudicating
+the three VERDICT r17 "second-strike pending" drifters, code unchanged
+in all three (stamps identical):
+
+    q_containment       median 1.791 s  [1.629 .. 6.26]
+                        (r16 bench 1.05 / r17 bench 2.03 / r17 isolated 1.41)
+    q_cooccurrence      median 1.224 s  [1.055 .. 1.665]
+                        (r16 0.73 / r17 1.27 / r17 isolated 0.87)
+    q_minhash_near_dup  median 1.376 s  [1.264 .. 2.801]
+                        (r16 0.85 / r17 1.39 / r17 isolated 1.07;
+                         r6 historical isolated median: 1.39 — today's
+                         value sits AT the query's earliest recorded
+                         isolated level)
+
+All three read above their r17 isolated values, so wall alone would
+call this a reproduced drift. Two independent checks say otherwise:
+(a) same-session calibration — q_text_stats 0.343 (clean floor
+0.30-0.32), q_tpch_q3 0.918 (floor <=0.90), and /proc/stat steal ran
+~1.7k jiffies across the busy measurement window (calm is <300/2min):
+today's box prices BUSY cpu 10-20% high even when idle-steal looks
+calm; (b) clock-independent task metrics (tools/job_profile.py, warm):
+q_containment jobs=11 tasks=290 shuffleWrite=13.2MB taskTime
+14.7-21.7 s vs the ~30 s r17 recorded for the identical plan;
+q_cooccurrence jobs=17 tasks=327 taskTime ~13 s. The PLANS are doing
+the same or LESS work than when their walls were lower — a real plan
+drift cannot reduce taskTime while raising wall. Verdict: environmental
+pricing, no plan regression; all three stay untouched (VERDICT r17 #7:
+"plans touched only if a drift reproduces isolated" — it did not,
+once the clock-independent metrics are consulted).
+
 Usage: python tools/measure_watchlist.py [query ...]
 """
 
