@@ -81,6 +81,18 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(safe_div(dot(a, b), l2_norm(a) * l2_norm(b)), decimals)
 
 
+def cosine_from_dot(dp: Column, na: Column, nb: Column, decimals: int = 6) -> Column:
+    """:func:`cosine_pre` when the DOT PRODUCT itself is precomputed
+    (operators/similarity.py::pair_dots_arrow emits the pairwise fold
+    plus both norms). ``dp``/``na``/``nb`` must be the exact folds the
+    expression form would compute — the kernel's ascending-d accumulate
+    is bit-identical to ``aggregate(zip_with(...))`` and its norms are
+    the accumulator diagonal — so try_divide/round see bit-identical
+    operands and every threshold/rank decision is unchanged (r18; the
+    r17 norm hoist left ONE interpreted fold per pair, this removes it)."""
+    return F.round(safe_div(dp, na * nb), decimals)
+
+
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column, decimals: int = 6) -> Column:
     """:func:`cosine` with caller-PRECOMPUTED norms.
 

@@ -1379,6 +1379,136 @@ def blocked_cosine_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def pair_dots_arrow(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "v",
+    directed: bool = False,
+) -> DataFrame:
+    """All within-cell pair DOT PRODUCTS plus both vectors' norms, as one
+    mapInArrow pass per cell — :func:`blocked_cosine_pairs` for consumers
+    that must preserve the exact NULL/NaN algebra of the expression form
+    (the brute-force contract: q_triangle_count keeps NaN pairs because
+    NaN compares largest in both engines; q_knn_graph ranks NULL cosines
+    last and NaN first). The pandas handoff cannot express that — pandas
+    float NaN IS the missing-value sentinel — so this variant stays in
+    Arrow end to end: NaN data flows through numpy untouched and NULLs
+    are explicit validity bits.
+
+    Emits (``{id}_a``, ``{id}_b``, __dp, __na, __nb) for every ordered
+    pair id_a < id_b of the cell (both directions when ``directed``);
+    the caller applies the SAME JVM tail as the join form —
+    ``round(try_divide(__dp, __na*__nb), 6)`` — so every division,
+    zero-norm NULL, ROUND and threshold/rank decision is made by the
+    identical expression on bit-identical operands:
+
+    - __dp accumulates ``V[i,d]*V[j,d]`` in ascending d with one IEEE
+      add per step — the expression form's ``aggregate(zip_with(...))``
+      left fold exactly (products first, then sequential adds from 0.0).
+    - __na/__nb are ``sqrt`` of the accumulator's diagonal — the same
+      fold over the same array as ``l2_norm``, so the caller no longer
+      computes or carries norms at all.
+    - A vector that is NULL, has a NULL element, or whose length differs
+      from its partner's folds to a NULL dot in the expression form
+      (zip_with pads with NULLs, one NULL poisons the fold); such pairs
+      emit __dp NULL here. Same-length degenerate pairs (including two
+      empty vectors: fold over nothing = 0.0) go through the matrix.
+
+    Scale: identical shuffle to the groupBy form (each vector moves once
+    to its cell); the accumulator is |class|^2 doubles per cell, bounded
+    by the blocking scheme, chunked over the row axis past
+    ``block_rows``. Row-for-row parity with the join-HOF form is pinned
+    in tests/test_plans.py and fuzz-swept (incl. NaN/zero/ragged rows)
+    in tools/deep_fuzz.py.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = (
+        f"{id_col}_a long, {id_col}_b long, __dp double, __na double, __nb double"
+    )
+    block_rows = 2048
+
+    def cell_dots(batches):
+        # buffer the partition (cells are complete per partition after
+        # the repartition below), grouped by cell key
+        by_cell: dict = {}
+        for batch in batches:
+            ids = batch.column(id_col)
+            cells = batch.column(cell_col)
+            vecs = batch.column(vec_col)
+            for r in range(batch.num_rows):
+                key = cells[r].as_py()
+                by_cell.setdefault(key, []).append(
+                    (ids[r].as_py(), vecs[r])
+                )
+        for rows in by_cell.values():
+            rows.sort(key=lambda t: t[0])  # id_a < id_b == index order
+            m = len(rows)
+            if m < 2:
+                continue
+            ids = np.array([t[0] for t in rows], dtype=np.int64)
+            # classify: NULL / NULL-element vectors -> class None (all
+            # their pairs fold to NULL); others by length
+            cls = np.empty(m, dtype=object)
+            vec_np: list = [None] * m
+            for r, (_, v) in enumerate(rows):
+                if not v.is_valid:
+                    cls[r] = None
+                    continue
+                arr = v.values  # pyarrow double array of this list cell
+                if arr.null_count:
+                    cls[r] = None
+                    continue
+                vec_np[r] = arr.to_numpy(zero_copy_only=False)
+                cls[r] = len(vec_np[r])
+            dp = np.zeros((m, m))
+            valid = np.zeros((m, m), dtype=bool)
+            norms = np.full(m, np.nan)
+            norms_valid = np.zeros(m, dtype=bool)
+            for length in {c for c in cls if c is not None}:
+                idx = np.flatnonzero(cls == length)
+                V = (
+                    np.stack([vec_np[r] for r in idx])
+                    if length
+                    else np.zeros((len(idx), 0))
+                )
+                for i0 in range(0, len(idx), block_rows):
+                    sel = idx[i0 : i0 + block_rows]
+                    acc = np.zeros((len(sel), len(idx)))
+                    for d in range(length):
+                        # ascending-d left fold for every pair at once;
+                        # one IEEE multiply + one IEEE add per step,
+                        # exactly the zip_with/aggregate sequence
+                        acc += np.outer(V[i0 : i0 + block_rows, d], V[:, d])
+                    dp[np.ix_(sel, idx)] = acc
+                valid[np.ix_(idx, idx)] = True
+                # the diagonal IS dot(v, v) by the same fold; sqrt is
+                # correctly rounded in IEEE, matching the JVM l2_norm
+                norms[idx] = np.sqrt(np.diag(dp[np.ix_(idx, idx)]))
+                norms_valid[idx] = True
+            iu, ju = np.triu_indices(m, k=1)
+            if directed:
+                iu, ju = np.concatenate([iu, ju]), np.concatenate([ju, iu])
+            yield pa.record_batch(
+                [
+                    pa.array(ids[iu]),
+                    pa.array(ids[ju]),
+                    pa.array(dp[iu, ju], mask=~valid[iu, ju]),
+                    pa.array(norms[iu], mask=~norms_valid[iu]),
+                    pa.array(norms[ju], mask=~norms_valid[ju]),
+                ],
+                names=[f"{id_col}_a", f"{id_col}_b", "__dp", "__na", "__nb"],
+            )
+
+    return (
+        e.select(cell_col, id_col, vec_col)
+        .repartition(cell_col)
+        .mapInArrow(cell_dots, out_schema)
+    )
+
+
 # -- trained product-quantization codebooks ----------------------------------
 
 PQT_ITERS = 2

@@ -11,7 +11,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, fan_out_vectorized, local_rows, table
-from ..functions.vector import cosine, cosine_pre, has_nan, l2_norm, safe_div, to_double
+from ..functions.vector import (
+    cosine,
+    cosine_from_dot,
+    cosine_pre,
+    has_nan,
+    l2_norm,
+    safe_div,
+    to_double,
+)
 from ..operators.similarity import brute_force_topk, hyperplane_lsh_pairs
 from ..session import tune
 from . import cache_scoped, query, round_half_up6
@@ -833,33 +841,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, closing semi); no driver state. Reference analog: none (the
     reference has no graph surface)."""
     from ..operators.graph import triangle_enumerate
+    from ..operators.similarity import pair_dots_arrow
 
     tune(spark)
-    e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        # norm computed ONCE per vector on the cached side (cosine_pre):
-        # the per-pair HOF folds were the dominant task time (guide §1.2
-        # step 2 — per-task work; 3 folds/pair -> 1)
-        .withColumn("n", l2_norm(F.col("v")))
-        .transform(cache_scoped)
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), "label",
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), "label",
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    # Pair generation is ONE Arrow pass per label cell (r18,
+    # pair_dots_arrow): each vector shuffles once to its cell and the
+    # cell's full pair grid accumulates as dim sequential rank-1 numpy
+    # updates — the r17 norm hoist left one interpreted HOF fold per
+    # PAIR in the join condition (~30 s summed task time at sf0.1); the
+    # kernel's ascending-d fold is bit-identical and the norms are its
+    # diagonal, so the JVM-side cosine_from_dot sees bit-identical
+    # operands and the pair set cannot change (1.12M-pair fuzz incl.
+    # NaN/zero/NULL/ragged rows: tools/measure_pairdots.py).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
     pairs = cache_scoped(
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pair_dots_arrow(e, id_col="vec_id", cell_col="label", vec_col="v")
         .filter(
-            cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            cosine_from_dot(F.col("__dp"), F.col("__na"), F.col("__nb"))
             >= TRI_COS_MIN
         )
-        .select("vec_a", "vec_b")
+        .select(
+            F.col("vec_id_a").alias("vec_a"), F.col("vec_id_b").alias("vec_b")
+        )
     )
     return triangle_enumerate(pairs, src="vec_a", dst="vec_b")
 
@@ -899,32 +904,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is a rank window partitioned by source vector, which shares the
     shuffle key of the pair join's left side. Directed edges: (a->b)
     ranked within a's list, independently of (b->a)."""
+    from ..operators.similarity import pair_dots_arrow
+
     tune(spark)
-    e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
-        .transform(cache_scoped)  # both sides of the blocked self-join
-    )
-    a = e.select(
-        F.col("vec_id").alias("src"), "label",
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"), "label",
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    # Directed pair generation as ONE Arrow pass per label cell (r18,
+    # pair_dots_arrow; see q_triangle_count — same kernel, same
+    # bit-parity fuzz): the kernel emits every (src, dst) pair with its
+    # fold dot and both norms, and the JVM expression below makes the
+    # identical rounded-cosine decision the join form made. NULL-cosine
+    # pairs (zero norms, degenerate vectors) are still emitted so they
+    # rank LAST exactly as in the expression form.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
-        a.join(b, "label")
-        .filter(F.col("src") != F.col("dst"))
+        pair_dots_arrow(
+            e, id_col="vec_id", cell_col="label", vec_col="v", directed=True
+        )
         .select(
-            "src",
-            "dst",
-            cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            F.col("vec_id_a").alias("src"),
+            F.col("vec_id_b").alias("dst"),
+            cosine_from_dot(
+                F.col("__dp"), F.col("__na"), F.col("__nb")
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -981,30 +985,25 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
-        .transform(cache_scoped)  # self-join sides + the vector universe
-    )
-    a = e.select(
-        F.col("vec_id").alias("src"), "label",
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"), "label",
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    from ..operators.similarity import pair_dots_arrow
+
+    # directed pair generation via the one-Arrow-pass-per-cell kernel
+    # (r18, see q_knn_graph — same kernel, same bit-parity fuzz)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     knn = (
-        a.join(b, "label")
-        .filter(F.col("src") != F.col("dst"))
+        pair_dots_arrow(
+            e, id_col="vec_id", cell_col="label", vec_col="v", directed=True
+        )
         .select(
-            "src", "dst",
-            cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            F.col("vec_id_a").alias("src"),
+            F.col("vec_id_b").alias("dst"),
+            cosine_from_dot(
+                F.col("__dp"), F.col("__na"), F.col("__nb")
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -1089,28 +1088,26 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
+    from ..operators.similarity import pair_dots_arrow
+
     emb = fan_out_vectorized(table(spark, sf_dir, "embeddings"), spark)
     e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
     cells = kmeans_cells(emb).select("vec_id", F.col("cell").cast("int").alias("cell"))
-    blocked = cache_scoped(  # both self-join sides; norm once per vector
-        e.join(cells, "vec_id").withColumn("n", l2_norm(F.col("v")))
-    )
-    a = blocked.select(
-        F.col("vec_id").alias("src"), "cell",
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = blocked.select(
-        F.col("vec_id").alias("dst"), "cell",
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
+    # directed pair generation via the one-Arrow-pass-per-cell kernel
+    # (r18, see q_knn_graph): the trained IVF cell is the blocking key;
+    # the single pass replaced the cached two-sided self-join, so the
+    # cell-tagged relation no longer needs a cache or carried norms
+    blocked = e.join(cells, "vec_id")
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
-        a.join(b, "cell")
-        .filter(F.col("src") != F.col("dst"))
+        pair_dots_arrow(
+            blocked, id_col="vec_id", cell_col="cell", vec_col="v", directed=True
+        )
         .select(
-            "src", "dst",
-            cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            F.col("vec_id_a").alias("src"),
+            F.col("vec_id_b").alias("dst"),
+            cosine_from_dot(
+                F.col("__dp"), F.col("__na"), F.col("__nb")
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1164,28 +1161,24 @@ def q_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    e = (
-        fan_out(table(spark, sf_dir, "embeddings"), spark)
-        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
-        .withColumn("n", l2_norm(F.col("v")))  # once per vector (cosine_pre)
-        .transform(cache_scoped)
-    )
-    a = e.select(
-        F.col("vec_id").alias("src"), "label",
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"), "label",
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    from ..operators.similarity import pair_dots_arrow
+
+    # directed pair generation via the one-Arrow-pass-per-cell kernel
+    # (r18, see q_knn_graph); the kNN edge relation stays cached — the
+    # reciprocity self-join below consumes it twice
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     knn = cache_scoped(
-        a.join(b, "label")
-        .filter(F.col("src") != F.col("dst"))
+        pair_dots_arrow(
+            e, id_col="vec_id", cell_col="label", vec_col="v", directed=True
+        )
         .select(
-            "src", "dst",
-            cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            F.col("vec_id_a").alias("src"),
+            F.col("vec_id_b").alias("dst"),
+            cosine_from_dot(
+                F.col("__dp"), F.col("__na"), F.col("__nb")
             ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))

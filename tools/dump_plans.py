@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for bench (or named) queries to plans/r17/.
+"""Dump .explain("formatted") for bench (or named) queries to plans/r18/.
 
 Usage:
   python tools/dump_plans.py before            # all bench queries
   python tools/dump_plans.py before --only a,b
   python tools/dump_plans.py after  --only a,b
 
-Writes plans/r17/<query>_<tag>.txt. Building a query's DataFrame runs any
+Writes plans/r18/<query>_<tag>.txt. Building a query's DataFrame runs any
 driver-side training/collect work the builder does (streaming builders
 execute their micro-batches), so a full sweep costs roughly one bench pass.
 """
@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r17")
+OUT_DIR = os.path.join(REPO, "plans", "r18")
 
 
 def main() -> None:
