@@ -64,3 +64,23 @@ def no_pushdown(cond: Column) -> Column:
     16 s to 4 s at 1.6M rows on local[32].
     """
     return F.when(F.length(F.expr("uuid()")) > -1, cond).otherwise(F.lit(False))
+
+
+def eval_once(col: Column) -> Column:
+    """Pin an EXPENSIVE computed COLUMN to a single evaluation.
+
+    :func:`no_pushdown` protects a predicate; this protects the computed
+    column itself. Catalyst inlines a Project alias into every consumer
+    that references it — each downstream filter AND each projected
+    field re-evaluates the full expression (r18: the CDC parse's
+    physical plan carried SIX from_json evaluations per row — one per
+    referencing filter/field — 17 s summed task time for a 100k-row
+    micro-batch). Guarding the alias with the same always-true
+    NONDETERMINISTIC CASE makes it illegal to inline or collapse, so
+    the codec runs exactly once per row in its own projection and every
+    consumer reads the attribute. The guard survives the same four
+    optimizer attacks no_pushdown documents; the no-otherwise branch is
+    unreachable (uuid() length is never <= -1), so the value and its
+    type/nullability are unchanged. Costs ~0.5 us/row.
+    """
+    return F.when(F.length(F.expr("uuid()")) > -1, col)

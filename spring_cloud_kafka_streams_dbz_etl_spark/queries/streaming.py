@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import local_rows
-from ..functions.scalars import dec_sum
+from ..functions.scalars import dec_sum, eval_once
 from ..session import stream_tune, tune
 from ..sources.streams import stream_events
 from ..streaming.pipeline import (
@@ -2003,7 +2003,8 @@ def s_cdc_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev_b = (
             live.filter(F.col("tbl") == "events")
-            .withColumn("env", F.from_json("value", ev_schema))
+            # eval_once: one from_json per row, not one per consumer
+            .withColumn("env", eval_once(F.from_json("value", ev_schema)))
             .filter(F.col("env.after").isNotNull() & (F.col("env.after.id") != 0))
             .join(F.broadcast(dim), F.col("env.after.user_id") == dim.c_custkey)
             .select(
@@ -2016,7 +2017,8 @@ def s_cdc_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         o_b = (
             live.filter(F.col("tbl") == "orders")
-            .withColumn("env", F.from_json("value", o_schema))
+            # eval_once: one from_json per row, not one per consumer
+            .withColumn("env", eval_once(F.from_json("value", o_schema)))
             .filter(F.col("env.after").isNotNull() & (F.col("env.after.id") != 0))
             .join(F.broadcast(dim), F.col("env.after.custkey") == dim.c_custkey)
             .select(

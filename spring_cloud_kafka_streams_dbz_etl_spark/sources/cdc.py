@@ -67,15 +67,18 @@ def parse_event_envelopes(
 ) -> DataFrame:
     """(key, value-json) -> flat after-image rows (id, user_id, event_type,
     value [, op]); drops tombstones, deletes, and id==0 sentinels."""
-    from ..functions.scalars import no_pushdown
+    from ..functions.scalars import eval_once, no_pushdown
 
     schema = schema or events_envelope_schema()
     parsed = (
         raw.filter(no_pushdown(F.col("value").isNotNull()))  # tombstone filter (#3)
-        .withColumn("envelope", F.from_json("value", schema))
-        # no_pushdown keeps the codec-referencing predicates HERE (above the
-        # fan-out exchange, one from_json eval) instead of re-expanded below
-        # the shuffle at source parallelism — see functions/scalars.py.
+        # eval_once pins the codec to ONE evaluation per row (r18: the
+        # inlined alias was parsed up to 6x — once per referencing
+        # filter/field); no_pushdown keeps the codec-referencing
+        # predicates HERE (above the fan-out exchange) instead of
+        # re-expanded below the shuffle at source parallelism — see
+        # functions/scalars.py.
+        .withColumn("envelope", eval_once(F.from_json("value", schema)))
         .filter(no_pushdown(F.col("envelope.after").isNotNull()))  # delete skip (#4)
         .filter(no_pushdown(F.col("envelope.after.id") != 0))  # id sentinel reject
     )

@@ -104,10 +104,12 @@ def parse_entity_envelopes(raw: DataFrame, schema: T.StructType) -> DataFrame:
     pipeline._parse_keep_original). The payload is carried as __original
     so after-fields may use ANY name (the events entity has an after field
     literally called `value`)."""
-    from ..functions.scalars import no_pushdown
+    from ..functions.scalars import eval_once, no_pushdown
 
+    # eval_once (r18): one from_json per row instead of one per
+    # referencing filter/field — see functions/scalars.py
     parsed = raw.filter(no_pushdown(F.col("value").isNotNull())).withColumn(
-        "envelope", F.from_json("value", schema)
+        "envelope", eval_once(F.from_json("value", schema))
     )
     parse_failed = F.col("envelope").isNull() | (
         F.col("envelope.op").isNull() & F.col("envelope.after").isNull()

@@ -87,11 +87,15 @@ def _parse_keep_original(raw: DataFrame) -> DataFrame:
     routes those, it does not drop them. from_json yields an all-null
     struct for malformed JSON (null only for empty input), and a real
     envelope always carries `op` — hence the parse_failed rule."""
-    from ..functions.scalars import no_pushdown
+    from ..functions.scalars import eval_once, no_pushdown
 
     schema = events_envelope_schema()
+    # eval_once (r18): without it the envelope alias is inlined into
+    # every consumer — the physical plan carried SIX from_json
+    # evaluations per row (each flag/filter/projected field its own) —
+    # see functions/scalars.py
     parsed = raw.filter(no_pushdown(F.col("value").isNotNull())).withColumn(
-        "envelope", F.from_json("value", schema)
+        "envelope", eval_once(F.from_json("value", schema))
     )
     parse_failed = F.col("envelope").isNull() | (
         F.col("envelope.op").isNull() & F.col("envelope.after").isNull()
@@ -203,16 +207,27 @@ def _enrich_and_split(
     ORIGINAL payload (reference parity: deserialization DLQ is
     framework-level, enrichment DLQ is explicit — application.yml:23-31 /
     AnimalTransformerStream.java:55-59)."""
+    from pyspark import StorageLevel
+
+    parsed_cache = None
     if "parse_failed" in batch.columns:
-        corrupt = batch.filter(F.col("parse_failed")).select(
+        # The corrupt/ok split consumes the PARSED batch twice (the ok
+        # side through the joined persist below, the corrupt side
+        # directly into the DLQ union) — without this cache the DLQ
+        # branch re-executes the whole synthesize+parse codec from the
+        # fan-out exchange (r18 census: a duplicate ~15 s-taskTime
+        # 32-task stage per micro-batch). One micro-batch-sized
+        # MEMORY_AND_DISK cache runs the codec once; spill-not-recompute
+        # for the same retry-contract reason as `joined` below.
+        parsed_cache = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        corrupt = parsed_cache.filter(F.col("parse_failed")).select(
             F.col("kafka_key"),
             F.col("value"),
             F.lit("parse_error").alias("reason"),
         )
-        batch = batch.filter(~F.col("parse_failed"))
+        batch = parsed_cache.filter(~F.col("parse_failed"))
     else:  # DLQ-reprocess path re-parses already-valid payloads
         corrupt = None
-    from pyspark import StorageLevel
 
     # MEMORY_AND_DISK (not cache/MEMORY_ONLY): eviction must spill, never
     # recompute — a recompute in the SECOND sink write would re-read the
@@ -249,6 +264,8 @@ def _enrich_and_split(
             bad.write.mode("append").parquet(dlq_path)
     finally:
         joined.unpersist()
+        if parsed_cache is not None:
+            parsed_cache.unpersist()
 
 
 def build_cdc_pipeline(spark: SparkSession, cfg: CdcPipelineConfig):
