@@ -450,6 +450,29 @@ _ROUND_16 = frozenset(
     }
 )
 
+# Keys of CORRECTNESS_r17.json whose row was GREEN (50/50) — the full
+# round-17 window: the 39 optimization-round re-fronts, the 5 r16
+# deferrals and the 6 r17 registrations, zero red rows. Cumulative after
+# r17: 277/277 registered queries driver-green at their latest check.
+_ROUND_17 = frozenset({
+    "q_ann_cell_stats", "q_ann_coverage_curve", "q_ann_filtered",
+    "q_ann_ivf", "q_ann_ivfpq", "q_ann_nprobe_curve", "q_ann_pq_recall",
+    "q_ann_pq_recall_trained", "q_ann_pq_recall_trained_cb",
+    "q_bigram_nll", "q_budget_prune", "q_cosine_topk", "q_decontaminate",
+    "q_embedding_cosine_dup", "q_embedding_drift", "q_embedding_pca",
+    "q_gate_interaction", "q_hard_negatives", "q_hard_negatives_served",
+    "q_hybrid_retrieval", "q_importance_select", "q_kmeans_cells",
+    "q_knn_classify", "q_knn_classify_served", "q_knn_graph",
+    "q_knn_graph_ivf", "q_knn_hubness", "q_knn_mutual",
+    "q_langid_gate_sweep", "q_lsh_cosine", "q_perplexity_filter",
+    "q_pq_adc_topk", "q_pq_encode", "q_pq_train_encode",
+    "q_quality_gate_sweep", "q_rerank", "q_semantic_decontaminate",
+    "q_tfidf", "q_triangle_count", "q_unigram_nll", "s_ann_index_rebuild",
+    "s_curation_funnel", "s_curation_incremental", "s_decontaminate",
+    "s_dup_timeline", "s_importance_select", "s_kafka_sink_replay",
+    "s_kafka_txn_sink", "s_python_sink", "s_source_mix_drift"
+})
+
 CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     1: _ROUND_1,
     2: _ROUND_2,
@@ -467,6 +490,7 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
     14: _ROUND_14,
     15: _ROUND_15,
     16: _ROUND_16,
+    17: _ROUND_17,
 }
 
 # Queries whose IMPLEMENTATION changed materially since their last green
@@ -681,33 +705,67 @@ CHECKED_BY_ROUND: dict[int, frozenset[str]] = {
 # similarity parity sweep), their plan hashes are unchanged, and an
 # optimization-round driver sweep re-oracles the full surface anyway.
 # They queue for the r18 least-recently-checked fill.
+# Round 17's 39 entries all re-verified green AT HEAD in r17
+# (CORRECTNESS_r17.json 50/50) and are cleared in the same change that
+# records CHECKED_BY_ROUND[17] (ADVICE r8's process rule).
+# Round-18 entries (the second optimization round; enumerated by the
+# tools/plan_stamps.py --diff restamp at head plus the r17 stale tier):
+# - The 10 r17 CLOSURE-ONLY tier queries + q_ann_recall (VERDICT r17
+#   what's-wrong #1 / next-round #1): changed in r17 without a fresh
+#   driver row, re-fronted here regardless of whether r18 touched them
+#   again.
+# - local_rows sweep (VERDICT r17 #6): the 14 control-plane
+#   createDataFrame(list) relations now build via catalog.local_rows —
+#   plan/src changes on q_dedup_threshold_sweep, q_range_join,
+#   q_vocab_growth, q_bpe_capacity, q_bpe_train, q_linear_probe,
+#   q_dim_time_travel, q_ann_nprobe_curve, q_ann_coverage_curve,
+#   q_embedding_spectrum, q_knob_plan, q_linear_probe_pca,
+#   s_window_topk, s_linear_probe_online.
+# - connected_components restructure (size-aware loop confs, persist
+#   edge cache, probe labelling): q_dup_clusters, q_leakage_split,
+#   q_dup_cluster_stats, q_dedup_survivors, q_semantic_clusters,
+#   s_minhash_incremental.
+# - pair_dots_arrow kernel (the blocked self-join's per-pair HOF fold
+#   moved into one Arrow pass per cell): q_triangle_count, q_knn_graph,
+#   q_knn_hubness, q_knn_mutual, q_knn_graph_ivf.
+# - CDC parse single-eval (eval_once on from_json) + parsed-batch
+#   cache: q_cdc_envelope_parse, s_cdc_pipeline, s_cdc_pipeline_orders,
+#   s_idempotent_sink, s_dlq_split, s_dlq_reprocess, s_offset_reset,
+#   s_backfill_then_tail, s_cdc_multiplex, s_dim_upsert, s_dim_delete.
+# - q_bm25 tf-cache drop (the q_tfidf A/B twin, deferred from r17) and
+#   q_simhash_near_dup's bounded md5 memo (VERDICT r17 #3).
+# r18 restamp adjudication: q_decontaminate diffed as the KNOWN
+# RewriteDistinctAggregates gid-order process variant (src unchanged,
+# tools/plan_stamps.py::PROCESS_VARIANT) — no re-front.
+# Zero tier = these 45 (no never-checked queries remain) <= 50; the
+# least-recently-checked tail fills the window to 50.
 CHANGED_SINCE_CHECK: frozenset[str] = frozenset(
     {
-        "s_source_mix_drift", "s_curation_funnel", "s_curation_incremental",
-        # ANN/similarity family plan changes (e780e6d + 447ad56)
-        "q_ann_cell_stats", "q_ann_coverage_curve", "q_ann_filtered",
-        "q_ann_ivf", "q_ann_ivfpq", "q_ann_nprobe_curve", "q_ann_pq_recall",
-        "q_ann_pq_recall_trained", "q_ann_pq_recall_trained_cb",
-        "q_cosine_topk", "q_embedding_cosine_dup",
-        "q_embedding_drift", "q_embedding_pca",
-        "q_hard_negatives", "q_hard_negatives_served",
-        "q_kmeans_cells", "q_knn_classify", "q_knn_classify_served",
-        "q_knn_graph", "q_knn_hubness",
-        "q_lsh_cosine", "q_pq_adc_topk", "q_pq_encode", "q_pq_train_encode",
-        "q_rerank", "q_semantic_decontaminate",
-        "q_triangle_count", "s_ann_index_rebuild",
-        # transcript codec vectorization (68a61b3): MapInPandas->MapInArrow
-        "s_kafka_txn_sink", "s_kafka_sink_replay", "s_python_sink",
-        # NLL micros plan changes (359097c)
-        "q_unigram_nll", "q_bigram_nll", "q_perplexity_filter",
-        # fan_out plan change (359097c)
-        "q_decontaminate",
-        # corpus-cache drop plan change (late r17; q_bm25's identical
-        # swap is deferred to r18 for exactly this budget reason, and
-        # q_ann_recall moved to the deferred tier to make room — its
-        # change is transitive-only through brute_force_topk, which
-        # q_cosine_topk/q_hard_negatives* already re-front)
-        "q_tfidf",
+        # r17 closure-only tier + q_ann_recall (stale driver rows)
+        "q_index_health", "s_ann_index_maintain", "s_ann_serve",
+        "s_chained_agg", "s_session_window", "s_stream_outer_join",
+        "q_ann_recall",
+        # r17 stale AND re-touched in r18
+        "q_simhash_near_dup", "q_semantic_clusters",
+        "q_linear_probe_pca", "q_embedding_spectrum",
+        # local_rows sweep
+        "q_dedup_threshold_sweep", "q_range_join", "q_vocab_growth",
+        "q_bpe_capacity", "q_bpe_train", "q_linear_probe",
+        "q_dim_time_travel", "q_ann_nprobe_curve", "q_ann_coverage_curve",
+        "q_knob_plan", "s_window_topk", "s_linear_probe_online",
+        # connected_components restructure
+        "q_dup_clusters", "q_leakage_split", "q_dup_cluster_stats",
+        "q_dedup_survivors", "s_minhash_incremental",
+        # pair_dots_arrow kernel
+        "q_triangle_count", "q_knn_graph", "q_knn_hubness",
+        "q_knn_mutual", "q_knn_graph_ivf",
+        # CDC parse single-eval + parsed-batch cache
+        "q_cdc_envelope_parse", "s_cdc_pipeline", "s_cdc_pipeline_orders",
+        "s_idempotent_sink", "s_dlq_split", "s_dlq_reprocess",
+        "s_offset_reset", "s_backfill_then_tail", "s_cdc_multiplex",
+        "s_dim_upsert", "s_dim_delete",
+        # q_bm25 tf-cache drop
+        "q_bm25",
     }
 )
 

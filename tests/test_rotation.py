@@ -18,7 +18,7 @@ import pytest
 from spring_cloud_kafka_streams_dbz_etl_spark.queries import rotation
 
 
-CURRENT_ROUND = 16
+CURRENT_ROUND = 17
 WINDOW = 50
 STALENESS_BAR = 6
 
@@ -33,28 +33,24 @@ def registered() -> list[str]:
 def test_prior_round_deferrals_front_the_window(registered):
     order = rotation.rotation_order(registered)
     fronted = set(order[:WINDOW])
-    for name in (
-        # r16 deferrals — first driver rows land in r17
-        "q_quality_gate_sweep",
-        "q_langid_gate_sweep",
-        "q_gate_interaction",
-        "s_dup_timeline",
-        "s_decontaminate",
-        # r17 reserve-slot registrations (zero rows, front automatically)
-        "q_knn_graph_ivf",
-        "q_knn_mutual",
-        "q_hybrid_retrieval",
-        "q_importance_select",
-        "s_importance_select",
-        "q_budget_prune",
-        # CHANGED_SINCE_CHECK re-fronts (r17): slice_id-kernel rewrite +
-        # the _is_path_missing guard consumers
-        "s_source_mix_drift",
-        "s_curation_funnel",
-        "s_curation_incremental",
-    ):
-        assert name in fronted, f"{name} must front the r17 window"
+    # The r18 zero tier is exactly CHANGED_SINCE_CHECK (277/277 queries
+    # carry a green row after r17, so no never-checked names remain):
+    # the 11 r17 stale-changed queries (closure-only tier + q_ann_recall,
+    # VERDICT r17 next-round #1) plus every query the r18 optimization
+    # round changed materially (plan-stamp restamp enumeration). All of
+    # them must front for fresh driver rows.
+    for name in sorted(rotation.CHANGED_SINCE_CHECK):
+        assert name in fronted, f"{name} must front the r18 window"
         assert name not in rotation.DEFERRED_NEW
+    # and the stale-11 specifically are in that tier (the round's
+    # verification-gap closure — regression-pinned by name)
+    for name in (
+        "q_simhash_near_dup", "q_semantic_clusters", "q_index_health",
+        "q_linear_probe_pca", "q_embedding_spectrum",
+        "s_ann_index_maintain", "s_ann_serve", "s_chained_agg",
+        "s_session_window", "s_stream_outer_join", "q_ann_recall",
+    ):
+        assert name in rotation.CHANGED_SINCE_CHECK, name
 
 
 def test_never_checked_queries_front(registered):
