@@ -129,6 +129,9 @@ def connected_components(
             aqe_before = spark.conf.get(aqe_key, "true")
             bcast_before = spark.conf.get(bcast_key, "10485760")
             shuf_before = spark.conf.get(shuf_key, None)
+            pinned = True  # set BEFORE the flips: a mid-set failure
+            # must still restore whatever landed (the finally keys off
+            # this flag)
             spark.conf.set(aqe_key, "false")
             spark.conf.set(bcast_key, "-1")
             # Static partition count derived from the MEASURED edge
@@ -143,7 +146,6 @@ def connected_components(
             spark.conf.set(
                 shuf_key, str(max(1, -(-und_bytes // (32 << 20))))
             )
-            pinned = True
         changed = 0
         for i in range(max_iter):
             nbr_min = (
